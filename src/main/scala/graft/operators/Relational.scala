@@ -1,0 +1,555 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Core relational operator surface (SURVEY.md §2.2–§2.5), generalized
+  * from the reference's imperative Python to the driver's TPC-H-ish
+  * corpus. Reference citations are to /root/reference/.
+  *
+  * Scale design: every query here is a declarative DataFrame plan —
+  * filters/projections push into the parquet scan, small dimensions are
+  * broadcast explicitly, aggregations get map-side partial aggregation
+  * from Catalyst, and no operator collects to the driver. Money math is
+  * done in exact integer cents (see [[graft.Q]] determinism contract),
+  * which is also the fastest path at scale: integer sums stay in
+  * whole-stage codegen and are associative without rounding drift.
+  */
+object Relational {
+
+  /** Exact cent-scaling of a 2-decimal double column: `round(x*100)` as
+    * long. round-half-up on positive values matches DuckDB
+    * `CAST(round(x*100,0) AS BIGINT)` exactly.
+    */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  private val centsSql = (x: String) => s"CAST(round($x*100,0) AS BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // q1_agg — hash group-by + sums/avg/count (SURVEY A1/A3/A7/C7;
+  // reference process_wistia_data_v2.py:369-389,467-481). TPC-H Q1 shape.
+  private def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+    val pc = cents(col("l_extendedprice"))
+    val qc = cents(col("l_quantity"))
+    val dk = cents(col("l_discount")) // discount in whole percent points
+    val tk = cents(col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(qc) / 100.0).as("sum_qty"),
+        (sum(pc) / 100.0).as("sum_base_price"),
+        (sum(pc * (lit(100L) - dk)) / 10000.0).as("sum_disc_price"),
+        (sum(pc * (lit(100L) - dk) * (lit(100L) + tk)) / 1000000.0).as("sum_charge"),
+        (sum(qc).cast("double") / (lit(100.0) * count(lit(1)))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | SUM(${centsSql("l_quantity")})/100.0 AS sum_qty,
+       | SUM(${centsSql("l_extendedprice")})/100.0 AS sum_base_price,
+       | SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}))/10000.0 AS sum_disc_price,
+       | SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")})*(100+${centsSql("l_tax")}))/1000000.0 AS sum_charge,
+       | CAST(SUM(${centsSql("l_quantity")}) AS DOUBLE)/(100.0*COUNT(*)) AS avg_qty,
+       | COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q2_filter_project — IN-list filter + projection/rename + constants
+  // (SURVEY F1/P1; reference process_wistia_data_v2.py:263-266,297-310).
+  private def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderstatus") === "O")
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .orderBy("order_id")
+
+  private val q2Sql =
+    s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+       | o_orderpriority AS priority, ${centsSql("o_totalprice")} AS total_cents
+       |FROM orders
+       |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_orderstatus = 'O'
+       |ORDER BY order_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q3_case_derive — derived CASE column from substring match
+  // (SURVEY P3/C5; reference process_wistia_data_v2.py:274-278).
+  private def q3CaseDerive(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("bucket",
+        when(col("p_type").contains("ECONOMY") || col("p_type").contains("PROMO"), "value")
+          .when(col("p_type").contains("SMALL") || col("p_type").contains("MEDIUM"), "size")
+          .otherwise("other"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_parts"), sum(cents(col("p_retailprice"))).as("retail_cents"))
+      .orderBy("bucket")
+
+  private val q3Sql =
+    s"""SELECT CASE
+       |  WHEN p_type LIKE '%ECONOMY%' OR p_type LIKE '%PROMO%' THEN 'value'
+       |  WHEN p_type LIKE '%SMALL%' OR p_type LIKE '%MEDIUM%' THEN 'size'
+       |  ELSE 'other' END AS bucket,
+       | COUNT(*) AS n_parts,
+       | CAST(SUM(${centsSql("p_retailprice")}) AS BIGINT) AS retail_cents
+       |FROM part GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q4_join_broadcast — broadcast hash equi-join of fact to small dim
+  // (SURVEY J1; reference process_wistia_data_v2.py:721-727,407).
+  // `part` is the small side: explicit broadcast() keeps the plan
+  // shuffle-free on the build side at any fact scale.
+  private def q4JoinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  private val q4Sql =
+    s"""SELECT p_brand, COUNT(*) AS n_items,
+       | SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}))/10000.0 AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q5_semi_join — EXISTS / left-semi (SURVEY J2/F1;
+  // reference process_wistia_data_v2.py:263-266).
+  private def q5SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 100000.0).select("o_custkey")
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q5Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q6_anti_join — NOT EXISTS / left-anti, plus dim join for labels.
+  private def q6AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val n = Tables.nation(s, d)
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_no_order"))
+      .orderBy("n_name")
+  }
+
+  private val q6Sql =
+    """SELECT n_name, COUNT(*) AS n_no_order
+      |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q7_outer_join — left outer join null accounting.
+  private def q7OuterJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_with_order"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q7Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_with_order,
+      | COUNT(DISTINCT c_custkey) AS n_customers
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q8_dedup_first — first-occurrence dedup via row_number window
+  // (SURVEY A10; reference process_wistia_data_v2.py:314-344). File order
+  // in the reference ≙ event_id here (deterministic, oracle-matchable).
+  private def q8DedupFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("first_event_id"),
+        col("event_type").as("first_event_type"))
+      .orderBy("user_id")
+  }
+
+  private val q8Sql =
+    """SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+      |FROM (SELECT user_id, event_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q9_sessions — per-key time sort + lag gap analysis (SURVEY W1/W2;
+  // reference process_wistia_data_v2.py:395,404-405). 30-minute session
+  // break; all arithmetic in exact epoch-microseconds.
+  private def q9Sessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("pus", lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("pus").isNull || col("us") - col("pus") > 1800000000L, 1L)
+          .otherwise(0L)).as("n_sessions"),
+        sum(when(col("pus").isNotNull && col("us") - col("pus") <= 1800000000L,
+          col("us") - col("pus")).otherwise(0L)).as("active_us"))
+      .orderBy("user_id")
+  }
+
+  private val q9Sql =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pus
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      | CAST(SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      | CAST(SUM(CASE WHEN pus IS NOT NULL AND us - pus <= 1800000000 THEN us - pus ELSE 0 END) AS BIGINT) AS active_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10_topk_per_group — ranked top-N per key (SURVEY W2/O1).
+  private def q10TopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "rnk")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  private val q10Sql =
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11_hwm — global MAX high-water mark (SURVEY A8/T1;
+  // reference process_wistia_data_v2.py:140-144).
+  private def q11Hwm(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .agg(unix_micros(max(col("ts"))).as("hwm_us"), count(lit(1)).as("n_events"))
+
+  private val q11Sql =
+    """SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS hwm_us, COUNT(*) AS n_events
+      |FROM events WHERE ts IS NOT NULL""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12_incremental — HWM-style predicate pushdown on the time axis
+  // (SURVEY T1/T2; reference process_wistia_data.py:406-423).
+  private def q12Incremental(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy("event_type")
+
+  private val q12Sql =
+    s"""SELECT event_type, COUNT(*) AS n,
+       | CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_cents
+       |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13_union — UNION ALL of homogeneous branches (SURVEY U1;
+  // reference process_wistia_data_v2.py:709-711).
+  private def q13Union(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click").select("event_type", "user_id")
+    val views = e.filter(col("event_type") === "view").select("event_type", "user_id")
+    clicks.unionByName(views)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  private val q13Sql =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT event_type, user_id FROM events WHERE event_type = 'click'
+      |      UNION ALL
+      |      SELECT event_type, user_id FROM events WHERE event_type = 'view')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q14_setops — INTERSECT / EXCEPT (distinct set semantics).
+  private def q14SetOps(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clickers = e.filter(col("event_type") === "click").select("user_id")
+    val buyers = e.filter(col("event_type") === "purchase").select("user_id")
+    val both = clickers.intersect(buyers).agg(count(lit(1)).as("n_both"))
+    val onlyClick = clickers.except(buyers).agg(count(lit(1)).as("n_click_only"))
+    both.crossJoin(onlyClick)
+  }
+
+  private val q14Sql =
+    """SELECT
+      | (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type='click'
+      |   INTERSECT SELECT user_id FROM events WHERE event_type='purchase')) AS n_both,
+      | (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type='click'
+      |   EXCEPT SELECT user_id FROM events WHERE event_type='purchase')) AS n_click_only""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15_scalars — scalar-function gauntlet (SURVEY C1-C13): date extract,
+  // regex extract from JSON-ish string, cents rounding, case transforms.
+  private def q15Scalars(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        to_date(col("ts")).as("d"),
+        coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"), lit(0L)).as("k"),
+        cents(col("value")).as("vc"),
+        upper(col("event_type")).as("ut"))
+      .groupBy("d")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        sum(col("vc")).as("value_cents"),
+        count(lit(1)).as("n"),
+        max(col("ut")).as("max_type"))
+      .orderBy("d")
+
+  private val q15Sql =
+    s"""SELECT CAST(ts AS DATE) AS d,
+       | CAST(SUM(COALESCE(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
+       | CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_cents,
+       | COUNT(*) AS n,
+       | MAX(upper(event_type)) AS max_type
+       |FROM events GROUP BY 1 ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16_rollup — hierarchical subtotals (beyond-reference surface).
+  private def q16Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty_cents"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val q16Sql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q17_tpch_q3 — multi-join + agg + ordered top-K (headline). Shuffle
+  // profile at scale: customer⋈orders shuffles on custkey, result⋈lineitem
+  // on orderkey; AQE handles skew; top-K is a tree-reduced TakeOrdered.
+  private def q17TpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q17Sql =
+    s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+       | SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}))/10000.0 AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q18_tpch_q5 — 6-way join with region restriction (headline).
+  private def q18TpchQ5(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, d).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d).join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  private val q18Sql =
+    s"""SELECT n_name,
+       | SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}))/10000.0 AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q19_distinct — exact distinct counts (shuffle-heavy; the approximate
+  // variant lives in the library for the 100 TB path, but the oracle gate
+  // requires exact).
+  private def q19Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  private val q19Sql =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps,
+      | COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q20_countif_fallback — conditional count with fallback (SURVEY A2;
+  // reference process_wistia_data_v2.py:398-400): play_count = count of
+  // 'play'-like events, but ≥1 if any engagement was observed.
+  private def q20CountifFallback(s: SparkSession, d: String): DataFrame = {
+    val nClick = sum(when(col("event_type") === "click", 1L).otherwise(0L))
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        nClick.as("n_click"),
+        when(nClick === 0L && max(col("value")) > 0.0, 1L).otherwise(nClick)
+          .cast("long").as("play_count"))
+      .orderBy("user_id")
+  }
+
+  private val q20Sql =
+    """SELECT user_id,
+      | CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      | CAST(CASE WHEN SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) = 0
+      |            AND MAX(value) > 0.0 THEN 1
+      |      ELSE SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) END AS BIGINT) AS play_count
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q21_first_value — ordered first value per group (SURVEY A4/A5;
+  // reference process_wistia_data_v2.py:484-513): first event's payload
+  // in strict time order, deterministic tie-break on event_id.
+  private def q21FirstValue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_type").as("first_type"),
+        cents(col("value")).as("first_value_cents"))
+      .orderBy("user_id")
+  }
+
+  private val q21Sql =
+    s"""SELECT user_id, event_type AS first_type,
+       | ${centsSql("value")} AS first_value_cents
+       |FROM (SELECT user_id, event_type, value,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |      FROM events)
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q22_watchtime — the sessionized watch-time state machine (SURVEY A6;
+  // reference process_wistia_data_v2.py:402-469) re-expressed as a
+  // codegen-friendly lag-window plan over (user, day): credit each
+  // positive progress delta with min(elapsed, Δ·duration), skipping
+  // seek-sized jumps. All arithmetic in exact integer micros/cents; the
+  // faithful Wistia-schema variant (incl. the /100 quirk) lives in
+  // graft.operators.Sessionize with an Aggregator cross-check.
+  private def q22Watchtime(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    Tables.events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"),
+        cents(col("value")).as("vc"))
+      .withColumn("dus", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("dvc", col("vc") - lag(col("vc"), 1).over(w))
+      .groupBy("user_id", "day")
+      .agg(
+        sum(when(col("dvc") > 0L && col("dvc") <= 5000L,
+          least(col("dus"), col("dvc") * 60000L)).otherwise(0L)).as("watch_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+
+  private val q22Sql =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+       |    ${centsSql("value")} AS vc
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, day,
+       |    us - lag(us) OVER w AS dus,
+       |    vc - lag(vc) OVER w AS dvc
+       |  FROM g WINDOW w AS (PARTITION BY user_id, day ORDER BY us, event_id))
+       |SELECT user_id, day,
+       | CAST(SUM(CASE WHEN dvc > 0 AND dvc <= 5000 THEN LEAST(dus, dvc*60000) ELSE 0 END) AS BIGINT) AS watch_us,
+       | COUNT(*) AS n_events
+       |FROM l GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q1_agg", q1Agg, Some(q1Sql), headline = true),
+    Q("q2_filter_project", q2FilterProject, Some(q2Sql)),
+    Q("q3_case_derive", q3CaseDerive, Some(q3Sql)),
+    Q("q4_join_broadcast", q4JoinBroadcast, Some(q4Sql), headline = true),
+    Q("q5_semi_join", q5SemiJoin, Some(q5Sql)),
+    Q("q6_anti_join", q6AntiJoin, Some(q6Sql)),
+    Q("q7_outer_join", q7OuterJoin, Some(q7Sql)),
+    Q("q8_dedup_first", q8DedupFirst, Some(q8Sql)),
+    Q("q9_sessions", q9Sessions, Some(q9Sql), headline = true),
+    Q("q10_topk_per_group", q10TopkPerGroup, Some(q10Sql)),
+    Q("q11_hwm", q11Hwm, Some(q11Sql)),
+    Q("q12_incremental", q12Incremental, Some(q12Sql)),
+    Q("q13_union", q13Union, Some(q13Sql)),
+    Q("q14_setops", q14SetOps, Some(q14Sql)),
+    Q("q15_scalars", q15Scalars, Some(q15Sql)),
+    Q("q16_rollup", q16Rollup, Some(q16Sql)),
+    Q("q17_tpch_q3", q17TpchQ3, Some(q17Sql), headline = true),
+    Q("q18_tpch_q5", q18TpchQ5, Some(q18Sql), headline = true),
+    Q("q19_distinct", q19Distinct, Some(q19Sql)),
+    Q("q20_countif_fallback", q20CountifFallback, Some(q20Sql)),
+    Q("q21_first_value", q21FirstValue, Some(q21Sql)),
+    Q("q22_watchtime", q22Watchtime, Some(q22Sql), headline = true))
+}
