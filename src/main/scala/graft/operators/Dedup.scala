@@ -1,5 +1,204 @@
 package graft.operators
-import graft.Q
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline surface: exact hash dedup, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Engine-portability trick: all hashing is md5-derived (identical hex
+  * in Spark and DuckDB), MinHash permutations are the lexicographic min
+  * of `md5(seed:shingle)` strings, and 60-bit integer hashes come from
+  * the first 15 hex chars. Cosines are computed from micro-scaled
+  * integer vectors, so dot products and norms are exact and the double
+  * division/sqrt is bit-deterministic in both engines.
+  *
+  * Scale: exact dedup and MinHash are groupBy/aggregate shapes (one
+  * shuffle each on doc hash / band key). The all-pairs Jaccard is
+  * intentionally restricted to LSH-candidate verification at scale; here
+  * the shingle-inverted-index self-join keeps the pair space sparse (only
+  * docs sharing a shingle meet), which is the standard scalable layout.
+  */
 object Dedup {
-  val queries: Seq[Q] = Seq()
+
+  /** Word 3-gram shingle array from the `text` column. Docs shorter than
+    * 3 words yield an empty array (sequence() would count *down* for a
+    * negative stop, so guard explicitly).
+    */
+  private def shingles(text: Column): Column =
+    when(size(split(text, " ")) < 3, array().cast("array<string>"))
+      .otherwise(expr("transform(sequence(0, size(split(text,' ')) - 3), " +
+        "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))"))
+
+  private val shinglesSqlCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |       FROM t, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) u(i))""".stripMargin
+
+  /** doc_id → distinct shingle rows (Spark side of the CTE above). */
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .distinct()
+
+  // ---------------------------------------------------------------------
+  // dd1_exact — exact dedup by content hash, keep-first (SURVEY A10
+  // generalized; reference process_wistia_data_v2.py:314-344). One
+  // hash-shuffle on the digest; at 100 TB this is the canonical
+  // map-side-combine groupBy.
+  private def dd1Exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  private val dd1Sql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd2_ngram_jaccard — near-dup pairs by word-3-gram Jaccard ≥ 0.8 via
+  // shingle inverted index; threshold test in exact integer arithmetic
+  // (common*10 ≥ 8*union).
+  private def dd2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleDf(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("ida"), col("s"))
+    val b = sh.select(col("doc_id").as("idb"), col("s"))
+    val common = a.join(b, Seq("s")).filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .withColumn("uni", col("na") + col("nb") - col("common"))
+      .filter(col("common") * 10L >= col("uni") * 8L)
+      .select("ida", "idb", "common", "uni")
+      .orderBy("ida", "idb")
+  }
+
+  private val dd2Sql =
+    s"""WITH $shinglesSqlCte,
+       |c AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+       |SELECT ida, idb, common, na.n + nb.n - common AS uni
+       |FROM c JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
+       |WHERE common * 10 >= (na.n + nb.n - common) * 8
+       |ORDER BY ida, idb""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd3_minhash_lsh — MinHash signatures (12 hashes = lexicographic min
+  // of md5('seed:'||shingle)) banded 4×3; candidate pairs share ≥1 band.
+  // At scale: signature agg is one shuffle on doc_id; the band self-join
+  // shuffles on (band, key) whose groups are tiny by construction.
+  private val numHashes = 12
+  private val rowsPerBand = 3
+  private val numBands = numHashes / rowsPerBand
+
+  private def dd3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleDf(s, d)
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until numBands).map { b =>
+      val key = concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = bands.select(col("doc_id").as("ida"), col("band"), col("key"))
+    val r = bands.select(col("doc_id").as("idb"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+      .orderBy("ida", "idb")
+  }
+
+  private val dd3Sql: String = {
+    val sigCols = (0 until numHashes)
+      .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    val bandRows = (0 until numBands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesSqlCte,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows)
+       |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY ida, idb""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // dd4_simhash — 16-bit SimHash over word occurrences: per-bit ±1 votes
+  // weighted by term frequency, bit set when vote ≥ 0. 60-bit word hash
+  // from md5 hex prefix (engine-portable).
+  private def dd4Simhash(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val bitVotes = (0 until 16).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val voted = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until 16).map { i =>
+      when(col(s"v$i") >= 0L, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+  }
+
+  private val dd4Sql: String = {
+    val votes = (0 until 16).map { i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(", ")
+    val hashExpr = (0 until 16).map { i =>
+      s"CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, ('0x' || substring(md5(u.w), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       |       UNNEST(t.toks) AS u(w)),
+       |v AS (SELECT doc_id, $votes FROM w GROUP BY doc_id)
+       |SELECT doc_id, CAST($hashExpr AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // dd5_embed_neardup — near-dup pairs by embedding cosine ≥ 0.45 over
+  // micro-scaled integer vectors (exact dot/norm; see Similarity for the
+  // shared vector prep). Output cosine as floor(cos·1e6) to stay integer-
+  // exact across engines. Brute-force pair space here; the LSH-bucketed
+  // path (sim2) is the 100 TB variant.
+  private def dd5EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = Similarity.scaledVectors(s, d)
+    val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0L), _ + _))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= 0.45)
+      .select(col("ida"), col("idb"), floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("ida", "idb")
+  }
+
+  private val dd5Sql =
+    s"""WITH ${Similarity.scaledVectorsSqlCte},
+       |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+       |SELECT ida, idb,
+       | CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) AS BIGINT) AS cos_e6
+       |FROM p
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.45
+       |ORDER BY ida, idb""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("dd1_exact", dd1Exact, Some(dd1Sql)),
+    Q("dd2_ngram_jaccard", dd2NgramJaccard, Some(dd2Sql), headline = true),
+    Q("dd3_minhash_lsh", dd3MinhashLsh, Some(dd3Sql), headline = true),
+    Q("dd4_simhash", dd4Simhash, Some(dd4Sql)),
+    Q("dd5_embed_neardup", dd5EmbedNeardup, Some(dd5Sql)))
 }

@@ -1,5 +1,95 @@
 package graft.operators
-import graft.Q
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Time-window operators over the append-only `events` stream table —
+  * the batch-equivalent plans of the Structured Streaming pipelines in
+  * graft.streaming (SURVEY §2.7: the reference's daily grain is a
+  * calendar tumbling window; the micro-batch scheduler is
+  * Trigger.AvailableNow). All window math is exact epoch-micros integer
+  * arithmetic so the DuckDB oracle matches bit-for-bit.
+  */
 object EventOps {
-  val queries: Seq[Q] = Seq()
+
+  import Relational.cents
+
+  // ---------------------------------------------------------------------
+  // ev1_tumbling — 1-hour tumbling window aggregation (streaming
+  // equivalent: groupBy(window($"ts", "1 hour"), $"event_type")).
+  private def ev1Tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy("h", "event_type")
+
+  private val ev1Sql =
+    """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ev2_sliding — 1-hour windows sliding every 30 minutes: each event
+  // lands in 2 windows (k ∈ {0,1}); window start on the 30-minute grid,
+  // computed in integer micros (portable across engines; the streaming
+  // twin is window($"ts", "1 hour", "30 minutes")).
+  private def ev2Sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"), cents(col("value")).as("vc"))
+      .withColumn("k", explode(array(lit(0L), lit(1L))))
+      .withColumn("w_start_us",
+        expr("((us - k*1800000000) div 3600000000) * 3600000000 + k*1800000000"))
+      .groupBy("w_start_us")
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("value_cents"))
+      .orderBy("w_start_us")
+
+  private val ev2Sql =
+    """WITH x AS (
+      |  SELECT epoch_us(ts) AS us, CAST(round(value*100,0) AS BIGINT) AS vc, u.k
+      |  FROM events, UNNEST([0, 1]) AS u(k)),
+      |w AS (SELECT ((us - k*1800000000) // 3600000000) * 3600000000 + k*1800000000 AS w_start_us, vc FROM x)
+      |SELECT w_start_us, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS value_cents
+      |FROM w GROUP BY 1 ORDER BY w_start_us""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ev3_session_window — gap-based session windows (30 min) with session
+  // ids via cumulative sum of session-start flags; per-session start/end/
+  // size. Streaming twin: session_window($"ts", "30 minutes") /
+  // flatMapGroupsWithState (graft.streaming.Streams).
+  private def ev3SessionWindow(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(wOrd) <= 1800000000L, 0L).otherwise(1L))
+      .withColumn("sid", sum(col("new_sess")).over(wCum))
+      .groupBy("user_id", "sid")
+      .agg(
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sid")
+  }
+
+  private val ev3Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) <= 1800000000
+      |         THEN 0 ELSE 1 END AS new_sess
+      |  FROM events),
+      |sid AS (SELECT user_id, us,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      | min(us) AS start_us, max(us) AS end_us, COUNT(*) AS n_events
+      |FROM sid GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("ev1_tumbling", ev1Tumbling, Some(ev1Sql)),
+    Q("ev2_sliding", ev2Sliding, Some(ev2Sql)),
+    Q("ev3_session_window", ev3SessionWindow, Some(ev3Sql)))
 }

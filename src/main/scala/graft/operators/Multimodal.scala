@@ -1,5 +1,92 @@
 package graft.operators
-import graft.Q
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Multimodal-column plumbing: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata structs. The container has
+  * no image/audio codecs, so the decode step is a deterministic stub
+  * ([[decodeStub]]) — the Spark-side contract (schema, batching,
+  * partition-parallel decode via mapPartitions, metadata struct shape) is
+  * real and tested in MultimodalSpec.
+  *
+  * Scale: decode is embarrassingly parallel map-side work; the plan keeps
+  * payloads out of shuffles (metadata-only projections after decode) —
+  * the cardinal rule for 100 TB multimodal tables is "never shuffle the
+  * bytes, shuffle the features".
+  */
 object Multimodal {
-  val queries: Seq[Q] = Seq()
+
+  /** Metadata extracted by the (stubbed) decoder. */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** documents texts re-typed as opaque binary payloads — the stand-in
+    * for an image/audio bytes column.
+    */
+  def binaryPayloads(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder: a real deployment would decode image/audio bytes here
+    * (the codec libraries are not in this container). The stub derives
+    * deterministic fake dimensions from the payload bytes so tests can
+    * assert exact values. Runs per-partition — no driver collection, no
+    * shuffle of payload bytes.
+    */
+  def decodeStub(s: SparkSession, payloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
+    payloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // deterministic fake decode: dims from byte content
+          val w = 64 + (math.abs(bytes.headOption.getOrElse(0.toByte).toInt) % 64)
+          val h = 64 + (math.abs(bytes.lastOption.getOrElse(0.toByte).toInt) % 64)
+          MediaMeta(id, bytes.length.toLong, "stub/raw", w, h,
+            1 + (bytes.length % 16))
+        }
+      }(enc).toDF()
+  }
+
+  // ---------------------------------------------------------------------
+  // mm1_binary_meta — the oracle-checkable slice of the multimodal path:
+  // byte length, content hash, fixed-size chunk count of the payload
+  // column (chunking = how a 100 TB pipeline batches media bytes for
+  // decode UDFs).
+  private def mm1BinaryMeta(s: SparkSession, d: String): DataFrame =
+    binaryPayloads(s, d)
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_hash"),
+        ((octet_length(col("payload")).cast("long") + 255L) / 256L).cast("long")
+          .as("n_chunks"))
+      .orderBy("doc_id")
+
+  private val mm1Sql =
+    """SELECT doc_id,
+      | CAST(strlen(text) AS BIGINT) AS n_bytes,
+      | md5(text) AS content_hash,
+      | CAST((strlen(text) + 255) // 256 AS BIGINT) AS n_chunks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("mm1_binary_meta", mm1BinaryMeta, Some(mm1Sql)))
 }

@@ -1,5 +1,128 @@
 package graft.operators
-import graft.Q
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * sign-LSH-bucketed variant as the scale path (search only within the
+  * query's bucket instead of all-pairs).
+  *
+  * Vectors are micro-scaled to integers once (`round(x·1e6)` per element)
+  * so dot products and squared norms are exact int64 arithmetic; the
+  * final cosine is a single IEEE division+sqrt of exact ints, bit-equal
+  * in Spark and DuckDB. Dots/norms stay well inside int64 range
+  * (|x|≤~5 ⇒ per-term ≤ 2.5e13, ×64 dims ≤ 1.6e15).
+  *
+  * Scale: brute force is O(Q·N) — kept for small query sets and as the
+  * oracle for recall; the bucketed variant shuffles once on the bucket
+  * key and does O(Q·N/2^bits) work. For 100 TB, raise the bit count and
+  * probe multiple buckets (standard multi-probe LSH); an IVF layout is
+  * the same plan with learned centroids as bucket keys.
+  */
 object Similarity {
-  val queries: Seq[Q] = Seq()
+
+  /** embeddings with micro-scaled int vector `v` and exact squared norm
+    * `nrm`. Shared by Dedup.dd5 and both ANN variants.
+    */
+  def scaledVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000000, 0).cast("long"))
+          .as("v"))
+      .withColumn("nrm", aggregate(transform(col("v"), x => x * x), lit(0L), _ + _))
+
+  /** DuckDB CTE equivalent of [[scaledVectors]] (named `e`). */
+  val scaledVectorsSqlCte: String =
+    """e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
+      |  CAST(list_sum(list_transform(
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)),
+      |    x -> x * x)) AS BIGINT) AS nrm
+      |FROM embeddings)""".stripMargin
+
+  private val cosSql =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+
+  // ---------------------------------------------------------------------
+  // sim1_ann_brute — exact cosine top-5 for each query vector (vec_id<10)
+  // against all other vectors. Rank deterministic: exact cosine desc,
+  // neighbor id asc.
+  private def sim1AnnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = scaledVectors(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("nbr"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    q.crossJoin(c).filter(col("qid") =!= col("nbr"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0L), _ + _))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"),
+        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val sim1Sql =
+    s"""WITH $scaledVectorsSqlCte,
+       |p AS (SELECT a.vec_id AS qid, b.vec_id AS nbr, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM e a, e b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+       |c AS (SELECT qid, nbr, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM p)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM c WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sim2_ann_lsh — sign-LSH bucketed ANN: bucket = 4-bit sign code of the
+  // first 4 dimensions; each query searches only its own bucket. Top-3
+  // per query; queries whose bucket has <3 neighbors return fewer rows
+  // (identically in both engines).
+  private def sim2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = scaledVectors(s, d)
+      .withColumn("bucket",
+        (0 until 4).map(i =>
+          when(element_at(col("v"), i + 1) >= 0L, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+    val c = e.select(col("vec_id").as("nbr"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    q.join(c, Seq("bucket")).filter(col("qid") =!= col("nbr"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0L), _ + _))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"),
+        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val sim2Sql: String = {
+    val bucket = (0 until 4).map(i =>
+      s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH $scaledVectorsSqlCte,
+       |eb AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS qid, b.vec_id AS nbr, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |c AS (SELECT qid, nbr, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM p)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("sim1_ann_brute", sim1AnnBrute, Some(sim1Sql), headline = true),
+    Q("sim2_ann_lsh", sim2AnnLsh, Some(sim2Sql)))
 }

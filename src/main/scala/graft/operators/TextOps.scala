@@ -1,5 +1,155 @@
 package graft.operators
-import graft.Q
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting. All computations are exact-integer
+  * or string-valued so the DuckDB oracle hash-matches (see graft.Q).
+  *
+  * Scale: every op is a narrow per-row projection (no shuffle at all
+  * except the final presentation ORDER BY) — at 100 TB these run
+  * map-only and whole-stage-codegen'd.
+  */
 object TextOps {
-  val queries: Seq[Q] = Seq()
+
+  /** Occurrences of `needle` in `hay` as an exact long:
+    * (len(hay) - len(replace(hay, needle, ''))) / len(needle).
+    */
+  private def occ(hay: Column, needle: String): Column =
+    ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast("long")
+
+  private def occSql(hay: String, needle: String): String =
+    s"CAST((len($hay) - len(replace($hay, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  // stopword markers per language for the n-gram/keyword heuristic;
+  // padded with spaces so they match whole words in ' '||text||' '.
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of ", " and "),
+    "es" -> Seq(" el ", " la ", " de ", " que "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "de" -> Seq(" der ", " die ", " und ", " das "))
+
+  // ---------------------------------------------------------------------
+  // t1_lang_id — keyword-marker language scoring; pred = argmax score
+  // with 'und' (undetermined) when all scores are 0. Deterministic
+  // tie-break: first language in fixed order wins strictly-greater
+  // comparison chain.
+  private def t1LangId(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scores = langMarkers.map { case (lang, kws) =>
+      lang -> kws.map(k => occ(padded, k)).reduce(_ + _)
+    }
+    val df0 = Tables.documents(s, d).select(
+      col("doc_id") +: scores.map { case (l, c) => c.as(s"score_$l") }: _*)
+    // argmax in fixed order: en beats es beats fr beats de on ties
+    val pred = when(greatest(scores.map(n => col(s"score_${n._1}")): _*) === 0L, "und")
+      .otherwise(
+        scores.map(_._1).reverse.foldLeft(lit("und")) { (acc, l) =>
+          // l wins if its score equals the max and no earlier lang matched;
+          // iterate reversed so earlier langs override later ones.
+          when(col(s"score_$l") === greatest(scores.map(n => col(s"score_${n._1}")): _*), lit(l))
+            .otherwise(acc)
+        })
+    df0.withColumn("pred_lang", pred).orderBy("doc_id")
+  }
+
+  private val t1Sql: String = {
+    val pad = "(' ' || text || ' ')"
+    val scoreExprs = langMarkers.map { case (lang, kws) =>
+      s"(${kws.map(k => occSql(pad, k)).mkString(" + ")}) AS score_$lang"
+    }.mkString(",\n ")
+    val maxE = s"greatest(${langMarkers.map("score_" + _._1).mkString(", ")})"
+    val caseE = langMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = $maxE THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id,
+       | $scoreExprs
+       |FROM documents)
+       |SELECT doc_id, score_en, score_es, score_fr, score_de,
+       | CASE WHEN $maxE = 0 THEN 'und' $caseE ELSE 'und' END AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // t2_quality — length/word/alpha-ratio quality scoring. Ratios are
+  // single divisions of exact ints (deterministic doubles).
+  private def t2Quality(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val nStop = occ(concat(lit(" "), col("text"), lit(" ")), " the ") +
+      occ(concat(lit(" "), col("text"), lit(" ")), " a ")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        nWords.as("n_words"),
+        nAlpha.as("n_alpha"),
+        nStop.as("n_stop"),
+        (nAlpha.cast("double") / col("n_chars")).as("alpha_ratio"),
+        (nStop.cast("double") / nWords).as("stop_ratio"),
+        (nWords >= 10L && nAlpha * 2L > col("n_chars")).as("quality_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val t2Sql: String = {
+    val pad = "(' ' || text || ' ')"
+    val nStop = s"(${occSql(pad, " the ")} + ${occSql(pad, " a ")})"
+    s"""SELECT doc_id, n_chars,
+       | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       | CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       | $nStop AS n_stop,
+       | CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
+       | CAST($nStop AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+       | (len(string_split(text, ' ')) >= 10 AND
+       |  CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)*2 > n_chars) AS quality_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // t3_tokens — whitespace token count + BPE-ish regex token count
+  // (word pieces: letter runs, digit runs, single punctuation marks).
+  private def t3Tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_re_tokens"))
+      .orderBy("doc_id")
+
+  private val t3Sql =
+    """SELECT doc_id,
+      | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t4_fingerprint — normalization + content hash (whitespace-collapsed
+  // lowercase md5), the deterministic document identity used by exact
+  // dedup (reference analogue: the seen-set identity of
+  // process_wistia_data_v2.py:314-344).
+  private def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
+        substring(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))), 1, 8)
+          .as("fp_bucket"))
+      .orderBy("doc_id")
+
+  private val t4Sql =
+    """SELECT doc_id,
+      | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      | substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("t1_lang_id", t1LangId, Some(t1Sql)),
+    Q("t2_quality", t2Quality, Some(t2Sql), headline = true),
+    Q("t3_tokens", t3Tokens, Some(t3Sql)),
+    Q("t4_fingerprint", t4Fingerprint, Some(t4Sql)))
 }
