@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class E(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingCounts over MemoryStream matches batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      E(ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      E(ts("2024-01-01 00:25:00"), 2L, "click", 2.0),
+      E(ts("2024-01-01 00:55:00"), 1L, "view", 3.0),
+      E(ts("2024-01-01 01:10:00"), 3L, "click", 4.0),
+      E(ts("2024-01-01 02:05:00"), 1L, "view", 5.0))
+
+    val stream = MemoryStream[E]
+    stream.addData(data: _*)
+    val q = Streams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumbling")
+      .orderBy("w_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = Streams.tumblingCounts(data.toDF())
+      .orderBy("w_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === batch.toSeq)
+    assert(got.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 00:00:00.0", "view", 1L, 3.0),
+      ("2024-01-01 01:00:00.0", "click", 1L, 4.0),
+      ("2024-01-01 02:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("sessionWindows groups gap-separated activity per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[E]
+    stream.addData(
+      E(ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      E(ts("2024-01-01 00:10:00"), 1L, "view", 1.0), // same session (gap 10m)
+      E(ts("2024-01-01 01:00:00"), 1L, "click", 1.0), // new session (gap 50m)
+      E(ts("2024-01-01 00:00:00"), 2L, "click", 1.0))
+    val q = Streams.sessionWindows(stream.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sessions").orderBy("user_id", "start")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("availableNow sink processes a raw-zone directory incrementally (T5)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = s"$dir/ckpt"
+    val in = s"$dir/in"
+    new java.io.File(in).mkdirs()
+    Seq(E(ts("2024-01-01 00:05:00"), 1L, "click", 1.0))
+      .toDF().write.mode("append").parquet(in)
+
+    val read = spark.readStream.schema(
+      Seq.empty[E].toDF().schema).parquet(in)
+    var total = 0L
+    val q = Streams.availableNowSink(read, ckpt) { (batch, _) =>
+      total += batch.count()
+    }.start()
+    try q.awaitTermination(60000) finally if (q.isActive) q.stop()
+    assert(total === 1L)
+
+    // second activation sees only the newly-arrived file (checkpoint = HWM)
+    Seq(E(ts("2024-01-01 00:06:00"), 2L, "view", 2.0),
+      E(ts("2024-01-01 00:07:00"), 3L, "view", 2.0))
+      .toDF().write.mode("append").parquet(in)
+    var second = 0L
+    val q2 = Streams.availableNowSink(read, ckpt) { (batch, _) =>
+      second += batch.count()
+    }.start()
+    try q2.awaitTermination(60000) finally if (q2.isActive) q2.stop()
+    assert(second === 2L)
+  }
+}
