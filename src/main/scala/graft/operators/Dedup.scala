@@ -176,7 +176,7 @@ object Dedup {
     val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("ida") < col("idb"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0L), _ + _))
+      .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("vb")))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cos") >= 0.45)

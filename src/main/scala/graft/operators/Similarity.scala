@@ -32,7 +32,7 @@ object Similarity {
         col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * 1000000, 0).cast("long"))
           .as("v"))
-      .withColumn("nrm", aggregate(transform(col("v"), x => x * x), lit(0L), _ + _))
+      .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
 
   /** DuckDB CTE equivalent of [[scaledVectors]] (named `e`). */
   val scaledVectorsSqlCte: String =
@@ -58,7 +58,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
     q.crossJoin(c).filter(col("qid") =!= col("nbr"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0L), _ + _))
+      .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("vb")))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .withColumn("rnk", row_number().over(w))
@@ -96,7 +96,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
     q.join(c, Seq("bucket")).filter(col("qid") =!= col("nbr"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0L), _ + _))
+      .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("vb")))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .withColumn("rnk", row_number().over(w))

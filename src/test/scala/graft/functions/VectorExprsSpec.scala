@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DotLong must be bit-identical to the aggregate/zip_with formulation it
+  * replaced, in both codegen and interpreted modes.
+  */
+class VectorExprsSpec extends SparkSpec {
+
+  test("dot_long matches aggregate/zip_with on random long vectors") {
+    val df = spark.range(200).select(
+      col("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(hash(col("id") * 64 + i), lit(2000001)).cast("long") - 1000000L).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(hash(col("id") * 64 + i + 7), lit(2000001)).cast("long") - 1000000L).as("b"))
+    val both = df.select(
+      VectorFunctions.dotLong(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0L), _ + _).as("ref"),
+      VectorFunctions.normSqLong(col("a")).as("nfast"),
+      aggregate(transform(col("a"), x => x * x), lit(0L), _ + _).as("nref"))
+    assert(both.filter(col("fast") =!= col("ref") || col("nfast") =!= col("nref")).count() === 0)
+  }
+
+  test("dot_long interpreted path (no codegen) agrees") {
+    val conf = spark.conf
+    val prev = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode"))
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val df = spark.range(50).select(
+        transform(sequence(lit(0), lit(15)), i => (col("id") + i).cast("long")).as("a"))
+      val r = df.select(
+        VectorFunctions.dotLong(col("a"), col("a")).as("fast"),
+        aggregate(transform(col("a"), x => x * x), lit(0L), _ + _).as("ref"))
+      assert(r.filter(col("fast") =!= col("ref")).count() === 0)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prev._1)
+      conf.set("spark.sql.codegen.factoryMode", prev._2)
+    }
+  }
+
+  test("dot_long is null-safe") {
+    val df = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS a, array(1L, 2L) AS b")
+    val r = df.select(VectorFunctions.dotLong(col("a"), col("b")).as("d")).collect()
+    assert(r.head.isNullAt(0))
+  }
+}
