@@ -23,25 +23,34 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
-  /** Word 3-gram shingle array from the `text` column. Docs shorter than
-    * 3 words yield an empty array (sequence() would count *down* for a
-    * negative stop, so guard explicitly).
+  /** doc_id → one row per word-3-gram shingle occurrence (duplicates
+    * included — dd2 dedups on hashed longs, dd3's min(md5) is
+    * duplicate-insensitive). Built with a codegen-friendly generator:
+    * explode a position sequence and assemble each shingle with
+    * element_at/concat_ws, all codegen'd expressions. Higher-order
+    * functions (transform/aggregate) are deliberately avoided here —
+    * they are CodegenFallback (interpreted per element) and measurably
+    * slower on this hot path.
+    *
+    * Scale: the generator runs inside the scan stage; the only shuffles
+    * in the dedup operators are the semantically required ones
+    * (candidate-pair join / band join / per-doc signature agg).
     */
-  private def shingles(text: Column): Column =
-    when(size(split(text, " ")) < 3, array().cast("array<string>"))
-      .otherwise(expr("transform(sequence(0, size(split(text,' ')) - 3), " +
-        "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))"))
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 3)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("toks"), col("i") + 1),
+        element_at(col("toks"), col("i") + 2),
+        element_at(col("toks"), col("i") + 3)).as("s"))
 
   private val shinglesSqlCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
       |       FROM t, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) u(i))""".stripMargin
-
-  /** doc_id → distinct shingle rows (Spark side of the CTE above). */
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .distinct()
 
   // ---------------------------------------------------------------------
   // dd1_exact — exact dedup by content hash, keep-first (SURVEY A10
@@ -63,16 +72,24 @@ object Dedup {
   // dd2_ngram_jaccard — near-dup pairs by word-3-gram Jaccard ≥ 0.8 via
   // shingle inverted index; threshold test in exact integer arithmetic
   // (common*10 ≥ 8*union).
+  //
+  // Spark-side plan: shingles are hashed to int64 (xxhash64) before the
+  // DISTINCT and the self-join, so every shuffle moves (long, long) rows
+  // instead of full shingle strings. The per-doc sizes frame is one row
+  // per doc and joins back by broadcast. Semantics identical to the
+  // string formulation (the oracle keeps strings) modulo 64-bit hash
+  // collisions.
   private def dd2NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleDf(s, d).cache()
+    val sh = shingleRows(s, d)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("ida"), col("s"))
-    val b = sh.select(col("doc_id").as("idb"), col("s"))
-    val common = a.join(b, Seq("s")).filter(col("ida") < col("idb"))
+    val a = sh.select(col("doc_id").as("ida"), col("h"))
+    val b = sh.select(col("doc_id").as("idb"), col("h"))
+    a.join(b, Seq("h")).filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
-      .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .join(broadcast(sizes.select(col("doc_id").as("ida"), col("n").as("na"))), "ida")
+      .join(broadcast(sizes.select(col("doc_id").as("idb"), col("n").as("nb"))), "idb")
       .withColumn("uni", col("na") + col("nb") - col("common"))
       .filter(col("common") * 10L >= col("uni") * 8L)
       .select("ida", "idb", "common", "uni")
@@ -99,14 +116,19 @@ object Dedup {
   private val rowsPerBand = 3
   private val numBands = numHashes / rowsPerBand
 
+  // Spark-side plan: min(md5) partial-aggregates map-side over raw
+  // shingle occurrences (no pre-DISTINCT shuffle — min is
+  // duplicate-insensitive), so one shuffle of 12 digest strings per doc
+  // builds all signatures. Band keys are xxhash64-compressed so the band
+  // self-join shuffles (long, long, int) rows; the oracle keeps full
+  // string keys, which is equivalent modulo 64-bit collisions.
   private def dd3MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleDf(s, d)
     val sigCols = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = shingleRows(s, d).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until numBands).map { b =>
       val key = concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-      struct(lit(b).as("band"), key.as("key"))
+      struct(lit(b).as("band"), xxhash64(key).as("key"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
