@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Tri-layer lake IO (SURVEY §1.1 / §2.1): raw zone (run-partitioned
+  * JSON), staging zone (Parquet), warehouse zone (managed tables).
+  * Re-expresses the reference's file operators:
+  *
+  *  - S6 schema-enforced JSON scan (process_wistia_data_v2.py:170-186) →
+  *    [[readJson]]: declared schema, PERMISSIVE mode + corrupt-record
+  *    column ≈ the reference's warn-and-null error tolerance.
+  *  - S7 latest-partition discovery (process_wistia_data_v2.py:192-237,
+  *    regex over timestamped filenames) → [[latestRun]]/[[readLatestRun]]:
+  *    run-partitioned directory layout (`run_ts=`) + max-partition filter,
+  *    so planning prunes to one partition instead of listing-then-regex.
+  *  - K1 raw JSON sink, timestamped per run (ingest_wistia.py:330-357) →
+  *    [[writeRun]]: `raw/<entity>/run_ts=<ts>/` JSON.
+  *  - K2/K3 staged JSONL sink (process_wistia_data_v2.py:536-556) →
+  *    [[stage]]: Parquet instead of NDJSON (columnar, splittable — the
+  *    idiomatic staging format; JSONL retained via [[stageJsonl]] for
+  *    byte-faithful parity).
+  *  - K4 warehouse bulk APPEND (process_wistia_data_v2.py:559-593) →
+  *    [[warehouseAppend]]; K5 TRUNCATE refresh
+  *    (process_wistia_data.py:197-234) → [[warehouseOverwrite]].
+  *
+  * Scale: run partitioning makes incremental reads partition-prunes, not
+  * directory regex scans; fact tables are additionally partitioned by a
+  * date column on append (the reference's own schema comments recommend
+  * exactly this, process_wistia_data_v2.py:81-83). Nothing here touches
+  * the driver except partition-name listing, which is O(#runs).
+  */
+object RawZone {
+
+  final val RunColumn = "run_ts"
+
+  /** Run-stamp format matching the reference's `%Y%m%d_%H%M%S` filenames
+    * (ingest_wistia.py:318) — lexicographic order == chronological order,
+    * which [[latestRun]] relies on.
+    */
+  def runStamp(ts: java.time.Instant = java.time.Instant.now()): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+      .withZone(java.time.ZoneOffset.UTC).format(ts)
+
+  // ---------------------------------------------------------------- raw
+
+  /** K1 — append one run's records under `root/entity/run_ts=<stamp>/`. */
+  def writeRun(df: DataFrame, root: String, entity: String, stamp: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(s"$root/$entity/$RunColumn=$stamp")
+
+  /** S6 — schema-enforced PERMISSIVE JSON read of the whole raw zone for
+    * an entity; unparseable records land in `_corrupt_record` instead of
+    * failing the scan (the reference warns-and-skips, :183-186).
+    */
+  def readJson(spark: SparkSession, root: String, entity: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("basePath", s"$root/$entity")
+      .json(s"$root/$entity")
+  }
+
+  /** S7 — latest run stamp for an entity (partition listing via the
+    * Hadoop FS API, so it works on HDFS/object stores too; O(#runs)
+    * driver-side names only, never file contents). None if no runs exist.
+    */
+  def latestRun(spark: SparkSession, root: String, entity: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$entity")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$RunColumn="))
+      .map(_.getPath.getName.stripPrefix(s"$RunColumn="))
+      .maxOption
+  }
+
+  /** S7 — read only the latest run's records (partition-pruned scan). */
+  def readLatestRun(spark: SparkSession, root: String, entity: String,
+      schema: StructType): Option[DataFrame] =
+    latestRun(spark, root, entity).map { stamp =>
+      readJson(spark, root, entity, schema).filter(col(RunColumn) === stamp)
+    }
+
+  // ------------------------------------------------------------- staging
+
+  /** K2/K3 — stage a transformed frame as Parquet (columnar staging). */
+  def stage(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K2-faithful NDJSON staging, for parity with the reference's
+    * GCS JSONL blobs.
+    */
+  def stageJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  // ----------------------------------------------------------- warehouse
+
+  /** K4 — bulk APPEND into a warehouse table (path-based here; on a real
+    * cluster `saveAsTable` against the catalog). `partitionBy` non-empty
+    * ⇒ partitioned layout (fact tables: by date).
+    */
+  def warehouseAppend(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** K5 — TRUNCATE-refresh a warehouse table (the prod variant's
+    * dim_media policy, T4).
+    */
+  def warehouseOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Read a warehouse table back. */
+  def warehouse(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

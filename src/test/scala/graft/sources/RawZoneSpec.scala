@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.wistia.Schemas
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Tri-layer lake round-trip: K1 run-partitioned raw writes → S7 latest-
+  * run discovery → S6 schema-enforced tolerant read → K2 staging →
+  * K4/K5 warehouse policies.
+  */
+class RawZoneSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("rawzone").toString
+
+  private val eventJson =
+    """{"received_at":"2024-03-01T10:00:00Z","event_key":"e1","visitor_key":"v1",
+      |"media_id":"m1","percent_viewed":0.5,"ip":"1.2.3.4","country":"US",
+      |"user_agent_details":{"browser":"Firefox","platform":"linux","mobile":false}}"""
+      .stripMargin.replace("\n", "")
+
+  private def parsed(lines: String*) = {
+    import spark.implicits._
+    spark.read.schema(Schemas.rawEvent).json(lines.toDS)
+  }
+
+  test("K1/S7: run-partitioned writes and latest-run discovery") {
+    val root = tmp()
+    RawZone.writeRun(parsed(eventJson), root, "events", "20240301_100000")
+    RawZone.writeRun(parsed(eventJson), root, "events", "20240302_090000")
+    assert(RawZone.latestRun(spark, root, "events").contains("20240302_090000"))
+    assert(RawZone.latestRun(spark, root, "nothing").isEmpty)
+  }
+
+  test("S6: schema-enforced PERMISSIVE read tolerates corrupt records") {
+    val root = tmp()
+    import spark.implicits._
+    val lines = Seq(eventJson, """{"received_at":"NOT A TIMESTAMP","event_key":"bad"}""",
+      """this is not json at all""")
+    // write raw text lines as a single-column json file the reader must survive
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/events/run_ts=20240301_100000"))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/events/run_ts=20240301_100000/part-0.json"),
+      lines.mkString("\n"))
+    // Spark disallows querying _corrupt_record on the raw scan directly
+    // (SPARK-21610) — cache materializes the parsed rows first.
+    val df = RawZone.readJson(spark, root, "events", Schemas.rawEvent).cache()
+    assert(df.count() === 3)
+    // good row parses fully
+    val good = df.filter(col("event_key") === "e1")
+    assert(good.select("user_agent_details.browser").as[String].head() === "Firefox")
+    assert(good.select("percent_viewed").as[Double].head() === 0.5)
+    // unparseable timestamp nulls the field (reference warn-and-null), row kept
+    assert(df.filter(col("event_key") === "bad").count() === 1)
+    // garbage line lands in _corrupt_record
+    assert(df.filter(col("_corrupt_record").isNotNull).count() >= 1)
+    // run_ts partition column is surfaced
+    assert(df.select(RawZone.RunColumn).distinct().as[String].head() === "20240301_100000")
+  }
+
+  test("S7: readLatestRun reads exactly one run partition") {
+    val root = tmp()
+    import spark.implicits._
+    RawZone.writeRun(parsed(eventJson), root, "events", "20240301_100000")
+    RawZone.writeRun(parsed(eventJson, eventJson), root, "events", "20240302_090000")
+    val latest = RawZone.readLatestRun(spark, root, "events", Schemas.rawEvent).get
+    assert(latest.count() === 2)
+    assert(latest.select("media_id").as[String].collect().forall(_ == "m1"))
+    // pruning reaches the scan: only the latest partition's files are read
+    val scanned = latest.select(input_file_name()).distinct().as[String].collect()
+    assert(scanned.forall(_.contains("run_ts=20240302_090000")))
+  }
+
+  test("K2/K4/K5: staging + warehouse append/truncate policies") {
+    val root = tmp()
+    import spark.implicits._
+    val df = Seq(("m1", "2024-03-01"), ("m2", "2024-03-02")).toDF("media_id", "date")
+    RawZone.stage(df, s"$root/staged")
+    assert(spark.read.parquet(s"$root/staged").count() === 2)
+
+    // K4 append accumulates (the reference's at-least-once fact policy, T3)
+    RawZone.warehouseAppend(df, s"$root/fact", partitionBy = Seq("date"))
+    RawZone.warehouseAppend(df, s"$root/fact", partitionBy = Seq("date"))
+    assert(RawZone.warehouse(spark, s"$root/fact").count() === 4)
+    // date partitioning materialized on disk
+    assert(new java.io.File(s"$root/fact/date=2024-03-01").isDirectory)
+
+    // K5 truncate refresh replaces (the prod dim_media policy, T4)
+    RawZone.warehouseOverwrite(df.limit(1), s"$root/dim")
+    RawZone.warehouseOverwrite(df, s"$root/dim")
+    assert(RawZone.warehouse(spark, s"$root/dim").count() === 2)
+  }
+}
