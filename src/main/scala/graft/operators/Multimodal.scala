@@ -87,6 +87,38 @@ object Multimodal {
       | CAST((strlen(text) + 255) // 256 AS BIGINT) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm2_chunk_sample — fixed-size chunking + every-k-th sampling: the
+  // batch/frame plumbing of a media pipeline (chunk = decode batch;
+  // every-4th = frame sampling). Chunks of 256 chars, keep ci % 4 == 0,
+  // emit per-chunk length + digest. Generator + substring are codegen'd;
+  // payload bytes never shuffle (the ORDER BY moves only digests).
+  private def mm2ChunkSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        ((length(col("text")) + 255) / 256).cast("long").as("n_chunks"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("ci"))
+      .filter(col("ci") % 4 === 0)
+      .select(
+        col("doc_id"), col("ci"),
+        expr("substring(text, CAST(ci*256+1 AS INT), 256)").as("chunk"))
+      .select(
+        col("doc_id"), col("ci"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "ci")
+
+  private val mm2Sql =
+    """WITH n AS (SELECT doc_id, text, (strlen(text) + 255) // 256 AS n_chunks FROM documents),
+      |ch AS (SELECT doc_id, u.ci, substring(text, CAST(u.ci*256+1 AS INT), 256) AS chunk
+      |       FROM n, UNNEST(generate_series(0, CAST(n_chunks-1 AS INT))) u(ci)
+      |       WHERE u.ci % 4 = 0)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS ci,
+      | CAST(strlen(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
+      |FROM ch ORDER BY doc_id, ci""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("mm1_binary_meta", mm1BinaryMeta, Some(mm1Sql)))
+    Q("mm1_binary_meta", mm1BinaryMeta, Some(mm1Sql)),
+    Q("mm2_chunk_sample", mm2ChunkSample, Some(mm2Sql)))
 }

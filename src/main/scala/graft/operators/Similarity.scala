@@ -122,7 +122,71 @@ object Similarity {
        |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim3_ann_ivf — IVF-style ANN: a fixed 16-vector codebook (vec_id<16;
+  // a deterministic stand-in for k-means centroids), every vector
+  // assigned to its nearest centroid by exact cosine (tie-break centroid
+  // id asc), each query probing only its own cell. Top-3 per query.
+  //
+  // Scale path: the codebook is broadcast (tiny), assignment is a
+  // map-side N×K scoring pass with the codegen'd DotLong, and the search
+  // join shuffles on the cell id — the same plan shape IVF indexes use at
+  // billions of vectors (with learned centroids and nprobe>1 multi-cell
+  // probing as the recall knobs).
+  private def sim3AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val e = scaledVectors(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cdot", dot(col("v"), col("vc")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"), col("cell"))
+    val c = assigned
+      .select(col("vec_id").as("nbr"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    q.join(c, Seq("cell")).filter(col("qid") =!= col("nbr"))
+      .withColumn("dot", dot(col("va"), col("vb")))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"),
+        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val sim3Sql =
+    s"""WITH $scaledVectorsSqlCte,
+       |cent AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM e WHERE vec_id < 16),
+       |ap AS (SELECT e.vec_id, e.v, e.nrm, cent.cid, cent.nc,
+       |  CAST((SELECT SUM(e.v[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM e, cent),
+       |ar AS (SELECT vec_id, v, nrm, cid AS cell,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS arn
+       |  FROM ap),
+       |asn AS (SELECT vec_id, v, nrm, cell FROM ar WHERE arn = 1),
+       |p AS (SELECT a.vec_id AS qid, b.vec_id AS nbr, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM asn a JOIN asn b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |c AS (SELECT qid, nbr, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM p)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sim1_ann_brute", sim1AnnBrute, Some(sim1Sql), headline = true),
-    Q("sim2_ann_lsh", sim2AnnLsh, Some(sim2Sql)))
+    Q("sim2_ann_lsh", sim2AnnLsh, Some(sim2Sql)),
+    Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Sql)))
 }
