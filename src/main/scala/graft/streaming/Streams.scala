@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming pipelines (SURVEY §2.7): the reference's
   * scheduler-driven micro-batches (T5) map to Trigger.AvailableNow over
@@ -41,6 +40,64 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("start"), col("w.end").as("end"),
         col("n_events"))
+
+  /** Input/state/output records for [[runningWatchTime]]. */
+  case class Progress(media_id: String, visitor_key: String,
+      ts: java.sql.Timestamp, pct: Double, duration: Double)
+  case class WatchState(lastUs: Long, lastPct: Double, total: Double, nEvents: Long)
+  case class WatchUpdate(media_id: String, visitor_key: String,
+      total_watch_secs: Double, n_events: Long)
+
+  /** Online A6: the sessionized watch-time state machine as a custom
+    * stateful streaming operator (flatMapGroupsWithState). State per
+    * (media, visitor) is the same 3 scalars as the batch machine
+    * (graft.wistia.WatchTime): last anchor time, last percent, running
+    * total; each micro-batch advances it over its (time-sorted) events
+    * and emits the updated running total (OutputMode.Update).
+    *
+    * Corrected-mode scaling (Δpct · duration, divisor 1) — the streaming
+    * surface is new engine capability, not a reference replication, so it
+    * uses the non-quirked semantics. Late events that arrive behind the
+    * anchor credit nothing (percent must rise), which makes the operator
+    * robust to modest disorder without a watermark; state is
+    * per-key-tiny (the 100 TB property: state size scales with live keys,
+    * not history).
+    */
+  def runningWatchTime(events: Dataset[Progress]): Dataset[WatchUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.media_id, e.visitor_key))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (String, String), it: Iterator[Progress], state: GroupState[WatchState]) => {
+          var st = state.getOption.getOrElse(WatchState(-1L, 0.0, 0.0, 0L))
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            st =
+              if (st.lastUs < 0 && e.pct > 0)
+                WatchState(us, e.pct, st.total, st.nEvents + 1)
+              else if (st.lastUs >= 0 && us > st.lastUs && e.pct > st.lastPct) {
+                val elapsed = (us - st.lastUs) / 1e6
+                val credit =
+                  math.min(elapsed, (e.pct - st.lastPct) * e.duration)
+                WatchState(us, e.pct,
+                  math.min(st.total + credit, e.duration), st.nEvents + 1)
+              } else if (st.lastUs >= 0 && us > st.lastUs) // flat/backward: re-anchor
+                WatchState(us, e.pct, st.total, st.nEvents + 1)
+              else st.copy(nEvents = st.nEvents + 1) // late behind anchor: no credit
+          }
+          state.update(st)
+          Iterator(WatchUpdate(key._1, key._2, st.total, st.nEvents))
+        })
+  }
+
+  /** Streaming exact dedup on a content key within the watermark horizon
+    * — the streaming face of Dedup.dd1 (state bounded by the watermark).
+    */
+  def streamingDedup(events: DataFrame, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** Incremental append pipeline: one activation processes exactly the
     * files that arrived since the last checkpoint and stops — the

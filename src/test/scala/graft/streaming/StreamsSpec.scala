@@ -64,6 +64,62 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("runningWatchTime advances custom state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.Progress
+    val stream = MemoryStream[Progress]
+    val q = Streams.runningWatchTime(stream.toDS())
+      .writeStream.format("memory").queryName("watch")
+      .outputMode("update").start()
+    try {
+      // batch 1: anchor at pct 0.2, then +0.3 over 10s → credit min(10, 0.3*100)=10
+      stream.addData(
+        Progress("m1", "v1", ts("2024-01-01 00:00:00"), 0.2, 100.0),
+        Progress("m1", "v1", ts("2024-01-01 00:00:10"), 0.5, 100.0))
+      q.processAllAvailable()
+      val b1 = spark.table("watch").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+      assert(b1 === Seq(("m1", 10.0)))
+
+      // batch 2: state persisted — +0.2 over 5s → +5; total 15
+      stream.addData(Progress("m1", "v1", ts("2024-01-01 00:00:15"), 0.7, 100.0))
+      q.processAllAvailable()
+      val b2 = spark.table("watch").orderBy("n_events").collect()
+        .map(r => (r.getDouble(2), r.getLong(3))).toSeq
+      assert(b2.last === (15.0, 3L))
+
+      // batch 3: late event behind anchor credits nothing; flat re-anchors
+      stream.addData(
+        Progress("m1", "v1", ts("2024-01-01 00:00:05"), 0.9, 100.0), // late, ignored
+        Progress("m2", "v1", ts("2024-01-01 00:00:00"), 0.0, 50.0)) // pct 0: not started
+      q.processAllAvailable()
+      val b3 = spark.table("watch").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+      assert(b3(("m1", "v1")) === 15.0)
+      assert(b3(("m2", "v1")) === 0.0)
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops duplicate ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[E]
+    val q = Streams.streamingDedup(stream.toDF(), Seq("user_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        E(ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        E(ts("2024-01-01 00:01:00"), 1L, "view", 2.0), // dup user within watermark
+        E(ts("2024-01-01 00:02:00"), 2L, "click", 3.0))
+      q.processAllAvailable()
+      stream.addData(E(ts("2024-01-01 00:03:00"), 1L, "view", 4.0)) // still dup
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("user_id").as[Long].collect().sorted
+        === Array(1L, 2L))
+    } finally q.stop()
+  }
+
   test("availableNow sink processes a raw-zone directory incrementally (T5)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
