@@ -17,10 +17,12 @@ object TextOps {
 
   /** Occurrences of `needle` in `hay` as an exact long:
     * (len(hay) - len(replace(hay, needle, ''))) / len(needle).
+    * Literal-string StringReplace, not regexp_replace — no regex engine
+    * on the hot path (the markers are plain words).
     */
   private def occ(hay: Column, needle: String): Column =
-    ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), "")))
-      / needle.length).cast("long")
+    ((length(hay) - length(replace(hay, lit(needle), lit("")))) / needle.length)
+      .cast("long")
 
   private def occSql(hay: String, needle: String): String =
     s"CAST((len($hay) - len(replace($hay, '$needle', ''))) / ${needle.length} AS BIGINT)"
