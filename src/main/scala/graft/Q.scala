@@ -27,7 +27,9 @@ object Registry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      operators.EventOps.queries
+      operators.EventOps.queries ++
+      operators.AsOf.queries ++
+      operators.Skew.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

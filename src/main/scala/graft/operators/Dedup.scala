@@ -108,26 +108,36 @@ object Dedup {
        |ORDER BY ida, idb""".stripMargin
 
   // ---------------------------------------------------------------------
-  // dd3_minhash_lsh — MinHash signatures (12 hashes = lexicographic min
-  // of md5('seed:'||shingle)) banded 4×3; candidate pairs share ≥1 band.
-  // At scale: signature agg is one shuffle on doc_id; the band self-join
-  // shuffles on (band, key) whose groups are tiny by construction.
+  // dd3_minhash_lsh — MinHash signatures banded 4×3; candidate pairs
+  // share ≥1 band. The hash family is the standard universal-hash
+  // construction: ONE md5 per shingle → 60-bit int → reduced mod p
+  // (2^31-1), then 12 affine permutations (a_i·h + b_i) mod p whose mins
+  // form the signature — 12× fewer digests than hashing per-seed, and
+  // all permutation arithmetic stays in exact int64 (products < 2^62).
+  // At scale: signature agg partial-aggregates map-side into one shuffle
+  // of 12 longs per doc; the band self-join shuffles (long, long, int)
+  // rows and its groups are tiny by construction.
   private val numHashes = 12
   private val rowsPerBand = 3
   private val numBands = numHashes / rowsPerBand
+  private val P = 2147483647L // 2^31 - 1 (prime)
+  private val permA: Seq[Long] = (0 until numHashes).map(i => (1000003L * (i + 1)) % P)
+  private val permB: Seq[Long] = (0 until numHashes).map(i => (999983L * (2 * i + 1)) % P)
 
-  // Spark-side plan: min(md5) partial-aggregates map-side over raw
-  // shingle occurrences (no pre-DISTINCT shuffle — min is
-  // duplicate-insensitive), so one shuffle of 12 digest strings per doc
-  // builds all signatures. Band keys are xxhash64-compressed so the band
+  // Spark-side plan: the min(permutation) signature partial-aggregates
+  // map-side over raw shingle occurrences (no pre-DISTINCT shuffle — min
+  // is duplicate-insensitive), so one shuffle of 12 longs per doc builds
+  // all signatures. Band keys are xxhash64-compressed so the band
   // self-join shuffles (long, long, int) rows; the oracle keeps full
   // string keys, which is equivalent modulo 64-bit collisions.
   private def dd3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
     val sigCols = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+      min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
     val sig = shingleRows(s, d).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until numBands).map { b =>
-      val key = concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+      val key = concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
       struct(lit(b).as("band"), xxhash64(key).as("key"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
@@ -141,13 +151,15 @@ object Dedup {
 
   private val dd3Sql: String = {
     val sigCols = (0 until numHashes)
-      .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+      .map(i => s"min((hm * ${permA(i)} + ${permB(i)}) % $P) AS h$i").mkString(", ")
     val bandRows = (0 until numBands).map { b =>
-      val key = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i").mkString(" || ")
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"h$i::VARCHAR").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH $shinglesSqlCte,
-       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |hm AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % $P AS hm FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY doc_id),
        |bands AS ($bandRows)
        |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
