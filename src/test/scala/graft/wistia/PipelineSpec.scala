@@ -1,0 +1,102 @@
+package graft.wistia
+
+import graft.SparkSpec
+import graft.sources.RawZone
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** End-to-end lifecycle tests over the tri-layer lake: §3.1 batch and
+  * §3.2 incremental, raw JSON → warehouse parquet.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val mediaJson = Seq(
+    """{"id": 11, "hashed_id": "abc", "name": "My FB Promo", "duration": 100.0,
+      | "project": {"id": 7, "name": "P"}, "type": "Video"}""",
+    """{"id": 12, "hashed_id": "xyz", "name": "Other", "duration": 50.0,
+      | "project": {"id": 7, "name": "P"}, "type": "Video"}""",
+    """{"id": 13, "hashed_id": "skip", "name": "Not targeted", "duration": 10.0,
+      | "project": {"id": 8, "name": "Q"}, "type": "Video"}""")
+    .map(_.stripMargin.replace("\n", ""))
+
+  private def eventJson(key: String, visitor: String, media: String,
+      at: String, pct: Double): String =
+    s"""{"received_at": "$at", "event_key": "$key", "visitor_key": "$visitor",
+       | "media_id": "$media", "percent_viewed": $pct, "ip": "1.1.1.1",
+       | "country": "US",
+       | "user_agent_details": {"browser": "FF", "platform": "linux", "mobile": false}}"""
+      .stripMargin.replace("\n", "")
+
+  private def writeRaw(root: String, stamp: String, events: Seq[String]): Unit = {
+    import spark.implicits._
+    RawZone.writeRun(
+      spark.read.schema(Schemas.rawMedia).json(mediaJson.toDS), root, "media", stamp)
+    RawZone.writeRun(
+      spark.read.schema(Schemas.rawEvent).json(events.toDS), root, "events", stamp)
+  }
+
+  test("runBatch: raw JSON -> star schema, appends accumulate (T3 faithful)") {
+    val dir = Files.createTempDirectory("pipeline").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5),
+      eventJson("e3", "v2", "xyz", "2024-03-02T09:00:00Z", 0.0)))
+
+    val counts = Pipeline.runBatch(spark, s"$dir/raw", wh,
+      targetHashedIds = Seq("abc", "xyz"), ingestionTs = ts0, scaleDivisor = 1.0)
+    assert(counts === Map(
+      "dim_media" -> 2L, "dim_visitor" -> 2L, "fact_media_engagement" -> 2L))
+
+    val fact = RawZone.warehouse(spark, wh.fact)
+    val r = fact.filter(col("media_id") === "abc").collect().head
+    // v1 on abc: credit min(20s, 0.3*100)=20, play fallback 1, rate 0.2
+    assert(r.getAs[Long]("play_count") === 1L)
+    assert(r.getAs[Double]("total_watch_time") === 20.0)
+    assert(r.getAs[Double]("play_rate") === 0.2)
+    // v2 never progressed: play_count 0 forces watch/rate 0
+    val r2 = fact.filter(col("media_id") === "xyz").collect().head
+    assert(r2.getAs[Long]("play_count") === 0L)
+    assert(r2.getAs[Double]("total_watch_time") === 0.0)
+    // channel classifier fired on the FB title
+    assert(RawZone.warehouse(spark, wh.dimMedia)
+      .filter(col("media_id") === "abc").select("channel").collect().head.getString(0)
+      === "Facebook")
+
+    // second run appends (faithful T3 duplication)
+    val counts2 = Pipeline.runBatch(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, scaleDivisor = 1.0)
+    assert(counts2("fact_media_engagement") === 4L)
+    assert(counts2("dim_media") === 4L)
+  }
+
+  test("runIncremental: HWM+1s filter, dim truncate, per-event fact") {
+    val dir = Files.createTempDirectory("pipeline").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5)))
+
+    // first incremental run: empty warehouse → historical start, both events land
+    val c1 = Pipeline.runIncremental(spark, s"$dir/raw", wh, Seq("abc", "xyz"), ts0)
+    assert(c1("fact_media_engagement") === 2L)
+    assert(c1("dim_media") === 2L)
+
+    // new run adds one event strictly after the HWM (+1s buffer excludes
+    // the old ones) — only it is appended; dim stays truncate-refreshed
+    writeRaw(s"$dir/raw", "20250502_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2), // old, re-read
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5), // old (= HWM)
+      eventJson("e3", "v2", "abc", "2024-03-01T10:00:25Z", 0.6))) // new
+    val c2 = Pipeline.runIncremental(spark, s"$dir/raw", wh, Seq("abc", "xyz"), ts0)
+    assert(c2("fact_media_engagement") === 3L)
+    assert(c2("dim_media") === 2L)
+
+    // per-event grain: play_count null unless name='play' (A9)
+    val fact = RawZone.warehouse(spark, wh.fact)
+    assert(fact.filter(col("play_count").isNotNull).count() === 0L)
+  }
+}
