@@ -529,7 +529,23 @@ object Relational {
        | COUNT(*) AS n_events
        |FROM l GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q25_approx_distinct — HLL++ distinct sketches: the 100 TB answer to
+  // q19 (exact distinct shuffles every distinct value; the sketch is
+  // constant-size per group and merges associatively). No DuckDB oracle —
+  // HLL implementations differ across engines, so the driver records the
+  // rows-only check; q19 is the exact-count twin that hash-matches.
+  private def q25ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("apx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Seq[Q] = Seq(
+    Q("q25_approx_distinct", q25ApproxDistinct, None),
     Q("q1_agg", q1Agg, Some(q1Sql), headline = true),
     Q("q2_filter_project", q2FilterProject, Some(q2Sql)),
     Q("q3_case_derive", q3CaseDerive, Some(q3Sql)),

@@ -115,6 +115,21 @@ object RawZone {
   def warehouseOverwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Catalog-managed bucketed table: rows hash-partitioned into `buckets`
+    * files by `bucketCols`, sorted within each bucket. Joins/aggregations
+    * between tables bucketed the same way on the same keys need NO
+    * shuffle — the 100 TB co-location strategy for the fact⋈fact and
+    * fact⋈bigdim joins that broadcast can't cover (RawZoneSpec asserts
+    * the exchange-free plan).
+    */
+  def warehouseBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Read a warehouse table back. */
   def warehouse(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

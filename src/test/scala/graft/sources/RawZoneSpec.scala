@@ -91,4 +91,26 @@ class RawZoneSpec extends SparkSpec {
     RawZone.warehouseOverwrite(df, s"$root/dim")
     assert(RawZone.warehouse(spark, s"$root/dim").count() === 2)
   }
+
+  test("bucketed tables co-locate: join plan has no shuffle exchange") {
+    import spark.implicits._
+    val left = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "a")
+    val right = (0L until 500L).map(i => (i % 100, i * 2)).toDF("k", "b")
+    RawZone.warehouseBucketed(left, "bk_left", Seq("k"))
+    RawZone.warehouseBucketed(right, "bk_right", Seq("k"))
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        val physical = joined.queryExecution.executedPlan.toString
+        assert(!physical.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$physical")
+        assert(joined.count() === 5000) // 10 left x 5 right per key x 100 keys
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
 }
