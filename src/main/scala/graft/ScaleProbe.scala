@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: materialize a key-remapped ~10× copy of the sf0.1 corpus
+  * under /tmp and re-run representative queries, to measure how each
+  * plan's runtime scales with input size (evidence for the 100 TB design
+  * claims — a plan that goes super-linear at 10× is a plan that dies at
+  * 1000×).
+  *
+  * Copies are entity-remapped so join/group cardinalities scale
+  * realistically (keys offset per copy — no artificial ×copies² key
+  * fan-out), documents get a per-copy suffix token (near- but not exact
+  * duplicates across copies), and embeddings perturb one dimension per
+  * copy (cosine structure preserved, no duplicate-vector degeneracy).
+  *
+  * Measured (local[32], warm): relational q1/q17/q18 ≈2.3–2.4× at 10×
+  * data (sub-linear — AQE + partial aggregation); q23 as-of, t2, dd1,
+  * dd3, sim2, ev3 all ≤5×. dd2 (exact all-pairs Jaccard) is the designed
+  * exception: the probe corpus gives EVERY doc ~10 near-copies, so the
+  * shared-shingle candidate-pair space grows ~50× and dd2 runs ~20× —
+  * still sub-linear in pair count, but confirming the scaladoc guidance
+  * that at scale candidates must come from dd3's LSH (which held ~5×
+  * on the same adversarial corpus), with dd2's exact verify applied only
+  * to surviving candidates.
+  */
+object ScaleProbe {
+  val Copies = 10
+
+  private def replicate(df: DataFrame): DataFrame =
+    df.withColumn("_c", explode(sequence(lit(0L), lit(Copies - 1L))))
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/sfprobe"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      println("[probe] materializing 10x corpus...")
+      replicate(Tables.lineitem(spark, src))
+        .withColumn("l_orderkey", col("l_orderkey") + col("_c") * 100000000L)
+        .withColumn("l_partkey", col("l_partkey") + col("_c") * 10000000L)
+        .withColumn("l_suppkey", col("l_suppkey") + col("_c") * 1000000L)
+        .drop("_c").write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      replicate(Tables.orders(spark, src))
+        .withColumn("o_orderkey", col("o_orderkey") + col("_c") * 100000000L)
+        .withColumn("o_custkey", col("o_custkey") + col("_c") * 1000000L)
+        .drop("_c").write.mode("overwrite").parquet(s"$out/orders.parquet")
+      replicate(Tables.customer(spark, src))
+        .withColumn("c_custkey", col("c_custkey") + col("_c") * 1000000L)
+        .drop("_c").write.mode("overwrite").parquet(s"$out/customer.parquet")
+      replicate(Tables.documents(spark, src))
+        .withColumn("doc_id", col("doc_id") + col("_c") * 1000000L)
+        .withColumn("text", concat(col("text"), lit(" zz"), col("_c")))
+        .drop("_c").write.mode("overwrite").parquet(s"$out/documents.parquet")
+      replicate(Tables.embeddings(spark, src))
+        .withColumn("vec_id", col("vec_id") + col("_c") * 1000000L)
+        .withColumn("embedding", concat(
+          slice(col("embedding"), 1, 63),
+          array(((col("_c").cast("double") / 7.0d) - 0.5d).cast("float"))))
+        .drop("_c").write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // events/others: straight copies suffice for the probed queries
+      Seq("region", "nation", "supplier", "part").foreach { t =>
+        Tables.table(spark, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      replicate(spark.read.parquet(s"$src/events.parquet"))
+        .withColumn("user_id", col("user_id") + col("_c") * 1000000L)
+        .withColumn("event_id", col("event_id") + col("_c") * 100000000L)
+        .drop("_c").write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
+    val probes = Seq("q1_agg", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
+      "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "sim2_ann_lsh",
+      "t2_quality", "ev3_session_window")
+    // warm then measure, at both scales
+    for (sf <- Seq(src, out); name <- probes) {
+      try {
+        SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+        println(f"[probe] ${if (sf == src) "1x " else "10x"} $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      } catch { case e: Throwable =>
+        println(s"[probe] FAIL $sf $name: ${e.getMessage.take(200)}")
+      }
+    }
+    spark.stop()
+  }
+}
