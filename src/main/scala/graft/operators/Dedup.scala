@@ -130,7 +130,8 @@ object Dedup {
   // all signatures. Band keys are xxhash64-compressed so the band
   // self-join shuffles (long, long, int) rows; the oracle keeps full
   // string keys, which is equivalent modulo 64-bit collisions.
-  private def dd3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** Distinct LSH candidate pairs (shared by dd3 and dd6's verify). */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
     val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
     val sigCols = (0 until numHashes).map(i =>
       min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
@@ -146,10 +147,15 @@ object Dedup {
     val r = bands.select(col("doc_id").as("idb"), col("band"), col("key"))
     l.join(r, Seq("band", "key")).filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-      .orderBy("ida", "idb")
   }
 
-  private val dd3Sql: String = {
+  private def dd3MinhashLsh(s: SparkSession, d: String): DataFrame =
+    lshCandidates(s, d).orderBy("ida", "idb")
+
+  /** CTE chain ending in `cand(ida, idb)` — the oracle twin of
+    * [[lshCandidates]].
+    */
+  private val lshCandidatesSqlCtes: String = {
     val sigCols = (0 until numHashes)
       .map(i => s"min((hm * ${permA(i)} + ${permB(i)}) % $P) AS h$i").mkString(", ")
     val bandRows = (0 until numBands).map { b =>
@@ -157,14 +163,54 @@ object Dedup {
         .map(i => s"h$i::VARCHAR").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $shinglesSqlCte,
+    s"""$shinglesSqlCte,
        |hm AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % $P AS hm FROM sh),
        |sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY doc_id),
-       |bands AS ($bandRows)
-       |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |ORDER BY ida, idb""".stripMargin
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val dd3Sql: String =
+    s"""WITH $lshCandidatesSqlCtes
+       |SELECT ida, idb FROM cand ORDER BY ida, idb""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd6_lsh_jaccard — the composed 100 TB dedup plan: LSH candidate
+  // generation (dd3) followed by exact Jaccard verification (dd2's
+  // threshold) on candidates ONLY. ScaleProbe measured why: exact
+  // all-pairs grows with the shared-shingle pair space, while the
+  // LSH-then-verify pair space is bounded by band collisions. The verify
+  // join ships each doc's distinct shingle-hash set once (sorted long
+  // array) and intersects per pair with array_intersect (primitive
+  // fast path).
+  private def dd6LshJaccard(s: SparkSession, d: String): DataFrame = {
+    val hs = shingleRows(s, d)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+    val cand = lshCandidates(s, d)
+    cand
+      .join(hs.select(col("doc_id").as("ida"), col("hs").as("ha"), col("n").as("na")), "ida")
+      .join(hs.select(col("doc_id").as("idb"), col("hs").as("hb"), col("n").as("nb")), "idb")
+      .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("uni", col("na") + col("nb") - col("common"))
+      .filter(col("common") * 10L >= col("uni") * 8L)
+      .select("ida", "idb", "common", "uni")
+      .orderBy("ida", "idb")
+  }
+
+  private val dd6Sql: String =
+    s"""WITH $lshCandidatesSqlCtes,
+       |c AS (SELECT ida, idb, COUNT(*) AS common
+       |      FROM cand JOIN sh sa ON sa.doc_id = ida
+       |                JOIN sh sb ON sb.doc_id = idb AND sb.s = sa.s
+       |      GROUP BY 1, 2),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+       |SELECT ida, idb, common, na.n + nb.n - common AS uni
+       |FROM c JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
+       |WHERE common * 10 >= (na.n + nb.n - common) * 8
+       |ORDER BY ida, idb""".stripMargin
 
   // ---------------------------------------------------------------------
   // dd4_simhash — 16-bit SimHash over word occurrences: per-bit ±1 votes
@@ -234,5 +280,6 @@ object Dedup {
     Q("dd2_ngram_jaccard", dd2NgramJaccard, Some(dd2Sql), headline = true),
     Q("dd3_minhash_lsh", dd3MinhashLsh, Some(dd3Sql), headline = true),
     Q("dd4_simhash", dd4Simhash, Some(dd4Sql)),
-    Q("dd5_embed_neardup", dd5EmbedNeardup, Some(dd5Sql)))
+    Q("dd5_embed_neardup", dd5EmbedNeardup, Some(dd5Sql)),
+    Q("dd6_lsh_jaccard", dd6LshJaccard, Some(dd6Sql)))
 }
