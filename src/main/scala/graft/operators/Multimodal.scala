@@ -65,6 +65,31 @@ object Multimodal {
       }(enc).toDF()
   }
 
+  /** STUB feature extractor: binary payload → dense embedding
+    * (`Array[Float]`, `dim` dims). A real deployment runs a vision/audio
+    * encoder here; the stub derives deterministic features from byte
+    * histograms so the downstream contract — fixed-dim float vectors,
+    * partition-parallel extraction, no payload bytes past this stage —
+    * is real and testable. Output feeds the Similarity operators
+    * unchanged (decode → features → ANN is the standard multimodal
+    * dedup/search pipeline).
+    */
+  case class DocFeatures(doc_id: Long, features: Array[Float])
+
+  def featuresStub(payloads: DataFrame, dim: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[DocFeatures]
+    payloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) { v(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+          DocFeatures(r.getLong(0), v)
+        }
+      }(enc).toDF()
+  }
+
   // ---------------------------------------------------------------------
   // mm1_binary_meta — the oracle-checkable slice of the multimodal path:
   // byte length, content hash, fixed-size chunk count of the payload
