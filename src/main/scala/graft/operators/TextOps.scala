@@ -149,9 +149,69 @@ object TextOps {
       | substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t5_repetition — Gopher-style repetition filters: top-word fraction
+  // and duplicate word-3-gram fraction (high values mark boilerplate/spam
+  // for LLM-corpus pruning). Exact integer counts; ratios are single
+  // divisions. One shuffle (groupBy doc) over hashed-token rows.
+  private def t5Repetition(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val topWord = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_words"), max(col("c")).as("top_word_cnt"))
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 3)).as("i"))
+      .select(col("doc_id"), xxhash64(concat_ws(" ",
+        element_at(col("toks"), col("i") + 1),
+        element_at(col("toks"), col("i") + 2),
+        element_at(col("toks"), col("i") + 3))).as("h"))
+    val shag = sh.groupBy("doc_id").agg(
+      count(lit(1)).as("n_sh"), countDistinct(col("h")).as("n_sh_distinct"))
+    topWord.join(shag, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"), col("top_word_cnt"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_sh_distinct"), lit(0L)).as("n_sh_distinct"),
+        (col("top_word_cnt").cast("double") / col("n_words")).as("top_word_frac"),
+        when(coalesce(col("n_sh"), lit(0L)) === 0L, 0.0)
+          .otherwise((col("n_sh") - col("n_sh_distinct")).cast("double") / col("n_sh"))
+          .as("dup_shingle_frac"))
+      .orderBy("doc_id")
+  }
+
+  // DuckDB twin: same hashed 3-grams (distinct-on-hash ≡ distinct-on-
+  // string modulo xxhash64 collisions — Spark-only; the oracle counts
+  // distinct strings, identical result barring collisions).
+  private val t5Sql =
+    """WITH w AS (
+      |  SELECT doc_id, u.w FROM
+      |    (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+      |    UNNEST(t.toks) AS u(w)),
+      |tw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |              CAST(MAX(c) AS BIGINT) AS top_word_cnt
+      |       FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+      |       GROUP BY doc_id),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |       FROM t2, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) u(i)),
+      |sa AS (SELECT doc_id, COUNT(*) AS n_sh, COUNT(DISTINCT s) AS n_sh_distinct
+      |       FROM sh GROUP BY doc_id)
+      |SELECT tw.doc_id, n_words, top_word_cnt,
+      |  CAST(COALESCE(n_sh, 0) AS BIGINT) AS n_sh,
+      |  CAST(COALESCE(n_sh_distinct, 0) AS BIGINT) AS n_sh_distinct,
+      |  CAST(top_word_cnt AS DOUBLE) / n_words AS top_word_frac,
+      |  CASE WHEN COALESCE(n_sh, 0) = 0 THEN 0.0
+      |       ELSE CAST(n_sh - n_sh_distinct AS DOUBLE) / n_sh END AS dup_shingle_frac
+      |FROM tw LEFT JOIN sa ON sa.doc_id = tw.doc_id
+      |ORDER BY tw.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("t1_lang_id", t1LangId, Some(t1Sql)),
     Q("t2_quality", t2Quality, Some(t2Sql), headline = true),
     Q("t3_tokens", t3Tokens, Some(t3Sql)),
-    Q("t4_fingerprint", t4Fingerprint, Some(t4Sql)))
+    Q("t4_fingerprint", t4Fingerprint, Some(t4Sql)),
+    Q("t5_repetition", t5Repetition, Some(t5Sql)))
 }
