@@ -88,8 +88,46 @@ object EventOps {
       | min(us) AS start_us, max(us) AS end_us, COUNT(*) AS n_events
       |FROM sid GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev4_funnel — conversion funnel: per user's FIRST signup, did any
+  // purchase land within the following 7 days; cohorted by signup day.
+  // Two small pre-aggregations then one join on user_id (both sides
+  // shrink before the shuffle — the scalable funnel layout); all window
+  // math in exact epoch-micros integers.
+  private def ev4Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("sus"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"))
+    su.join(pu, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("sus"))
+      .agg(max(when(col("pus") >= col("sus") &&
+        col("pus") <= col("sus") + 604800000000L, 1L).otherwise(0L)).as("converted"))
+      .groupBy(expr("sus div 86400000000").as("day_num"))
+      .agg(
+        count(lit(1)).as("n_signups"),
+        sum(col("converted")).as("n_converted"),
+        (sum(col("converted")).cast("double") / count(lit(1))).as("conv_frac"))
+      .orderBy("day_num")
+  }
+
+  private val ev4Sql =
+    """WITH su AS (SELECT user_id, MIN(epoch_us(ts)) AS sus FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT su.user_id, sus,
+      |        MAX(CASE WHEN pus >= sus AND pus <= sus + 604800000000 THEN 1 ELSE 0 END) AS converted
+      |      FROM su LEFT JOIN pu ON pu.user_id = su.user_id GROUP BY 1, 2)
+      |SELECT sus // 86400000000 AS day_num, COUNT(*) AS n_signups,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_frac
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ev1_tumbling", ev1Tumbling, Some(ev1Sql)),
     Q("ev2_sliding", ev2Sliding, Some(ev2Sql)),
-    Q("ev3_session_window", ev3SessionWindow, Some(ev3Sql)))
+    Q("ev3_session_window", ev3SessionWindow, Some(ev3Sql)),
+    Q("ev4_funnel", ev4Funnel, Some(ev4Sql)))
 }
