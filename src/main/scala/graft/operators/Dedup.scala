@@ -275,11 +275,72 @@ object Dedup {
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.45
        |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd7_dedup_clusters — connected components over the near-dup pair
+  // graph (dd2's Jaccard ≥ 0.8 pairs): every doc in a component labels
+  // itself with the component's min doc_id (its canonical keeper) — the
+  // cluster-then-keep-one step every production dedup pipeline ends with.
+  //
+  // Distributed algorithm: iterative min-label propagation (each round,
+  // every node takes the min of its own and its neighbors' labels) —
+  // converges in O(component diameter) rounds; each round is one join +
+  // one aggregate, with localCheckpoint to cut lineage. The driver loop
+  // iterates over ACTIONS (a convergence count), never over rows. Oracle:
+  // DuckDB recursive CTE computing the same min-reachable label.
+  private def dd7DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dd2NgramJaccard(s, d).select(col("ida"), col("idb"))
+    val edges = pairs
+      .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .localCheckpoint()
+    var labels = edges.select(col("ida").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "idb"), "idb")
+        .groupBy(col("ida").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val dd7Sql =
+    s"""WITH RECURSIVE $shinglesSqlCte,
+       |c AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT ida, idb
+       |  FROM c JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
+       |  WHERE common * 10 >= (na.n + nb.n - common) * 8),
+       |edges AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+       |rr AS (
+       |  SELECT ida AS doc_id, idb AS reach FROM edges
+       |  UNION
+       |  SELECT rr.doc_id, e.idb FROM rr JOIN edges e ON e.ida = rr.reach),
+       |lbl AS (SELECT doc_id, LEAST(doc_id, MIN(reach)) AS cluster_id
+       |        FROM rr GROUP BY doc_id)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+       |FROM lbl ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd1_exact", dd1Exact, Some(dd1Sql)),
     Q("dd2_ngram_jaccard", dd2NgramJaccard, Some(dd2Sql), headline = true),
     Q("dd3_minhash_lsh", dd3MinhashLsh, Some(dd3Sql), headline = true),
     Q("dd4_simhash", dd4Simhash, Some(dd4Sql)),
     Q("dd5_embed_neardup", dd5EmbedNeardup, Some(dd5Sql)),
-    Q("dd6_lsh_jaccard", dd6LshJaccard, Some(dd6Sql)))
+    Q("dd6_lsh_jaccard", dd6LshJaccard, Some(dd6Sql)),
+    Q("dd7_dedup_clusters", dd7DedupClusters, Some(dd7Sql)))
 }
