@@ -185,8 +185,44 @@ object Similarity {
        |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim4_centroid — per-bucket mean embedding (the k-means M-step /
+  // mean-pooling shape): vectors grouped by their 4-bit sign-LSH bucket,
+  // one posexplode to (bucket, dim, value) rows, sum+count per (bucket,
+  // dim) with map-side partial aggregation. Micro-scaled exact sums; the
+  // mean is one division of exact ints. At scale this is THE pattern for
+  // aggregating billions of vectors: no vector ever sits whole in
+  // aggregation state, and the shuffle carries (int, int, long) rows.
+  private def sim4Centroid(s: SparkSession, d: String): DataFrame = {
+    val e = scaledVectors(s, d)
+      .withColumn("bucket",
+        (0 until 4).map(i =>
+          when(element_at(col("v"), i + 1) >= 0L, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _))
+    e.select(col("bucket"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("bucket", "dim")
+      .agg(sum(col("x")).as("sum_e6"), count(lit(1)).as("n"))
+      .filter(col("dim") < 8) // present the first 8 dims (output-size cap)
+      .withColumn("mean_e6", col("sum_e6").cast("double") / col("n"))
+      .orderBy("bucket", "dim")
+  }
+
+  private val sim4Sql: String = {
+    val bucket = (0 until 4).map(i =>
+      s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH $scaledVectorsSqlCte,
+       |eb AS (SELECT $bucket AS bucket, v FROM e),
+       |x AS (SELECT bucket, u.i - 1 AS dim, v[u.i] AS x
+       |      FROM eb, UNNEST(generate_series(1, 64)) u(i))
+       |SELECT bucket, CAST(dim AS INT) AS dim, CAST(SUM(x) AS BIGINT) AS sum_e6,
+       |  COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_e6
+       |FROM x WHERE dim < 8
+       |GROUP BY bucket, dim ORDER BY bucket, dim""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("sim1_ann_brute", sim1AnnBrute, Some(sim1Sql), headline = true),
     Q("sim2_ann_lsh", sim2AnnLsh, Some(sim2Sql)),
-    Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Sql)))
+    Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Sql)),
+    Q("sim4_centroid", sim4Centroid, Some(sim4Sql)))
 }
