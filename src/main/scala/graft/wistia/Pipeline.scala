@@ -78,6 +78,32 @@ object Pipeline {
       "fact_media_engagement" -> RawZone.warehouse(spark, wh.fact).count())
   }
 
+  /** The §3.2 lifecycle as a Structured Streaming job (SURVEY §2.7 T5):
+    * the raw events zone is the stream source, the checkpoint replaces
+    * the HWM query entirely (offsets ARE the high-water mark), and each
+    * `Trigger.AvailableNow` activation appends exactly the new files'
+    * per-event fact rows. dim_media durations broadcast from the latest
+    * media run at start (the reference refreshes media per activation).
+    * Returns the started query; callers `awaitTermination`.
+    */
+  def runStreaming(spark: SparkSession, rawRoot: String, wh: Warehouse,
+      targetHashedIds: Seq[String],
+      ingestionTs: java.sql.Timestamp,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val rawMedia = RawZone.readLatestRun(spark, rawRoot, "media", Schemas.rawMedia)
+      .getOrElse(throw new IllegalStateException(s"no raw runs under $rawRoot/media"))
+    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+    val durations = dimMedia.select(col("media_id"), col("duration"))
+    val eventStream = spark.readStream
+      .schema(Schemas.rawEvent.add(RawZone.RunColumn, "string"))
+      .json(s"$rawRoot/events")
+    graft.streaming.Streams.availableNowSink(
+      Transforms.perEventFact(eventStream, durations, ingestionTs), checkpoint) {
+      (batch, _) =>
+        RawZone.warehouseAppend(batch, wh.fact, partitionBy = Seq("date"))
+    }.start()
+  }
+
   /** §3.2 prod incremental lifecycle: only events past HWM+1s are
     * processed, dim_media is TRUNCATE-refreshed, fact appends per-event
     * rows (A9 grain).

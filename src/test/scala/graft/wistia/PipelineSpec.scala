@@ -72,6 +72,31 @@ class PipelineSpec extends SparkSpec {
     assert(counts2("dim_media") === 4L)
   }
 
+  test("runStreaming: checkpoint-as-HWM over the raw JSON zone (T5)") {
+    val dir = Files.createTempDirectory("pipeline").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ckpt = s"$dir/ckpt"
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5)))
+
+    val q1 = Pipeline.runStreaming(spark, s"$dir/raw", wh, Seq("abc", "xyz"), ts0, ckpt)
+    q1.awaitTermination(60000)
+    assert(RawZone.warehouse(spark, wh.fact).count() === 2)
+
+    // second activation: only the new run's file is processed — the
+    // checkpoint IS the high-water mark, no MAX query anywhere
+    writeRaw(s"$dir/raw", "20250502_000000", Seq(
+      eventJson("e3", "v2", "abc", "2024-03-01T11:00:00Z", 0.6)))
+    val q2 = Pipeline.runStreaming(spark, s"$dir/raw", wh, Seq("abc", "xyz"), ts0, ckpt)
+    q2.awaitTermination(60000)
+    val fact = RawZone.warehouse(spark, wh.fact)
+    assert(fact.count() === 3)
+    assert(fact.filter(org.apache.spark.sql.functions.col("visitor_id") === "v2")
+      .count() === 1)
+  }
+
   test("runIncremental: HWM+1s filter, dim truncate, per-event fact") {
     val dir = Files.createTempDirectory("pipeline").toString
     val wh = Pipeline.Warehouse(s"$dir/wh")
