@@ -6,20 +6,24 @@ import graft.{Q, Tables}
 
 /** Deduplication operators over `documents` / `embeddings` — the
   * training-data-pipeline surface: exact hash dedup, n-gram Jaccard,
-  * MinHash+LSH, SimHash, embedding-cosine near-dup.
+  * MinHash+LSH, SimHash, embedding-cosine near-dup, LSH-then-verify,
+  * and connected-component cluster labeling.
   *
-  * Engine-portability trick: all hashing is md5-derived (identical hex
-  * in Spark and DuckDB), MinHash permutations are the lexicographic min
-  * of `md5(seed:shingle)` strings, and 60-bit integer hashes come from
-  * the first 15 hex chars. Cosines are computed from micro-scaled
-  * integer vectors, so dot products and norms are exact and the double
-  * division/sqrt is bit-deterministic in both engines.
+  * Engine portability: oracle-visible identities are md5-derived
+  * (identical hex in Spark and DuckDB; 60-bit ints from the first 15 hex
+  * chars, MinHash = affine permutations of that int mod 2^31-1 computed
+  * identically in both engines). Spark-side-only shuffle keys use
+  * xxhash64 (equivalent modulo 64-bit collisions). Cosines come from
+  * micro-scaled integer vectors, so dot products and norms are exact and
+  * the double division/sqrt is bit-deterministic in both engines.
   *
   * Scale: exact dedup and MinHash are groupBy/aggregate shapes (one
-  * shuffle each on doc hash / band key). The all-pairs Jaccard is
-  * intentionally restricted to LSH-candidate verification at scale; here
-  * the shingle-inverted-index self-join keeps the pair space sparse (only
-  * docs sharing a shingle meet), which is the standard scalable layout.
+  * shuffle each on doc hash / band key) and every shuffle carries hashed
+  * longs, never shingle strings. The all-pairs Jaccard (dd2) is the
+  * exact baseline whose pair space grows with shared-shingle density —
+  * ScaleProbe measures this — so at scale candidates come from the LSH
+  * bands (dd3) with exact verification on candidates only (dd6), then
+  * cluster labeling (dd7) picks canonical keepers.
   */
 object Dedup {
 
