@@ -544,8 +544,31 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------------
+  // q26_tpch_q6 — the classic forecast-revenue scan: single table, three
+  // selective predicates, one sum. The pure test of scan throughput +
+  // predicate pushdown (explain shows all three in PushedFilters); at
+  // 100 TB this is the query where columnar IO and codegen dominate.
+  private def q26TpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_quantity") < 24)
+      .filter(cents(col("l_discount")).between(5L, 7L))
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0)
+        .as("revenue"))
+
+  private val q26Sql =
+    s"""SELECT SUM(${centsSql("l_extendedprice")} * ${centsSql("l_discount")})/10000.0 AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_quantity < 24
+       |  AND ${centsSql("l_discount")} BETWEEN 5 AND 7""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q25_approx_distinct", q25ApproxDistinct, None),
+    Q("q26_tpch_q6", q26TpchQ6, Some(q26Sql)),
     Q("q1_agg", q1Agg, Some(q1Sql), headline = true),
     Q("q2_filter_project", q2FilterProject, Some(q2Sql)),
     Q("q3_case_derive", q3CaseDerive, Some(q3Sql)),
