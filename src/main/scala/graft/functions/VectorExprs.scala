@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{DotLong, SparkShim}
+import org.apache.spark.sql.graftshim.{DotLong, IntersectCountSortedLong, SparkShim}
 
-/** Column-level entry points for the native vector expressions (see
-  * [[org.apache.spark.sql.graftshim.DotLong]] for semantics + rationale).
+/** Column-level entry points for the native vector/set expressions (see
+  * [[org.apache.spark.sql.graftshim.DotLong]] and
+  * [[org.apache.spark.sql.graftshim.IntersectCountSortedLong]]).
   */
 object VectorFunctions {
   /** Exact int64 dot product of two `array<long>` columns. */
@@ -13,4 +14,9 @@ object VectorFunctions {
 
   /** Exact int64 squared L2 norm of an `array<long>` column. */
   def normSqLong(a: Column): Column = dotLong(a, a)
+
+  /** Common-element count of two SORTED `array<long>` set columns. */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    SparkShim.column(IntersectCountSortedLong(
+      SparkShim.expression(a), SparkShim.expression(b)))
 }

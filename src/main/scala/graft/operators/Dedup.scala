@@ -197,7 +197,8 @@ object Dedup {
     cand
       .join(hs.select(col("doc_id").as("ida"), col("hs").as("ha"), col("n").as("na")), "ida")
       .join(hs.select(col("doc_id").as("idb"), col("hs").as("hb"), col("n").as("nb")), "idb")
-      .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("common",
+        graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
       .withColumn("uni", col("na") + col("nb") - col("common"))
       .filter(col("common") * 10L >= col("uni") * 8L)
       .select("ida", "idb", "common", "uni")

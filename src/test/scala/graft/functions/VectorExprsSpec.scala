@@ -42,6 +42,25 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("intersect_count_sorted matches size(array_intersect) on sorted sets") {
+    val df = spark.range(300).select(
+      sort_array(array_distinct(transform(sequence(lit(0), lit(40)),
+        i => pmod(hash(col("id") * 37 + i), lit(60)).cast("long")))).as("a"),
+      sort_array(array_distinct(transform(sequence(lit(0), lit(40)),
+        i => pmod(hash(col("id") * 41 + i + 3), lit(60)).cast("long")))).as("b"))
+    val r = df.select(
+      VectorFunctions.intersectCountSorted(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+    assert(r.filter(col("fast") =!= col("ref")).count() === 0)
+    // and with empty/disjoint arrays
+    val edge = spark.sql(
+      "SELECT CAST(array() AS ARRAY<BIGINT>) AS a, array(1L,2L,3L) AS b " +
+      "UNION ALL SELECT array(5L), array(1L,2L)")
+    val er = edge.select(
+      VectorFunctions.intersectCountSorted(col("a"), col("b")).as("c")).collect()
+    assert(er.map(_.getLong(0)).toSeq === Seq(0L, 0L))
+  }
+
   test("dot_long is null-safe") {
     val df = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS a, array(1L, 2L) AS b")
     val r = df.select(VectorFunctions.dotLong(col("a"), col("b")).as("d")).collect()
