@@ -218,22 +218,26 @@ object Dedup {
        |ORDER BY ida, idb""".stripMargin
 
   // ---------------------------------------------------------------------
-  // dd4_simhash — 16-bit SimHash over word occurrences: per-bit ±1 votes
+  // dd4_simhash — SimHash over word occurrences: per-bit ±1 votes
   // weighted by term frequency, bit set when vote ≥ 0. 60-bit word hash
-  // from md5 hex prefix (engine-portable).
-  private def dd4Simhash(s: SparkSession, d: String): DataFrame = {
+  // from md5 hex prefix (engine-portable). dd4 presents the 16-bit
+  // variant; dd8 pairs on a 32-bit variant (sparser bands).
+  private def simhashDf(s: SparkSession, d: String, bits: Int): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val bitVotes = (0 until 16).map { i =>
+    val bitVotes = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i")
     }
     val voted = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val simhash = (0 until 16).map { i =>
+    val simhash = (0 until bits).map { i =>
       when(col(s"v$i") >= 0L, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
-    voted.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    voted.select(col("doc_id"), simhash.as("simhash"))
   }
+
+  private def dd4Simhash(s: SparkSession, d: String): DataFrame =
+    simhashDf(s, d, 16).orderBy("doc_id")
 
   private val dd4Sql: String = {
     val votes = (0 until 16).map { i =>
@@ -340,6 +344,65 @@ object Dedup {
        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
        |FROM lbl ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd8_simhash_pairs — SimHash near-dup pairing by pigeonhole banding:
+  // split a 32-bit simhash into 3 bands (11/11/10 bits); any pair within
+  // Hamming distance ≤ 2 differs in at most 2 bands, so it must agree
+  // exactly on at least one — band equi-joins generate complete
+  // candidates, then bit_count(xor) verifies the distance. The same
+  // band-join shape as MinHash-LSH, so the shuffle profile is identical
+  // (sparse band groups, (long, int, long) rows); this is how SimHash
+  // dedup runs at web scale (Manku et al.'s approach, composed from
+  // stock Spark ops).
+  private def dd8SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashDf(s, d, 32)
+    val bandCols = Seq(
+      (col("simhash") % 2048L).as("b"),
+      (shiftright(col("simhash"), 11) % 2048L).as("b"),
+      (shiftright(col("simhash"), 22) % 1024L).as("b"))
+    val bands = bandCols.zipWithIndex.map { case (b, i) =>
+      sim.select(col("doc_id"), lit(i).as("band"), b)
+    }.reduce(_ unionByName _)
+    val l = bands.select(col("doc_id").as("ida"), col("band"), col("b"))
+    val r = bands.select(col("doc_id").as("idb"), col("band"), col("b"))
+    val cand = l.join(r, Seq("band", "b")).filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(sim.select(col("doc_id").as("ida"), col("simhash").as("ha")), "ida")
+      .join(sim.select(col("doc_id").as("idb"), col("simhash").as("hb")), "idb")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 2L)
+      .select("ida", "idb", "hamming")
+      .orderBy("ida", "idb")
+  }
+
+  private val dd8Sql: String = {
+    val votes = (0 until 32).map { i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(", ")
+    val hashExpr = (0 until 32).map { i =>
+      s"CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, ('0x' || substring(md5(u.w), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       |       UNNEST(t.toks) AS u(w)),
+       |v AS (SELECT doc_id, $votes FROM w GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($hashExpr AS BIGINT) AS simhash FROM v),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, simhash % 2048 AS b FROM sim
+       |  UNION ALL SELECT doc_id, 1, (simhash // 2048) % 2048 FROM sim
+       |  UNION ALL SELECT doc_id, 2, (simhash // 4194304) % 1024 FROM sim),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.b = b.b AND a.doc_id < b.doc_id)
+       |SELECT ida, idb,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM cand JOIN sim sa ON sa.doc_id = ida JOIN sim sb ON sb.doc_id = idb
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("dd1_exact", dd1Exact, Some(dd1Sql)),
     Q("dd2_ngram_jaccard", dd2NgramJaccard, Some(dd2Sql), headline = true),
@@ -347,5 +410,6 @@ object Dedup {
     Q("dd4_simhash", dd4Simhash, Some(dd4Sql)),
     Q("dd5_embed_neardup", dd5EmbedNeardup, Some(dd5Sql)),
     Q("dd6_lsh_jaccard", dd6LshJaccard, Some(dd6Sql)),
-    Q("dd7_dedup_clusters", dd7DedupClusters, Some(dd7Sql)))
+    Q("dd7_dedup_clusters", dd7DedupClusters, Some(dd7Sql)),
+    Q("dd8_simhash_pairs", dd8SimhashPairs, Some(dd8Sql)))
 }
