@@ -355,7 +355,9 @@ object Dedup {
   // dedup runs at web scale (Manku et al.'s approach, composed from
   // stock Spark ops).
   private def dd8SimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sim = simhashDf(s, d, 32)
+    // one row per doc, referenced 3× (bands + both verify sides) —
+    // materialize once instead of recomputing the 32-vote aggregation
+    val sim = simhashDf(s, d, 32).localCheckpoint()
     val bandCols = Seq(
       (col("simhash") % 2048L).as("b"),
       (shiftright(col("simhash"), 11) % 2048L).as("b"),
