@@ -566,9 +566,56 @@ object Relational {
        |  AND l_quantity < 24
        |  AND ${centsSql("l_discount")} BETWEEN 5 AND 7""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q27_cube — full grouping-sets lattice over two dimensions (q16 is the
+  // rollup; CUBE adds the cross-marginal). grouping_id disambiguates
+  // which NULLs are subtotals vs data.
+  private def q27Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty_cents"),
+        grouping_id().as("gid"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val q27Sql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents,
+       | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q28_pivot — pivot order priorities into columns per status (explicit
+  // pivot values keep the output schema static — the scalable form; a
+  // dynamic pivot needs a driver-side distinct pass first).
+  private def q28Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec"),
+        coalesce(col("5-LOW"), lit(0L)).as("low"))
+      .orderBy("o_orderstatus")
+
+  private val q28Sql =
+    """SELECT o_orderstatus,
+      | COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+      | COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+      | COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+      | COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+      | COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q25_approx_distinct", q25ApproxDistinct, None),
     Q("q26_tpch_q6", q26TpchQ6, Some(q26Sql)),
+    Q("q27_cube", q27Cube, Some(q27Sql)),
+    Q("q28_pivot", q28Pivot, Some(q28Sql)),
     Q("q1_agg", q1Agg, Some(q1Sql), headline = true),
     Q("q2_filter_project", q2FilterProject, Some(q2Sql)),
     Q("q3_case_derive", q3CaseDerive, Some(q3Sql)),
