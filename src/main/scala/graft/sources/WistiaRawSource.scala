@@ -10,7 +10,6 @@ import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import scala.jdk.CollectionConverters._
 
 /** DataSourceV2 stand-in for the reference's paginated REST event scan
   * (SURVEY S1–S3, `ingest_wistia.py:184-304`): the directory is the "API",
