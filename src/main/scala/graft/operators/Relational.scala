@@ -611,7 +611,30 @@ object Relational {
       | COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q29_percentiles — exact interpolated quantiles (median/p90) of order
+  // totals per status: Spark `percentile` and DuckDB `quantile_cont`
+  // share the standard (n-1)·p linear-interpolation definition, and over
+  // exact cent integers the interpolation arithmetic is deterministic.
+  // At 100 TB exact percentiles sort per group; approx_percentile is the
+  // sketch path (same shape as q19 vs q25).
+  private def q29Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(cents(col("o_totalprice")), lit(0.5)).as("p50_cents"),
+        percentile(cents(col("o_totalprice")), lit(0.9)).as("p90_cents"))
+      .orderBy("o_orderstatus")
+
+  private val q29Sql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       | quantile_cont(${centsSql("o_totalprice")}, 0.5) AS p50_cents,
+       | quantile_cont(${centsSql("o_totalprice")}, 0.9) AS p90_cents
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
     Q("q25_approx_distinct", q25ApproxDistinct, None),
     Q("q26_tpch_q6", q26TpchQ6, Some(q26Sql)),
     Q("q27_cube", q27Cube, Some(q27Sql)),
