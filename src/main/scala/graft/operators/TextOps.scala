@@ -208,7 +208,34 @@ object TextOps {
       |FROM tw LEFT JOIN sa ON sa.doc_id = tw.doc_id
       |ORDER BY tw.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t6_stratified_sample — deterministic corpus subsampling: keep a doc
+  // iff md5(doc_id) lands under the rate threshold (reproducible across
+  // engines/runs/cluster sizes — no RNG state), reported per (lang,
+  // source) stratum. The standard curation primitive for rebalancing a
+  // training corpus; map-only except the final stratum rollup.
+  private def t6StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val keep = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100L) < 20L
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(keep, col("n_chars")).otherwise(0L)).as("sampled_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val t6Sql =
+    """SELECT lang, source, COUNT(*) AS n_total,
+      | CAST(SUM(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      | CAST(SUM(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
+      |          THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("t6_stratified_sample", t6StratifiedSample, Some(t6Sql)),
     Q("t1_lang_id", t1LangId, Some(t1Sql)),
     Q("t2_quality", t2Quality, Some(t2Sql), headline = true),
     Q("t3_tokens", t3Tokens, Some(t3Sql)),
