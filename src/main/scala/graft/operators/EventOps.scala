@@ -125,9 +125,60 @@ object EventOps {
       |  CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_frac
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev5_interval_join — keyless range join: for every user session
+  // (ev3's windows), count system-wide error events inside its
+  // [start, end] interval. Without an equi-key Catalyst would plan a
+  // broadcast-nested-loop; bucketizing time to 1-hour cells turns it
+  // into an equi-join on the cell (sessions explode to the cells they
+  // overlap, errors hash to their cell), then the exact range predicate
+  // filters and (session, event) pairs dedupe — the standard scalable
+  // interval-join layout.
+  private def ev5IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    // referenced twice (cell explode + final left join) — materialize the
+    // window-heavy session derivation once
+    val sessions = ev3SessionWindow(s, d)
+      .select(col("user_id"), col("sid"), col("start_us"), col("end_us"))
+      .localCheckpoint()
+    val errors = Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("cell", expr(s"us div $hourUs"))
+    val exploded = sessions
+      .withColumn("cell", explode(sequence(
+        expr(s"start_us div $hourUs"), expr(s"end_us div $hourUs"))))
+    val matched = exploded.join(errors, Seq("cell"))
+      .filter(col("us") >= col("start_us") && col("us") <= col("end_us"))
+      .select("user_id", "sid", "event_id").distinct()
+      .groupBy("user_id", "sid").agg(count(lit(1)).as("n_errors"))
+    sessions.join(matched, Seq("user_id", "sid"), "left")
+      .select(col("user_id"), col("sid"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .orderBy("user_id", "sid")
+  }
+
+  private val ev5Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) <= 1800000000
+      |         THEN 0 ELSE 1 END AS new_sess
+      |  FROM events),
+      |sid AS (SELECT user_id, us,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      |  min(us) AS start_us, max(us) AS end_us
+      |  FROM sid GROUP BY user_id, sid),
+      |err AS (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error')
+      |SELECT s.user_id, s.sid, COUNT(e.event_id) AS n_errors
+      |FROM sess s LEFT JOIN err e ON e.us >= s.start_us AND e.us <= s.end_us
+      |GROUP BY s.user_id, s.sid ORDER BY s.user_id, s.sid""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ev1_tumbling", ev1Tumbling, Some(ev1Sql)),
     Q("ev2_sliding", ev2Sliding, Some(ev2Sql)),
     Q("ev3_session_window", ev3SessionWindow, Some(ev3Sql)),
-    Q("ev4_funnel", ev4Funnel, Some(ev4Sql)))
+    Q("ev4_funnel", ev4Funnel, Some(ev4Sql)),
+    Q("ev5_interval_join", ev5IntervalJoin, Some(ev5Sql)))
 }
