@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   * duplicates across copies), and embeddings perturb one dimension per
   * copy (cosine structure preserved, no duplicate-vector degeneracy).
   *
-  * Measured (local[32], warm): relational q1/q17/q18 ≈2.3–2.4× at 10×
-  * data (sub-linear — AQE + partial aggregation); q23 as-of, t2, dd1,
-  * dd3, sim2, ev3 all ≤5×. dd2 (exact all-pairs Jaccard) is the designed
-  * exception: the probe corpus gives EVERY doc ~10 near-copies, so the
-  * shared-shingle candidate-pair space grows ~50× and dd2 runs ~20× —
-  * still sub-linear in pair count, but confirming the scaladoc guidance
-  * that at scale candidates must come from dd3's LSH (which held ~5×
-  * on the same adversarial corpus), with dd2's exact verify applied only
-  * to surviving candidates.
+  * Measured (local[32], warm): every general operator — relational
+  * aggs/joins (q1/q17/q18/q24/q26/q29), as-of, windows/funnel/interval
+  * (ev3–ev5), text (t2/t5/t6), ANN + centroids (sim2/sim4), exact dedup
+  * and MinHash signatures (dd1/dd3) — scales ≤3× at 10× data (AQE +
+  * partial aggregation keep it sub-linear). The near-dup PAIR GENERATORS
+  * (dd2 exact all-pairs, and dd7/dd8 which consume pair graphs) grow
+  * ~12–20×: the probe corpus gives EVERY doc ~10 near-copies, so the
+  * true near-dup pair space itself grows ~50× — the operators are
+  * output-bound, sub-linear in pairs produced. This is the designed
+  * division of labor: at scale, candidates come from the banded sketches
+  * (dd3 held ~5×, bounded by band collisions), exact verification runs
+  * on candidates only (dd6, ~4×), and all-pairs dd2 remains the
+  * small-corpus/oracle baseline.
   */
 object ScaleProbe {
   val Copies = 10
@@ -80,8 +84,11 @@ object ScaleProbe {
     }
 
     val probes = Seq("q1_agg", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
-      "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "sim2_ann_lsh",
-      "t2_quality", "ev3_session_window")
+      "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
+      "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
+      "dd7_dedup_clusters", "dd8_simhash_pairs", "sim2_ann_lsh", "sim4_centroid",
+      "t2_quality", "t5_repetition", "t6_stratified_sample",
+      "ev3_session_window", "ev4_funnel", "ev5_interval_join")
     // warm then measure, at both scales
     for (sf <- Seq(src, out); name <- probes) {
       try {
