@@ -70,6 +70,18 @@ object Schemas {
     StructField("contentType", StringType),
     StructField("type", StringType)))
 
+  /** Prod-variant raw event shape (process_wistia_data.py:314-330):
+    * nested media/visitor structs, `occurred_at`, and a `type` field
+    * taking 'play' / 'percent:0' … 'percent:100' — a DIFFERENT API shape
+    * than [[rawEvent]] (FIXTURES.md A1 note).
+    */
+  val prodRawEvent: StructType = StructType(Seq(
+    StructField("media", StructType(Seq(StructField("hashed_id", StringType)))),
+    StructField("occurred_at", TimestampType),
+    StructField("visitor", StructType(Seq(StructField("key", StringType)))),
+    StructField("type", StringType),
+    StructField("engagement", DoubleType)))
+
   /** Raw media metadata record (Wistia medias.json List endpoint). */
   val rawMedia: StructType = StructType(Seq(
     StructField("id", LongType),

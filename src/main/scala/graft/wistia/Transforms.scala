@@ -176,6 +176,35 @@ object Transforms {
           .otherwise(lit(null).cast("double")).as("total_watch_time"),
         lit(ingestionTs).as("ingestion_timestamp"))
 
+  /** Literal A9 on the prod-variant raw shape ([[Schemas.prodRawEvent]];
+    * process_wistia_data.py:295-361): one output row per event with a
+    * valid timestamp AND media id (visitor may be null — the reference
+    * keeps such rows), `play_count = 1` only for type='play' else null,
+    * `total_watch_time = duration` only for type='percent:100' with a
+    * known duration, `play_rate` always null. Output column names match
+    * the reference's fact dict exactly.
+    */
+  def prodEventFact(prodEvents: DataFrame, durations: DataFrame): DataFrame =
+    prodEvents
+      .select(
+        col("media.hashed_id").as("media_hashed_id"),
+        col("occurred_at"),
+        col("visitor.key").as("visitor_id"),
+        col("type"))
+      .filter(col("occurred_at").isNotNull && col("media_hashed_id").isNotNull)
+      .join(broadcast(durations.select(
+        col("media_id").as("media_hashed_id"), col("duration"))),
+        Seq("media_hashed_id"), "left")
+      .select(
+        col("media_hashed_id"),
+        col("occurred_at").as("event_timestamp"),
+        col("visitor_id"),
+        when(col("type") === "play", 1L).otherwise(lit(null).cast("long"))
+          .as("play_count"),
+        lit(null).cast("double").as("play_rate"),
+        when(col("type") === "percent:100", col("duration"))
+          .otherwise(lit(null).cast("double")).as("total_watch_time"))
+
   /** A8/T1 — high-water mark: max non-null event_timestamp of the fact
     * table; None on empty (caller falls back to the historical start,
     * reference :614-619).

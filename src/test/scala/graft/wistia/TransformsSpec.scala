@@ -1,6 +1,35 @@
 package graft.wistia
 
 import graft.SparkSpec
+
+class ProdEventFactSpec extends SparkSpec {
+  test("literal A9 on the prod raw shape (FIXTURES A1 prod-variant note)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Seq(
+      """{"media": {"hashed_id": "abc"}, "occurred_at": "2024-03-01T10:00:00Z",
+        | "visitor": {"key": "v1"}, "type": "play"}""",
+      """{"media": {"hashed_id": "abc"}, "occurred_at": "2024-03-01T10:01:00Z",
+        | "visitor": {"key": "v1"}, "type": "percent:100"}""",
+      """{"media": {"hashed_id": "abc"}, "occurred_at": "2024-03-01T10:02:00Z",
+        | "type": "percent:50"}""",
+      """{"media": {"hashed_id": "zzz"}, "occurred_at": "2024-03-01T10:03:00Z",
+        | "visitor": {"key": "v2"}, "type": "percent:100"}""",
+      """{"media": {"hashed_id": "abc"}, "visitor": {"key": "v3"}, "type": "play"}""")
+      .map(_.stripMargin.replace("\n", ""))
+    val events = spark.read.schema(Schemas.prodRawEvent).json(raw.toDS)
+    val durations = Seq(("abc", 90.0)).toDF("media_id", "duration")
+    val out = Transforms.prodEventFact(events, durations)
+      .orderBy("event_timestamp").collect()
+
+    assert(out.length === 4) // missing-timestamp row dropped, null-visitor kept
+    assert(out(0).getAs[Long]("play_count") === 1L && out(0).isNullAt(5))
+    assert(out(1).isNullAt(3) && out(1).getAs[Double]("total_watch_time") === 90.0)
+    assert(out(2).isNullAt(2) && out(2).isNullAt(5)) // no visitor; percent:50 no credit
+    assert(out(3).isNullAt(5)) // unknown media duration: percent:100 yields null
+    assert(out.forall(_.isNullAt(4))) // play_rate always null (reference :361)
+  }
+}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 import java.sql.Timestamp
