@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   * and MinHash signatures (dd1/dd3) — scales ≤3× at 10× data (AQE +
   * partial aggregation keep it sub-linear). The near-dup PAIR GENERATORS
   * (dd2 exact all-pairs, and dd7/dd8 which consume pair graphs) grow
-  * ~12–20×: the probe corpus gives EVERY doc ~10 near-copies, so the
-  * true near-dup pair space itself grows ~50× — the operators are
-  * output-bound, sub-linear in pairs produced. This is the designed
-  * division of labor: at scale, candidates come from the banded sketches
-  * (dd3 held ~5×, bounded by band collisions), exact verification runs
-  * on candidates only (dd6, ~4×), and all-pairs dd2 remains the
-  * small-corpus/oracle baseline.
+  * with the pair space itself: the probe corpus gives EVERY doc ~10
+  * near-copies, so the true near-dup pair count grows ~50×. Rewriting
+  * dd2 with prefix filtering (AllPairs/PPJoin: index only each doc's
+  * n−⌈0.8n⌉+1 globally-rarest tokens, verify candidates with the native
+  * sorted-set intersect) cut the adversarial 10× case 29.5s → 11.3s
+  * (dd7, which consumes dd2's pairs, 28.8s → 11.0s) with bit-identical
+  * output. Division of labor at scale: banded sketches (dd3, ~5×)
+  * or prefix filtering generate candidates; exact verification runs on
+  * candidates only (dd6); clustering (dd7) labels the survivors.
   */
 object ScaleProbe {
   val Copies = 10

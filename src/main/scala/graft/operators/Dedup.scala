@@ -77,23 +77,49 @@ object Dedup {
   // shingle inverted index; threshold test in exact integer arithmetic
   // (common*10 ≥ 8*union).
   //
-  // Spark-side plan: shingles are hashed to int64 (xxhash64) before the
-  // DISTINCT and the self-join, so every shuffle moves (long, long) rows
-  // instead of full shingle strings. The per-doc sizes frame is one row
-  // per doc and joins back by broadcast. Semantics identical to the
-  // string formulation (the oracle keeps strings) modulo 64-bit hash
-  // collisions.
-  private def dd2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  // Spark-side plan: PREFIX FILTERING (the AllPairs/PPJoin principle).
+  // Shingles are hashed to int64 before any shuffle; tokens get a global
+  // canonical order (document frequency asc, hash asc — rarest first);
+  // each doc indexes only its first n − ⌈0.8n⌉ + 1 tokens in that order.
+  // For any pair with J ≥ 0.8, the overlap bound o ≥ 0.8/1.8·(na+nb)
+  // together with the length ratio 0.8·max ≤ min forces the earliest
+  // common token into BOTH prefixes — so the prefix inverted index
+  // generates a complete candidate set that is a tiny fraction of the
+  // full shared-token pair space (rare tokens pair few docs). Candidates
+  // verify exactly with the codegen'd sorted-set intersect count.
+  // Identical output to the naive inverted-index join (the oracle keeps
+  // the full string formulation) modulo 64-bit hash collisions;
+  // Dd2PrefixFilterSpec re-derives the naive plan and diffs.
+  private[operators] def dd2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // referenced 3× (frequency ranking, prefix index, verify arrays)
     val sh = shingleRows(s, d)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("ida"), col("h"))
-    val b = sh.select(col("doc_id").as("idb"), col("h"))
-    a.join(b, Seq("h")).filter(col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
-      .join(broadcast(sizes.select(col("doc_id").as("ida"), col("n").as("na"))), "ida")
-      .join(broadcast(sizes.select(col("doc_id").as("idb"), col("n").as("nb"))), "idb")
+      .localCheckpoint()
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "h")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ranked = sh.join(freq, "h")
+      .withColumn("pos", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    // prefix length n − ⌈0.8n⌉ + 1, with ⌈0.8n⌉ = (8n+9) div 10
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - expr("(8*n+9) div 10") + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val a = prefix.select(col("doc_id").as("ida"), col("h"), col("n").as("na"))
+    val b = prefix.select(col("doc_id").as("idb"), col("h"), col("n").as("nb"))
+    val cand = a.join(b, Seq("h"))
+      .filter(col("ida") < col("idb") &&
+        col("na") * 10L >= col("nb") * 8L && col("nb") * 10L >= col("na") * 8L)
+      .select("ida", "idb").distinct()
+    val hs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+    cand
+      .join(hs.select(col("doc_id").as("ida"), col("hs").as("ha"), col("n").as("na")), "ida")
+      .join(hs.select(col("doc_id").as("idb"), col("hs").as("hb"), col("n").as("nb")), "idb")
+      .withColumn("common",
+        graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
       .withColumn("uni", col("na") + col("nb") - col("common"))
       .filter(col("common") * 10L >= col("uni") * 8L)
       .select("ida", "idb", "common", "uni")
