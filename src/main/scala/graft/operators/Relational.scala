@@ -633,7 +633,28 @@ object Relational {
        | quantile_cont(${centsSql("o_totalprice")}, 0.9) AS p90_cents
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q30_unpivot — melt q28's wide shape back to long: per-status priority
+  // counts as (status, priority, n) rows via Dataset.unpivot (pivot's
+  // inverse; map-side only, no shuffle beyond the source agg).
+  private def q30Unpivot(s: SparkSession, d: String): DataFrame =
+    q28Pivot(s, d)
+      .unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("urgent"), col("high"), col("medium"), col("notspec"), col("low")),
+        "priority", "n")
+      .orderBy("o_orderstatus", "priority")
+
+  private val q30Sql =
+    s"""WITH p AS ($q28Sql)
+       |SELECT o_orderstatus, u.priority, u.n
+       |FROM p, LATERAL (VALUES
+       |  ('urgent', urgent), ('high', high), ('medium', medium),
+       |  ('notspec', notspec), ('low', low)) u(priority, n)
+       |ORDER BY o_orderstatus, priority""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
     Q("q25_approx_distinct", q25ApproxDistinct, None),
     Q("q26_tpch_q6", q26TpchQ6, Some(q26Sql)),
