@@ -92,6 +92,30 @@ class RawZoneSpec extends SparkSpec {
     assert(RawZone.warehouse(spark, s"$root/dim").count() === 2)
   }
 
+  test("staging round-trips the full type surface (struct/map/array/timestamp)") {
+    val root = tmp()
+    val full = eventJson.dropRight(1) +
+      ""","conversion_data": {"a": "1", "b": "2"},
+        |"thumbnail": {"url": "u", "width": 3, "height": 4, "fileSize": 5,
+        | "contentType": "image/jpeg", "type": "still"}}"""
+        .stripMargin.replace("\n", "")
+    val df = parsed(full)
+    RawZone.stage(df, s"$root/staged")
+    val back = spark.read.schema(Schemas.rawEvent).parquet(s"$root/staged")
+    val r = back.collect().head
+    assert(r.getAs[Map[String, String]]("conversion_data") === Map("a" -> "1", "b" -> "2"))
+    assert(r.getAs[org.apache.spark.sql.Row]("thumbnail").getAs[Long]("width") === 3L)
+    assert(r.getAs[org.apache.spark.sql.Row]("user_agent_details")
+      .getAs[Boolean]("mobile") === false)
+    assert(r.getAs[java.sql.Timestamp]("received_at").toInstant.toString
+      === "2024-03-01T10:00:00Z")
+    // JSONL staging parses back identically through the declared schema
+    RawZone.stageJsonl(df, s"$root/jsonl")
+    val viaJsonl = spark.read.schema(Schemas.rawEvent).json(s"$root/jsonl")
+    assert(viaJsonl.select("conversion_data", "thumbnail", "received_at").collect()
+      .head === back.select("conversion_data", "thumbnail", "received_at").collect().head)
+  }
+
   test("bucketed tables co-locate: join plan has no shuffle exchange") {
     import spark.implicits._
     val left = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "a")
