@@ -24,4 +24,14 @@ class RegistrySpec extends SparkSpec {
     }
     assert(empty.isEmpty, s"queries with zero rows at sf0.001: $empty")
   }
+
+  test("no query output has duplicate or case-colliding column names") {
+    // the driver's compare sorts columns BY NAME before hashing — a
+    // duplicate name would silently scramble the comparison
+    val bad = Registry.all.flatMap { q =>
+      val cols = q.fn(spark, sf("sf0.001")).columns.map(_.toLowerCase)
+      if (cols.distinct.length != cols.length) Some(q.name -> cols.toSeq) else None
+    }
+    assert(bad.isEmpty, s"duplicate output columns: $bad")
+  }
 }
