@@ -653,7 +653,32 @@ object Relational {
        |  ('notspec', notspec), ('low', low)) u(priority, n)
        |ORDER BY o_orderstatus, priority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q31_sql_surface — the engine's SQL front door: temp views + a
+  // correlated scalar subquery through spark.sql (Catalyst decorrelates
+  // it to a join+aggregate; .explain shows no per-row subquery). Every
+  // other query uses the DataFrame API; this one proves the same plans
+  // are reachable from SQL text.
+  private def q31SqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_heavy
+        |FROM customer_v c
+        |WHERE (SELECT COUNT(*) FROM orders_v o
+        |       WHERE o.o_custkey = c.c_custkey) >= 15
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val q31Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_heavy
+      |FROM customer c
+      |WHERE (SELECT COUNT(*) FROM orders o
+      |       WHERE o.o_custkey = c.c_custkey) >= 15
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q31_sql_surface", q31SqlSurface, Some(q31Sql)),
     Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
     Q("q25_approx_distinct", q25ApproxDistinct, None),

@@ -91,6 +91,25 @@ object Streams {
         })
   }
 
+  /** Stream-stream interval join: purchases attributed to the same
+    * user's click within the preceding 30 minutes. Both sides carry
+    * watermarks so the join state is bounded (Spark retains each side
+    * only within watermark + interval — the 100 TB property again: state
+    * scales with the window, not history).
+    */
+  def streamClickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id")).withWatermark("click_ts", "1 hour").alias("c")
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+      col("event_id").as("purchase_id")).withWatermark("purchase_ts", "1 hour").alias("p")
+    c.join(p, expr(
+      """c.user_id = p.user_id AND
+         purchase_ts >= click_ts AND
+         purchase_ts <= click_ts + INTERVAL 30 MINUTES"""))
+      .select(col("c.user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming exact dedup on a content key within the watermark horizon
     * — the streaming face of Dedup.dd1 (state bounded by the watermark).
     */

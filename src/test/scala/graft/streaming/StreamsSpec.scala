@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class E(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class CE(ts: Timestamp, user_id: Long, event_id: Long)
 
 class StreamsSpec extends SparkSpec {
 
@@ -97,6 +98,29 @@ class StreamsSpec extends SparkSpec {
         .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
       assert(b3(("m1", "v1")) === 15.0)
       assert(b3(("m2", "v1")) === 0.0)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[CE]
+    val purchases = MemoryStream[CE]
+    val q = Streams.streamClickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      clicks.addData(
+        CE(ts("2024-01-01 10:00:00"), 1L, 100L),
+        CE(ts("2024-01-01 10:20:00"), 1L, 101L), // latest click before purchase
+        CE(ts("2024-01-01 10:00:00"), 2L, 102L))
+      purchases.addData(
+        CE(ts("2024-01-01 10:30:00"), 1L, 900L), // joins clicks 100 AND 101 (both within 30m)
+        CE(ts("2024-01-01 11:00:00"), 2L, 901L)) // click 102 is 60m old: outside interval
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((1L, 100L, 900L), (1L, 101L, 900L)))
     } finally q.stop()
   }
 
