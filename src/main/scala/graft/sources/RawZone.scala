@@ -52,13 +52,18 @@ object RawZone {
   /** S6 — schema-enforced PERMISSIVE JSON read of the whole raw zone for
     * an entity; unparseable records land in `_corrupt_record` instead of
     * failing the scan (the reference warns-and-skips, :183-186).
+    * `multiline = true` reads reference-style whole-array page files
+    * (`json.dump` of a list) instead of NDJSON — note multiline files
+    * are not splittable, so at scale one file = one task (the page size
+    * bounds it, as in the reference's 100-row pages).
     */
   def readJson(spark: SparkSession, root: String, entity: String,
-      schema: StructType): DataFrame = {
+      schema: StructType, multiline: Boolean = false): DataFrame = {
     val withCorrupt = schema.add("_corrupt_record", "string")
     spark.read
       .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
+      .option("multiLine", multiline.toString)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("basePath", s"$root/$entity")
       .json(s"$root/$entity")

@@ -59,6 +59,19 @@ class RawZoneSpec extends SparkSpec {
     assert(df.select(RawZone.RunColumn).distinct().as[String].head() === "20240301_100000")
   }
 
+  test("S6: multiline mode reads reference-style whole-array page files") {
+    val root = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/events/run_ts=20240301_100000"))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/events/run_ts=20240301_100000/page1.json"),
+      s"[$eventJson,\n ${eventJson.replace("\"e1\"", "\"e2\"")}]")
+    val df = RawZone.readJson(spark, root, "events", Schemas.rawEvent, multiline = true)
+    assert(df.count() === 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 0)
+    import spark.implicits._
+    assert(df.select("event_key").as[String].collect().sorted === Array("e1", "e2"))
+  }
+
   test("S7: readLatestRun reads exactly one run partition") {
     val root = tmp()
     import spark.implicits._
