@@ -66,6 +66,7 @@ class RawZoneSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root/events/run_ts=20240301_100000/page1.json"),
       s"[$eventJson,\n ${eventJson.replace("\"e1\"", "\"e2\"")}]")
     val df = RawZone.readJson(spark, root, "events", Schemas.rawEvent, multiline = true)
+      .cache() // SPARK-21610: _corrupt_record unqueryable on the raw scan
     assert(df.count() === 2)
     assert(df.filter(col("_corrupt_record").isNotNull).count() === 0)
     import spark.implicits._
