@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * dd2 with prefix filtering (AllPairs/PPJoin: index only each doc's
   * n−⌈0.8n⌉+1 globally-rarest tokens, verify candidates with the native
   * sorted-set intersect) cut the adversarial 10× case 29.5s → 11.3s
-  * (dd7, which consumes dd2's pairs, 28.8s → 11.0s) with bit-identical
-  * output. Division of labor at scale: banded sketches (dd3, ~5×)
+  * (dd7, which consumes dd2's pairs, 28.8s → 8.5s with pointer-jumped
+  * label propagation) with bit-identical output. Division of labor at scale: banded sketches (dd3, ~5×)
   * or prefix filtering generate candidates; exact verification runs on
   * candidates only (dd6); clustering (dd7) labels the survivors.
   */
