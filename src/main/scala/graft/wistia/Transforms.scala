@@ -132,7 +132,7 @@ object Transforms {
 
     val watch = WatchTime.windowed(
       events.select(col("media_id"), col("visitor_key"), col("received_at"),
-        col("percent_viewed"), col("name"), col("duration")), scaleDivisor)
+        col("event_key"), col("percent_viewed"), col("name"), col("duration")), scaleDivisor)
 
     grouped
       .join(watch, Seq("media_id", "visitor_id", "date"), "left")
