@@ -342,16 +342,24 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: labels are always doc_ids of member nodes, so the
-      // label's own label exists; following it halves chain lengths
+      // label's own label exists; following it halves chain lengths.
+      // The changed flag rides along so one action both materializes the
+      // (lazy) checkpoint and counts convergence — one job per round.
       val next = stepped
         .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")), "label")
         .select(col("doc_id"), least(col("label"), col("ll")).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .select(col("doc_id"), col("label"), (col("label") =!= col("old")).as("changed"))
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("changed")).count() == 0L
+      labels = next.select("doc_id", "label")
       iter += 1
     }
+    // pointer jumping converges in O(log diameter); 30 rounds covers any
+    // graph up to diameter ~2^30. Surface the pathological case instead
+    // of returning partially-propagated labels.
+    if (!converged) throw new IllegalStateException(
+      s"dd7 label propagation did not converge after $iter rounds")
     labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))

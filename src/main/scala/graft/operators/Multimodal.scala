@@ -135,12 +135,12 @@ object Multimodal {
       .orderBy("doc_id", "ci")
 
   private val mm2Sql =
-    """WITH n AS (SELECT doc_id, text, (strlen(text) + 255) // 256 AS n_chunks FROM documents),
+    """WITH n AS (SELECT doc_id, text, (length(text) + 255) // 256 AS n_chunks FROM documents),
       |ch AS (SELECT doc_id, u.ci, substring(text, CAST(u.ci*256+1 AS INT), 256) AS chunk
       |       FROM n, UNNEST(generate_series(0, CAST(n_chunks-1 AS INT))) u(ci)
       |       WHERE u.ci % 4 = 0)
       |SELECT doc_id, CAST(ci AS BIGINT) AS ci,
-      | CAST(strlen(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
+      | CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
       |FROM ch ORDER BY doc_id, ci""".stripMargin
 
   val queries: Seq[Q] = Seq(

@@ -343,7 +343,7 @@ object Relational {
 
   private val q15Sql =
     s"""SELECT CAST(ts AS DATE) AS d,
-       | CAST(SUM(COALESCE(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
+       | CAST(SUM(COALESCE(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
        | CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_cents,
        | COUNT(*) AS n,
        | MAX(upper(event_type)) AS max_type
@@ -495,7 +495,7 @@ object Relational {
   // positive progress delta with min(elapsed, Δ·duration), skipping
   // seek-sized jumps. All arithmetic in exact integer micros/cents; the
   // faithful Wistia-schema variant (incl. the /100 quirk) lives in
-  // graft.operators.Sessionize with an Aggregator cross-check.
+  // graft.wistia.WatchTime with a mapGroups executable-spec cross-check.
   private def q22Watchtime(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
     Tables.events(s, d)
