@@ -29,7 +29,8 @@ object Registry {
       operators.Multimodal.queries ++
       operators.EventOps.queries ++
       operators.AsOf.queries ++
-      operators.Skew.queries
+      operators.Skew.queries ++
+      wistia.WistiaGate.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
