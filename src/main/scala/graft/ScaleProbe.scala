@@ -85,12 +85,16 @@ object ScaleProbe {
         .drop("_c").write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
-    val probes = Seq("q1_agg", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
+    val allProbes = Seq("q1_agg", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
-      "dd7_dedup_clusters", "dd8_simhash_pairs", "sim2_ann_lsh", "sim4_centroid",
+      "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh",
+      "sim2_ann_lsh", "sim4_centroid",
       "t2_quality", "t5_repetition", "t6_stratified_sample",
-      "ev3_session_window", "ev4_funnel", "ev5_interval_join")
+      "ev3_session_window", "ev4_funnel", "ev5_interval_join",
+      "w3_fact_engagement")
+    // optional args: probe only these queries
+    val probes = if (args.isEmpty) allProbes else allProbes.filter(args.toSet)
     // warm then measure, at both scales
     for (sf <- Seq(src, out); name <- probes) {
       try {

@@ -1,36 +1,49 @@
 package graft.sources
 
 import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSourceV2 stand-in for the reference's paginated REST event scan
   * (SURVEY S1–S3, `ingest_wistia.py:184-304`): the directory is the "API",
-  * each `events_<media>_<page>.json` array file is one page response, and
-  * the connector exposes exactly the API's own pushdown surface:
+  * each `events_<media>_<yyyyMMdd>_<HHmmss>.json` array file is one page
+  * response, and the connector exposes exactly the API's own pushdown
+  * surface:
   *
   *  - partition-per-page ([[PageFile]]) — the page loop becomes
   *    parallel input partitions instead of a serial driver loop;
   *  - `media_id = 'x'` pushdown prunes page files before any IO
   *    (the reference pushes `media_id` as a query param, S2);
+  *  - `received_at > t` / `>= t` pushdown prunes pages by their run
+  *    stamp (the reference pushes `since`/date ranges to the API,
+  *    `ingest_wistia.py:259-265`). Soundness contract: a page only
+  *    contains events received before its fetch wall-clock, so a page
+  *    stamped more than [[WistiaScan.StampSkewMicros]] (24 h of
+  *    clock/timezone slack — the reference stamps local time while
+  *    received_at is UTC) before the bound cannot match;
   *  - column pruning reaches the JSON parser (only required fields are
   *    materialized — `SupportsPushDownRequiredColumns`).
   *
   * Filters are reported pushed for pruning but still re-evaluated by
-  * Spark (the parquet row-group contract); rows parse through Spark's
-  * own JacksonParser so semantics match the file JSON source.
+  * Spark (the parquet row-group contract), so pruning is a pure IO
+  * optimization — results never change. Listing and reads go through the
+  * Hadoop FileSystem API: any fs scheme Spark can reach (file://, s3a://,
+  * gs://, hdfs://) works, not just the local disk.
   *
   * Usage: `spark.read.format("wistia-raw").schema(Schemas.rawEvent)
   * .load(dir)`.
   */
-class WistiaRawSource extends TableProvider with DataSourceRegister {
+class WistiaRawSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "wistia-raw"
   override def supportsExternalMetadata(): Boolean = true
 
@@ -60,46 +73,96 @@ private[sources] class WistiaScanBuilder(fullSchema: StructType, path: String)
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
 
+  private def toMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime * 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // prune pages on media_id equality (the API's query param); report
-    // those as pushed, hand everything back for re-evaluation.
-    pushed = filters.collect { case f @ EqualTo("media_id", _: String) => f }
+    // prune pages on media_id equality (the API's query param) and on
+    // received_at lower bounds (the API's `since`); report those as
+    // pushed, hand everything back for re-evaluation.
+    pushed = filters.collect {
+      case f @ EqualTo("media_id", _: String) => f
+      case f @ GreaterThan("received_at", v) if toMicros(v).isDefined => f
+      case f @ GreaterThanOrEqual("received_at", v) if toMicros(v).isDefined => f
+    }
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = WistiaScan(required, path,
-    pushed.collectFirst { case EqualTo("media_id", v: String) => v })
+  override def build(): Scan = {
+    val sinceMicros = pushed.flatMap {
+      case GreaterThan("received_at", v) => toMicros(v)
+      case GreaterThanOrEqual("received_at", v) => toMicros(v)
+      case _ => None
+    }.maxOption
+    WistiaScan(required, path,
+      pushed.collectFirst { case EqualTo("media_id", v: String) => v },
+      sinceMicros)
+  }
 }
 
 private[sources] case class PageFile(file: String) extends InputPartition
 
 private[sources] case class WistiaScan(required: StructType, path: String,
-    mediaIdEq: Option[String]) extends Scan with Batch {
+    mediaIdEq: Option[String], sinceMicros: Option[Long]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"wistia-raw pages=$path pushedMediaId=${mediaIdEq.getOrElse("-")} " +
+      s"pushedSinceMicros=${sinceMicros.getOrElse("-")} " +
       s"readSchema=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val pages = Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.startsWith("events_") &&
-        f.getName.endsWith(".json"))
-      .filter(f => mediaIdEq.forall(m => f.getName.startsWith(s"events_${m}_")))
-      .sortBy(_.getName)
-    pages.map(f => PageFile(f.getAbsolutePath): InputPartition).toArray
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val pages = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("events_") &&
+        st.getPath.getName.endsWith(".json"))
+      .filter(st => mediaIdEq.forall(m => st.getPath.getName.startsWith(s"events_${m}_")))
+      .filter(st => sinceMicros.forall(since =>
+        WistiaScan.stampMicros(st.getPath.getName).forall(
+          _ + WistiaScan.StampSkewMicros > since)))
+      .sortBy(_.getPath.getName)
+    pages.map(st => PageFile(st.getPath.toString): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WistiaReaderFactory(required)
+    WistiaReaderFactory(required, new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
-private[sources] case class WistiaReaderFactory(required: StructType)
+private[sources] object WistiaScan {
+  /** Clock/timezone slack before a page can be stamp-pruned (see class
+    * doc — reference run stamps are fetcher-local wall-clock).
+    */
+  val StampSkewMicros: Long = 24L * 3600 * 1000000
+
+  /** Run stamp of `events_<media>_<yyyyMMdd>_<HHmmss>.json` as epoch
+    * micros (stamp read as UTC); None when the name doesn't carry one
+    * (such pages are never pruned).
+    */
+  def stampMicros(name: String): Option[Long] = {
+    val parts = name.stripSuffix(".json").split('_')
+    if (parts.length < 3) None
+    else try {
+      val dt = java.time.LocalDateTime.parse(
+        s"${parts(parts.length - 2)}${parts(parts.length - 1)}",
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+      Some(dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+  }
+}
+
+private[sources] case class WistiaReaderFactory(required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -109,9 +172,13 @@ private[sources] case class WistiaReaderFactory(required: StructType)
         val opts = new JSONOptions(Map.empty[String, String], "UTC")
         val parser = new JacksonParser(required, opts,
           allowArrayAsStructs = true, Seq.empty)
-        val content = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
-          java.nio.charset.StandardCharsets.UTF_8)
+        val p = new Path(file)
+        // driver-captured Hadoop conf (object-store credentials included)
+        val in = p.getFileSystem(conf.value).open(p)
+        val content = try {
+          new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
         parser.parse[String](content, CreateJacksonParser.string,
           UTF8String.fromString).iterator
       }

@@ -36,6 +36,52 @@ class WistiaRawSourceSpec extends SparkSpec {
     assert(one.count() === read.filter(col("media_id") === "gskhw4w4lm").count())
   }
 
+  test("listing goes through Hadoop FS: file:// URI path plans the same pages") {
+    assume(exists)
+    val viaUri = spark.read.format("wistia-raw")
+      .schema(Schemas.rawEvent).load(s"file://$fixtures")
+    assert(viaUri.count() === 934)
+    assert(viaUri.rdd.getNumPartitions === read.rdd.getNumPartitions)
+  }
+
+  test("received_at lower-bound pushdown prunes pages by run stamp (+24h skew)") {
+    // synthetic three-day page set: stamp pruning keeps only pages whose
+    // stamp + 24h clears the bound; results stay exact because Spark
+    // re-evaluates the filter on surviving rows.
+    val dir = java.nio.file.Files.createTempDirectory("wistia_stamp").toFile
+    def page(name: String, received: String): Unit = {
+      val json =
+        s"""[{"received_at": "$received", "event_key": "$name",
+           |  "visitor_key": "v1", "media_id": "m1"}]""".stripMargin
+      java.nio.file.Files.writeString(new java.io.File(dir, name).toPath, json)
+    }
+    page("events_m1_20250510_120000.json", "2025-05-10T11:00:00.000Z")
+    page("events_m1_20250511_120000.json", "2025-05-11T11:00:00.000Z")
+    page("events_m1_20250512_120000.json", "2025-05-12T11:00:00.000Z")
+
+    val all = spark.read.format("wistia-raw")
+      .schema(Schemas.rawEvent).load(dir.getAbsolutePath)
+    assert(all.rdd.getNumPartitions === 3)
+
+    // bound 2025-05-12T10:00Z: day-10 page (stamp+24h = 05-11T12:00 ≤ bound)
+    // prunes; day-11 (05-12T12:00 > bound) and day-12 survive.
+    val bound = java.sql.Timestamp.from(java.time.Instant.parse("2025-05-12T10:00:00Z"))
+    val pruned = all.filter(col("received_at") > lit(bound))
+    assert(pruned.rdd.getNumPartitions === 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("pushedSinceMicros="))
+    // exactness: only the day-12 event actually passes the row filter
+    assert(pruned.select("event_key").collect().map(_.getString(0)).toSeq ===
+      Seq("events_m1_20250512_120000.json"))
+
+    // >= behaves identically at the page level
+    val prunedGte = all.filter(col("received_at") >= lit(bound))
+    assert(prunedGte.rdd.getNumPartitions === 2)
+
+    // media pushdown composes with stamp pushdown
+    val both = all.filter(col("media_id") === "m1" && col("received_at") > lit(bound))
+    assert(both.rdd.getNumPartitions === 2)
+  }
+
   test("column pruning reaches the parser; parity with the json file source") {
     assume(exists)
     val pruned = read.select("visitor_key")
