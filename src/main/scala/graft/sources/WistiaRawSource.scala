@@ -137,6 +137,19 @@ private[sources] case class WistiaScan(required: StructType, path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     WistiaReaderFactory(required, new org.apache.spark.util.SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf()))
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CorruptPagesMetric)
+}
+
+/** Count of page files that failed to parse/read and were isolated
+  * instead of failing the scan (reference per-media failure isolation,
+  * process_wistia_data.py:446-477). Shows up in the SQL UI per scan.
+  */
+private[sources] class CorruptPagesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "corruptPages"
+  override def description(): String = "corrupt page files isolated"
 }
 
 private[sources] object WistiaScan {
@@ -168,24 +181,55 @@ private[sources] case class WistiaReaderFactory(required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val file = partition.asInstanceOf[PageFile].file
+      private var corrupt = 0L
+      // Per-page failure isolation (reference process_wistia_data.py:
+      // 446-477 isolates fetch failure per media): an unreadable or
+      // unparseable page file becomes one `_corrupt_record` row (when the
+      // schema carries that column — matching PERMISSIVE multiline JSON
+      // semantics) or is skipped, counted in the corruptPages metric —
+      // never a failed scan.
       private lazy val rows: Iterator[InternalRow] = {
-        val opts = new JSONOptions(Map.empty[String, String], "UTC")
-        val parser = new JacksonParser(required, opts,
-          allowArrayAsStructs = true, Seq.empty)
-        val p = new Path(file)
-        // driver-captured Hadoop conf (object-store credentials included)
-        val in = p.getFileSystem(conf.value).open(p)
-        val content = try {
-          new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-        parser.parse[String](content, CreateJacksonParser.string,
-          UTF8String.fromString).iterator
+        try {
+          val opts = new JSONOptions(Map.empty[String, String], "UTC")
+          val parser = new JacksonParser(required, opts,
+            allowArrayAsStructs = true, Seq.empty)
+          val p = new Path(file)
+          // driver-captured Hadoop conf (object-store credentials included)
+          val in = p.getFileSystem(conf.value).open(p)
+          val content = try {
+            new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+          // materialize now: Jackson throws lazily per record otherwise
+          parser.parse[String](content, CreateJacksonParser.string,
+            UTF8String.fromString).toVector.iterator
+        } catch {
+          case e: Throwable =>
+            corrupt = 1L
+            val ci = required.fieldNames.indexOf("_corrupt_record")
+            if (ci < 0) {
+              System.err.println(s"[wistia-raw] skipping corrupt page $file: " +
+                e.toString.take(200))
+              Iterator.empty
+            } else {
+              val row = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(required.length)
+              row.update(ci, UTF8String.fromString(
+                s"$file: ${e.toString.take(500)}"))
+              Iterator.single(row)
+            }
+        }
       }
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow = current
       override def close(): Unit = ()
+
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "corruptPages"
+          override def value(): Long = corrupt
+        })
     }
 }

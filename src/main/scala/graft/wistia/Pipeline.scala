@@ -78,6 +78,56 @@ object Pipeline {
       "fact_media_engagement" -> RawZone.warehouse(spark, wh.fact).count())
   }
 
+  /** Catalog-table warehouse: the three star tables as `db.name`
+    * identifiers instead of bare paths (reference
+    * process_wistia_data_v2.py:88-128 bootstraps exactly these three).
+    */
+  case class CatalogWarehouse(db: String) {
+    val dimMedia = s"$db.dim_media"
+    val dimVisitor = s"$db.dim_visitor"
+    val fact = s"$db.fact_media_engagement"
+  }
+
+  /** §3.1 batch lifecycle against catalog tables: idempotent
+    * database/table bootstrap (CREATE IF NOT EXISTS — re-runnable, never
+    * destructive), then the same transforms appended by table name. The
+    * fact table is date-partitioned in the catalog, so the HWM query and
+    * incremental reads partition-prune through the metastore.
+    */
+  def runBatchCatalog(spark: SparkSession, rawRoot: String, wh: CatalogWarehouse,
+      targetHashedIds: Seq[String],
+      ingestionTs: java.sql.Timestamp,
+      scaleDivisor: Double = WatchTime.percentScaleDivisor,
+      dbLocation: Option[String] = None): Map[String, Long] = {
+    def required(entity: String, schema: org.apache.spark.sql.types.StructType) =
+      RawZone.readLatestRun(spark, rawRoot, entity, schema).getOrElse(
+        throw new IllegalStateException(s"no raw runs under $rawRoot/$entity"))
+    val rawMedia = required("media", Schemas.rawMedia)
+    val rawEvents = required("events", Schemas.rawEvent)
+
+    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+    val dimVisitor = Transforms.dimVisitor(rawEvents, ingestionTs)
+    val fact = Transforms.factMediaEngagement(
+      rawEvents,
+      dimMedia.select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("duration")),
+      ingestionTs, scaleDivisor)
+
+    graft.sources.Catalog.ensureDatabase(spark, wh.db, dbLocation)
+    graft.sources.Catalog.ensureTable(spark, wh.dimMedia, dimMedia.schema)
+    graft.sources.Catalog.ensureTable(spark, wh.dimVisitor, dimVisitor.schema)
+    graft.sources.Catalog.ensureTable(spark, wh.fact, fact.schema,
+      partitionBy = Seq("date"))
+
+    graft.sources.Catalog.append(dimMedia, wh.dimMedia)
+    graft.sources.Catalog.append(dimVisitor, wh.dimVisitor)
+    graft.sources.Catalog.append(fact, wh.fact, partitionBy = Seq("date"))
+    Map(
+      "dim_media" -> spark.table(wh.dimMedia).count(),
+      "dim_visitor" -> spark.table(wh.dimVisitor).count(),
+      "fact_media_engagement" -> spark.table(wh.fact).count())
+  }
+
   /** The §3.2 lifecycle as a Structured Streaming job (SURVEY §2.7 T5):
     * the raw events zone is the stream source, the checkpoint replaces
     * the HWM query entirely (offsets ARE the high-water mark), and each

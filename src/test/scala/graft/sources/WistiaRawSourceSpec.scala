@@ -82,6 +82,34 @@ class WistiaRawSourceSpec extends SparkSpec {
     assert(both.rdd.getNumPartitions === 2)
   }
 
+  test("a poisoned page file is isolated, not a failed scan") {
+    val dir = java.nio.file.Files.createTempDirectory("wistia_poison").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "events_m1_20250510_120000.json").toPath,
+      """[{"received_at": "2025-05-10T11:00:00.000Z", "event_key": "ok",
+        |  "visitor_key": "v1", "media_id": "m1"}]""".stripMargin)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "events_m1_20250510_130000.json").toPath,
+      """{"this is [not valid json""")
+
+    // schema without _corrupt_record: poisoned page skipped, scan succeeds
+    val plain = spark.read.format("wistia-raw")
+      .schema(Schemas.rawEvent).load(dir.getAbsolutePath)
+    assert(plain.count() === 1)
+    assert(plain.select("event_key").collect().head.getString(0) === "ok")
+
+    // schema with _corrupt_record: poisoned page lands as one corrupt row
+    val withCorrupt = spark.read.format("wistia-raw")
+      .schema(Schemas.rawEvent.add("_corrupt_record", "string"))
+      .load(dir.getAbsolutePath).cache()
+    assert(withCorrupt.count() === 2)
+    val bad = withCorrupt.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() === 1)
+    assert(bad.select("_corrupt_record").collect().head.getString(0)
+      .contains("events_m1_20250510_130000.json"))
+    withCorrupt.unpersist()
+  }
+
   test("column pruning reaches the parser; parity with the json file source") {
     assume(exists)
     val pruned = read.select("visitor_key")

@@ -72,6 +72,44 @@ class PipelineSpec extends SparkSpec {
     assert(counts2("dim_media") === 4L)
   }
 
+  test("runBatchCatalog: idempotent DDL bootstrap, appends by table name") {
+    val dir = Files.createTempDirectory("pipeline_cat").toString
+    val wh = Pipeline.CatalogWarehouse("wistia_test")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5),
+      eventJson("e3", "v2", "xyz", "2024-03-02T09:00:00Z", 0.0)))
+
+    val counts = Pipeline.runBatchCatalog(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, scaleDivisor = 1.0, dbLocation = Some(s"$dir/db"))
+    assert(counts === Map(
+      "dim_media" -> 2L, "dim_visitor" -> 2L, "fact_media_engagement" -> 2L))
+
+    // tables are real catalog objects with the fact date-partitioned
+    assert(spark.catalog.tableExists(wh.fact))
+    assert(spark.sql(s"DESCRIBE TABLE ${wh.fact}").collect()
+      .exists(_.getString(0) == "# Partition Information"))
+    // results land with the star semantics intact
+    assert(spark.table(wh.fact).filter(col("media_id") === "abc")
+      .select("total_watch_time").collect().head.getDouble(0) === 20.0)
+
+    // re-run: CREATE IF NOT EXISTS is a no-op, appends accumulate (T3)
+    val counts2 = Pipeline.runBatchCatalog(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, scaleDivisor = 1.0, dbLocation = Some(s"$dir/db"))
+    assert(counts2("fact_media_engagement") === 4L)
+
+    // K5 catalog analogue: TRUNCATE + reload keeps the table object
+    // (detach the reload frame from the table — TRUNCATE invalidates
+    // caches of plans that reference it)
+    val src = spark.table(wh.dimMedia)
+    val reload = spark.createDataFrame(
+      java.util.Arrays.asList(src.limit(1).collect(): _*), src.schema)
+    graft.sources.Catalog.truncateReload(spark, reload, wh.dimMedia)
+    assert(spark.table(wh.dimMedia).count() === 1L)
+    spark.sql(s"DROP DATABASE IF EXISTS ${wh.db} CASCADE")
+  }
+
   test("runStreaming: checkpoint-as-HWM over the raw JSON zone (T5)") {
     val dir = Files.createTempDirectory("pipeline").toString
     val wh = Pipeline.Warehouse(s"$dir/wh")
