@@ -468,7 +468,10 @@ object Dedup {
   private def wbit(x: Long): Long =
     ((((x * 2654435761L) % 2147483648L) * 2654435761L) % 2147483648L >> 15) & 1L
 
-  private def hyperplane(b: Int): Seq[Long] =
+  /** Deterministic Rademacher hyperplane #b (shared with sim5's
+    * multi-probe tables — same bit-index space).
+    */
+  private[operators] def hyperplane(b: Int): Seq[Long] =
     (0 until 64).map(i => if (wbit(b.toLong * 64L + i) == 0L) 1L else -1L)
 
   /** (vec_id, v, nrm, c0..c31) with band codes, checkpointed once (used
