@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{DotLong, IntersectCountSortedLong, SparkShim}
+import org.apache.spark.sql.graftshim.{DotLong, HyperplaneBands, IntersectCountSortedLong, SparkShim}
 
 /** Column-level entry points for the native vector/set expressions (see
   * [[org.apache.spark.sql.graftshim.DotLong]] and
@@ -14,6 +14,12 @@ object VectorFunctions {
 
   /** Exact int64 squared L2 norm of an `array<long>` column. */
   def normSqLong(a: Column): Column = dotLong(a, a)
+
+  /** All `numBits` hyperplane sign bits of a scaled int vector packed
+    * into `numBits / bitsPerBand` band codes (one codegen'd loop).
+    */
+  def hyperplaneBands(a: Column, numBits: Int, bitsPerBand: Int): Column =
+    SparkShim.column(HyperplaneBands(SparkShim.expression(a), numBits, bitsPerBand))
 
   /** Common-element count of two SORTED `array<long>` set columns. */
   def intersectCountSorted(a: Column, b: Column): Column =

@@ -465,30 +465,15 @@ object Dedup {
   // (τ ≥ 0.8) the same plan is simultaneously selective and
   // high-recall. There is no sub-quadratic exact method at low τ for
   // dense vectors — dd5 stays the exact oracle.
-  private def wbit(x: Long): Long =
-    ((((x * 2654435761L) % 2147483648L) * 2654435761L) % 2147483648L >> 15) & 1L
-
-  /** Deterministic Rademacher hyperplane #b (shared with sim5's
-    * multi-probe tables — same bit-index space).
+  /** (vec_id, v, nrm, codes[32]) with band codes from the single-loop
+    * native sketch expression, checkpointed once (used by the band
+    * explode and both verify sides).
     */
-  private[operators] def hyperplane(b: Int): Seq[Long] =
-    (0 until 64).map(i => if (wbit(b.toLong * 64L + i) == 0L) 1L else -1L)
-
-  /** (vec_id, v, nrm, c0..c31) with band codes, checkpointed once (used
-    * by the band explode and both verify sides).
-    */
-  private[operators] def dd9Sketch(s: SparkSession, d: String): DataFrame = {
-    val dot = graft.functions.VectorFunctions.dotLong _
-    val codes = (0 until 32).map { j =>
-      (0 until 4).map { k =>
-        when(dot(col("v"), typedlit(hyperplane(4 * j + k))) >= 0L, lit(1L << k))
-          .otherwise(0L)
-      }.reduce(_ + _).as(s"c$j")
-    }
+  private[operators] def dd9Sketch(s: SparkSession, d: String): DataFrame =
     Similarity.scaledVectors(s, d)
-      .select(col("vec_id") +: col("v") +: col("nrm") +: codes: _*)
+      .withColumn("codes",
+        graft.functions.VectorFunctions.hyperplaneBands(col("v"), 128, 4))
       .localCheckpoint()
-  }
 
   /** Band buckets larger than this are skipped entirely: an over-full
     * bucket means those hyperplanes don't discriminate in that region of
@@ -503,7 +488,7 @@ object Dedup {
 
   private[operators] def dd9Candidates(eb: DataFrame): DataFrame = {
     val bands = eb.select(col("vec_id"),
-      posexplode(array((0 until 32).map(j => col(s"c$j")): _*)).as(Seq("band", "code")))
+      posexplode(col("codes")).as(Seq("band", "code")))
       .localCheckpoint() // referenced 3×: counts + both join sides
     // ≤ 512 (band, code) groups exist — the size table is broadcastable
     val keep = broadcast(bands.groupBy("band", "code").count()

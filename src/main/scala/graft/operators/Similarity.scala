@@ -241,23 +241,16 @@ object Similarity {
   // (table, code).
   private val probeMasks: Seq[Long] = Seq(0L, 1L, 2L, 4L, 8L, 3L, 5L, 9L, 6L, 10L, 12L)
 
-  private def sim5Tables(s: SparkSession, d: String): DataFrame = {
-    val dot = graft.functions.VectorFunctions.dotLong _
-    val codes = (0 until 4).map { t =>
-      (0 until 4).map { k =>
-        when(dot(col("v"), typedlit(Dedup.hyperplane(4 * t + k))) >= 0L, lit(1L << k))
-          .otherwise(0L)
-      }.reduce(_ + _).as(s"t$t")
-    }
+  private def sim5Tables(s: SparkSession, d: String): DataFrame =
     scaledVectors(s, d)
-      .select(col("vec_id") +: col("v") +: col("nrm") +: codes: _*)
+      .withColumn("codes",
+        graft.functions.VectorFunctions.hyperplaneBands(col("v"), 16, 4))
       .localCheckpoint()
-  }
 
   private def sim5AnnMultiprobe(s: SparkSession, d: String): DataFrame = {
     val ec = sim5Tables(s, d)
     val tables = ec.select(col("vec_id"),
-      posexplode(array((0 until 4).map(t => col(s"t$t")): _*)).as(Seq("tbl", "code")))
+      posexplode(col("codes")).as(Seq("tbl", "code")))
     val qprobe = tables.filter(col("vec_id") < 10)
       .withColumn("m", explode(typedlit(probeMasks)))
       .select(col("vec_id").as("qid"), col("tbl"),

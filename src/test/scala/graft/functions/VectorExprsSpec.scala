@@ -42,6 +42,43 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_bands matches the per-bit DotLong-sign composition") {
+    import org.apache.spark.sql.graftshim.HyperplaneBands
+    val df = spark.range(200).select(
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(hash(col("id") * 64 + i), lit(2000001)).cast("long") - 1000000L).as("v"))
+      .cache()
+    // reference: one dot-sign per bit, packed 4 bits per band
+    val w = HyperplaneBands.weights(128)
+    val refCodes = (0 until 32).map { j =>
+      (0 until 4).map { k =>
+        val b = 4 * j + k
+        val plane = typedlit((0 until 64).map(i => w(b * 64 + i)))
+        when(VectorFunctions.dotLong(col("v"), plane) >= 0L, lit(1L << k)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val cmp = df.select(
+      VectorFunctions.hyperplaneBands(col("v"), 128, 4).as("fast"),
+      array(refCodes: _*).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+
+    // interpreted path agrees with codegen
+    val conf = spark.conf
+    val prev = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode"))
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(VectorFunctions.hyperplaneBands(col("v"), 128, 4).as("fast"),
+        array(refCodes: _*).as("ref"))
+      assert(interp.filter(col("fast") =!= col("ref")).count() === 0)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prev._1)
+      conf.set("spark.sql.codegen.factoryMode", prev._2)
+    }
+    df.unpersist()
+  }
+
   test("intersect_count_sorted matches size(array_intersect) on sorted sets") {
     val df = spark.range(300).select(
       sort_array(array_distinct(transform(sequence(lit(0), lit(40)),
