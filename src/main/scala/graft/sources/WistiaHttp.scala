@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Minimal HTTP pagination client for the Wistia-style stats API
+  * (reference `ingest_wistia.py:184-304`), replicating its protocol
+  * exactly:
+  *
+  *  - `Authorization: Bearer <token>` header, 60 s timeout per request;
+  *  - events pages: `?media_id=…&per_page=…&page=N[&start_date=…]
+  *    [&end_date=…]`, advancing until an EMPTY page (`:257-261` — a
+  *    short page does NOT stop the loop);
+  *  - media-list pages: `?per_page=…&page=N`, stopping on an empty OR
+  *    short page (`:213-222` — the List endpoint contract);
+  *  - any error (non-2xx, timeout, IO) stops pagination and returns what
+  *    was fetched so far (`:286-300` — per-media failure isolation, the
+  *    caller records partial results instead of failing the run).
+  *
+  * Pure JVM (java.net.http), no Spark types — usable from the DSv2
+  * reader on executors and from driver-side ingestion alike.
+  */
+object WistiaHttp {
+
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(60))
+    .build()
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** One GET; Some(body) on 2xx, None otherwise. */
+  def get(url: String, token: String): Option[String] =
+    try {
+      val b = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofSeconds(60)).GET()
+      if (token.nonEmpty) b.header("Authorization", s"Bearer $token")
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+    } catch { case _: Exception => None }
+
+  /** Does a JSON array body hold zero records? (whitespace-tolerant;
+    * `[]` ends events pagination exactly like the reference's falsy
+    * check on the decoded list.)
+    */
+  private[sources] def isEmptyArray(body: String): Boolean = {
+    val t = body.trim
+    t.isEmpty || t == "[]" || t.replaceAll("\\s", "") == "[]"
+  }
+
+  /** Rough record count of a top-level JSON array (object depth scan) —
+    * only used for the media-list short-page stop, where the reference
+    * compares `len(page) < per_page`.
+    */
+  private[sources] def arrayLen(body: String): Int = {
+    var depth = 0
+    var n = 0
+    var inStr = false
+    var esc = false
+    body.foreach { c =>
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1; if (depth == 1) n += 1
+        case '}' => depth -= 1
+        case _ => ()
+      }
+    }
+    n
+  }
+
+  /** Lazily paginated event pages for one media: yields each non-empty
+    * page body until an empty page or an error (error → iterator simply
+    * ends; the pages already yielded stand, matching the reference's
+    * stop-on-error isolation).
+    */
+  def eventPages(baseUrl: String, token: String, mediaId: String,
+      perPage: Int, startDate: Option[String], endDate: Option[String]): Iterator[String] =
+    new Iterator[String] {
+      private var page = 1
+      private var nextBody: Option[String] = None
+      private var done = false
+      private def advance(): Unit = if (!done && nextBody.isEmpty) {
+        val params = Seq(
+          Some(s"media_id=${enc(mediaId)}"),
+          Some(s"per_page=$perPage"),
+          Some(s"page=$page"),
+          startDate.map(d => s"start_date=${enc(d)}"),
+          endDate.map(d => s"end_date=${enc(d)}")).flatten.mkString("&")
+        get(s"$baseUrl?$params", token) match {
+          case Some(body) if !isEmptyArray(body) =>
+            nextBody = Some(body); page += 1
+          case _ => done = true // empty page or error: stop (reference :257,:286)
+        }
+      }
+      override def hasNext: Boolean = { advance(); nextBody.nonEmpty }
+      override def next(): String = {
+        advance()
+        val b = nextBody.getOrElse(throw new NoSuchElementException)
+        nextBody = None
+        b
+      }
+    }
+
+  /** All media-list pages (driver-side; the list is small). Stops on
+    * empty OR short page like the reference's List-endpoint loop.
+    */
+  def mediaPages(baseUrl: String, token: String, perPage: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var page = 1
+    var done = false
+    while (!done) {
+      get(s"$baseUrl?per_page=$perPage&page=$page", token) match {
+        case Some(body) if !isEmptyArray(body) =>
+          out += body
+          if (arrayLen(body) < perPage) done = true else page += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+}

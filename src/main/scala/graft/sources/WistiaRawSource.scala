@@ -52,21 +52,44 @@ class WistiaRawSource extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new WistiaRawTable(schema, properties.get("path"))
+    new WistiaRawTable(schema, ApiConf.from(properties))
 }
 
-private[sources] class WistiaRawTable(schema: StructType, path: String)
+/** Connector target: either a page-file directory (`path`) or a live
+  * stats API (`api.url` + optional `api.token`, `api.media_ids`
+  * comma-list, `api.per_page`, `api.end_date`) — the reference's
+  * `ingest_wistia.py` HTTP boundary (S1–S3 live).
+  */
+private[sources] case class ApiConf(path: String, apiUrl: String, token: String,
+    mediaIds: Seq[String], perPage: Int, endDate: Option[String]) {
+  def isHttp: Boolean = apiUrl.nonEmpty
+}
+
+private[sources] object ApiConf {
+  def from(p: util.Map[String, String]): ApiConf = ApiConf(
+    path = p.getOrDefault("path", ""),
+    apiUrl = p.getOrDefault("api.url", ""),
+    token = p.getOrDefault("api.token", ""),
+    mediaIds = Option(p.get("api.media_ids")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+    perPage = p.getOrDefault("api.per_page", "100").toInt,
+    endDate = Option(p.get("api.end_date")))
+}
+
+private[sources] class WistiaRawTable(schema: StructType, conf: ApiConf)
     extends Table with SupportsRead {
-  require(path != null, "wistia-raw requires a path")
-  override def name(): String = s"wistia-raw:$path"
+  require(conf.path.nonEmpty || conf.isHttp,
+    "wistia-raw requires a path or api.url")
+  override def name(): String =
+    if (conf.isHttp) s"wistia-raw:${conf.apiUrl}" else s"wistia-raw:${conf.path}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WistiaScanBuilder(schema, path)
+    new WistiaScanBuilder(schema, conf)
 }
 
-private[sources] class WistiaScanBuilder(fullSchema: StructType, path: String)
+private[sources] class WistiaScanBuilder(fullSchema: StructType, conf: ApiConf)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -101,9 +124,9 @@ private[sources] class WistiaScanBuilder(fullSchema: StructType, path: String)
       case GreaterThanOrEqual("received_at", v) => toMicros(v)
       case _ => None
     }.maxOption
-    WistiaScan(required, path,
-      pushed.collectFirst { case EqualTo("media_id", v: String) => v },
-      sinceMicros)
+    val mediaIdEq = pushed.collectFirst { case EqualTo("media_id", v: String) => v }
+    if (conf.isHttp) WistiaHttpScan(required, conf, mediaIdEq, sinceMicros)
+    else WistiaScan(required, conf.path, mediaIdEq, sinceMicros)
   }
 }
 
@@ -172,6 +195,99 @@ private[sources] object WistiaScan {
       Some(dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
     } catch { case _: java.time.format.DateTimeParseException => None }
   }
+}
+
+private[sources] case class MediaPartition(mediaId: String) extends InputPartition
+
+/** Live-API scan (S1–S3 at the HTTP boundary): one input partition per
+  * media id — the reference's serial per-media loop
+  * (`run_wistia_ingestion`) becomes parallel executor work, while each
+  * media's page walk stays serial (the API's own pagination contract).
+  * Pushdown surface matches the API's query params: `media_id = x`
+  * restricts the partition list; a `received_at` lower bound becomes the
+  * `start_date` param (date-granular — rows are still exactly
+  * re-filtered by Spark). Per-media failure isolation is the protocol
+  * itself: an error mid-pagination ends that media's iterator with the
+  * pages already fetched (reference :286-300), counted via the
+  * corruptPages metric.
+  */
+private[sources] case class WistiaHttpScan(required: StructType, conf: ApiConf,
+    mediaIdEq: Option[String], sinceMicros: Option[Long]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"wistia-raw api=${conf.apiUrl} pushedMediaId=${mediaIdEq.getOrElse("-")} " +
+      s"pushedSinceMicros=${sinceMicros.getOrElse("-")} " +
+      s"readSchema=${required.fieldNames.mkString(",")}"
+
+  private def startDate: Option[String] = sinceMicros.map { us =>
+    java.time.Instant.ofEpochSecond(us / 1000000L)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val medias = mediaIdEq match {
+      case Some(m) if conf.mediaIds.isEmpty || conf.mediaIds.contains(m) => Seq(m)
+      case Some(_) => Seq.empty
+      case None => conf.mediaIds
+    }
+    require(medias.nonEmpty || mediaIdEq.nonEmpty,
+      "wistia-raw http mode needs api.media_ids or a media_id = '…' filter")
+    medias.map(m => MediaPartition(m): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WistiaHttpReaderFactory(required, conf, startDate)
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CorruptPagesMetric)
+}
+
+private[sources] case class WistiaHttpReaderFactory(required: StructType,
+    conf: ApiConf, startDate: Option[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val media = partition.asInstanceOf[MediaPartition].mediaId
+      private var corrupt = 0L
+      private val opts = new JSONOptions(Map.empty[String, String], "UTC")
+      private val parser = new JacksonParser(required, opts,
+        allowArrayAsStructs = true, Seq.empty)
+      private var pages: Iterator[String] = WistiaHttp.eventPages(
+        conf.apiUrl, conf.token, media, conf.perPage, startDate, conf.endDate)
+      private var rows: Iterator[InternalRow] = Iterator.empty
+      private var current: InternalRow = _
+
+      @annotation.tailrec
+      private def advance(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true }
+        else if (!pages.hasNext) false
+        else {
+          rows = try {
+            parser.parse[String](pages.next(), CreateJacksonParser.string,
+              UTF8String.fromString).toVector.iterator
+          } catch {
+            case e: Throwable => // unparseable page: isolate, stop this media
+              corrupt += 1L
+              System.err.println(
+                s"[wistia-raw] corrupt API page for $media: ${e.toString.take(200)}")
+              pages = Iterator.empty // reference stops pagination on decode error
+              Iterator.empty
+          }
+          advance()
+        }
+
+      override def next(): Boolean = advance()
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "corruptPages"
+          override def value(): Long = corrupt
+        })
+    }
 }
 
 private[sources] case class WistiaReaderFactory(required: StructType,
