@@ -24,6 +24,7 @@ object Registry {
   def all: Seq[Q] =
     operators.Relational.queries ++
       operators.TextOps.queries ++
+      operators.TrainPrep.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++

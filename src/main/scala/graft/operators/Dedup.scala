@@ -40,7 +40,7 @@ object Dedup {
     * in the dedup operators are the semantically required ones
     * (candidate-pair join / band join / per-doc signature agg).
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -51,7 +51,7 @@ object Dedup {
         element_at(col("toks"), col("i") + 2),
         element_at(col("toks"), col("i") + 3)).as("s"))
 
-  private val shinglesSqlCte =
+  private[operators] val shinglesSqlCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
       |       FROM t, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) u(i))""".stripMargin
