@@ -31,6 +31,13 @@ object Tables {
     * refuses to read as a timestamp. Read nanos as long and integer-divide
     * to micros (`div`, not `/` — the epoch-nanos magnitude exceeds exact
     * double range), matching DuckDB's nanos→micros truncation.
+    *
+    * The `nanosAsLong` flag is session-global BY NECESSITY: it is read at
+    * scan execution, not at `spark.read` time, so a set-then-restore here
+    * would break the (lazy) scan later. Global is safe in this engine:
+    * events is the only TIMESTAMP(NANOS) table, every reader goes through
+    * this loader, and for non-nanos parquet the flag is a no-op — it only
+    * changes how the NANOS physical annotation is surfaced.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

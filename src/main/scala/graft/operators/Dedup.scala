@@ -343,15 +343,21 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: labels are always doc_ids of member nodes, so the
       // label's own label exists; following it halves chain lengths.
-      // The changed flag rides along so one action both materializes the
-      // (lazy) checkpoint and counts convergence — one job per round.
+      // Convergence rides the SAME job as the checkpoint materialization:
+      // an observe() metric on the label-update plan, collected by the
+      // eager localCheckpoint action — one job per round in the event
+      // log, no separate count() pass.
+      val obs = new org.apache.spark.sql.Observation(s"dd7_conv_$iter")
       val next = stepped
         .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")), "label")
         .select(col("doc_id"), least(col("label"), col("ll")).as("label"))
         .join(labels.withColumnRenamed("label", "old"), "doc_id")
         .select(col("doc_id"), col("label"), (col("label") =!= col("old")).as("changed"))
-        .localCheckpoint(eager = false)
-      converged = next.filter(col("changed")).count() == 0L
+        .observe(obs,
+          coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L))
+            .as("n_changed"))
+        .localCheckpoint()
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = next.select("doc_id", "label")
       iter += 1
     }

@@ -532,17 +532,35 @@ object Relational {
   // ---------------------------------------------------------------------
   // q25_approx_distinct — HLL++ distinct sketches: the 100 TB answer to
   // q19 (exact distinct shuffles every distinct value; the sketch is
-  // constant-size per group and merges associatively). No DuckDB oracle —
-  // HLL implementations differ across engines, so the driver records the
-  // rows-only check; q19 is the exact-count twin that hash-matches.
+  // constant-size per group and merges associatively). HLL estimates
+  // differ across engines, so the raw estimate can't hash-match a DuckDB
+  // oracle; instead the query emits the EXACT counts plus a
+  // within-5%-of-exact verdict per sketch (rsd=0.02, so 5% is a
+  // comfortable bound), and the oracle recomputes the exact counts with
+  // literal TRUE verdicts — a drifting sketch now fails the gate.
+  // Q25ApproxSpec additionally pins the numeric relative error.
   private def q25ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("apx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("apx_orders"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"))
+      .select(col("l_returnflag"), col("n"), col("n_parts"), col("n_orders"),
+        (abs(col("apx_parts") - col("n_parts")) * 20L <= col("n_parts"))
+          .as("apx_parts_ok"),
+        (abs(col("apx_orders") - col("n_orders")) * 20L <= col("n_orders"))
+          .as("apx_orders_ok"))
       .orderBy("l_returnflag")
+
+  private val q25Sql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_orderkey) AS n_orders,
+      | TRUE AS apx_parts_ok, TRUE AS apx_orders_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // q26_tpch_q6 — the classic forecast-revenue scan: single table, three
@@ -681,7 +699,7 @@ object Relational {
     Q("q31_sql_surface", q31SqlSurface, Some(q31Sql)),
     Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
-    Q("q25_approx_distinct", q25ApproxDistinct, None),
+    Q("q25_approx_distinct", q25ApproxDistinct, Some(q25Sql)),
     Q("q26_tpch_q6", q26TpchQ6, Some(q26Sql)),
     Q("q27_cube", q27Cube, Some(q27Sql)),
     Q("q28_pivot", q28Pivot, Some(q28Sql)),

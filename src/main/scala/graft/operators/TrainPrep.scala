@@ -12,9 +12,10 @@ import graft.{Q, Tables}
   *
   * Determinism: all outputs are exact longs / strings / booleans (see
   * graft.Q); content identities are md5 / word n-grams so the DuckDB
-  * oracle recomputes them bit-identically. Spark-side shuffle keys are
-  * xxhash64 longs (equivalent modulo 64-bit collisions, same stance as
-  * Dedup.dd2/dd3).
+  * oracle recomputes them bit-identically. Candidate-generation shuffle
+  * keys may be xxhash64 longs (dc1 — same stance as Dedup.dd2/dd3), but
+  * anything that decides what survives (dd10's first-occurrence) is
+  * keyed on the exact content.
   */
 object TrainPrep {
 
@@ -28,19 +29,20 @@ object TrainPrep {
   // shingles appear anywhere in the test set (exact integer test
   // n_shared·5 ≥ n_shingles).
   //
-  // Scale: the test fingerprint set is the small side by construction
-  // (a benchmark is MBs, the corpus TBs) — it is deduped to distinct
-  // hashed longs and broadcast, so the train side stays map-local: one
-  // scan + one groupBy(doc_id) shuffle of (long, long) rows. At a test
-  // set too big to broadcast this degrades gracefully to a shuffled
-  // semi-join on the same keys.
+  // Scale: a real benchmark fingerprint set is MBs against a TB corpus,
+  // but THIS test split is doc_id%10 of the corpus itself — it grows
+  // linearly with the input, so the join strategy is deliberately left
+  // to AQE: it broadcasts while the deduped fingerprint side fits under
+  // autoBroadcastJoinThreshold and falls back to a shuffled hash join on
+  // the same hashed-long keys when it doesn't (a forced broadcast()
+  // would instead hard-fail at the 8 GB broadcast limit at scale).
   private def dc1Decontaminate(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingleRows(s, d)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val test = sh.filter(col("doc_id") % 10 === 0).select("h").distinct()
     val train = sh.filter(col("doc_id") % 10 =!= 0).distinct()
     val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val shared = train.join(broadcast(test), Seq("h"))
+    val shared = train.join(test, Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("shared0"))
     tot.join(shared, Seq("doc_id"), "left")
       .select(
@@ -74,36 +76,48 @@ object TrainPrep {
   // Scale: a global running sum is NOT one window over one partition
   // (the naive `Window.orderBy(doc_id)` plan serializes the corpus
   // through a single task). This is the classic two-phase distributed
-  // prefix sum: range-repartition by doc_id, cumsum locally within each
-  // partition, then add broadcast per-partition base offsets (32 rows —
-  // the tiny single-partition window over partition totals is the only
-  // sequential step and is O(#partitions), not O(rows)).
+  // prefix sum. Partition assignment is DETERMINISTIC arithmetic on
+  // doc_id (contiguous ranges from a 2-long min/max aggregate), not
+  // `repartitionByRange` — whose sampled bounds are nondeterministic and
+  // previously forced a corpus-sized localCheckpoint (a reliability
+  // cliff at scale: lineage truncated, any executor loss fails the job).
+  // The per-partition totals (≤P rows, O(#partitions) not O(rows)) are
+  // prefix-summed on the DRIVER — the same small-scalar exception as the
+  // HWM read — and broadcast-joined back, so no single-partition window
+  // job appears anywhere in the plan.
   private val packBudget = 512L
 
-  private def pk1PackSequences(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, n_tokens, start_off) for every document — the packing
+    * layout shared by pk1 (spans) and pk2 (chunk materialization).
+    */
+  private[operators] def packedOffsets(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    // pid must be identical across the two subtrees below; checkpoint the
-    // range partitioning once (its sampled bounds are nondeterministic).
-    val parted = t.repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val local = parted.withColumn("local_off",
+    val mm = t.agg(min("doc_id"), max("doc_id")).head()
+    if (mm.isNullAt(0)) return t.withColumn("start_off", lit(0L))
+    val (minId, maxId) = (mm.getLong(0), mm.getLong(1))
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+    val span = (maxId - minId) / p + 1
+    val withPid = t.withColumn("pid",
+      expr(s"CAST((doc_id - ${minId}L) div ${span}L AS INT)"))
+    val local = withPid.withColumn("local_off",
       coalesce(
         sum(col("n_tokens")).over(Window.partitionBy("pid").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    val offs = parted.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
-      .withColumn("pid_off",
-        coalesce(
-          sum(col("ptot")).over(Window.orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("pid", "pid_off")
+    val ptots = withPid.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until p).scanLeft(0L)((acc, q) => acc + ptots.getOrElse(q, 0L))
+    val offs = s.createDataFrame(
+      (0 until p).map(q => (q, cum(q)))).toDF("pid", "pid_off")
     local.join(broadcast(offs), Seq("pid"))
-      .withColumn("start_off", col("pid_off") + col("local_off"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pid_off") + col("local_off")).as("start_off"))
+  }
+
+  private def pk1PackSequences(s: SparkSession, d: String): DataFrame =
+    packedOffsets(s, d)
       .withColumn("chunk_first", expr(s"start_off div $packBudget"))
       .withColumn("chunk_last",
         expr(s"(start_off + greatest(n_tokens, 1L) - 1L) div $packBudget"))
@@ -112,7 +126,6 @@ object TrainPrep {
         col("chunk_first"), col("chunk_last"),
         (col("chunk_last") - col("chunk_first") + 1L).as("n_chunks"))
       .orderBy("doc_id")
-  }
 
   private val pk1Sql =
     s"""WITH t AS (SELECT doc_id,
@@ -131,6 +144,56 @@ object TrainPrep {
        |FROM o ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // pk2_pack_emit — materialize the packed sequences themselves: the
+  // (chunk_id → assembled token stream) rows a trainer actually reads,
+  // not just pk1's layout. Each token gets its global position
+  // (start_off + index), chunk_id = position div budget; chunks
+  // reassemble in position order with a per-chunk digest.
+  //
+  // Scale: token text shuffles exactly once — the unavoidable regroup by
+  // chunk_id (a chunk's tokens come from adjacent docs, so the shuffle
+  // is near-range and each group is ≤ packBudget tokens, bounded
+  // memory). The offsets side joins on doc_id as a narrow
+  // (long, long, long) frame; everything upstream of the explode is the
+  // pk1 prefix-sum plan.
+  private def pk2PackEmit(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    toks.join(packedOffsets(s, d), Seq("doc_id"))
+      .select(col("doc_id"), col("start_off"),
+        posexplode(col("toks")).as(Seq("j", "tok")))
+      .select(col("doc_id"), col("tok"),
+        (col("start_off") + col("j")).as("pos"))
+      .withColumn("chunk_id", expr(s"pos div $packBudget"))
+      .groupBy("chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ")).as("chunk_md5"))
+      .orderBy("chunk_id")
+  }
+
+  private val pk2Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT doc_id, toks, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM t),
+       |e AS (SELECT doc_id, start_off + u.i - 1 AS pos, toks[u.i] AS tok
+       |  FROM o, UNNEST(generate_series(1, CAST(n_tokens AS INT))) u(i))
+       |SELECT pos // $packBudget AS chunk_id,
+       |  COUNT(*) AS n_tokens,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd10_paragraph_dedup — sub-document dedup (the CCNet/RefinedWeb
   // paragraph-level pass): split each doc into 16-word "paragraphs"
   // (the corpus is single-line text; at 100 TB this is split('\n')),
@@ -138,11 +201,18 @@ object TrainPrep {
   // (doc_id, position)), and emit per-doc dup stats plus the md5 of the
   // cleaned (kept-paragraphs-only) text.
   //
-  // Scale: one shuffle keyed on the paragraph identity for the
-  // first-occurrence window + one groupBy(doc_id) to reassemble. The
-  // window partitions by xxhash64(paragraph) so the shuffle carries
-  // longs; a salted two-phase variant would bound a pathological
-  // boilerplate paragraph's partition (same playbook as Skew.saltedSum).
+  // Scale: first-occurrence is a map-side-combined MIN aggregate keyed
+  // by the paragraph string itself, then a join-back to flag keepers.
+  // Two properties a row_number window over hashed keys couldn't give:
+  //   - skew-bounded: a million-copy boilerplate paragraph pre-collapses
+  //     to ONE row per map task before the shuffle (partial aggregation
+  //     is the built-in salting — same effect as Skew.saltedSum's
+  //     two-phase plan, without the salt bookkeeping). The join-back's
+  //     hot key is N×1 — linear in one task, never a cross product.
+  //   - exact: keyed on the string, so a 64-bit xxhash64 collision can
+  //     no longer silently drop a unique paragraph (dd2/dd6 stance:
+  //     candidates may hash, verdicts must be exact).
+  // Shuffle payload is the paragraph text (bounded: paraWords words).
   private val paraWords = 16
 
   private def dd10ParagraphDedup(s: SparkSession, d: String): DataFrame = {
@@ -153,9 +223,12 @@ object TrainPrep {
       .select(col("doc_id"), col("ci"),
         array_join(slice(col("toks"), col("ci") * paraWords + 1, lit(paraWords)), " ")
           .as("chunk"))
-    val kept = chunks.withColumn("kept",
-      row_number().over(
-        Window.partitionBy(xxhash64(col("chunk"))).orderBy("doc_id", "ci")) === 1)
+    val firsts = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("ci"))).as("f"))
+      .select(col("chunk"), col("f.doc_id").as("f_doc"), col("f.ci").as("f_ci"))
+    val kept = chunks.join(firsts, Seq("chunk"))
+      .withColumn("kept",
+        col("doc_id") === col("f_doc") && col("ci") === col("f_ci"))
     val stats = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_paras"),
       sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_paras"))
@@ -240,6 +313,7 @@ object TrainPrep {
   val queries: Seq[Q] = Seq(
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Sql)),
+    Q("pk2_pack_emit", pk2PackEmit, Some(pk2Sql)),
     Q("dd10_paragraph_dedup", dd10ParagraphDedup, Some(dd10Sql)),
     Q("t7_pii_redact", t7PiiRedact, Some(t7Sql)))
 }

@@ -42,6 +42,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("pk2: chunks are exactly full except the last and totals add up") {
+    val out = q("pk2_pack_emit").cache()
+    val maxChunk = out.agg(max("chunk_id")).head().getLong(0)
+    assert(out.filter(col("chunk_id") < maxChunk && col("n_tokens") =!= 512L)
+      .count() === 0L)
+    val total = graft.Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(out.agg(sum("n_tokens")).head().getLong(0) === total)
+    // chunk ids are dense 0..max
+    assert(out.count() === maxChunk + 1)
+  }
+
   test("dd10: a verbatim duplicate doc loses all paragraphs to the original") {
     val tmp = java.nio.file.Files.createTempDirectory("dd10").toString
     val words36 = (1 to 36).map(i => s"w$i").mkString(" ")
@@ -64,7 +77,10 @@ class TrainPrepSpec extends SparkSpec {
 
   test("t7: every row redacts its two injected emails and two IPs") {
     val out = q("t7_pii_redact").cache()
-    assert(out.filter(col("n_emails") =!= 2L || col("n_ips") =!= 2L).count() === 0L)
+    // >= not ===: the injection guarantees two of each, but the corpus
+    // prefix may legitimately contain email/IP-shaped substrings of its
+    // own (data-dependent if the sf sets are ever regenerated).
+    assert(out.filter(col("n_emails") < 2L || col("n_ips") < 2L).count() === 0L)
     // no email/IP survives redaction: recompute the redacted text shape
     // via the same injection and assert zero residual matches
     val did = col("doc_id").cast("string")
