@@ -1,97 +1,309 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.{Q, Tables}
 
-/** Multimodal-column plumbing: media payloads ride through the engine as
-  * opaque `binary` columns with typed metadata structs. The container has
-  * no image/audio codecs, so the decode step is a deterministic stub
-  * ([[decodeStub]]) — the Spark-side contract (schema, batching,
-  * partition-parallel decode via mapPartitions, metadata struct shape) is
-  * real and tested in MultimodalSpec.
+/** Multimodal-column operators: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata, decoded by REAL pure-JVM
+  * codecs ([[Codecs]] — BMP header/pixel walk, WAV RIFF chunk walk) into
+  * exact-integer features that feed the similarity/dedup operators.
   *
-  * Scale: decode is embarrassingly parallel map-side work; the plan keeps
-  * payloads out of shuffles (metadata-only projections after decode) —
-  * the cardinal rule for 100 TB multimodal tables is "never shuffle the
-  * bytes, shuffle the features".
+  * The container has no media fixtures, so payloads are synthesized from
+  * (doc_id, text) by a documented formula ([[mediaPayloads]]); the DuckDB
+  * oracle recomputes the decoded features from the FORMULA while Spark
+  * recovers them from the actual BYTES via format parsing. Synthesis and
+  * parsing are independent code paths: a bug in either (row padding,
+  * bottom-up order, chunk alignment) breaks the mm3/mm4 hash match.
+  *
+  * Scale: decode is embarrassingly parallel map-side work via
+  * `mapPartitions` (an opaque codec genuinely can't be a Catalyst
+  * expression); the plan keeps payloads out of shuffles — metadata and
+  * fixed-size features only after the decode stage. The cardinal rule for
+  * 100 TB multimodal tables: never shuffle the bytes, shuffle the
+  * features.
   */
 object Multimodal {
 
-  /** Metadata extracted by the (stubbed) decoder. */
-  case class MediaMeta(
-      doc_id: Long,
-      n_bytes: Long,
-      format: String,
-      width: Int,
-      height: Int,
-      n_frames: Int)
-
-  val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("format", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)))
-
   /** documents texts re-typed as opaque binary payloads — the stand-in
-    * for an image/audio bytes column.
+    * for a raw media-bytes column (used by mm1/mm2 chunk plumbing).
     */
   def binaryPayloads(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB decoder: a real deployment would decode image/audio bytes here
-    * (the codec libraries are not in this container). The stub derives
-    * deterministic fake dimensions from the payload bytes so tests can
-    * assert exact values. Runs per-partition — no driver collection, no
-    * shuffle of payload bytes.
+  // ---------------------------------------------------------------------
+  // Synthesis formula (the contract the oracle recomputes):
+  //   BMP (24bpp, bottom-up, padded rows) — dims sized so the image
+  //   samples the WHOLE text (len = byte length):
+  //     w = 12 + len % 9, h = max(8, ceil(len / w))
+  //     logical pixel i = y*w + x (y=0 top):
+  //       blue  = text byte at (i mod len)
+  //       green = (doc_id + 2i) mod 256
+  //       red   = (7i) mod 256
+  //   WAV (PCM mono 16-bit, a junk chunk before data):
+  //     rate = 8000 + (doc_id % 8) * 1000
+  //     n    = 64 + len % 129 samples
+  //     sample_i = ((doc_id*31 + i*17) mod 4096) - 2048
+
+  final case class MediaFiles(doc_id: Long, img: Array[Byte], wav: Array[Byte])
+
+  private[operators] def synthDims(len: Int): (Int, Int) = {
+    val w = 12 + len % 9
+    (w, math.max(8, (len + w - 1) / w))
+  }
+
+  /** doc_id → (real BMP bytes, real WAV bytes), content derived from the
+    * documented formula. Partition-parallel; no shuffle.
     */
-  def decodeStub(s: SparkSession, payloads: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
-    payloads.select(col("doc_id"), col("payload"))
+  def mediaPayloads(s: SparkSession, d: String): DataFrame = {
+    val enc = Encoders.product[MediaFiles]
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          // deterministic fake decode: dims from byte content
-          val w = 64 + (math.abs(bytes.headOption.getOrElse(0.toByte).toInt) % 64)
-          val h = 64 + (math.abs(bytes.lastOption.getOrElse(0.toByte).toInt) % 64)
-          MediaMeta(id, bytes.length.toLong, "stub/raw", w, h,
-            1 + (bytes.length % 16))
+          val txt = r.getString(1).getBytes("UTF-8")
+          val len = txt.length
+          val (w, h) = synthDims(len)
+          val img = Codecs.encodeBmp(w, h, (x, y) => {
+            val i = y.toLong * w + x
+            val b = if (len == 0) 0 else txt((i % len).toInt) & 0xff
+            (((7L * i) % 256L).toInt, ((id + 2L * i) % 256L).toInt, b)
+          })
+          val n = 64 + len % 129
+          val rate = (8000L + (id % 8) * 1000L).toInt
+          val samples =
+            Array.tabulate(n)(i => (((id * 31L + i * 17L) % 4096L) - 2048L).toShort)
+          MediaFiles(id, img, Codecs.encodeWav(rate, samples))
         }
       }(enc).toDF()
   }
 
-  /** STUB feature extractor: binary payload → dense embedding
-    * (`Array[Float]`, `dim` dims). A real deployment runs a vision/audio
-    * encoder here; the stub derives deterministic features from byte
-    * histograms so the downstream contract — fixed-dim float vectors,
-    * partition-parallel extraction, no payload bytes past this stage —
-    * is real and testable. Output feeds the Similarity operators
-    * unchanged (decode → features → ANN is the standard multimodal
-    * dedup/search pipeline).
+  /** Exact-integer features recovered by PARSING the media bytes: image
+    * dims + per-channel sums + top-row blue sum (order-sensitive, so a
+    * decoder that ignored bottom-up storage or row padding fails), and
+    * WAV rate/sample-count/sum/sum-of-squares (the exact-arithmetic
+    * carriers of mean amplitude and RMS).
     */
-  case class DocFeatures(doc_id: Long, features: Array[Float])
+  final case class DecodedMedia(
+      doc_id: Long, img_w: Long, img_h: Long,
+      img_sum_r: Long, img_sum_g: Long, img_sum_b: Long, img_row0_b: Long,
+      wav_rate: Long, wav_n: Long, wav_sum: Long, wav_sumsq: Long)
 
-  def featuresStub(payloads: DataFrame, dim: Int = 16): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.product[DocFeatures]
-    payloads.select(col("doc_id"), col("payload"))
+  def decodeMedia(payloads: DataFrame): DataFrame = {
+    val enc = Encoders.product[DecodedMedia]
+    payloads.select(col("doc_id"), col("img"), col("wav"))
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val v = new Array[Float](dim)
+          val bmp = Codecs.decodeBmp(r.getAs[Array[Byte]](1))
+          val wav = Codecs.decodeWav(r.getAs[Array[Byte]](2))
+          var sr = 0L; var sg = 0L; var sb = 0L; var row0 = 0L
           var i = 0
-          while (i < bytes.length) { v(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
-          DocFeatures(r.getLong(0), v)
+          while (i < bmp.pixels.length) {
+            val p = bmp.pixels(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            if (i < bmp.width) row0 += p & 0xff
+            i += 1
+          }
+          var ws = 0L; var wq = 0L
+          var j = 0
+          while (j < wav.samples.length) {
+            val v = wav.samples(j).toLong; ws += v; wq += v * v; j += 1
+          }
+          DecodedMedia(r.getLong(0), bmp.width.toLong, bmp.height.toLong,
+            sr, sg, sb, row0, wav.sampleRate.toLong, wav.samples.length.toLong, ws, wq)
         }
       }(enc).toDF()
   }
 
+  private def mm3DecodeFeatures(s: SparkSession, d: String): DataFrame =
+    decodeMedia(mediaPayloads(s, d)).orderBy("doc_id")
+
+  private val mm3Sql =
+    """WITH t AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+      |dw AS (SELECT doc_id, text, len, 12 + len % 9 AS w,
+      |    64 + len % 129 AS n, 8000 + (doc_id % 8) * 1000 AS rate FROM t),
+      |dims AS (SELECT doc_id, text, len, w, n, rate,
+      |    GREATEST(8, (len + w - 1) // w) AS h FROM dw),
+      |px AS (SELECT doc_id, w, u.i - 1 AS i,
+      |    ascii(substring(text, CAST((u.i - 1) % len + 1 AS INT), 1)) AS b,
+      |    (doc_id + 2*(u.i - 1)) % 256 AS g,
+      |    (7*(u.i - 1)) % 256 AS r
+      |  FROM dims, UNNEST(generate_series(1, CAST(w*h AS INT))) u(i)),
+      |img AS (SELECT doc_id,
+      |    CAST(SUM(r) AS BIGINT) AS img_sum_r, CAST(SUM(g) AS BIGINT) AS img_sum_g,
+      |    CAST(SUM(b) AS BIGINT) AS img_sum_b,
+      |    CAST(SUM(CASE WHEN i < w THEN b ELSE 0 END) AS BIGINT) AS img_row0_b
+      |  FROM px GROUP BY 1),
+      |sm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS wav_n,
+      |    CAST(SUM(s) AS BIGINT) AS wav_sum, CAST(SUM(s*s) AS BIGINT) AS wav_sumsq
+      |  FROM (SELECT doc_id, (doc_id*31 + (u.i-1)*17) % 4096 - 2048 AS s
+      |        FROM dims, UNNEST(generate_series(1, CAST(n AS INT))) u(i))
+      |  GROUP BY 1)
+      |SELECT d.doc_id, CAST(d.w AS BIGINT) AS img_w, CAST(d.h AS BIGINT) AS img_h,
+      |  i.img_sum_r, i.img_sum_g, i.img_sum_b, i.img_row0_b,
+      |  CAST(d.rate AS BIGINT) AS wav_rate, sm.wav_n, sm.wav_sum, sm.wav_sumsq
+      |FROM dims d JOIN img i USING (doc_id) JOIN sm USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
-  // mm1_binary_meta — the oracle-checkable slice of the multimodal path:
+  // mm4_media_ann — decode → features → ANN, end to end on real bytes:
+  // parse each BMP, build a 16-bin blue-channel histogram (the decoded
+  // "feature vector"), center it by the CORPUS byte distribution in
+  // exact integers (dev[k] = hist[k]·TOT − cnt[k]·npix — a raw or
+  // per-image-centered histogram is dominated by the corpus-common
+  // letter-frequency direction, which makes every pair of sketches
+  // near-collide; subtracting the corpus mean leaves the doc-specific
+  // deviation, the same train-then-apply shape as sim3's IVF codebook),
+  // simhash the deviation with 48 Rademacher hyperplanes (dd9's mixer),
+  // then pair near-identical media by banded pigeonhole: 6 bands ×
+  // 8 bits — a pair within Hamming ≤ 5 differs in ≤ 5 bands, so it
+  // agrees exactly on ≥ 1 → the band equi-join generates COMPLETE
+  // candidates and the LSH output is identical to the brute-force
+  // Hamming join (which is what the oracle recomputes, from the pixel
+  // formula). Near-dup texts share their byte bag, so their deviations
+  // stay parallel under the ±2-word edits the corpus contains —
+  // histogram features are shift-invariant where positional ones break.
+  //
+  // Scale: decode+sketch is one map pass (bytes never leave the stage);
+  // the corpus stats are a 17-long map-side-combined aggregate broadcast
+  // back; the shuffle carries (long, int, long) band rows and the verify
+  // joins move 8-byte sketches — the dd8 profile, on media features. At
+  // corpus sizes where 8-bit band codes bucket too coarsely (n ≫ 256²),
+  // widen the sketch (96 bits → 8×12 keeps τ ≤ 7 complete) — the knob
+  // is bits/bands, the plan shape is unchanged.
+
+  final case class MediaSig(doc_id: Long, hist: Array[Long], simhash: Long)
+
+  private val histBins = 16
+  private val simBits = 48
+  private val mm4MaxHamming = 5L
+
+  /** Rademacher plane(j,k) ∈ {−1, +1} from the dd9 multiplicative mixer
+    * (Dedup.dd9Sql documents the identical SQL-side formula).
+    */
+  private def planeSign(j: Int, k: Int): Long = {
+    val a = 2654435761L
+    val x = (((j * histBins + k) * a) % 2147483648L) * a % 2147483648L
+    if (((x >> 15) & 1L) == 0L) 1L else -1L
+  }
+
+  final case class MediaHist(doc_id: Long, npix: Long, hist: Array[Long])
+
+  /** doc_id → (npix, blue-byte histogram) by parsing the image bytes.
+    * One map pass, no shuffle.
+    */
+  private def mediaHists(payloads: DataFrame): DataFrame = {
+    val enc = Encoders.product[MediaHist]
+    payloads.select(col("doc_id"), col("img"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bmp = Codecs.decodeBmp(r.getAs[Array[Byte]](1))
+          val hist = new Array[Long](histBins)
+          var i = 0
+          while (i < bmp.pixels.length) {
+            hist((bmp.pixels(i) & 0xff) % histBins) += 1
+            i += 1
+          }
+          MediaHist(r.getLong(0), bmp.pixels.length.toLong, hist)
+        }
+      }(enc).toDF()
+  }
+
+  /** Parse image bytes → histogram features → corpus-centered 48-bit
+    * hyperplane simhash. Two passes over the (tiny) histogram frame: one
+    * 17-long global aggregate, then a map with the stats broadcast via
+    * closure — the decode itself runs once.
+    */
+  def mediaSignatures(payloads: DataFrame): DataFrame = {
+    val hists = mediaHists(payloads).localCheckpoint()
+    val aggs = sum(col("npix")).as("tot") +:
+      (0 until histBins).map(k => sum(element_at(col("hist"), k + 1)).as(s"c$k"))
+    val totRow = hists.select(aggs: _*).head()
+    val tot = totRow.getLong(0)
+    val cnt = Array.tabulate(histBins)(k => totRow.getLong(k + 1))
+    val enc = Encoders.product[MediaSig]
+    hists.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val npix = r.getLong(1)
+        val hist = r.getSeq[Long](2).toArray
+        var sig = 0L
+        var j = 0
+        while (j < simBits) {
+          var acc = 0L
+          var k = 0
+          while (k < histBins) {
+            acc += planeSign(j, k) * (hist(k) * tot - cnt(k) * npix)
+            k += 1
+          }
+          if (acc >= 0L) sig |= 1L << j
+          j += 1
+        }
+        MediaSig(id, hist, sig)
+      }
+    }(enc).toDF()
+  }
+
+  private def mm4MediaAnn(s: SparkSession, d: String): DataFrame = {
+    // one decode pass, referenced 3× (bands + both verify sides)
+    val sig = mediaSignatures(mediaPayloads(s, d))
+      .select("doc_id", "simhash").localCheckpoint()
+    val bands = (0 until 6).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("code"))
+    }.reduce(_ unionByName _)
+    val cand = bands.select(col("doc_id").as("ida"), col("band"), col("code"))
+      .join(bands.select(col("doc_id").as("idb"), col("band"), col("code")),
+        Seq("band", "code"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(sig.select(col("doc_id").as("ida"), col("simhash").as("ha")), "ida")
+      .join(sig.select(col("doc_id").as("idb"), col("simhash").as("hb")), "idb")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= mm4MaxHamming)
+      .select("ida", "idb", "hamming")
+      .orderBy("ida", "idb")
+  }
+
+  private val mm4Sql =
+    """WITH t AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+      |dw AS (SELECT doc_id, text, len, 12 + len % 9 AS w FROM t),
+      |dims AS (SELECT doc_id, text, len, w, GREATEST(8, (len + w - 1) // w) AS h FROM dw),
+      |px AS (SELECT doc_id,
+      |    ascii(substring(text, CAST((u.i - 1) % len + 1 AS INT), 1)) % 16 AS k
+      |  FROM dims, UNNEST(generate_series(1, CAST(w*h AS INT))) u(i)),
+      |hraw AS (SELECT doc_id, k, CAST(COUNT(*) AS BIGINT) AS c FROM px GROUP BY 1, 2),
+      |npix AS (SELECT doc_id, CAST(w*h AS BIGINT) AS n FROM dims),
+      |gtot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM npix),
+      |gcnt AS (SELECT k, CAST(SUM(c) AS BIGINT) AS cnt FROM hraw GROUP BY 1),
+      |hist AS (SELECT np.doc_id, ks.k,
+      |    COALESCE(h.c, 0) * g.tot - COALESCE(gc.cnt, 0) * np.n AS c
+      |  FROM npix np
+      |  CROSS JOIN (SELECT u.i - 1 AS k FROM UNNEST(generate_series(1, 16)) u(i)) ks
+      |  CROSS JOIN gtot g
+      |  LEFT JOIN gcnt gc ON gc.k = ks.k
+      |  LEFT JOIN hraw h ON h.doc_id = np.doc_id AND h.k = ks.k),
+      |bitsum AS (SELECT h.doc_id, js.j,
+      |    SUM((CASE WHEN (((((js.j*16 + h.k) * 2654435761) % 2147483648)
+      |        * 2654435761) % 2147483648 >> 15) & 1 = 0
+      |      THEN 1 ELSE -1 END) * h.c) AS acc
+      |  FROM hist h
+      |  CROSS JOIN (SELECT u.i - 1 AS j FROM UNNEST(generate_series(1, 48)) u(i)) js
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN acc >= 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS simhash
+      |  FROM bitsum GROUP BY 1)
+      |SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+      |ORDER BY ida, idb""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // mm1_binary_meta — the payload-plumbing slice of the multimodal path:
   // byte length, content hash, fixed-size chunk count of the payload
   // column (chunking = how a 100 TB pipeline batches media bytes for
   // decode UDFs).
@@ -145,5 +357,7 @@ object Multimodal {
 
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1BinaryMeta, Some(mm1Sql)),
-    Q("mm2_chunk_sample", mm2ChunkSample, Some(mm2Sql)))
+    Q("mm2_chunk_sample", mm2ChunkSample, Some(mm2Sql)),
+    Q("mm3_decode_features", mm3DecodeFeatures, Some(mm3Sql)),
+    Q("mm4_media_ann", mm4MediaAnn, Some(mm4Sql)))
 }
