@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   * label propagation) with bit-identical output. Division of labor at scale: banded sketches (dd3, ~5×)
   * or prefix filtering generate candidates; exact verification runs on
   * candidates only (dd6); clustering (dd7) labels the survivors.
+  *
+  * Round-4 additions (measured, local[32], warm): the training-prep and
+  * multimodal operators scale sub-linearly at 10× — dc1 1.4→3.6 s,
+  * pk1 0.7→1.0 s, pk2 1.2→4.1 s, dd10 1.0→2.0 s, t7 0.4→2.5 s,
+  * mm3 0.3→2.3 s. mm4 is 1.8→33 s: its 10× OUTPUT is 78.7M true pairs
+  * (every doc has ~10 sketch-identical copies here), so the cost is pair
+  * enumeration, not plan quadratics — candidate generation runs over the
+  * 1,565 DISTINCT sketch values (collapsing value-duplicates before the
+  * band join took 10× from 225 s to 33 s).
   */
 object ScaleProbe {
   val Copies = 10
@@ -92,7 +101,10 @@ object ScaleProbe {
       "sim2_ann_lsh", "sim4_centroid",
       "t2_quality", "t5_repetition", "t6_stratified_sample",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join",
-      "w3_fact_engagement")
+      "w3_fact_engagement",
+      "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit",
+      "dd10_paragraph_dedup", "t7_pii_redact",
+      "mm3_decode_features", "mm4_media_ann")
     // optional args: probe only these queries
     val probes = if (args.isEmpty) allProbes else allProbes.filter(args.toSet)
     // warm then measure, at both scales

@@ -246,25 +246,40 @@ object Multimodal {
   }
 
   private def mm4MediaAnn(s: SparkSession, d: String): DataFrame = {
-    // one decode pass, referenced 3× (bands + both verify sides)
+    // one decode pass, referenced 3× (vals + both expansion sides)
     val sig = mediaSignatures(mediaPayloads(s, d))
       .select("doc_id", "simhash").localCheckpoint()
+    // Collapse identical sketches BEFORE candidate generation: a
+    // duplicate-heavy corpus puts every member of an n-doc exact-dup
+    // cluster on the same code in every band, so banding raw doc rows
+    // costs 6·C(n,2) join work per cluster; banding DISTINCT sketch
+    // values costs 1 row (measured at the 10× probe: 225 s → seconds).
+    // Doc pairs are re-expanded afterwards — within-value pairs at
+    // Hamming 0 from a self-join on the value, cross-value pairs from
+    // the banded value pairs. Output is pair-enumeration-bounded either
+    // way; the rewrite removes the superfluous JOIN-side quadratics.
+    val vals = sig.select(col("simhash")).distinct().localCheckpoint()
     val bands = (0 until 6).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
+      vals.select(col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("code"))
     }.reduce(_ unionByName _)
-    val cand = bands.select(col("doc_id").as("ida"), col("band"), col("code"))
-      .join(bands.select(col("doc_id").as("idb"), col("band"), col("code")),
+    val vpairs = bands.select(col("simhash").as("ha"), col("band"), col("code"))
+      .join(bands.select(col("simhash").as("hb"), col("band"), col("code")),
         Seq("band", "code"))
-      .filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    cand
-      .join(sig.select(col("doc_id").as("ida"), col("simhash").as("ha")), "ida")
-      .join(sig.select(col("doc_id").as("idb"), col("simhash").as("hb")), "idb")
+      .filter(col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= mm4MaxHamming)
-      .select("ida", "idb", "hamming")
-      .orderBy("ida", "idb")
+    val cross = vpairs
+      .join(sig.select(col("simhash").as("ha"), col("doc_id").as("ia")), "ha")
+      .join(sig.select(col("simhash").as("hb"), col("doc_id").as("ib")), "hb")
+      .select(least(col("ia"), col("ib")).as("ida"),
+        greatest(col("ia"), col("ib")).as("idb"), col("hamming"))
+    val within = sig.select(col("simhash"), col("doc_id").as("ida"))
+      .join(sig.select(col("simhash"), col("doc_id").as("idb")), "simhash")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), lit(0L).as("hamming"))
+    cross.unionByName(within).orderBy("ida", "idb")
   }
 
   private val mm4Sql =
