@@ -105,6 +105,44 @@ object ScaleProbe {
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit",
       "dd10_paragraph_dedup", "t7_pii_redact",
       "mm3_decode_features", "mm4_media_ann")
+    // adversarial dd10 skew probe (`runMain graft.ScaleProbe skew:dd10`):
+    // 100k-doc corpus where EVERY doc opens with the same 16-word
+    // boilerplate paragraph (one paragraph duplicated 1e5×) vs a
+    // same-shape corpus of all-unique paragraphs. dd10's
+    // first-occurrence MIN aggregate partially aggregates the hot key
+    // map-side, so the hot corpus must run in the same ballpark as the
+    // uniform one — a row_number window keyed on the paragraph would
+    // instead serialize 1e5 rows through one task. Measured (local[32],
+    // warm): uniform 2.81 s, hot-1e5 2.11 s — the hot corpus is FASTER
+    // (fewer distinct paragraphs survive the partial agg to shuffle).
+    if (args.contains("skew:dd10")) {
+      val skewDir = "/tmp/sfprobe_skew"
+      val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+      def corpus(hot: Boolean, path: String): Unit = {
+        if (!new java.io.File(s"$path/documents.parquet").exists()) {
+          val unique = (n: Int) => "array_join(transform(sequence(0, " + n + "), " +
+            "j -> concat('w', CAST(id * 53 + j AS STRING))), ' ')"
+          // both corpora are 48 words = 3 paragraphs per doc; the hot one
+          // spends its first paragraph on the shared boilerplate
+          val text =
+            if (hot) s"concat('$boiler', ' ', ${unique(31)})" else unique(47)
+          spark.range(100000).selectExpr("id AS doc_id", s"$text AS text")
+            .write.mode("overwrite").parquet(s"$path/documents.parquet")
+        }
+      }
+      corpus(hot = true, s"$skewDir/hot")
+      corpus(hot = false, s"$skewDir/uni")
+      for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-1e5" -> s"$skewDir/hot")) {
+        SparkEntry.queries("dd10_paragraph_dedup")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("dd10_paragraph_dedup")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] skew dd10 $label%-8s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      spark.stop()
+      return
+    }
     // optional args: probe only these queries
     val probes = if (args.isEmpty) allProbes else allProbes.filter(args.toSet)
     // warm then measure, at both scales

@@ -75,6 +75,24 @@ class TrainPrepSpec extends SparkSpec {
       org.apache.commons.codec.digest.DigestUtils.md5Hex(words36))
   }
 
+  test("dd10: a 1000-copy boilerplate paragraph keeps exactly one occurrence") {
+    val tmp = java.nio.file.Files.createTempDirectory("dd10hot").toString
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val rows = (0L until 1000L).map { id =>
+      val unique = (0 to 15).map(j => s"w${id * 53 + j}").mkString(" ")
+      (id, s"$boiler $unique", "en", "a", 0L)
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("dd10_paragraph_dedup")(spark, tmp).cache()
+    // doc 0 keeps both paragraphs; every other doc loses exactly the
+    // boilerplate one (first occurrence = lowest (doc_id, position))
+    assert(out.filter(col("doc_id") === 0L && col("n_dup_paras") =!= 0L).count() === 0)
+    assert(out.filter(col("doc_id") =!= 0L && col("n_dup_paras") =!= 1L).count() === 0)
+    assert(out.agg(sum("n_dup_paras")).head().getLong(0) === 999L)
+  }
+
   test("t7: every row redacts its two injected emails and two IPs") {
     val out = q("t7_pii_redact").cache()
     // >= not ===: the injection guarantees two of each, but the corpus
