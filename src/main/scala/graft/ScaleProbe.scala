@@ -39,6 +39,12 @@ import org.apache.spark.sql.functions._
   * enumeration, not plan quadratics — candidate generation runs over the
   * 1,565 DISTINCT sketch values (collapsing value-duplicates before the
   * band join took 10× from 225 s to 33 s).
+  *
+  * q10 top-k-per-group, custom bounded TopKPairs aggregate vs the
+  * row_number window twin (`skew:dd10` sibling probe `q10_window`):
+  * aggregate 0.80→1.36 s, window 0.98→2.16 s at 1×→10× — the partial
+  * top-k forwards ≤k pairs per group per map task where the window
+  * shuffles and sorts every row, so the gap grows with data volume.
   */
 object ScaleProbe {
   val Copies = 10
@@ -94,7 +100,7 @@ object ScaleProbe {
         .drop("_c").write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
-    val allProbes = Seq("q1_agg", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
+    val allProbes = Seq("q1_agg", "q10_topk_per_group", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh",
@@ -139,6 +145,20 @@ object ScaleProbe {
         SparkEntry.queries("dd10_paragraph_dedup")(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(f"[probe] skew dd10 $label%-8s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      spark.stop()
+      return
+    }
+    // comparison twin for the custom top-k aggregate: the row_number
+    // window formulation of q10 (`runMain graft.ScaleProbe q10_window`)
+    if (args.contains("q10_window")) {
+      for (sf <- Seq(src, out)) {
+        graft.operators.Relational.q10WindowTwin(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        graft.operators.Relational.q10WindowTwin(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] ${if (sf == src) "1x " else "10x"} q10_window_twin        ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
       spark.stop()
       return

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{DotLong, HyperplaneBands, IntersectCountSortedLong, SparkShim}
+import org.apache.spark.sql.graftshim.{DotLong, HyperplaneBands, IntersectCountSortedLong, SparkShim, TopKPairs}
 
 /** Column-level entry points for the native vector/set expressions (see
   * [[org.apache.spark.sql.graftshim.DotLong]] and
@@ -25,4 +25,14 @@ object VectorFunctions {
   def intersectCountSorted(a: Column, b: Column): Column =
     SparkShim.column(IntersectCountSortedLong(
       SparkShim.expression(a), SparkShim.expression(b)))
+
+  /** Bounded top-k aggregate: the k largest (key DESC, payload ASC)
+    * pairs per group as `array<struct<key, payload>>` in rank order.
+    * Partial-aggregable — at most k pairs per group leave each map task
+    * (vs every row under a `row_number().over(window)` plan).
+    */
+  def topK(key: Column, payload: Column, k: Int): Column =
+    SparkShim.column(TopKPairs(
+      SparkShim.expression(key), SparkShim.expression(payload), k)
+      .toAggregateExpression())
 }

@@ -215,3 +215,127 @@ case class IntersectCountSortedLong(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Bounded top-k-per-group aggregate: keeps the k largest
+  * (key DESC, payload ASC) pairs per group in a fixed-size sorted buffer,
+  * emitting `array<struct<key double, payload long>>` in rank order.
+  *
+  * This is the 100 TB replacement for the `row_number().over(window) <= k`
+  * idiom: the window plan shuffles EVERY row to its group's reducer and
+  * sorts the whole group; this aggregate is partial-aggregable
+  * (ObjectHashAggregate), so each map task forwards at most k pairs per
+  * group and reducers merge k-bounded buffers — shuffle volume drops from
+  * O(rows) to O(groups·k·tasks) and the per-group sort disappears. Ties
+  * break on the payload, so results are deterministic for unique payloads
+  * (and bit-equal to the window formulation — Q10TopKSpec proves it).
+  *
+  * Buffer updates are O(k) insertion into a sorted array — the right
+  * trade for the small k of "top-N per key" reports; the buffer
+  * serializes as 4 + 16k bytes between partial and final aggregation.
+  */
+case class TopKPairs(
+    key: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[TopKBuffer]
+  with ExpectsInputTypes {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(key, payload)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType, LongType)
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("payload", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "top_k_pairs"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: org.apache.spark.sql.catalyst.InternalRow): TopKBuffer = {
+    val kv = key.eval(input)
+    val pv = payload.eval(input)
+    if (kv != null && pv != null) {
+      buf.insert(kv.asInstanceOf[Double], pv.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < other.size) { buf.insert(other.keys(i), other.payloads(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(buf.keys(i), buf.payloads(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putDouble(buf.keys(i)); bb.putLong(buf.payloads(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), payload = newChildren(1))
+}
+
+/** Sorted bounded buffer for [[TopKPairs]]: parallel arrays ordered by
+  * (key DESC, payload ASC); insert is an O(size) shift, capped at k.
+  */
+final class TopKBuffer(val k: Int) {
+  val keys = new Array[Double](k)
+  val payloads = new Array[Long](k)
+  var size: Int = 0
+
+  /** true if (ka, pa) ranks strictly before (kb, pb). */
+  @inline private def before(ka: Double, pa: Long, kb: Double, pb: Long): Boolean =
+    ka > kb || (ka == kb && pa < pb)
+
+  def insert(kv: Double, pv: Long): Unit = {
+    if (size == k && !before(kv, pv, keys(size - 1), payloads(size - 1))) return
+    // find insertion point (linear — k is small by contract)
+    var pos = if (size == k) size - 1 else size
+    while (pos > 0 && before(kv, pv, keys(pos - 1), payloads(pos - 1))) pos -= 1
+    if (size < k) size += 1
+    var i = size - 1
+    while (i > pos) { keys(i) = keys(i - 1); payloads(i) = payloads(i - 1); i -= 1 }
+    keys(pos) = kv
+    payloads(pos) = pv
+  }
+}
