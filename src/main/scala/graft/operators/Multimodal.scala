@@ -370,9 +370,61 @@ object Multimodal {
       | CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
       |FROM ch ORDER BY doc_id, ci""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm5_audio_frames — frame sampling on DECODED audio (the audio analog
+  // of mm2's chunk sampling, but downstream of a real codec): parse each
+  // WAV, split the PCM into 16-sample frames, keep every 4th frame, emit
+  // per-frame exact-integer energy features (sum, sum of squares — the
+  // carriers of DC offset and RMS). This is the standard
+  // decode → frame → featurize front of an audio pipeline; at 100 TB the
+  // frame explosion happens map-side and only the fixed-width feature
+  // rows ever shuffle.
+  final case class AudioFrame(
+      doc_id: Long, frame_id: Long, f_n: Long, f_sum: Long, f_sumsq: Long)
+
+  private val frameLen = 16
+  private val frameEvery = 4
+
+  private def mm5AudioFrames(s: SparkSession, d: String): DataFrame = {
+    val enc = Encoders.product[AudioFrame]
+    mediaPayloads(s, d).select(col("doc_id"), col("wav"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val wav = Codecs.decodeWav(r.getAs[Array[Byte]](1))
+          val nFrames = (wav.samples.length + frameLen - 1) / frameLen
+          (0 until nFrames).iterator
+            .filter(_ % frameEvery == 0)
+            .map { f =>
+              var i = f * frameLen
+              val end = math.min(i + frameLen, wav.samples.length)
+              var sm = 0L; var sq = 0L
+              while (i < end) {
+                val v = wav.samples(i).toLong; sm += v; sq += v * v; i += 1
+              }
+              AudioFrame(id, f.toLong, (end - f * frameLen).toLong, sm, sq)
+            }
+        }
+      }(enc).toDF()
+      .orderBy("doc_id", "frame_id")
+  }
+
+  private val mm5Sql =
+    """WITH t AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+      |d AS (SELECT doc_id, 64 + len % 129 AS n FROM t),
+      |s AS (SELECT doc_id, u.i - 1 AS i,
+      |    (doc_id*31 + (u.i-1)*17) % 4096 - 2048 AS v
+      |  FROM d, UNNEST(generate_series(1, CAST(n AS INT))) u(i)),
+      |f AS (SELECT doc_id, i // 16 AS frame_id, CAST(COUNT(*) AS BIGINT) AS f_n,
+      |    CAST(SUM(v) AS BIGINT) AS f_sum, CAST(SUM(v*v) AS BIGINT) AS f_sumsq
+      |  FROM s GROUP BY 1, 2)
+      |SELECT doc_id, frame_id, f_n, f_sum, f_sumsq
+      |FROM f WHERE frame_id % 4 = 0 ORDER BY doc_id, frame_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1BinaryMeta, Some(mm1Sql)),
     Q("mm2_chunk_sample", mm2ChunkSample, Some(mm2Sql)),
     Q("mm3_decode_features", mm3DecodeFeatures, Some(mm3Sql)),
-    Q("mm4_media_ann", mm4MediaAnn, Some(mm4Sql)))
+    Q("mm4_media_ann", mm4MediaAnn, Some(mm4Sql)),
+    Q("mm5_audio_frames", mm5AudioFrames, Some(mm5Sql)))
 }

@@ -680,6 +680,38 @@ object Relational {
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q32_approx_percentiles — the sketch path for q29 (same pairing as
+  // q19/q25): `approx_percentile` is Spark's Greenwald-Khanna quantile
+  // summary — constant-size per group, mergeable, no per-group sort. The
+  // sketch value is engine-specific, so the gate emits the EXACT
+  // interpolated percentiles plus a within-5%-of-exact verdict per
+  // sketch (accuracy 1000 → rank error ≤ 0.1%, far inside the bound);
+  // the oracle recomputes the exact side with literal TRUE verdicts — a
+  // drifting sketch fails the hash match.
+  private def q32ApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val c = cents(col("o_totalprice"))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(c, lit(0.5)).as("p50_cents"),
+        percentile(c, lit(0.9)).as("p90_cents"),
+        approx_percentile(c, lit(0.5), lit(1000)).as("apx50"),
+        approx_percentile(c, lit(0.9), lit(1000)).as("apx90"))
+      .select(col("o_orderstatus"), col("n"), col("p50_cents"), col("p90_cents"),
+        (abs(col("apx50") - col("p50_cents")) * 20.0 <= col("p50_cents")).as("apx50_ok"),
+        (abs(col("apx90") - col("p90_cents")) * 20.0 <= col("p90_cents")).as("apx90_ok"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val q32Sql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       | quantile_cont(${centsSql("o_totalprice")}, 0.5) AS p50_cents,
+       | quantile_cont(${centsSql("o_totalprice")}, 0.9) AS p90_cents,
+       | TRUE AS apx50_ok, TRUE AS apx90_ok
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q30_unpivot — melt q28's wide shape back to long: per-status priority
   // counts as (status, priority, n) rows via Dataset.unpivot (pivot's
   // inverse; map-side only, no shuffle beyond the source agg).
@@ -727,6 +759,7 @@ object Relational {
     Q("q31_sql_surface", q31SqlSurface, Some(q31Sql)),
     Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
+    Q("q32_approx_percentiles", q32ApproxPercentiles, Some(q32Sql)),
     Q("q25_approx_distinct", q25ApproxDistinct, Some(q25Sql)),
     Q("q26_tpch_q6", q26TpchQ6, Some(q26Sql)),
     Q("q27_cube", q27Cube, Some(q27Sql)),

@@ -77,6 +77,18 @@ class MultimodalSpec extends SparkSpec {
     assert(twins.count() === 0)
   }
 
+  test("mm5: sampled frames are full except a doc's last, and start at frame 0") {
+    val out = graft.Registry.queries("mm5_audio_frames")(spark, sf("sf0.001")).cache()
+    assert(out.filter(col("frame_id") % 4 =!= 0).count() === 0)
+    assert(out.filter(col("frame_id") === 0).count() ===
+      Multimodal.mediaPayloads(spark, sf("sf0.001")).count())
+    // a short frame can only be a doc's maximal sampled frame
+    val lastPerDoc = out.groupBy("doc_id").agg(max("frame_id").as("mf"))
+    val short = out.join(lastPerDoc, "doc_id")
+      .filter(col("f_n") =!= 16L && col("frame_id") =!= col("mf"))
+    assert(short.count() === 0)
+  }
+
   test("mm4: banded candidates are complete for Hamming <= 5 (vs brute force)") {
     val out = graft.Registry.queries("mm4_media_ann")(spark, sf("sf0.001"))
     val sig = Multimodal.mediaSignatures(payloads).select("doc_id", "simhash")
