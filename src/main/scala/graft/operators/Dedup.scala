@@ -248,7 +248,7 @@ object Dedup {
   // weighted by term frequency, bit set when vote ≥ 0. 60-bit word hash
   // from md5 hex prefix (engine-portable). dd4 presents the 16-bit
   // variant; dd8 pairs on a 32-bit variant (sparser bands).
-  private def simhashDf(s: SparkSession, d: String, bits: Int): DataFrame = {
+  private[graft] def simhashDf(s: SparkSession, d: String, bits: Int): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))

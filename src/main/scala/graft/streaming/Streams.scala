@@ -118,6 +118,69 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Input/state/output records for [[streamingNearDup]]. */
+  case class DocIn(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class DocSig(doc_id: Long, simhash: Long, ts: java.sql.Timestamp)
+  case class DocKept(doc_id: Long, simhash: Long)
+  case class NearDupState(recent: List[Long])
+
+  /** Per-doc 32-bit word-vote SimHash, bit-identical to the batch
+    * construction (Dedup.simhashDf / the dd4 oracle: per-word hash =
+    * first 15 hex chars of md5, vote per bit, tie votes set the bit) —
+    * SimhashParitySpec pins the equality on real corpus data.
+    */
+  private[graft] def simhash32(text: String): Long = {
+    val votes = new Array[Int](32)
+    text.split(" ").foreach { w =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(w).substring(0, 15), 16)
+      var i = 0
+      while (i < 32) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 32) { if (votes(i) >= 0) sig |= 1L << i; i += 1 }
+    sig
+  }
+
+  /** Online near-dup gate — the streaming complement of the batch dd8
+    * pigeonhole pass: each doc is simhashed ([[simhash32]]) and keyed by
+    * its low-11-bit band; per live band code the state remembers the
+    * most recent `maxRecent` admitted simhashes, and a doc within
+    * `maxHamming` of any of them is dropped. Single-band filtering is
+    * deliberate: it admits some near-dups (a pair can differ in the
+    * keyed band), which is the standard online-gate/batch-reconcile
+    * split — the cheap filter runs in-stream with state bounded at
+    * 8·maxRecent bytes per band code, and the complete 3-band batch
+    * pass (dd8) reconciles on schedule. Within a micro-batch, docs are
+    * processed in (ts, doc_id) order so admission is deterministic.
+    */
+  def streamingNearDup(docs: Dataset[DocIn], maxHamming: Int = 2,
+      maxRecent: Int = 256): Dataset[DocKept] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map(d => DocSig(d.doc_id, simhash32(d.text), d.ts))
+      .groupByKey(s => s.simhash & 2047L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[DocSig], state: GroupState[NearDupState]) => {
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DocKept]
+          it.toSeq.sortBy(s => (s.ts.getTime, s.doc_id)).foreach { s =>
+            val dup = recent.exists(h =>
+              java.lang.Long.bitCount(h ^ s.simhash) <= maxHamming)
+            if (!dup) {
+              out += DocKept(s.doc_id, s.simhash)
+              recent = (s.simhash :: recent).take(maxRecent)
+            }
+          }
+          state.update(NearDupState(recent))
+          out.iterator
+        })
+  }
+
   /** Incremental append pipeline: one activation processes exactly the
     * files that arrived since the last checkpoint and stops — the
     * reference's Cloud-Scheduler→Job activation (T5) without the manual

@@ -144,6 +144,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDup drops near-identical docs across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 24).map(i => if (i == 12) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 24).map(i => s"other$i").mkString(" ")
+    // precondition for the single-band gate: the near-dup pair must
+    // collide in the keyed band and sit within the Hamming budget
+    val (ha, hb) = (Streams.simhash32(base), Streams.simhash32(nearDup))
+    assume((ha & 2047L) == (hb & 2047L) && java.lang.Long.bitCount(ha ^ hb) <= 2)
+    val stream = MemoryStream[Streams.DocIn]
+    val q = Streams.streamingNearDup(stream.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      stream.addData(Streams.DocIn(1L, base, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      stream.addData(
+        Streams.DocIn(2L, base, ts("2024-01-01 00:01:00")), // exact dup
+        Streams.DocIn(3L, nearDup, ts("2024-01-01 00:02:00")), // near dup
+        Streams.DocIn(4L, other, ts("2024-01-01 00:03:00"))) // distinct
+      q.processAllAvailable()
+      assert(spark.table("neardup").select("doc_id").as[Long].collect().sorted
+        === Array(1L, 4L))
+    } finally q.stop()
+  }
+
   test("availableNow sink processes a raw-zone directory incrementally (T5)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
