@@ -421,10 +421,89 @@ object Multimodal {
       |SELECT doc_id, frame_id, f_n, f_sum, f_sumsq
       |FROM f WHERE frame_id % 4 = 0 ORDER BY doc_id, frame_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm6_resize_thumb — decode → resize → re-encode, the thumbnailing
+  // stage of an image pipeline: parse each BMP, nearest-neighbor
+  // downsample to a fixed 8×8 thumbnail (resized (x, y) samples source
+  // pixel (x·w div 8, y·h div 8) — pure integer indexing, so exact),
+  // re-encode the thumbnail as REAL BMP bytes, and emit features parsed
+  // back OUT of the re-encoded bytes — the oracle therefore checks
+  // through two full codec passes (decode → resize → encode → decode).
+  //
+  // Scale: map-only like all codec stages; thumbnails are fixed 246
+  // bytes regardless of source size — the shape that makes downstream
+  // visual dedup shuffle-friendly at 100 TB.
+
+  private val thumbDim = 8
+
+  final case class ThumbBytes(doc_id: Long, thumb: Array[Byte])
+  final case class ThumbFeatures(
+      doc_id: Long, t_w: Long, t_h: Long, t_bytes: Long,
+      t_sum_r: Long, t_sum_g: Long, t_sum_b: Long, t_tl_b: Long, t_br_b: Long)
+
+  /** Parse source image bytes → nearest-neighbor 8×8 → re-encode as BMP
+    * bytes. One map pass.
+    */
+  def resizeThumbs(payloads: DataFrame): DataFrame = {
+    val enc = Encoders.product[ThumbBytes]
+    payloads.select(col("doc_id"), col("img"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val src = Codecs.decodeBmp(r.getAs[Array[Byte]](1))
+          val bytes = Codecs.encodeBmp(thumbDim, thumbDim, (x, y) => {
+            val p = src.pixels((y * src.height / thumbDim) * src.width +
+              (x * src.width / thumbDim))
+            ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          })
+          ThumbBytes(r.getLong(0), bytes)
+        }
+      }(enc).toDF()
+  }
+
+  private def mm6ResizeThumb(s: SparkSession, d: String): DataFrame = {
+    val enc = Encoders.product[ThumbFeatures]
+    resizeThumbs(mediaPayloads(s, d))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val t = Codecs.decodeBmp(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          t.pixels.foreach { p =>
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          }
+          ThumbFeatures(r.getLong(0), t.width.toLong, t.height.toLong,
+            bytes.length.toLong, sr, sg, sb,
+            (t.pixels(0) & 0xff).toLong,
+            (t.pixels(t.pixels.length - 1) & 0xff).toLong)
+        }
+      }(enc).toDF()
+      .orderBy("doc_id")
+  }
+
+  private val mm6Sql =
+    """WITH t AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+      |dw AS (SELECT doc_id, text, len, 12 + len % 9 AS w FROM t),
+      |dims AS (SELECT doc_id, text, len, w, GREATEST(8, (len + w - 1) // w) AS h FROM dw),
+      |tp AS (SELECT doc_id, u.k - 1 AS k,
+      |    ((((u.k - 1) // 8) * h // 8) * w + (((u.k - 1) % 8) * w // 8)) AS i
+      |  FROM dims, UNNEST(generate_series(1, 64)) u(k)),
+      |px AS (SELECT tp.doc_id, tp.k,
+      |    ascii(substring(d.text, CAST(tp.i % d.len + 1 AS INT), 1)) AS b,
+      |    (tp.doc_id + 2*tp.i) % 256 AS g,
+      |    (7*tp.i) % 256 AS r
+      |  FROM tp JOIN dims d ON d.doc_id = tp.doc_id)
+      |SELECT doc_id, 8::BIGINT AS t_w, 8::BIGINT AS t_h, 246::BIGINT AS t_bytes,
+      |  CAST(SUM(r) AS BIGINT) AS t_sum_r, CAST(SUM(g) AS BIGINT) AS t_sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS t_sum_b,
+      |  CAST(MAX(CASE WHEN k = 0 THEN b END) AS BIGINT) AS t_tl_b,
+      |  CAST(MAX(CASE WHEN k = 63 THEN b END) AS BIGINT) AS t_br_b
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1BinaryMeta, Some(mm1Sql)),
     Q("mm2_chunk_sample", mm2ChunkSample, Some(mm2Sql)),
     Q("mm3_decode_features", mm3DecodeFeatures, Some(mm3Sql)),
     Q("mm4_media_ann", mm4MediaAnn, Some(mm4Sql)),
-    Q("mm5_audio_frames", mm5AudioFrames, Some(mm5Sql)))
+    Q("mm5_audio_frames", mm5AudioFrames, Some(mm5Sql)),
+    Q("mm6_resize_thumb", mm6ResizeThumb, Some(mm6Sql)))
 }
