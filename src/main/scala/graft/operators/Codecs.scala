@@ -66,8 +66,13 @@ object Codecs {
     val h = math.abs(hRaw)
     require(buf.getShort(28) == 24, "only 24bpp supported")
     require(buf.getInt(30) == 0, "only uncompressed BI_RGB supported")
+    // dims are untrusted header ints: bound them and size-check in Long
+    // arithmetic so overflow can't defeat the validation (w*3 wraps Int
+    // for w > 2^29, which would both pass the check and corrupt indexing)
+    require(w > 0 && h > 0 && w <= (1 << 16) && h <= (1 << 16),
+      s"implausible dimensions ${w}x$h")
     val rowSize = (w * 3 + 3) / 4 * 4
-    require(w > 0 && h > 0 && off >= 54 && bytes.length >= off + rowSize.toLong * h,
+    require(off >= 54 && bytes.length >= off + rowSize.toLong * h,
       "truncated pixel array")
     val out = new Array[Int](w * h)
     var y = 0
@@ -127,6 +132,7 @@ object Codecs {
       require(size >= 0 && pos + 8 + size.toLong <= bytes.length, s"truncated chunk '$id'")
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too short ($size bytes)")
           require(buf.getShort(pos + 8) == 1, "only PCM supported")
           channels = buf.getShort(pos + 10)
           rate = buf.getInt(pos + 12)

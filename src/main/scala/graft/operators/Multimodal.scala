@@ -62,12 +62,21 @@ object Multimodal {
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val id = r.getLong(0)
-          val txt = r.getString(1).getBytes("UTF-8")
+          val str = r.getString(1)
+          // The synthesis formula is DEFINED on non-empty ASCII text: the
+          // DuckDB oracles index by character/codepoint while this side
+          // indexes UTF-8 bytes, so non-ASCII input would make the two
+          // silently diverge — fail loudly instead. (The driver corpus is
+          // pure ASCII, min length 44; this guards regeneration drift.)
+          require(str.nonEmpty, s"doc $id: empty text")
+          val txt = str.getBytes("UTF-8")
+          require(txt.length == str.length,
+            s"doc $id: non-ASCII text — media synthesis formula undefined")
           val len = txt.length
           val (w, h) = synthDims(len)
           val img = Codecs.encodeBmp(w, h, (x, y) => {
             val i = y.toLong * w + x
-            val b = if (len == 0) 0 else txt((i % len).toInt) & 0xff
+            val b = txt((i % len).toInt) & 0xff
             (((7L * i) % 256L).toInt, ((id + 2L * i) % 256L).toInt, b)
           })
           val n = 64 + len % 129

@@ -165,14 +165,22 @@ object TrainPrep {
       .select(col("doc_id"), col("tok"),
         (col("start_off") + col("j")).as("pos"))
       .withColumn("chunk_id", expr(s"pos div $packBudget"))
+      // n_docs via collect_set, NOT countDistinct: a DISTINCT aggregate
+      // mixed with the imperative collect_list triggers Spark's
+      // one-distinct two-shuffle plan, and the (pos, tok) structs — the
+      // widest data here — would cross the network twice (the same
+      // Expand-family pitfall q25 hit). All-imperative aggregates keep
+      // the one regroup-by-chunk_id shuffle this plan promises.
       .groupBy("chunk_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        countDistinct(col("doc_id")).as("n_docs"),
+        collect_set(col("doc_id")).as("doc_set"),
         md5(array_join(
           transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
             x => x.getField("tok")),
           " ")).as("chunk_md5"))
+      .select(col("chunk_id"), col("n_tokens"),
+        size(col("doc_set")).cast("long").as("n_docs"), col("chunk_md5"))
       .orderBy("chunk_id")
   }
 

@@ -323,9 +323,18 @@ final class TopKBuffer(val k: Int) {
   val payloads = new Array[Long](k)
   var size: Int = 0
 
-  /** true if (ka, pa) ranks strictly before (kb, pb). */
-  @inline private def before(ka: Double, pa: Long, kb: Double, pb: Long): Boolean =
-    ka > kb || (ka == kb && pa < pb)
+  /** true if (ka, pa) ranks strictly before (kb, pb). Key comparison is
+    * `java.lang.Double.compare` — the same total order Spark SQL sorts
+    * doubles with (NaN greatest, -0.0 < 0.0) — so DESC-key ranking stays
+    * bit-equal to the row_number window formulation even on NaN keys,
+    * and NaN ties still fall through to the payload tie-break.
+    * (Null-KEY rows are skipped in update(), standard aggregate-ignores-
+    * nulls semantics — a window formulation would rank them.)
+    */
+  @inline private def before(ka: Double, pa: Long, kb: Double, pb: Long): Boolean = {
+    val c = java.lang.Double.compare(ka, kb)
+    c > 0 || (c == 0 && pa < pb)
+  }
 
   def insert(kv: Double, pv: Long): Unit = {
     if (size == k && !before(kv, pv, keys(size - 1), payloads(size - 1))) return

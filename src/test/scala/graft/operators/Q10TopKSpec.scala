@@ -33,6 +33,23 @@ class Q10TopKSpec extends SparkSpec {
     assert(out(2L) === List(1L))
   }
 
+  test("TopKPairs: NaN keys rank the way the window's DESC sort ranks them") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, Double.NaN, 1L), (1L, 5.0, 2L), (1L, 3.0, 3L), (1L, Double.NaN, 4L))
+      .toDF("g", "price", "id")
+    val agg = df.groupBy("g")
+      .agg(graft.functions.VectorFunctions.topK(col("price"), col("id"), 3).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("t.payload").as("id"), (col("i") + 1).cast("int").as("rnk"))
+    val win = df.withColumn("rnk",
+        row_number().over(Window.partitionBy("g").orderBy(col("price").desc, col("id"))))
+      .filter(col("rnk") <= 3).select("id", "rnk")
+    assert(agg.exceptAll(win).count() === 0L)
+    assert(win.exceptAll(agg).count() === 0L)
+  }
+
   test("TopKPairs: merge across many partitions keeps the global top-k") {
     import spark.implicits._
     // 10k rows in one group spread over 32 partitions; top-3 known
