@@ -338,8 +338,10 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "idb"), "idb")
         .groupBy(col("ida").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
+      // the pre-step label rides along as `old` so the convergence test
+      // needs no extra join back to `labels`
       val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: labels are always doc_ids of member nodes, so the
       // label's own label exists; following it halves chain lengths.
@@ -350,9 +352,8 @@ object Dedup {
       val obs = new org.apache.spark.sql.Observation(s"dd7_conv_$iter")
       val next = stepped
         .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")), "label")
-        .select(col("doc_id"), least(col("label"), col("ll")).as("label"))
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .select(col("doc_id"), col("label"), (col("label") =!= col("old")).as("changed"))
+        .select(col("doc_id"), least(col("label"), col("ll")).as("label"),
+          (least(col("label"), col("ll")) =!= col("old")).as("changed"))
         .observe(obs,
           coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L))
             .as("n_changed"))
