@@ -109,7 +109,7 @@ object ScaleProbe {
       "ev3_session_window", "ev4_funnel", "ev5_interval_join",
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit",
-      "dd10_paragraph_dedup", "t7_pii_redact",
+      "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
       "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb")
     // adversarial dd10 skew probe (`runMain graft.ScaleProbe skew:dd10`):
     // 100k-doc corpus where EVERY doc opens with the same 16-word

@@ -318,10 +318,59 @@ object TrainPrep {
        |FROM i ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // mix1_domain_mix — domain-mixture sampling (the Pile/DoReMi-style
+  // source re-weighting step): give each source a mixture weight
+  // (here from a fixed formula, srcN → 1 + N mod 4 — in production a
+  // config table), set a global token budget of half the corpus, and
+  // deterministically sample each source at the rate that hits its
+  // weighted share: keep doc ⇔ h(doc) · tokens_src < target_src · 10⁶,
+  // with h = md5-derived ∈ [0, 10⁶) (engine-portable, same stance as
+  // dd3) and target_src = (total div 2) · w div Σw — all exact integer
+  // arithmetic, so the DuckDB oracle reproduces the keep set bit-for-bit.
+  //
+  // Scale: one map-side-combined per-source token aggregate (≤ #sources
+  // rows, broadcast back), then a map-only keep decision — no shuffle of
+  // documents at all. The integer cross-multiplication stays inside
+  // int64 up to ~10¹¹ tokens per source; past that, rescale h to 10³
+  // precision (the comparison is homogeneous in the hash modulus).
+  private def mix1DomainMix(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val st = t.groupBy("source").agg(sum("n_tokens").as("s_tokens"))
+      .withColumn("w", expr("1L + CAST(substring(source, 4) AS LONG) % 4"))
+    val tot = st.agg(sum("s_tokens").as("total"), sum("w").as("sw"))
+    val tgt = st.crossJoin(tot)
+      .select(col("source"), col("s_tokens"),
+        expr("(total div 2) * w div sw").as("target_s"))
+    t.withColumn("hh",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000L)
+      .join(broadcast(tgt), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("hh") * col("s_tokens") < col("target_s") * 1000000L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val mix1Sql =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s_tokens,
+      |    1 + CAST(substring(source, 4) AS BIGINT) % 4 AS w FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(s_tokens) AS BIGINT) AS total,
+      |    CAST(SUM(w) AS BIGINT) AS sw FROM st),
+      |tgt AS (SELECT source, s_tokens, (total // 2) * w // sw AS target_s
+      |  FROM st CROSS JOIN tot)
+      |SELECT t.doc_id, t.source, t.n_tokens,
+      |  (('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+      |    * g.s_tokens < g.target_s * 1000000 AS keep
+      |FROM t JOIN tgt g USING (source) ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Sql)),
     Q("pk2_pack_emit", pk2PackEmit, Some(pk2Sql)),
     Q("dd10_paragraph_dedup", dd10ParagraphDedup, Some(dd10Sql)),
-    Q("t7_pii_redact", t7PiiRedact, Some(t7Sql)))
+    Q("t7_pii_redact", t7PiiRedact, Some(t7Sql)),
+    Q("mix1_domain_mix", mix1DomainMix, Some(mix1Sql)))
 }

@@ -93,6 +93,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.agg(sum("n_dup_paras")).head().getLong(0) === 999L)
   }
 
+  test("mix1: weights shape kept shares and the global budget is ~half") {
+    val out = q("mix1_domain_mix").cache()
+    val shares = out.groupBy("source").agg(
+      (sum(when(col("keep"), col("n_tokens")).otherwise(0L)).cast("double") /
+        sum(col("n_tokens"))).as("share")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    def w(src: String) = 1 + src.drop(3).toInt % 4
+    val byW = shares.groupBy { case (src, _) => w(src) }
+      .map { case (k, m) => k -> m.values.sum / m.size }
+    // weight-4 sources keep a clearly larger average token share than weight-1
+    assert(byW(4) > byW(1) + 0.2)
+    // global budget: kept tokens near half the corpus (hash-sampling noise)
+    val total = out.agg(sum("n_tokens")).head().getLong(0)
+    val kept = out.filter(col("keep")).agg(sum("n_tokens")).head().getLong(0)
+    assert(kept > total * 3 / 10 && kept < total * 7 / 10)
+  }
+
   test("t7: every row redacts its two injected emails and two IPs") {
     val out = q("t7_pii_redact").cache()
     // >= not ===: the injection guarantees two of each, but the corpus
