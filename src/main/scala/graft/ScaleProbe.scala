@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   * Round-4 additions (measured, local[32], warm): the training-prep and
   * multimodal operators scale sub-linearly at 10× — dc1 1.4→3.6 s,
   * pk1 0.7→1.0 s, pk2 1.2→4.1 s, dd10 1.0→2.0 s, t7 0.4→2.5 s,
-  * mm3 0.3→2.3 s, mm5 0.6→1.6 s, mm6 0.8→1.4 s. mm4 is 1.8→33 s: its 10× OUTPUT is 78.7M true pairs
+  * mm3 0.3→2.3 s, mm5 0.6→1.6 s, mm6 0.8→1.4 s, mix1 1.1→1.4 s. mm4 is 1.8→33 s: its 10× OUTPUT is 78.7M true pairs
   * (every doc has ~10 sketch-identical copies here), so the cost is pair
   * enumeration, not plan quadratics — candidate generation runs over the
   * 1,565 DISTINCT sketch values (collapsing value-duplicates before the
