@@ -135,6 +135,74 @@ class PipelineSpec extends SparkSpec {
       .count() === 1)
   }
 
+  test("runBatchIdempotent: re-running the same input converges (T3 fixed)") {
+    val dir = Files.createTempDirectory("pipeline_idem").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5),
+      eventJson("e3", "v2", "xyz", "2024-03-02T09:00:00Z", 0.0)))
+
+    val c1 = Pipeline.runBatchIdempotent(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, scaleDivisor = 1.0)
+    assert(c1 === Map(
+      "dim_media" -> 2L, "dim_visitor" -> 2L, "fact_media_engagement" -> 2L))
+    def snapshot(path: String): Set[String] = {
+      val df = RawZone.warehouse(spark, path)
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).toSet
+    }
+    val f1 = snapshot(wh.fact); val m1 = snapshot(wh.dimMedia)
+    val v1 = snapshot(wh.dimVisitor)
+
+    // re-run the SAME raw input: counts and contents must be unchanged
+    // (the faithful runBatch doubles everything here — see the T3 test)
+    val c2 = Pipeline.runBatchIdempotent(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, scaleDivisor = 1.0)
+    assert(c2 === c1)
+    assert(snapshot(wh.fact) === f1)
+    assert(snapshot(wh.dimMedia) === m1)
+    assert(snapshot(wh.dimVisitor) === v1)
+
+    // a later batch with one overlapping key: only the new keys land,
+    // first write wins on the overlap
+    writeRaw(s"$dir/raw", "20250502_000000", Seq(
+      eventJson("e4", "v1", "abc", "2024-03-01T11:00:00Z", 0.9), // same (media,visitor,date) key
+      eventJson("e5", "v3", "xyz", "2024-03-03T08:00:00Z", 0.4))) // new key
+    val c3 = Pipeline.runBatchIdempotent(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, scaleDivisor = 1.0)
+    assert(c3("fact_media_engagement") === 3L)
+    assert(c3("dim_visitor") === 3L)
+    // overlap kept its first-run values (e4's 0.9 did not overwrite)
+    val kept = RawZone.warehouse(spark, wh.fact)
+      .filter(col("media_id") === "abc" && col("visitor_id") === "v1")
+      .collect().head
+    assert(kept.getAs[Double]("play_rate") === 0.2)
+  }
+
+  test("runStreaming idempotent=true: merge sink dedupes a replayed batch") {
+    val dir = Files.createTempDirectory("pipeline_sidem").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5)))
+
+    val q1 = Pipeline.runStreaming(spark, s"$dir/raw", wh, Seq("abc", "xyz"),
+      ts0, s"$dir/ckpt1", idempotent = true)
+    q1.awaitTermination(60000)
+    assert(RawZone.warehouse(spark, wh.fact).count() === 2)
+
+    // simulate a foreachBatch replay: a FRESH checkpoint re-reads the
+    // same files (the at-least-once hole) — the merge sink converges
+    // where the plain append sink would double the table
+    val q2 = Pipeline.runStreaming(spark, s"$dir/raw", wh, Seq("abc", "xyz"),
+      ts0, s"$dir/ckpt2", idempotent = true)
+    q2.awaitTermination(60000)
+    assert(RawZone.warehouse(spark, wh.fact).count() === 2)
+  }
+
   test("runIncremental: HWM+1s filter, dim truncate, per-event fact") {
     val dir = Files.createTempDirectory("pipeline").toString
     val wh = Pipeline.Warehouse(s"$dir/wh")
