@@ -29,9 +29,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // best of 2 runs per query: one full pass measures cold-ish state,
-    // the repeat measures steady state; min is the stable figure (runs
-    // interleave whole passes so OS cache effects even out)
+    // median of 3 warm passes per query: the median is insensitive to a
+    // one-off GC/JIT/OS-cache outlier in either direction, so two
+    // same-session Bench runs agree per-query where best-of-2 could
+    // latch a lucky minimum (runs interleave whole passes so cache
+    // effects even out across queries)
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -41,9 +43,10 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-    val p1 = pass()
-    val p2 = pass()
-    val results = p1.keys.toSeq.sorted.map(k => k -> math.min(p1(k), p2(k)))
+    val passes = Seq(pass(), pass(), pass())
+    val results = passes.head.keys.toSeq.sorted.map { k =>
+      k -> passes.map(_(k)).sorted.apply(1) // median of 3
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
