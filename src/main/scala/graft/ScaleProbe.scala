@@ -38,7 +38,11 @@ import org.apache.spark.sql.functions._
   * (every doc has ~10 sketch-identical copies here), so the cost is pair
   * enumeration, not plan quadratics — candidate generation runs over the
   * 1,565 DISTINCT sketch values (collapsing value-duplicates before the
-  * band join took 10× from 225 s to 33 s).
+  * band join took 10× from 225 s to 33 s). mm7, the bounded per-doc
+  * top-k consumable of the same sketch space, is 2.1→4.0 s at 1×→10×:
+  * bounding BEFORE pair enumeration (per-value bottom-k id lists feed
+  * the band join, so candidates are O(docs·valueDegree·k)) beats
+  * aggregating the full 78.7M-pair list by >10×.
   *
   * q10 top-k-per-group, custom bounded TopKPairs aggregate vs the
   * row_number window twin (`skew:dd10` sibling probe `q10_window`):
@@ -110,7 +114,8 @@ object ScaleProbe {
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
-      "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb")
+      "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb",
+      "mm7_media_ann_topk")
     // adversarial dd10 skew probe (`runMain graft.ScaleProbe skew:dd10`):
     // 100k-doc corpus where EVERY doc opens with the same 16-word
     // boilerplate paragraph (one paragraph duplicated 1e5×) vs a

@@ -254,7 +254,10 @@ object Multimodal {
     }(enc).toDF()
   }
 
-  private def mm4MediaAnn(s: SparkSession, d: String): DataFrame = {
+  private def mm4MediaAnn(s: SparkSession, d: String): DataFrame =
+    mm4Pairs(s, d).orderBy("ida", "idb")
+
+  private def mm4Pairs(s: SparkSession, d: String): DataFrame = {
     // one decode pass, referenced 3× (vals + both expansion sides)
     val sig = mediaSignatures(mediaPayloads(s, d))
       .select("doc_id", "simhash").localCheckpoint()
@@ -288,10 +291,79 @@ object Multimodal {
       .join(sig.select(col("simhash"), col("doc_id").as("idb")), "simhash")
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"), lit(0L).as("hamming"))
-    cross.unionByName(within).orderBy("ida", "idb")
+    cross.unionByName(within)
   }
 
-  private val mm4Sql =
+  // ---------------------------------------------------------------------
+  // mm7_media_ann_topk — the BOUNDED consumable of mm4: per-doc k nearest
+  // media instead of the full near-pair list. mm4's output is
+  // legitimately pair-enumeration-bounded (78.7M pairs at the 10× probe)
+  // — fine as a dedup candidate feed, unusable as a scheduled monitoring
+  // report. The bound is applied BEFORE pair enumeration, not after:
+  // ranking is (hamming asc, neighbor id asc) and all docs of one sketch
+  // value share one hamming to any other value, so only the k smallest
+  // doc ids of each value can ever reach a top-k — one bottom-(k+1)
+  // aggregate per DISTINCT sketch value (partial-aggregable TopKPairs,
+  // so an n-member duplicate cluster collapses map-side) replaces the
+  // n² within-cluster expansion, and the banded value-pair join fans out
+  // ≤ k+1 candidate ids per (doc, neighboring value). Candidates are
+  // O(docs · valueDegree · k); a final per-doc TopKPairs keeps rank ≤ k.
+  // (hamming, neighbor) packs into one int64 payload (hamming ≤ 48,
+  // ids < 2^48) whose negated double is the rank key — ascending
+  // (hamming, neighbor), deterministic, bit-equal to the row_number
+  // formulation the oracle runs.
+  private val mm7K = 3
+  private def mm7MediaAnnTopK(s: SparkSession, d: String): DataFrame = {
+    val sig = mediaSignatures(mediaPayloads(s, d))
+      .select("doc_id", "simhash").localCheckpoint()
+    // per distinct sketch value: its k+1 smallest doc ids, ascending
+    // (+1 covers self-exclusion for members of the value's own cluster)
+    val bottom = sig.groupBy("simhash")
+      .agg(graft.functions.VectorFunctions.topK(
+        -col("doc_id").cast("double"), col("doc_id"), mm7K + 1).as("bot"))
+      .select(col("simhash"), expr("transform(bot, x -> x.payload)").as("ids"))
+      .localCheckpoint() // referenced by within + cross + band sides
+    // hamming-0 candidates: the k+1 smallest ids sharing the doc's sketch
+    val within = sig.join(bottom, "simhash")
+      .select(col("doc_id"), explode(col("ids")).as("nbr"))
+      .filter(col("nbr") =!= col("doc_id"))
+      .select(col("doc_id"), col("nbr"), lit(0L).as("hamming"))
+    // cross-value: band DISTINCT sketch values (as mm4), keep value pairs
+    // at hamming 1..5, then each doc of one side sees only the other
+    // side's bottom ids — never the |cluster_a|·|cluster_b| expansion
+    val bands = (0 until 6).map { b =>
+      bottom.select(col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("code"))
+    }.reduce(_ unionByName _)
+    val vpairsHalf = bands.select(col("simhash").as("ha"), col("band"), col("code"))
+      .join(bands.select(col("simhash").as("hb"), col("band"), col("code")),
+        Seq("band", "code"))
+      .filter(col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= mm4MaxHamming)
+    val vpairs = vpairsHalf.unionByName(
+      vpairsHalf.select(col("hb").as("ha"), col("ha").as("hb"), col("hamming")))
+    val cross = sig.select(col("doc_id"), col("simhash").as("ha"))
+      .join(vpairs, "ha")
+      .join(bottom.select(col("simhash").as("hb"), col("ids")), "hb")
+      .select(col("doc_id"), explode(col("ids")).as("nbr"), col("hamming"))
+    within.unionByName(cross)
+      .select(col("doc_id"),
+        (col("hamming") * lit(1L << 48) + col("nbr")).as("payload"))
+      .groupBy("doc_id")
+      .agg(graft.functions.VectorFunctions.topK(
+        -col("payload").cast("double"), col("payload"), mm7K).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("doc_id"), (col("i") + 1).cast("int").as("rnk"),
+        col("t.payload").bitwiseAND(lit((1L << 48) - 1)).as("neighbor_id"),
+        shiftright(col("t.payload"), 48).as("hamming"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  // shared sketch pipeline of mm4/mm7's oracles: text → synthetic image →
+  // corpus-centered histogram → 48-bit simhash per doc
+  private val mm4SigCte =
     """WITH t AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len FROM documents),
       |dw AS (SELECT doc_id, text, len, 12 + len % 9 AS w FROM t),
       |dims AS (SELECT doc_id, text, len, w, GREATEST(8, (len + w - 1) // w) AS h FROM dw),
@@ -319,12 +391,28 @@ object Multimodal {
       |sig AS (SELECT doc_id,
       |    CAST(SUM(CASE WHEN acc >= 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
       |      AS BIGINT) AS simhash
-      |  FROM bitsum GROUP BY 1)
+      |  FROM bitsum GROUP BY 1)""".stripMargin
+
+  private val mm4Sql = mm4SigCte +
+    """
       |SELECT a.doc_id AS ida, b.doc_id AS idb,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
       |ORDER BY ida, idb""".stripMargin
+
+  private val mm7Sql = mm4SigCte +
+    """,
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_id, b.doc_id AS nbr,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+      |rk AS (SELECT doc_id, nbr, hamming,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY hamming, nbr) AS rnk
+      |  FROM pairs)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, nbr AS neighbor_id, hamming
+      |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
   // mm1_binary_meta — the payload-plumbing slice of the multimodal path:
@@ -513,6 +601,7 @@ object Multimodal {
     Q("mm2_chunk_sample", mm2ChunkSample, Some(mm2Sql)),
     Q("mm3_decode_features", mm3DecodeFeatures, Some(mm3Sql)),
     Q("mm4_media_ann", mm4MediaAnn, Some(mm4Sql)),
+    Q("mm7_media_ann_topk", mm7MediaAnnTopK, Some(mm7Sql)),
     Q("mm5_audio_frames", mm5AudioFrames, Some(mm5Sql)),
     Q("mm6_resize_thumb", mm6ResizeThumb, Some(mm6Sql)))
 }
