@@ -320,13 +320,15 @@ object TrainPrep {
 
   // ---------------------------------------------------------------------
   // mix1_domain_mix — domain-mixture sampling (the Pile/DoReMi-style
-  // source re-weighting step): give each source a mixture weight
-  // (here from a fixed formula, srcN → 1 + N mod 4 — in production a
-  // config table), set a global token budget of half the corpus, and
-  // deterministically sample each source at the rate that hits its
-  // weighted share: keep doc ⇔ h(doc) · tokens_src < target_src · 10⁶,
-  // with h = md5-derived ∈ [0, 10⁶) (engine-portable, same stance as
-  // dd3) and target_src = (total div 2) · w div Σw — all exact integer
+  // source re-weighting step): each source carries a mixture weight from
+  // a CONFIG TABLE (a tiny (source, w) frame joined broadcast — the
+  // production shape; the gate query derives its config from the
+  // synthetic source names, srcN → 1 + N mod 4, so the oracle can
+  // reproduce it), a global token budget of half the corpus, and each
+  // source deterministically sampled at the rate that hits its weighted
+  // share: keep doc ⇔ h(doc) · tokens_src < target_src · 10⁶, with
+  // h = md5-derived ∈ [0, 10⁶) (engine-portable, same stance as dd3)
+  // and target_src = (total div 2) · w div Σw — all exact integer
   // arithmetic, so the DuckDB oracle reproduces the keep set bit-for-bit.
   //
   // Scale: one map-side-combined per-source token aggregate (≤ #sources
@@ -334,11 +336,18 @@ object TrainPrep {
   // documents at all. The integer cross-multiplication stays inside
   // int64 up to ~10¹¹ tokens per source; past that, rescale h to 10³
   // precision (the comparison is homogeneous in the hash modulus).
-  private def mix1DomainMix(s: SparkSession, d: String): DataFrame = {
-    val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+
+  /** Generalized mixer: `weights` is a small (source, w: long) config
+    * frame, joined broadcast. The config is authoritative — sources
+    * absent from it are excluded from the budget AND the output (weight
+    * them 0 explicitly to keep their rows with keep=false everywhere).
+    */
+  private[graft] def domainMix(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val st = t.groupBy("source").agg(sum("n_tokens").as("s_tokens"))
-      .withColumn("w", expr("1L + CAST(substring(source, 4) AS LONG) % 4"))
+      .join(broadcast(weights.select(col("source"), col("w").cast("long").as("w"))),
+        "source")
     val tot = st.agg(sum("s_tokens").as("total"), sum("w").as("sw"))
     val tgt = st.crossJoin(tot)
       .select(col("source"), col("s_tokens"),
@@ -350,6 +359,15 @@ object TrainPrep {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("hh") * col("s_tokens") < col("target_s") * 1000000L).as("keep"))
       .orderBy("doc_id")
+  }
+
+  private def mix1DomainMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // the gate's config table: one row per source, weight derivable by
+    // the oracle from the name (a stand-in for a curated weights file)
+    val weights = docs.select("source").distinct()
+      .withColumn("w", expr("1L + CAST(substring(source, 4) AS LONG) % 4"))
+    domainMix(docs, weights)
   }
 
   private val mix1Sql =

@@ -110,6 +110,35 @@ class TrainPrepSpec extends SparkSpec {
     assert(kept > total * 3 / 10 && kept < total * 7 / 10)
   }
 
+  test("mix1: weights are config DATA — non-formula weights steer the mix") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val sources = docs.select("source").distinct().as[String].collect().sorted
+    // extreme non-formula config: first source dominates 9:1, rest get 1
+    val weights = sources.zipWithIndex
+      .map { case (s, i) => (s, if (i == 0) 9L else 1L) }.toSeq
+      .toDF("source", "w")
+    val out = TrainPrep.domainMix(docs, weights).cache()
+    def frac(cond: org.apache.spark.sql.Column): Double = {
+      val r = out.filter(cond).agg(
+        coalesce(sum(when(col("keep"), col("n_tokens")).otherwise(0L)), lit(0L)),
+        coalesce(sum(col("n_tokens")), lit(1L))).head()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    // the 9-weighted source's target exceeds its own mass → keeps
+    // (nearly) everything; the 1-weighted rest keep well under half
+    assert(frac(col("source") === sources.head) > 0.9)
+    assert(frac(col("source") =!= sources.head) < 0.5)
+    // a source dropped from the config disappears from the output
+    val partial = TrainPrep.domainMix(docs,
+      weights.filter(col("source") =!= sources.head))
+    assert(partial.filter(col("source") === sources.head).count() === 0L)
+    // determinism: same config twice → identical keep set
+    val again = TrainPrep.domainMix(docs, weights)
+    assert(out.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(out).count() === 0L)
+  }
+
   test("t7: every row redacts its two injected emails and two IPs") {
     val out = q("t7_pii_redact").cache()
     // >= not ===: the injection guarantees two of each, but the corpus
