@@ -157,27 +157,51 @@ object Streams {
     * 8·maxRecent bytes per band code, and the complete 3-band batch
     * pass (dd8) reconciles on schedule. Within a micro-batch, docs are
     * processed in (ts, doc_id) order so admission is deterministic.
+    *
+    * State lifecycle: each band code's state carries an EVENT-TIME TTL —
+    * `stateTtlMs` past the last admitted-or-seen event — enforced with
+    * `GroupStateTimeout.EventTimeTimeout` against the stream's watermark
+    * (`watermarkDelay` bounds lateness). A band code that goes quiet is
+    * evicted once the watermark passes its deadline, so total state is
+    * bounded by RECENCY (live band codes × 8·maxRecent bytes), not by
+    * every band code ever seen — the contract that makes the same
+    * pattern safe under a wider band key. Trade-off: a near-dup arriving
+    * more than the TTL after its original is admitted; the batch
+    * reconcile pass catches it, same as the single-band misses.
     */
   def streamingNearDup(docs: Dataset[DocIn], maxHamming: Int = 2,
-      maxRecent: Int = 256): Dataset[DocKept] = {
+      maxRecent: Int = 256, watermarkDelay: String = "1 hour",
+      stateTtlMs: Long = 2L * 60 * 60 * 1000): Dataset[DocKept] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.map(d => DocSig(d.doc_id, simhash32(d.text), d.ts))
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(s => s.simhash & 2047L)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: Long, it: Iterator[DocSig], state: GroupState[NearDupState]) => {
-          var recent = state.getOption.map(_.recent).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[DocKept]
-          it.toSeq.sortBy(s => (s.ts.getTime, s.doc_id)).foreach { s =>
-            val dup = recent.exists(h =>
-              java.lang.Long.bitCount(h ^ s.simhash) <= maxHamming)
-            if (!dup) {
-              out += DocKept(s.doc_id, s.simhash)
-              recent = (s.simhash :: recent).take(maxRecent)
+          if (state.hasTimedOut) {
+            state.remove() // idle band code: watermark passed its deadline
+            Iterator.empty
+          } else {
+            var recent = state.getOption.map(_.recent).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[DocKept]
+            val batch = it.toSeq.sortBy(s => (s.ts.getTime, s.doc_id))
+            batch.foreach { s =>
+              val dup = recent.exists(h =>
+                java.lang.Long.bitCount(h ^ s.simhash) <= maxHamming)
+              if (!dup) {
+                out += DocKept(s.doc_id, s.simhash)
+                recent = (s.simhash :: recent).take(maxRecent)
+              }
             }
+            state.update(NearDupState(recent))
+            // deadline = TTL past this batch's newest event (clamped above
+            // the watermark — setTimeoutTimestamp rejects values behind it)
+            state.setTimeoutTimestamp(
+              math.max(batch.map(_.ts.getTime).max,
+                state.getCurrentWatermarkMs() + 1) + stateTtlMs)
+            out.iterator
           }
-          state.update(NearDupState(recent))
-          out.iterator
         })
   }
 

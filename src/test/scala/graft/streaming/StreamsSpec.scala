@@ -171,6 +171,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDup: event-time TTL evicts idle band state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val other1 = (1 to 24).map(i => s"aaa$i").mkString(" ")
+    val other2 = (1 to 24).map(i => s"bbb$i").mkString(" ")
+    // the fillers must land on other band codes, or they'd refresh (or
+    // collide with) the state under test
+    val hb = Streams.simhash32(base)
+    assume((Streams.simhash32(other1) & 2047L) != (hb & 2047L))
+    assume((Streams.simhash32(other2) & 2047L) != (hb & 2047L))
+    val stream = MemoryStream[Streams.DocIn]
+    val q = Streams.streamingNearDup(stream.toDS(),
+      watermarkDelay = "0 seconds", stateTtlMs = 60000L)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append").start()
+    try {
+      stream.addData(Streams.DocIn(1L, base, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable() // watermark → 00:00; band deadline 00:01
+      stream.addData(Streams.DocIn(2L, other1, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable() // watermark → 00:10, past the deadline
+      // next batch fires the timeout for base's (now dataless) band
+      stream.addData(Streams.DocIn(3L, other2, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      // exact dup of doc 1: ADMITTED — its band state was evicted
+      // (without the TTL this is the dropped-duplicate case of the
+      // cross-micro-batch test above)
+      stream.addData(Streams.DocIn(4L, base, ts("2024-01-01 00:25:00")))
+      q.processAllAvailable()
+      assert(spark.table("neardup_ttl").select("doc_id").as[Long].collect().sorted
+        === Array(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("availableNow sink processes a raw-zone directory incrementally (T5)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
