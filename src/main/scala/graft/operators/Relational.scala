@@ -755,8 +755,51 @@ object Relational {
       |       WHERE o.o_custkey = c.c_custkey) >= 15
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q33_sql_decorrelate — the wider SQL front door: EXISTS and NOT IN
+  // correlated subqueries (Catalyst decorrelates both to joins — EXISTS
+  // → left-semi, NOT IN → null-aware left-anti; the plan has NO per-row
+  // subquery execution) plus a RANGE-frame running window (30-day
+  // trailing spend per customer, ordered by an integer day number so the
+  // frame arithmetic is engine-portable). Exact cent sums keep the
+  // output hash-deterministic. Same plans as the DataFrame API, reached
+  // from SQL text — the q31 contract extended to the subquery shapes a
+  // BI tool actually emits.
+  private def q33SqlDecorrelate(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o.o_custkey, o.o_orderkey,
+        |  SUM(CAST(round(o.o_totalprice*100,0) AS BIGINT)) OVER (
+        |    PARTITION BY o.o_custkey
+        |    ORDER BY datediff(o.o_orderdate, DATE'1990-01-01')
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS cents_30d
+        |FROM orders_v o
+        |WHERE EXISTS (SELECT 1 FROM orders_v u
+        |        WHERE u.o_custkey = o.o_custkey
+        |          AND u.o_orderpriority = '1-URGENT')
+        |  AND o.o_custkey NOT IN (SELECT c.c_custkey FROM customer_v c
+        |        WHERE c.c_acctbal < 0)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  private val q33Sql =
+    """SELECT o.o_custkey, o.o_orderkey,
+      |  SUM(CAST(round(o.o_totalprice*100,0) AS BIGINT)) OVER (
+      |    PARTITION BY o.o_custkey
+      |    ORDER BY date_diff('day', DATE '1990-01-01', o.o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS cents_30d
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM orders u
+      |        WHERE u.o_custkey = o.o_custkey
+      |          AND u.o_orderpriority = '1-URGENT')
+      |  AND o.o_custkey NOT IN (SELECT c.c_custkey FROM customer c
+      |        WHERE c.c_acctbal < 0)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q31_sql_surface", q31SqlSurface, Some(q31Sql)),
+    Q("q33_sql_decorrelate", q33SqlDecorrelate, Some(q33Sql)),
     Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
     Q("q32_approx_percentiles", q32ApproxPercentiles, Some(q32Sql)),
