@@ -168,6 +168,87 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // streaming throughput probe (`runMain graft.ScaleProbe stream`):
+    // drives the stateful streaming operators through MemoryStream
+    // micro-batches at 1× and 10× batch volume and reports per-batch
+    // latency plus state size from StreamingQueryProgress — the
+    // streaming analogue of the batch 10× probe. Duplicate pressure:
+    // every 5th doc replays an earlier doc's text, so the near-dup gate
+    // exercises both admit and drop paths; click/purchase streams join
+    // 10:1 within the 30-minute attribution window.
+    if (args.contains("stream")) {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+
+      def word(seed: Long, j: Int) = s"w${seed * 31 + j}"
+      def text(seed: Long) = (0 until 24).map(word(seed, _)).mkString(" ")
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+      for (scale <- Seq(1, 10)) {
+        val perBatch = 5000 * scale
+        val stream = MemoryStream[Streams.DocIn]
+        val q = Streams.streamingNearDup(stream.toDS())
+          .writeStream.format("noop").outputMode("append").start()
+        var docId = 0L
+        val times = (0 until 5).map { _ =>
+          val docs = (0 until perBatch).map { i =>
+            val id = docId + i
+            val seed = if (id % 5 == 0) id / 50 * 50 else id // dup pressure
+            Streams.DocIn(id, text(seed),
+              new java.sql.Timestamp(base + id * 10L))
+          }
+          docId += perBatch
+          val t0 = System.nanoTime()
+          stream.addData(docs)
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val so = q.lastProgress.stateOperators(0)
+        println(f"[probe] stream neardup ${scale}%2dx: ${perBatch} docs/batch, " +
+          f"median batch ${times.sorted.apply(2)}%5.2f s " +
+          f"(${perBatch / times.sorted.apply(2)}%8.0f docs/s), " +
+          f"state ${so.numRowsTotal} rows / ${so.memoryUsedBytes / 1024} KiB")
+        q.stop()
+      }
+
+      for (scale <- Seq(1, 10)) {
+        val perBatch = 5000 * scale
+        val clicks = MemoryStream[Streams.ClickEv]
+        val purchases = MemoryStream[Streams.ClickEv]
+        val q = Streams.streamClickAttribution(clicks.toDF(), purchases.toDF())
+          .writeStream.format("noop").outputMode("append").start()
+        var eid = 0L
+        val times = (0 until 5).map { b =>
+          val t00 = base + b * 600000L // batches 10 min apart in event time
+          val cs = (0 until perBatch).map { i =>
+            Streams.ClickEv(new java.sql.Timestamp(t00 + (i % 600) * 1000L),
+              (i % 1000).toLong, eid + i)
+          }
+          val ps = (0 until perBatch / 10).map { i => // 10:1 purchase rate
+            Streams.ClickEv(
+              new java.sql.Timestamp(t00 + (i % 600) * 1000L + 60000L),
+              (i % 1000).toLong, eid + perBatch + i)
+          }
+          eid += perBatch * 2
+          val t0 = System.nanoTime()
+          clicks.addData(cs)
+          purchases.addData(ps)
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        val stateKiB = q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum / 1024
+        println(f"[probe] stream attrib  ${scale}%2dx: ${perBatch} clicks/batch, " +
+          f"median batch ${times.sorted.apply(2)}%5.2f s " +
+          f"(${perBatch / times.sorted.apply(2)}%8.0f clicks/s), " +
+          f"state $stateRows rows / $stateKiB KiB")
+        q.stop()
+      }
+      spark.stop()
+      return
+    }
     // optional args: probe only these queries
     val probes = if (args.isEmpty) allProbes else allProbes.filter(args.toSet)
     // warm then measure, at both scales
