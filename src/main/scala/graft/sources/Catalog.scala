@@ -66,6 +66,48 @@ object Catalog {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** [[RawZone.warehouseMerge]] against the catalog: keyed
+    * first-write-wins upsert-by-insert by table NAME — append only
+    * incoming rows whose natural key is absent, so a re-run converges
+    * (the idiomatic T3 fix for catalog-managed warehouses). Same scan
+    * economics as the path version: the existing-keys read selects only
+    * the key columns, and when the table's partition columns are a
+    * subset of the key it is filtered to the batch's touched partitions
+    * (metastore partition pruning). MERGE-with-update stays out of scope
+    * deliberately — plain parquet tables have no transactional row
+    * rewrite; first-write-wins insert is the strongest idempotency a
+    * file-format warehouse offers without a table format like
+    * Delta/Iceberg, and it is exactly what re-run convergence needs.
+    */
+  def mergeAppend(spark: SparkSession, df: DataFrame, table: String,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "mergeAppend needs a natural key")
+    val cols = df.columns.toSeq
+    val deduped = df
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(cols.map(col): _*)).as("_row"))
+      .select(col("_row.*"))
+      .select(cols.map(col): _*)
+    if (!spark.catalog.tableExists(table)) append(deduped, table, partitionBy)
+    else {
+      val existing = spark.table(table)
+      val pruned =
+        if (partitionBy.nonEmpty && partitionBy.forall(keys.contains)) {
+          val touched = deduped.select(partitionBy.map(col): _*).distinct()
+            .collect().toSeq // bounded: one row per touched partition
+          if (touched.isEmpty) existing.limit(0)
+          else existing.filter(
+            touched.map(r => partitionBy.zipWithIndex.map {
+              case (c, i) => col(c) === lit(r.get(i))
+            }.reduce(_ && _)).reduce(_ || _))
+        } else existing
+      val fresh = deduped.join(
+        pruned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      append(fresh, table, partitionBy)
+    }
+  }
+
   /** K5 against the catalog: TRUNCATE + reload (the prod variant's
     * dim_media refresh policy, process_wistia_data.py:197-234) — the
     * table object, its schema, and its grants survive, unlike a

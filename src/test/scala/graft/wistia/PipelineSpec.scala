@@ -181,6 +181,32 @@ class PipelineSpec extends SparkSpec {
     assert(kept.getAs[Double]("play_rate") === 0.2)
   }
 
+  test("Catalog.mergeAppend: keyed catalog appends converge on re-run") {
+    import spark.implicits._
+    val db = "merge_test"
+    val dir = Files.createTempDirectory("cat_merge").toString
+    graft.sources.Catalog.ensureDatabase(spark, db, Some(s"$dir/db"))
+    val t = s"$db.fact"
+    val batch = Seq((1L, "2024-03-01", 10L), (2L, "2024-03-01", 20L),
+      (3L, "2024-03-02", 30L)).toDF("k", "date", "v")
+    graft.sources.Catalog.mergeAppend(spark, batch, t,
+      keys = Seq("k", "date"), partitionBy = Seq("date"))
+    assert(spark.table(t).count() === 3L)
+    // re-run same batch: no growth, identical contents
+    graft.sources.Catalog.mergeAppend(spark, batch, t,
+      keys = Seq("k", "date"), partitionBy = Seq("date"))
+    assert(spark.table(t).count() === 3L)
+    // overlap keeps first-written value; new key lands
+    val b2 = Seq((1L, "2024-03-01", 99L), (4L, "2024-03-03", 40L))
+      .toDF("k", "date", "v")
+    graft.sources.Catalog.mergeAppend(spark, b2, t,
+      keys = Seq("k", "date"), partitionBy = Seq("date"))
+    assert(spark.table(t).count() === 4L)
+    assert(spark.table(t).filter(col("k") === 1L)
+      .select("v").head().getLong(0) === 10L)
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("runStreaming idempotent=true: merge sink dedupes a replayed batch") {
     val dir = Files.createTempDirectory("pipeline_sidem").toString
     val wh = Pipeline.Warehouse(s"$dir/wh")
