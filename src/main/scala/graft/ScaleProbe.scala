@@ -108,7 +108,7 @@ object ScaleProbe {
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh",
-      "sim2_ann_lsh", "sim4_centroid",
+      "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8",
       "t2_quality", "t5_repetition", "t6_stratified_sample",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join",
       "w3_fact_engagement",

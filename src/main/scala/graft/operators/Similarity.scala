@@ -342,11 +342,103 @@ object Similarity {
        |  CAST((SELECT COUNT(*) FROM mp JOIN bt USING (qid, nbr)) AS DOUBLE)
        |    / (SELECT COUNT(*) FROM bt) AS recall""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim7_ann_sq8 — scalar-quantized (int8) ANN with exact rerank, the
+  // memory-bandwidth scale path every production vector store ships
+  // (FAISS SQ8 / Milvus SQ8 / pgvector halfvec): the candidate side
+  // carries an 8-bit vector (8× smaller than the micro-scaled int64
+  // frame, 4× smaller than float32), coarse scoring runs entirely on the
+  // quantized ints, and only the top-10 coarse candidates per query are
+  // reranked with the full-precision dot — the ADC+refine split, so the
+  // big side's bytes-per-vector (what a 100 TB scan is billed in) drops
+  // ~8× while the exact math touches O(queries·10) rows.
+  //
+  // Quantization is symmetric-uniform with ONE global scale — qv_i =
+  // floor(v_i·127 / Vmax), Vmax = corpus max |v_i| (a 1-row broadcast) —
+  // so quantized cosine approximates true cosine directly and the whole
+  // construction is exact-int + one IEEE floor-div, bit-reproducible in
+  // DuckDB. Bucketing (sim2's 4-bit sign code, computed on qv — sign
+  // survives quantization) keeps the coarse pass bucket-local.
+  private def sim7AnnSq8(s: SparkSession, d: String): DataFrame = {
+    val e = scaledVectors(s, d)
+    val vmax = e.select(explode(col("v")).as("x"))
+      .agg(max(abs(col("x"))).as("vmax")) // 1 row, broadcast below
+    val eq = e.crossJoin(broadcast(vmax))
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(floor(CAST(x * 127 AS DOUBLE) / vmax) AS BIGINT))")
+          .as("qv"))
+      .withColumn("nq", graft.functions.VectorFunctions.normSqLong(col("qv")))
+      .withColumn("bucket",
+        (0 until 4).map(i =>
+          when(element_at(col("qv"), i + 1) >= 0L, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _))
+    val q = eq.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qa"),
+        col("nq").as("nqa"), col("bucket"))
+    val c = eq.select(col("vec_id").as("nbr"), col("qv").as("qb"),
+      col("nq").as("nqb"), col("bucket"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("qcos").desc, col("nbr"))
+    val coarse = q.join(c, Seq("bucket")).filter(col("qid") =!= col("nbr"))
+      .withColumn("qdot", graft.functions.VectorFunctions.dotLong(col("qa"), col("qb")))
+      .withColumn("qcos", col("qdot").cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 10)
+      .select("qid", "nbr")
+    // exact rerank of the ≤10 coarse survivors per query
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    coarse
+      .join(e.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na")), "qid")
+      .join(e.select(col("vec_id").as("nbr"), col("v").as("vb"), col("nrm").as("nb")), "nbr")
+      .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("vb")))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"),
+        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val sim7Sql: String = {
+    val bucket = (0 until 4).map(i =>
+      s"(CASE WHEN qv[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH $scaledVectorsSqlCte,
+       |vm AS (SELECT CAST(MAX(list_max(list_transform(v, x -> abs(x)))) AS BIGINT) AS vmax FROM e),
+       |eq AS (SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(CAST(x * 127 AS DOUBLE) / vmax) AS BIGINT)) AS qv
+       |  FROM e CROSS JOIN vm),
+       |eqb AS (SELECT vec_id, qv,
+       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq,
+       |    $bucket AS bucket FROM eq),
+       |p AS (SELECT a.vec_id AS qid, b.vec_id AS nbr, a.nq AS nqa, b.nq AS nqb,
+       |  CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS qdot
+       |  FROM eqb a JOIN eqb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |coarse AS (SELECT qid, nbr,
+       |  row_number() OVER (PARTITION BY qid ORDER BY
+       |    CAST(qdot AS DOUBLE) / (sqrt(CAST(nqa AS DOUBLE)) * sqrt(CAST(nqb AS DOUBLE))) DESC,
+       |    nbr) AS crnk
+       |  FROM p),
+       |r AS (SELECT c.qid, c.nbr, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM coarse c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nbr
+       |  WHERE c.crnk <= 10),
+       |f AS (SELECT qid, nbr, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM r)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM f WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("sim1_ann_brute", sim1AnnBrute, Some(sim1Sql), headline = true),
     Q("sim2_ann_lsh", sim2AnnLsh, Some(sim2Sql)),
     Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Sql)),
     Q("sim4_centroid", sim4Centroid, Some(sim4Sql)),
     Q("sim5_ann_multiprobe", sim5AnnMultiprobe, Some(sim5Sql)),
-    Q("sim6_mp_recall", sim6MpRecall, Some(sim6Sql)))
+    Q("sim6_mp_recall", sim6MpRecall, Some(sim6Sql)),
+    Q("sim7_ann_sq8", sim7AnnSq8, Some(sim7Sql)))
 }
