@@ -160,8 +160,10 @@ object Dedup {
   // all signatures. Band keys are xxhash64-compressed so the band
   // self-join shuffles (long, long, int) rows; the oracle keeps full
   // string keys, which is equivalent modulo 64-bit collisions.
-  /** Distinct LSH candidate pairs (shared by dd3 and dd6's verify). */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, band, key) MinHash band rows — the LSH index frame
+    * (shared by dd3/dd6's self-join and dd11's incremental probe).
+    */
+  private def bandFrame(s: SparkSession, d: String): DataFrame = {
     val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
     val sigCols = (0 until numHashes).map(i =>
       min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
@@ -171,8 +173,13 @@ object Dedup {
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
       struct(lit(b).as("band"), xxhash64(key).as("key"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Distinct LSH candidate pairs (shared by dd3 and dd6's verify). */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = bandFrame(s, d)
     val l = bands.select(col("doc_id").as("ida"), col("band"), col("key"))
     val r = bands.select(col("doc_id").as("idb"), col("band"), col("key"))
     l.join(r, Seq("band", "key")).filter(col("ida") < col("idb"))
@@ -547,8 +554,71 @@ object Dedup {
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.45
        |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd11_incremental_dedup — dedup a NEW INGEST BATCH against an existing
+  // corpus without re-pairing the corpus: the pattern every continuously-
+  // fed 100 TB pipeline actually runs (the batch self-joins dd2/dd3/dd6
+  // answer "dedup the corpus once"; this answers "is tonight's batch new").
+  // The existing corpus's MinHash band rows are a stored INDEX (in
+  // production a table bucketed on (band, key), appended per ingest —
+  // here the same band construction, checkpointed to stand for the
+  // stored frame); per batch, only the new docs are shingled and
+  // signed, and the probe join touches only colliding buckets. Verified
+  // matches use the exact-Jaccard gate on candidate pairs only (dd6's
+  // threshold), fetching shingle sets just for the docs involved.
+  // Output is per NEW doc: dup verdict, match count, lowest matching
+  // corpus doc — O(batch) rows regardless of corpus size.
+  private def dd11IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("doc_id") % 5 === 0 // tonight's batch: every 5th doc
+    val bands = bandFrame(s, d)
+    val index = bands.filter(!isNew).localCheckpoint() // the stored index
+    val probe = bands.filter(isNew)
+    val cand = probe.select(col("doc_id").as("nid"), col("band"), col("key"))
+      .join(index.select(col("doc_id").as("oid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("nid", "oid").distinct()
+    val hs = shingleRows(s, d)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+    val verified = cand
+      .join(hs.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
+      .join(hs.select(col("doc_id").as("oid"), col("hs").as("hb"), col("n").as("nb")), "oid")
+      .withColumn("common",
+        graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
+      .filter(col("common") * 10L >= (col("na") + col("nb") - col("common")) * 8L)
+      .groupBy("nid")
+      .agg(count(lit(1)).as("n_dups"), min(col("oid")).as("dup_of"))
+    Tables.documents(s, d).filter(isNew).select(col("doc_id"))
+      .join(verified.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_dups").isNotNull.as("is_dup"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  private val dd11Sql: String =
+    s"""WITH $lshCandidatesSqlCtes,
+       |c2 AS (SELECT DISTINCT p.doc_id AS nid, i.doc_id AS oid
+       |  FROM bands p JOIN bands i ON p.band = i.band AND p.key = i.key
+       |  WHERE p.doc_id % 5 = 0 AND i.doc_id % 5 <> 0),
+       |cm AS (SELECT nid, oid, COUNT(*) AS common
+       |  FROM c2 JOIN sh sa ON sa.doc_id = nid
+       |          JOIN sh sb ON sb.doc_id = oid AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |v AS (SELECT nid, COUNT(*) AS n_dups, MIN(oid) AS dup_of
+       |  FROM cm JOIN n na ON na.doc_id = nid JOIN n nb ON nb.doc_id = oid
+       |  WHERE common * 10 >= (na.n + nb.n - common) * 8
+       |  GROUP BY 1)
+       |SELECT d.doc_id, v.nid IS NOT NULL AS is_dup,
+       |  COALESCE(v.n_dups, 0) AS n_dups, v.dup_of
+       |FROM documents d LEFT JOIN v ON v.nid = d.doc_id
+       |WHERE d.doc_id % 5 = 0
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd1_exact", dd1Exact, Some(dd1Sql)),
+    Q("dd11_incremental_dedup", dd11IncrementalDedup, Some(dd11Sql)),
     Q("dd2_ngram_jaccard", dd2NgramJaccard, Some(dd2Sql), headline = true),
     Q("dd3_minhash_lsh", dd3MinhashLsh, Some(dd3Sql), headline = true),
     Q("dd4_simhash", dd4Simhash, Some(dd4Sql)),
