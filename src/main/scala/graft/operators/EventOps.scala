@@ -175,7 +175,45 @@ object EventOps {
       |FROM sess s LEFT JOIN err e ON e.us >= s.start_us AND e.us <= s.end_us
       |GROUP BY s.user_id, s.sid ORDER BY s.user_id, s.sid""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev6_cohort_retention — classic cohort analysis: users grouped by the
+  // week of their FIRST event (acquisition cohort), each later event
+  // bucketed by whole weeks since that first week, distinct users counted
+  // per (cohort_week, weeks_since) cell. All bucketing is exact integer
+  // day arithmetic from a fixed epoch (no tz/week-start conventions to
+  // disagree on between engines).
+  //
+  // Scale: per-user MIN partial-aggregates map-side (one shuffle on
+  // user_id), the first-week frame joins back on the same user_id key
+  // (co-partitioned — AQE reuses the exchange), and the final cell count
+  // is a single distinct-count shuffle on the (cohort, week) grid. No
+  // windows, no expand: the plan a 100 TB event store wants.
+  private def ev6CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1990-01-01")))
+          .cast("long").as("d0"))
+    val first = ev.groupBy("user_id").agg(min("d0").as("f0"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), expr("f0 div 7").as("cohort_w"),
+        expr("(d0 - f0) div 7").as("weeks_since"))
+      .groupBy("cohort_w", "weeks_since")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_w", "weeks_since")
+  }
+
+  private val ev6Sql =
+    """WITH ev AS (SELECT user_id,
+      |    CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS BIGINT) AS d0
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(d0) AS f0 FROM ev GROUP BY 1)
+      |SELECT f0 // 7 AS cohort_w, (d0 - f0) // 7 AS weeks_since,
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_w, weeks_since""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("ev6_cohort_retention", ev6CohortRetention, Some(ev6Sql)),
     Q("ev1_tumbling", ev1Tumbling, Some(ev1Sql)),
     Q("ev2_sliding", ev2Sliding, Some(ev2Sql)),
     Q("ev3_session_window", ev3SessionWindow, Some(ev3Sql)),

@@ -234,7 +234,55 @@ object TextOps {
       |          THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t8_top_terms — per-doc salient terms: tf within the doc over df
+  // across the corpus (relative-document-frequency weighting — the
+  // integer-exact cousin of tf-idf: the ranking key is
+  // score_ppm = tf·10⁶ div df, monotone in tf/df, no transcendental in
+  // sight so both engines rank identically; ties broken by term asc).
+  // Top 3 terms per doc.
+  //
+  // Scale: tf is one map-side-combined shuffle on (doc, term); df
+  // derives from the tf frame (already one row per doc×term) with a
+  // second small shuffle on term; the per-doc rank partitions by doc_id.
+  // Term strings shuffle once — the tf agg — and everything downstream
+  // moves (long, long) pairs plus the ≤3 surviving terms per doc.
+  private def t8TopTerms(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("score_ppm", expr("tf * 1000000L div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("term"), col("tf"), col("df"), col("score_ppm"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val t8Sql =
+    """WITH wds AS (SELECT doc_id, u.term FROM
+      |    (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |    UNNEST(toks) AS u(term)
+      |  WHERE u.term <> ''),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wds GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT doc_id, term, tf.tf, df.df,
+      |    tf.tf * 1000000 // df.df AS score_ppm,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf.tf * 1000000 // df.df DESC, term) AS rnk
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score_ppm AS BIGINT) AS score_ppm
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("t8_top_terms", t8TopTerms, Some(t8Sql)),
     Q("t6_stratified_sample", t6StratifiedSample, Some(t6Sql)),
     Q("t1_lang_id", t1LangId, Some(t1Sql)),
     Q("t2_quality", t2Quality, Some(t2Sql), headline = true),
