@@ -254,6 +254,7 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // referenced 2× (tf side + df derivation)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, "term")
       .withColumn("score_ppm", expr("tf * 1000000L div df"))
