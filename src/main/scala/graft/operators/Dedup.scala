@@ -570,8 +570,12 @@ object Dedup {
   // corpus doc — O(batch) rows regardless of corpus size.
   private def dd11IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val isNew = col("doc_id") % 5 === 0 // tonight's batch: every 5th doc
-    val bands = bandFrame(s, d)
-    val index = bands.filter(!isNew).localCheckpoint() // the stored index
+    // one materialized signature pass serves both sides (checkpointing
+    // only the index side would recompute the full sig pipeline for the
+    // probe); in production the index side is a stored bucketed table
+    // and ONLY the new batch is signed per ingest
+    val bands = bandFrame(s, d).localCheckpoint()
+    val index = bands.filter(!isNew) // stands for the stored index
     val probe = bands.filter(isNew)
     val cand = probe.select(col("doc_id").as("nid"), col("band"), col("key"))
       .join(index.select(col("doc_id").as("oid"), col("band"), col("key")),
