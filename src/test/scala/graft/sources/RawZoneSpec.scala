@@ -151,4 +151,32 @@ class RawZoneSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bk_right")
     }
   }
+
+  test("warehouseMerge: randomized batches match a first-write-wins model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // seeded: reproducible
+    val path = s"${tmp()}/wh"
+    val dates = Seq("2024-03-01", "2024-03-02", "2024-03-03")
+    // reference model: key -> first-written (collapsed) value
+    val model = scala.collection.mutable.LinkedHashMap.empty[(Long, String), Long]
+    for (_ <- 1 to 6) {
+      val rows = Seq.fill(30)((rnd.nextInt(15).toLong,
+        dates(rnd.nextInt(dates.size)), rnd.nextInt(1000).toLong))
+      RawZone.warehouseMerge(spark, rows.toDF("k", "date", "v"), path,
+        keys = Seq("k", "date"), partitionBy = Seq("date"))
+      // model: within-batch collapse = min over the full (k, date, v)
+      // struct == min v per key here; then first-write-wins insert
+      rows.groupBy(r => (r._1, r._2)).foreach { case (key, grp) =>
+        model.getOrElseUpdate(key, grp.map(_._3).min)
+      }
+      // and a re-run of the SAME batch must be a no-op
+      RawZone.warehouseMerge(spark, rows.toDF("k", "date", "v"), path,
+        keys = Seq("k", "date"), partitionBy = Seq("date"))
+      val got = RawZone.warehouse(spark, path)
+        .select(col("k"), col("date").cast("string"), col("v"))
+        .as[(Long, String, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === model.toMap)
+    }
+  }
 }
