@@ -380,7 +380,10 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val dd7Sql =
+  /** Recursive CTE chain ending in `lbl(doc_id, cluster_id)` — the
+    * oracle twin of the dd7 label propagation (shared with dd12).
+    */
+  private val dd7SqlCtes =
     s"""WITH RECURSIVE $shinglesSqlCte,
        |c AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -395,7 +398,10 @@ object Dedup {
        |  UNION
        |  SELECT rr.doc_id, e.idb FROM rr JOIN edges e ON e.ida = rr.reach),
        |lbl AS (SELECT doc_id, LEAST(doc_id, MIN(reach)) AS cluster_id
-       |        FROM rr GROUP BY doc_id)
+       |        FROM rr GROUP BY doc_id)""".stripMargin
+
+  private val dd7Sql =
+    s"""$dd7SqlCtes
        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
        |FROM lbl ORDER BY doc_id""".stripMargin
 
@@ -555,6 +561,49 @@ object Dedup {
        |ORDER BY ida, idb""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd12_keep_best — the kept-corpus emission that ends a production
+  // dedup pipeline: dd7's clusters pick ONE representative each, but by
+  // QUALITY (most tokens; tie → lowest id), not merely the min-id
+  // canonical — "keep the longest copy" is the standard boilerplate/
+  // truncation-robust policy. Docs outside any cluster keep themselves.
+  // Output is one verdict row per corpus doc: cluster, token count, kept.
+  //
+  // Scale: representative selection is one map-side-combined
+  // max-of-struct aggregate over (n_tokens, -doc_id) — ≤1 row per
+  // cluster survives to shuffle — joined back broadcast-or-hash by AQE;
+  // the verdict emission is map-only against the cluster frame.
+  private def dd12KeepBest(s: SparkSession, d: String): DataFrame = {
+    val labels = dd7DedupClusters(s, d).select("doc_id", "cluster_id")
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val lab = toks.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val rep = lab.groupBy("cluster_id")
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg")).as("rep_id"))
+    lab.join(rep, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        (col("doc_id") === col("rep_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val dd12Sql =
+    s"""$dd7SqlCtes,
+       |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |la AS (SELECT tk.doc_id, tk.n_tokens,
+       |    COALESCE(lbl.cluster_id, tk.doc_id) AS cluster_id
+       |  FROM tk LEFT JOIN lbl ON lbl.doc_id = tk.doc_id),
+       |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+       |    SELECT cluster_id, doc_id, row_number() OVER (
+       |      PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn
+       |    FROM la) WHERE rn = 1)
+       |SELECT la.doc_id, la.cluster_id, la.n_tokens, la.doc_id = rep.rep_id AS kept
+       |FROM la JOIN rep USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd11_incremental_dedup — dedup a NEW INGEST BATCH against an existing
   // corpus without re-pairing the corpus: the pattern every continuously-
   // fed 100 TB pipeline actually runs (the batch self-joins dd2/dd3/dd6
@@ -623,6 +672,7 @@ object Dedup {
   val queries: Seq[Q] = Seq(
     Q("dd1_exact", dd1Exact, Some(dd1Sql)),
     Q("dd11_incremental_dedup", dd11IncrementalDedup, Some(dd11Sql)),
+    Q("dd12_keep_best", dd12KeepBest, Some(dd12Sql)),
     Q("dd2_ngram_jaccard", dd2NgramJaccard, Some(dd2Sql), headline = true),
     Q("dd3_minhash_lsh", dd3MinhashLsh, Some(dd3Sql), headline = true),
     Q("dd4_simhash", dd4Simhash, Some(dd4Sql)),
