@@ -797,9 +797,118 @@ object Relational {
       |        WHERE c.c_acctbal < 0)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q34/q35/q36 — the TPC-H decorrelation gauntlet (Q4/Q21/Q22 shapes,
+  // adapted to this corpus's columns: shipdate-vs-orderdate lateness for
+  // the missing commit/receipt dates, "no large orders" for Q22's
+  // no-orders predicate since every customer here has orders). All three
+  // run through spark.sql — the correlated-subquery shapes BI tools and
+  // hand-written reports actually emit, each decorrelated by Catalyst
+  // to joins (no per-row subquery execution):
+  //  - q34: EXISTS with correlated date arithmetic → left-semi.
+  //  - q35: EXISTS + NOT EXISTS, both correlated on the same inner
+  //    table with an outer-column comparison → left-semi + null-aware
+  //    left-anti over lineitem self-joins (the classic Q21 plan).
+  //  - q36: uncorrelated scalar aggregate (positive-balance average as
+  //    exact cents×count cross-multiplication — no float average) +
+  //    correlated NOT EXISTS with an inner filter.
+  private def viewsFor(s: SparkSession, d: String): Unit = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+  }
+
+  private def q34TpchQ4(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders_v
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem_v WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q34Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def q35TpchQ21(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier_v JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders_v ON o_orderkey = l1.l_orderkey
+        |  JOIN nation_v ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem_v l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |  AND n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
+  private val q35Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey
+      |                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |  AND n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  private def q36TpchQ22(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      s"""WITH ab AS (SELECT CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS s,
+         |    COUNT(*) AS c FROM customer_v WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, COUNT(*) AS numcust,
+         |  CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS totacctbal_cents
+         |FROM customer_v CROSS JOIN ab
+         |WHERE ${centsSql("c_acctbal")} * c > s
+         |  AND NOT EXISTS (SELECT 1 FROM orders_v WHERE o_custkey = c_custkey
+         |                  AND o_totalprice > 250000)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val q36Sql =
+    s"""WITH ab AS (SELECT CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS s,
+       |    COUNT(*) AS c FROM customer WHERE c_acctbal > 0)
+       |SELECT c_mktsegment, COUNT(*) AS numcust,
+       |  CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS totacctbal_cents
+       |FROM customer CROSS JOIN ab
+       |WHERE ${centsSql("c_acctbal")} * c > s
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_totalprice > 250000)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q31_sql_surface", q31SqlSurface, Some(q31Sql)),
     Q("q33_sql_decorrelate", q33SqlDecorrelate, Some(q33Sql)),
+    Q("q34_tpch_q4", q34TpchQ4, Some(q34Sql)),
+    Q("q35_tpch_q21", q35TpchQ21, Some(q35Sql)),
+    Q("q36_tpch_q22", q36TpchQ22, Some(q36Sql)),
     Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
     Q("q32_approx_percentiles", q32ApproxPercentiles, Some(q32Sql)),
