@@ -888,7 +888,7 @@ object Relational {
          |FROM customer_v CROSS JOIN ab
          |WHERE ${centsSql("c_acctbal")} * c > s
          |  AND NOT EXISTS (SELECT 1 FROM orders_v WHERE o_custkey = c_custkey
-         |                  AND o_totalprice > 250000)
+         |                  AND o_totalprice > 350000)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
@@ -900,7 +900,7 @@ object Relational {
        |FROM customer CROSS JOIN ab
        |WHERE ${centsSql("c_acctbal")} * c > s
        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-       |                  AND o_totalprice > 250000)
+       |                  AND o_totalprice > 350000)
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   val queries: Seq[Q] = Seq(
