@@ -105,7 +105,7 @@ object ScaleProbe {
     }
 
     val allProbes = Seq("q1_agg", "q10_topk_per_group", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
-      "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
+      "q24_salted_agg", "q26_tpch_q6", "q29_percentiles", "q35_tpch_q21",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8",
