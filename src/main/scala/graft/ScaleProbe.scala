@@ -112,7 +112,7 @@ object ScaleProbe {
       "t2_quality", "t5_repetition", "t6_stratified_sample",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join",
       "w3_fact_engagement",
-      "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit",
+      "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
       "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb",
       "mm7_media_ann_topk")

@@ -184,6 +184,55 @@ object TrainPrep {
       .orderBy("chunk_id")
   }
 
+  // ---------------------------------------------------------------------
+  // pk3_attention_spans — the per-chunk SEQUENCE-BOUNDARY table a trainer
+  // needs next to pk2's token streams: packed chunks concatenate
+  // documents, so block-diagonal attention (and loss masking) needs,
+  // for every chunk, the in-chunk offsets where each document begins.
+  // A doc spanning [start_off, end_off) starts inside chunk c at
+  // max(start_off, c·B) − c·B for every chunk it overlaps; per chunk the
+  // sorted offsets are emitted as a canonical CSV string (identical
+  // formatting in both engines — raw arrays stringify differently).
+  //
+  // Scale: runs entirely on pk1's narrow (doc_id, n_tokens, start_off)
+  // frame — the token stream itself NEVER moves. Fan-out is
+  // chunks-per-doc (n_tokens/B + 1) and each chunk group holds ≤ B
+  // boundary rows, so the groupBy is bounded regardless of corpus size.
+  private def pk3AttentionSpans(s: SparkSession, d: String): DataFrame =
+    packedOffsets(s, d).filter(col("n_tokens") > 0)
+      .select(col("start_off"),
+        (col("start_off") + col("n_tokens")).as("end_off"))
+      .select(col("start_off"),
+        explode(sequence(
+          expr(s"start_off div $packBudget"),
+          expr(s"(end_off - 1) div $packBudget"))).as("chunk_id"))
+      .select(col("chunk_id"),
+        (greatest(col("start_off"), col("chunk_id") * packBudget) -
+          col("chunk_id") * packBudget).as("rel"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_seqs"),
+        array_join(sort_array(collect_list(col("rel"))), ",").as("seq_starts_csv"))
+      .orderBy("chunk_id")
+
+  private val pk3Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM t),
+       |ch AS (SELECT start_off, start_off + n_tokens AS end_off
+       |  FROM o WHERE n_tokens > 0),
+       |x AS (SELECT CAST(u.c AS BIGINT) AS chunk_id,
+       |    GREATEST(start_off, u.c * $packBudget) - u.c * $packBudget AS rel
+       |  FROM ch, UNNEST(generate_series(CAST(start_off // $packBudget AS INT),
+       |    CAST((end_off - 1) // $packBudget AS INT))) u(c))
+       |SELECT chunk_id, COUNT(*) AS n_seqs,
+       |  string_agg(CAST(rel AS VARCHAR), ',' ORDER BY rel) AS seq_starts_csv
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val pk2Sql =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -388,6 +437,7 @@ object TrainPrep {
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Sql)),
     Q("pk2_pack_emit", pk2PackEmit, Some(pk2Sql)),
+    Q("pk3_attention_spans", pk3AttentionSpans, Some(pk3Sql)),
     Q("dd10_paragraph_dedup", dd10ParagraphDedup, Some(dd10Sql)),
     Q("t7_pii_redact", t7PiiRedact, Some(t7Sql)),
     Q("mix1_domain_mix", mix1DomainMix, Some(mix1Sql)))
