@@ -212,7 +212,52 @@ object EventOps {
       |FROM ev JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_w, weeks_since""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev7_anomaly — trailing-window anomaly flags on the hourly event-count
+  // series: an hour is anomalous when its count deviates from the
+  // trailing-24h mean by more than 3 standard deviations. The z-test is
+  // done in EXACT integer arithmetic by cross-multiplication —
+  // (n·c − s)² > 9·(n·q − s²), with (n, s, q) = count/sum/sum-of-squares
+  // of the trailing RANGE frame over the integer hour index — so no
+  // float mean/stddev ever materializes and both engines flag
+  // identically. Requires ≥ 8 trailing hours to damp cold-start noise.
+  //
+  // Scale: the window runs over the HOURLY series, not events — its row
+  // count is bounded by elapsed time (~9k rows/year) no matter how many
+  // events feed it, so the unpartitioned ordered frame is bounded by
+  // calendar, not data volume; the event-level work is one
+  // map-side-combined groupBy(hour).
+  private def ev7Anomaly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("h_idx").rangeBetween(-24, -1)
+    Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) div 3600000000L").as("h_idx")) // exact int div
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("s", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("q", coalesce(sum(col("c") * col("c")).over(w), lit(0L)))
+      .select(col("h_idx"), col("c"), col("n"),
+        (col("n") >= 8L &&
+          (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s")) >
+            lit(9L) * (col("n") * col("q") - col("s") * col("s"))).as("anomaly"))
+      .orderBy("h_idx")
+  }
+
+  private val ev7Sql =
+    """WITH hc AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h_idx,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1),
+      |f AS (SELECT h_idx, c,
+      |    COUNT(c) OVER tw AS n,
+      |    CAST(COALESCE(SUM(c) OVER tw, 0) AS BIGINT) AS s,
+      |    CAST(COALESCE(SUM(c*c) OVER tw, 0) AS BIGINT) AS q
+      |  FROM hc
+      |  WINDOW tw AS (ORDER BY h_idx RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT h_idx, c, n,
+      |  n >= 8 AND (n*c - s)*(n*c - s) > 9*(n*q - s*s) AS anomaly
+      |FROM f ORDER BY h_idx""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("ev7_anomaly", ev7Anomaly, Some(ev7Sql)),
     Q("ev6_cohort_retention", ev6CohortRetention, Some(ev6Sql)),
     Q("ev1_tumbling", ev1Tumbling, Some(ev1Sql)),
     Q("ev2_sliding", ev2Sliding, Some(ev2Sql)),
