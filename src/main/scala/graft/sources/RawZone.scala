@@ -154,12 +154,19 @@ object RawZone {
       .select(cols.map(col): _*)
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fsPath)) warehouseAppend(deduped, path, partitionBy)
+    // a directory with no data files (e.g. left by an empty first batch)
+    // is "absent": reading it can't infer a schema
+    val existingOpt =
+      if (!fs.exists(fsPath)) None
+      else try {
+        val e = warehouse(spark, path); e.schema; Some(e)
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    if (existingOpt.isEmpty) warehouseAppend(deduped, path, partitionBy)
     else {
       // partition-prune the existing scan only when partition cols are
       // part of the key — otherwise a same-key row in an untouched
       // partition would be missed and duplicated
-      val existing = warehouse(spark, path)
+      val existing = existingOpt.get
       val pruned =
         if (partitionBy.nonEmpty && partitionBy.forall(keys.contains)) {
           val touched = deduped.select(partitionBy.map(col): _*).distinct()

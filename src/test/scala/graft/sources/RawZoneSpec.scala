@@ -152,6 +152,22 @@ class RawZoneSpec extends SparkSpec {
     }
   }
 
+  test("warehouseMerge: empty batch is a no-op on existing and absent tables") {
+    import spark.implicits._
+    val path = s"${tmp()}/wh_empty"
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "date", "v")
+    // absent table: creates nothing readable but must not throw
+    RawZone.warehouseMerge(spark, empty, path,
+      keys = Seq("k", "date"), partitionBy = Seq("date"))
+    val seed = Seq((1L, "2024-03-01", 10L)).toDF("k", "date", "v")
+    RawZone.warehouseMerge(spark, seed, path,
+      keys = Seq("k", "date"), partitionBy = Seq("date"))
+    // existing table: empty batch leaves it untouched
+    RawZone.warehouseMerge(spark, empty, path,
+      keys = Seq("k", "date"), partitionBy = Seq("date"))
+    assert(RawZone.warehouse(spark, path).count() === 1L)
+  }
+
   test("warehouseMerge: randomized batches match a first-write-wins model") {
     import spark.implicits._
     val rnd = new scala.util.Random(42) // seeded: reproducible
