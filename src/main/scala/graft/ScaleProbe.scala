@@ -49,6 +49,18 @@ import org.apache.spark.sql.functions._
   * aggregate 0.80→1.36 s, window 0.98→2.16 s at 1×→10× — the partial
   * top-k forwards ≤k pairs per group per map task where the window
   * shuffles and sorts every row, so the gap grows with data volume.
+  *
+  * Round-6 additions (measured, local[32], warm, 1×→10×): q35 TPC-H-Q21
+  * decorrelation 1.1→4.2 s; dd11 incremental index probe 1.3→6.7 s
+  * (true-match output grows ~10× on this dup-heavy corpus); sim7 SQ8
+  * ANN 0.7→2.2 s; mm7 bounded media ANN 1.0→2.9 s; t8 top terms
+  * 1.6→2.5 s; pk3 attention spans 0.4→0.8 s; ev6 cohort retention and
+  * ev7 anomaly flags are FLAT (0.9→0.8 s, 0.4→0.3 s — both aggregate to
+  * calendar-bounded frames before any heavy operator). Full sweep
+  * re-run after the round-6 refactors: every non-pair-enumeration
+  * operator stays ≤3× at 10× data; the two >10× rows remain dd8/mm4,
+  * whose 10× OUTPUT is the ~50×-grown true near-pair list itself
+  * (banded generation is linear; enumeration is the floor).
   */
 object ScaleProbe {
   val Copies = 10
@@ -109,8 +121,8 @@ object ScaleProbe {
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8",
-      "t2_quality", "t5_repetition", "t6_stratified_sample",
-      "ev3_session_window", "ev4_funnel", "ev5_interval_join",
+      "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
+      "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
