@@ -58,9 +58,11 @@ import org.apache.spark.sql.functions._
   * ev7 anomaly flags are FLAT (0.9→0.8 s, 0.4→0.3 s — both aggregate to
   * calendar-bounded frames before any heavy operator). Full sweep
   * re-run after the round-6 refactors: every non-pair-enumeration
-  * operator stays ≤3× at 10× data; the two >10× rows remain dd8/mm4,
-  * whose 10× OUTPUT is the ~50×-grown true near-pair list itself
-  * (banded generation is linear; enumeration is the floor).
+  * operator stays ≤3× at 10× data. dd8 got the mm4 distinct-sketch-value
+  * rewrite this round (band values, not doc rows): 26.4 s → 5.2 s at
+  * 10×. The remaining >10× row is mm4, whose 10× OUTPUT is the
+  * ~50×-grown true near-pair list itself (banded generation is linear;
+  * enumeration is the floor — mm7 is the bounded consumable).
   */
 object ScaleProbe {
   val Copies = 10

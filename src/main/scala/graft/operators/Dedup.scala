@@ -415,28 +415,43 @@ object Dedup {
   // (sparse band groups, (long, int, long) rows); this is how SimHash
   // dedup runs at web scale (Manku et al.'s approach, composed from
   // stock Spark ops).
+  // Plan note (round 6): bands are built over DISTINCT simhash VALUES,
+  // not doc rows — the same rewrite that took mm4's 10× probe from
+  // 225 s to 33 s. An n-member identical-sketch cluster otherwise costs
+  // 3·C(n,2) band-join work before the verify; over distinct values it
+  // costs 1 row, and doc pairs re-expand afterwards (within-value at
+  // Hamming 0 via a value self-join, cross-value from the banded value
+  // pairs). Output-identical; the residual 10× cost is enumerating the
+  // ~50×-grown true pair list itself.
   private def dd8SimhashPairs(s: SparkSession, d: String): DataFrame = {
-    // one row per doc, referenced 3× (bands + both verify sides) —
-    // materialize once instead of recomputing the 32-vote aggregation
+    // one row per doc, referenced 3× (value frame + both expansion
+    // sides) — materialize once instead of recomputing the 32-vote agg
     val sim = simhashDf(s, d, 32).localCheckpoint()
+    val vals = sim.select("simhash").distinct().localCheckpoint()
     val bandCols = Seq(
       (col("simhash") % 2048L).as("b"),
       (shiftright(col("simhash"), 11) % 2048L).as("b"),
       (shiftright(col("simhash"), 22) % 1024L).as("b"))
     val bands = bandCols.zipWithIndex.map { case (b, i) =>
-      sim.select(col("doc_id"), lit(i).as("band"), b)
+      vals.select(col("simhash"), lit(i).as("band"), b)
     }.reduce(_ unionByName _)
-    val l = bands.select(col("doc_id").as("ida"), col("band"), col("b"))
-    val r = bands.select(col("doc_id").as("idb"), col("band"), col("b"))
-    val cand = l.join(r, Seq("band", "b")).filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    cand
-      .join(sim.select(col("doc_id").as("ida"), col("simhash").as("ha")), "ida")
-      .join(sim.select(col("doc_id").as("idb"), col("simhash").as("hb")), "idb")
+    val vpairs = bands.select(col("simhash").as("ha"), col("band"), col("b"))
+      .join(bands.select(col("simhash").as("hb"), col("band"), col("b")),
+        Seq("band", "b"))
+      .filter(col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= 2L)
-      .select("ida", "idb", "hamming")
-      .orderBy("ida", "idb")
+    val cross = vpairs
+      .join(sim.select(col("simhash").as("ha"), col("doc_id").as("ia")), "ha")
+      .join(sim.select(col("simhash").as("hb"), col("doc_id").as("ib")), "hb")
+      .select(least(col("ia"), col("ib")).as("ida"),
+        greatest(col("ia"), col("ib")).as("idb"), col("hamming"))
+    val within = sim.select(col("simhash"), col("doc_id").as("ida"))
+      .join(sim.select(col("simhash"), col("doc_id").as("idb")), "simhash")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), lit(0L).as("hamming"))
+    cross.unionByName(within).orderBy("ida", "idb")
   }
 
   private val dd8Sql: String = {
