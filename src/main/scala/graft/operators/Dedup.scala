@@ -177,13 +177,49 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Distinct LSH candidate pairs (shared by dd3 and dd6's verify). */
+  /** Distinct LSH candidate pairs (shared by dd3 and dd6's verify).
+    *
+    * Plan note (round 6): docs are first collapsed onto their FULL
+    * 12-hash signature (one xxhash64 key), and the band self-join runs
+    * over DISTINCT signatures — the same rewrite as dd8/mm4. An
+    * n-member identical-signature cluster (exact dups and most
+    * boilerplate near-dups land here) otherwise pays 4·C(n,2) band-join
+    * rows before the pair distinct; over distinct signatures it pays 1,
+    * and doc pairs re-expand afterwards (within-signature C(n,2) +
+    * cross-signature). Output-identical to banding doc rows.
+    */
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val bands = bandFrame(s, d)
-    val l = bands.select(col("doc_id").as("ida"), col("band"), col("key"))
-    val r = bands.select(col("doc_id").as("idb"), col("band"), col("key"))
-    l.join(r, Seq("band", "key")).filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
+    val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
+    val sigCols = (0 until numHashes).map(i =>
+      min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
+    val sigKey = xxhash64(concat_ws(",", (0 until numHashes).map(i => col(s"h$i")): _*))
+    val sig = shingleRows(s, d).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("sk", sigKey)
+      .localCheckpoint() // referenced 3× (distinct values + both expand sides)
+    val vals = sig.dropDuplicates("sk")
+    val bandStructs = (0 until numBands).map { b =>
+      val key = concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+      struct(lit(b).as("band"), xxhash64(key).as("key"))
+    }
+    val bands = vals.select(col("sk"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("sk"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val vpairs = bands.select(col("sk").as("ka"), col("band"), col("key"))
+      .join(bands.select(col("sk").as("kb"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("ka") < col("kb"))
+      .select("ka", "kb").distinct()
+    val docs = sig.select(col("sk"), col("doc_id"))
+    val cross = vpairs
+      .join(docs.select(col("sk").as("ka"), col("doc_id").as("ia")), "ka")
+      .join(docs.select(col("sk").as("kb"), col("doc_id").as("ib")), "kb")
+      .select(least(col("ia"), col("ib")).as("ida"),
+        greatest(col("ia"), col("ib")).as("idb"))
+    val within = docs.select(col("sk"), col("doc_id").as("ida"))
+      .join(docs.select(col("sk"), col("doc_id").as("idb")), "sk")
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb")
+    cross.unionByName(within).distinct()
   }
 
   private def dd3MinhashLsh(s: SparkSession, d: String): DataFrame =
