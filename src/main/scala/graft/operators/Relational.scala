@@ -783,12 +783,16 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  // DuckDB promotes SUM(BIGINT) to HUGEINT (int128); Spark emits int64.
+  // The driver hashes the typed values, so the oracle casts the window
+  // sum back to BIGINT (values are identical — overflow impossible at
+  // any SF: 30 days of cents per customer is far below 2^63).
   private val q33Sql =
     """SELECT o.o_custkey, o.o_orderkey,
-      |  SUM(CAST(round(o.o_totalprice*100,0) AS BIGINT)) OVER (
+      |  CAST(SUM(CAST(round(o.o_totalprice*100,0) AS BIGINT)) OVER (
       |    PARTITION BY o.o_custkey
       |    ORDER BY date_diff('day', DATE '1990-01-01', o.o_orderdate)
-      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS cents_30d
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
       |FROM orders o
       |WHERE EXISTS (SELECT 1 FROM orders u
       |        WHERE u.o_custkey = o.o_custkey
