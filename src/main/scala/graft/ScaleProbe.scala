@@ -63,6 +63,19 @@ import org.apache.spark.sql.functions._
   * 10×. The remaining >10× row is mm4, whose 10× OUTPUT is the
   * ~50×-grown true near-pair list itself (banded generation is linear;
   * enumeration is the floor — mm7 is the bounded consumable).
+  *
+  * Round-7: dd11's exact-Jaccard verify now semi-joins the shingle rows
+  * to the candidate doc-id set BEFORE aggregating shingle sets (verify
+  * cost O(batch+candidates), not O(corpus) — the round-6 verdict's
+  * design nit). Same-JVM alternating A/B at 10× (3 settled passes each):
+  * corpus-wide aggregate 17.5–30 s, pruned 6.1–8.6 s — ~3× faster here
+  * and asymptotically better as corpus outgrows batch. Measurement
+  * hygiene learned doing it: this VM's first ~2 heavy passes after JVM
+  * start run 5–15× slow (host-level warmup; load stays ~2/32 while
+  * nominally "busy"), so single cold probe numbers are unreliable —
+  * probe loops now also unpersist leaked localCheckpoint blocks between
+  * runs (dropPersisted) and A/B comparisons alternate variants in one
+  * session and discard the first pass.
   */
 object ScaleProbe {
   val Copies = 10
@@ -265,16 +278,26 @@ object ScaleProbe {
     }
     // optional args: probe only these queries
     val probes = if (args.isEmpty) allProbes else allProbes.filter(args.toSet)
+    // Queries that localCheckpoint intermediates leave their blocks in
+    // the block manager forever (nothing unpersists them); across a
+    // multi-query probe run the accumulation eventually forces
+    // eviction/GC churn and the later timings go off a cliff (observed:
+    // the same dd11 10× run measuring 22 s on a fresh JVM and 175 s late
+    // in a session). Drop all persisted RDDs between runs so every
+    // measurement sees the same clean block manager.
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     // warm then measure, at both scales
     for (sf <- Seq(src, out); name <- probes) {
       try {
         SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+        dropPersisted()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
         println(f"[probe] ${if (sf == src) "1x " else "10x"} $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       } catch { case e: Throwable =>
         println(s"[probe] FAIL $sf $name: ${e.getMessage.take(200)}")
-      }
+      } finally dropPersisted()
     }
     spark.stop()
   }

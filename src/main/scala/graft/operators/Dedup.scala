@@ -40,7 +40,7 @@ object Dedup {
     * in the dedup operators are the semantically required ones
     * (candidate-pair join / band join / per-doc signature agg).
     */
-  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -163,7 +163,7 @@ object Dedup {
   /** (doc_id, band, key) MinHash band rows — the LSH index frame
     * (shared by dd3/dd6's self-join and dd11's incremental probe).
     */
-  private def bandFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandFrame(s: SparkSession, d: String): DataFrame = {
     val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
     val sigCols = (0 until numHashes).map(i =>
       min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
@@ -677,14 +677,30 @@ object Dedup {
     val bands = bandFrame(s, d).localCheckpoint()
     val index = bands.filter(!isNew) // stands for the stored index
     val probe = bands.filter(isNew)
+    // candidate pairs are O(batch·bucketDegree) — small enough to pin,
+    // and pinned so the band self-join runs exactly once (hs below joins
+    // against cand-derived ids twice; without the checkpoint each use
+    // would recompute the join)
     val cand = probe.select(col("doc_id").as("nid"), col("band"), col("key"))
       .join(index.select(col("doc_id").as("oid"), col("band"), col("key")),
         Seq("band", "key"))
       .select("nid", "oid").distinct()
+      .localCheckpoint()
+    // verify cost is O(batch + candidates), not O(corpus): only docs that
+    // appear in a candidate pair have their shingle sets aggregated (the
+    // semi-join prunes BEFORE the distinct+groupBy, so the exact-Jaccard
+    // gate never re-aggregates the uninvolved corpus per batch; broadcast
+    // — the candidate id set is bounded by the batch's bucket collisions).
+    // hs is itself checkpointed: O(candidate docs) rows, reused by both
+    // sides of the pair join below.
+    val candIds = cand.select(col("nid").as("doc_id"))
+      .union(cand.select(col("oid").as("doc_id"))).distinct()
     val hs = shingleRows(s, d)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+      .localCheckpoint()
     val verified = cand
       .join(hs.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
       .join(hs.select(col("doc_id").as("oid"), col("hs").as("hb"), col("n").as("nb")), "oid")

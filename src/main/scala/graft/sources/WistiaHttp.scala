@@ -106,6 +106,15 @@ object WistiaHttp {
       }
     }
 
+  /** Single-item Media Show endpoint (reference `ingest_wistia_v1.py:
+    * 163-207` fetch_media_metadata): one GET to `{base}/{id}.json`;
+    * Some(body) on 2xx, None on any error or non-2xx — the caller skips
+    * that media and continues, matching the reference's per-media
+    * None-and-move-on isolation (no retry).
+    */
+  def show(showUrlBase: String, token: String, mediaId: String): Option[String] =
+    get(s"${showUrlBase.stripSuffix("/")}/${enc(mediaId)}.json", token)
+
   /** All media-list pages (driver-side; the list is small). Stops on
     * empty OR short page like the reference's List-endpoint loop.
     */

@@ -19,17 +19,33 @@ import graft.sources.{RawZone, WistiaHttp}
   */
 object Ingest {
 
-  /** One ingestion run. Returns the run stamp used for both entities. */
+  /** One ingestion run. Returns the run stamp used for both entities.
+    *
+    * `mediaMode` selects how media metadata is fetched:
+    *  - `"list"` (default): the List endpoint with short-page pagination
+    *    (reference `ingest_wistia.py` — one request per 100 medias);
+    *  - `"show"`: the v1 ingestor's per-media Show endpoint
+    *    (`ingest_wistia_v1.py:163-207` — `GET medias/{id}.json` per id
+    *    in `mediaIdsForEvents`; a failed fetch skips that media). The
+    *    Show body is the same media JSON shape as a List item, so the
+    *    raw zone lands identical records either way; the v1 4-field
+    *    projection is [[Transforms.mediaMetadataV1]] on the landed run.
+    */
   def runIngestion(spark: SparkSession, apiBase: ApiEndpoints, token: String,
       mediaIdsForEvents: Seq[String], rawRoot: String,
       startDate: Option[String] = None, endDate: Option[String] = None,
-      stamp: String = RawZone.runStamp()): String = {
+      stamp: String = RawZone.runStamp(), mediaMode: String = "list"): String = {
     import spark.implicits._
 
-    // media metadata: List endpoint with short-page pagination (driver)
-    val mediaPages = WistiaHttp.mediaPages(apiBase.mediaListUrl, token, perPage = 100)
+    // media metadata: List endpoint with short-page pagination, or the
+    // v1 per-media Show endpoint (both driver-side — the list is small)
+    val mediaBodies = mediaMode match {
+      case "show" => mediaIdsForEvents
+        .flatMap(id => WistiaHttp.show(apiBase.mediaShowUrlBase, token, id))
+      case _ => WistiaHttp.mediaPages(apiBase.mediaListUrl, token, perPage = 100)
+    }
     val media = spark.read.schema(Schemas.rawMedia)
-      .json(spark.createDataset(mediaPages.toSeq))
+      .json(spark.createDataset(mediaBodies.toSeq))
     RawZone.writeRun(media, rawRoot, "media", stamp)
 
     // events: distributed per-media pagination through the connector
@@ -50,7 +66,9 @@ object Ingest {
   }
 }
 
-/** The two stats-API endpoints (reference EVENTS_LIST_URL /
-  * MEDIA_LIST_URL constants).
+/** The stats-API endpoints (reference EVENTS_LIST_URL / MEDIA_LIST_URL
+  * constants; `mediaShowUrlBase` is the v1 ingestor's MEDIA_BASE_URL —
+  * Show requests go to `{mediaShowUrlBase}/{id}.json`).
   */
-case class ApiEndpoints(eventsUrl: String, mediaListUrl: String)
+case class ApiEndpoints(eventsUrl: String, mediaListUrl: String,
+    mediaShowUrlBase: String = "")

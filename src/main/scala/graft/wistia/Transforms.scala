@@ -49,6 +49,19 @@ object Transforms {
         col("updated").as("updated_at"),
         lit(ingestionTs).as("ingestion_timestamp"))
 
+  /** The v1 ingestor's Show-endpoint metadata projection
+    * (`ingest_wistia_v1.py:188-194` extracted_metadata): {id, hashed_id,
+    * title ← name, created_at ← created} over a raw media frame (landed
+    * by `Ingest.runIngestion(mediaMode = "show")` — the Show body is the
+    * same media JSON shape as a List item).
+    */
+  def mediaMetadataV1(rawMedia: DataFrame): DataFrame =
+    rawMedia.select(
+      col("id"),
+      col("hashed_id"),
+      col("name").as("title"),
+      col("created").as("created_at"))
+
   /** dim_visitor — A10 first-occurrence dedup + P2 user-agent flatten
     * (process_wistia_data_v2.py:314-344). The reference keeps the first
     * occurrence in *file order*; distributed reads have no file order, so

@@ -29,6 +29,7 @@ class WistiaHttpSpec extends SparkSpec {
 
   private def mediaJson(i: Int): String =
     s"""{"id": $i, "hashed_id": "hm$i", "name": "Media $i", "duration": ${i * 10}.0,
+       | "created": "2025-04-0${i + 1}T00:00:00.000Z",
        | "project": {"id": 1, "name": "P"}, "type": "Video"}"""
       .stripMargin.replace("\n", "")
 
@@ -81,6 +82,18 @@ class WistiaHttpSpec extends SparkSpec {
       val from = (page - 1) * per
       val items = (from until math.min(from + per, total)).map(mediaJson)
       reply(ex, 200, items.mkString("[", ", ", "]"))
+    })
+    // Show endpoint: /v1/medias/{hashed_id}.json → one media object;
+    // unknown ids 404 (per-media skip), hm2 500s (error isolation)
+    server.createContext("/v1/medias/", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath
+        .stripPrefix("/v1/medias/").stripSuffix(".json")
+      requestedPages.updateWith(s"show:$id") { c => Some(c.getOrElse(0) + 1) }
+      sawAuth |= Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .contains("Bearer tok123")
+      if (id == "hm2") reply(ex, 500, "boom")
+      else if (id.startsWith("hm")) reply(ex, 200, mediaJson(id.stripPrefix("hm").toInt))
+      else reply(ex, 404, "{}")
     })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -149,5 +162,29 @@ class WistiaHttpSpec extends SparkSpec {
     val dim = graft.wistia.Transforms.dimMedia(media, Seq("hm1", "hm2"),
       new java.sql.Timestamp(0L))
     assert(dim.count() === 2)
+  }
+
+  test("Ingest show mode: per-media Show endpoint, 4-field v1 projection, error skip") {
+    // direct endpoint contract: one GET, None on 404/500
+    assert(WistiaHttp.show(s"$base/v1/medias", "tok123", "nope").isEmpty)
+    assert(WistiaHttp.show(s"$base/v1/medias", "tok123", "hm2").isEmpty) // 500
+    assert(WistiaHttp.show(s"$base/v1/medias", "tok123", "hm1").nonEmpty)
+    assert(requestedPages("show:hm2") === 1, "Show must not retry (reference: None and move on)")
+
+    val dir = java.nio.file.Files.createTempDirectory("ingest_v1").toString
+    Ingest.runIngestion(spark,
+      ApiEndpoints(s"$base/v1/stats/events.json", s"$base/v1/medias.json",
+        mediaShowUrlBase = s"$base/v1/medias"),
+      token = "tok123", mediaIdsForEvents = Seq("hm1", "hm2", "hm3"),
+      rawRoot = dir, stamp = "20250513_000000", mediaMode = "show")
+    val media = RawZone.readLatestRun(spark, dir, "media", Schemas.rawMedia).get
+    assert(media.count() === 2) // hm2's 500 skipped, hm1/hm3 landed
+    val meta = graft.wistia.Transforms.mediaMetadataV1(media)
+    assert(meta.columns.toSeq === Seq("id", "hashed_id", "title", "created_at"))
+    val row = meta.orderBy("id").collect()(0)
+    assert(row.getLong(0) === 1L && row.getString(1) === "hm1" &&
+      row.getString(2) === "Media 1" &&
+      row.getTimestamp(3) === java.sql.Timestamp.from(
+        java.time.Instant.parse("2025-04-02T00:00:00Z")))
   }
 }
