@@ -76,6 +76,11 @@ import org.apache.spark.sql.functions._
   * probe loops now also unpersist leaked localCheckpoint blocks between
   * runs (dropPersisted) and A/B comparisons alternate variants in one
   * session and discard the first pass.
+  *
+  * dd13 substring dedup (round 7): 1.9→4.8 s at 1×→10× — sub-scaling
+  * even on this adversarial corpus where ~every gram is repeated
+  * (each doc has ~10 near-copies), because nothing enumerates pairs:
+  * the shuffles carry distinct gram hashes and pruned positions only.
   */
 object ScaleProbe {
   val Copies = 10
@@ -135,6 +140,7 @@ object ScaleProbe {
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles", "q35_tpch_q21",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
+      "dd13_substring_dedup",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
@@ -287,6 +293,24 @@ object ScaleProbe {
     // measurement sees the same clean block manager.
     def dropPersisted(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // dd12 on MATERIALIZED labels (`runMain graft.ScaleProbe dd12_labels`):
+    // production writes dd7's label table once; this times the keep-best
+    // selection alone, which is what repeats per downstream pass
+    if (args.contains("dd12_labels")) {
+      for (sf <- Seq(src, out)) {
+        val labels = SparkEntry.queries("dd7_dedup_clusters")(spark, sf)
+          .select("doc_id", "cluster_id").localCheckpoint()
+        def run(): Unit = graft.operators.Dedup
+          .keepBest(Tables.documents(spark, sf), labels)
+          .write.format("noop").mode("overwrite").save()
+        run()
+        val t0 = System.nanoTime(); run()
+        println(f"[probe] ${if (sf == src) "1x " else "10x"} dd12_keepbest_only     ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // warm then measure, at both scales
     for (sf <- Seq(src, out); name <- probes) {
       try {

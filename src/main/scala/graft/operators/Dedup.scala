@@ -623,9 +623,16 @@ object Dedup {
   // max-of-struct aggregate over (n_tokens, -doc_id) — ≤1 row per
   // cluster survives to shuffle — joined back broadcast-or-hash by AQE;
   // the verdict emission is map-only against the cluster frame.
-  private def dd12KeepBest(s: SparkSession, d: String): DataFrame = {
-    val labels = dd7DedupClusters(s, d).select("doc_id", "cluster_id")
-    val toks = Tables.documents(s, d).select(col("doc_id"),
+  /** Representative selection over MATERIALIZED cluster labels — the
+    * reusable production shape: the clustering job (dd7) writes its
+    * label table once, and every downstream pass (keep-best here, stats,
+    * span removal) reads it instead of recomputing the pair graph.
+    * dd12's gate query recomputes labels inline only because the
+    * correctness gate is stateless; ScaleProbe's `dd12_labels` mode
+    * times this function alone on pre-materialized labels.
+    */
+  private[graft] def keepBest(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val lab = toks.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -636,8 +643,12 @@ object Dedup {
     lab.join(rep, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
         (col("doc_id") === col("rep_id")).as("kept"))
-      .orderBy("doc_id")
   }
+
+  private def dd12KeepBest(s: SparkSession, d: String): DataFrame =
+    keepBest(Tables.documents(s, d),
+      dd7DedupClusters(s, d).select("doc_id", "cluster_id"))
+      .orderBy("doc_id")
 
   private val dd12Sql =
     s"""$dd7SqlCtes,
@@ -736,8 +747,81 @@ object Dedup {
        |WHERE d.doc_id % 5 = 0
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd13_substring_dedup — exact REPEATED-SPAN detection across documents
+  // (the suffix-array exact-substring dedup family, cf. Lee et al. 2022
+  // "Deduplicating Training Data Makes Language Models Better": training
+  // corpora contain long verbatim spans — boilerplate, licenses, quoted
+  // text — that doc-level (dd1) and set-similarity (dd2–dd9) dedup both
+  // miss). Spark-native bucketed formulation instead of a suffix array:
+  //  1. slide a fixed W=8-token window over every doc (map-only explode;
+  //     grams hash to int64 before any shuffle);
+  //  2. a gram is REPEATED iff it occurs in ≥2 distinct docs — distinct
+  //     (h, doc_id) then count per h, both map-side-combinable shuffles
+  //     of hashed longs;
+  //  3. semi-join each doc's gram positions against the repeated-hash
+  //     set (output pruned to repeated positions only);
+  //  4. merge consecutive repeated positions into MAXIMAL spans with the
+  //     gaps-and-islands pattern (i − row_number() constant within a
+  //     run) — one per-doc window over the pruned rows.
+  // Output: one row per maximal span (doc_id, span_start, span_end,
+  // span_tokens), token indices 0-based inclusive. A span's every
+  // W-gram occurs verbatim in some other doc — the "cut candidates" a
+  // training pipeline hands to its span-removal pass.
+  //
+  // Scale: no pair enumeration anywhere — cost is O(corpus positions)
+  // map-side plus shuffles bounded by (distinct grams) + (repeated
+  // positions). The per-doc island window sorts only each doc's
+  // REPEATED positions (pruned rows), not the corpus. Hash caveat as
+  // dd2: xxhash64 grams, identical modulo 64-bit collisions (the oracle
+  // keeps full gram strings).
+  private val W13 = 8
+  private def dd13SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= W13)
+    val grams = toks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - W13)).as("i"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(W13)))).as("h"))
+    val repeated = grams.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2L)
+      .select("h")
+    val repPos = grams.join(repeated, Seq("h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    repPos
+      .withColumn("isl", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + lit(W13 - 1)).as("span_end"),
+        (max(col("i")) - min(col("i")) + lit(W13)).as("span_tokens"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("span_tokens").cast("long").as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dd13Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, i, array_to_string(toks[i:i+${W13 - 1}], ' ') AS gram
+       |  FROM t, UNNEST(generate_series(1, len(toks) - ${W13 - 1})) u(i)
+       |  WHERE len(toks) >= $W13),
+       |rep AS (SELECT gram FROM (
+       |    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2),
+       |rp AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM rep)),
+       |isl AS (SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k FROM rp)
+       |SELECT doc_id, CAST(MIN(i) - 1 AS BIGINT) AS span_start,
+       |  CAST(MAX(i) - 1 + ${W13 - 1} AS BIGINT) AS span_end,
+       |  CAST(MAX(i) - MIN(i) + $W13 AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, k ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd1_exact", dd1Exact, Some(dd1Sql)),
+    Q("dd13_substring_dedup", dd13SubstringDedup, Some(dd13Sql)),
     Q("dd11_incremental_dedup", dd11IncrementalDedup, Some(dd11Sql)),
     Q("dd12_keep_best", dd12KeepBest, Some(dd12Sql)),
     Q("dd2_ngram_jaccard", dd2NgramJaccard, Some(dd2Sql), headline = true),
