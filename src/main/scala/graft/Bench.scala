@@ -34,6 +34,15 @@ object Bench {
     // same-session Bench runs agree per-query where best-of-2 could
     // latch a lucky minimum (runs interleave whole passes so cache
     // effects even out across queries)
+    // queries that localCheckpoint intermediates (dd2/dd7/dd11/dd12…)
+    // leak their blocks — nothing downstream unpersists them. Left
+    // alone they accumulate across the pass and push the block manager
+    // into eviction/GC churn, inflating every query measured after them
+    // (observed: dd12 back-to-back 60 s → 170 s in one JVM; flat once
+    // dropped). Clearing between queries keeps each measurement
+    // independent of suite order.
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -41,7 +50,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropPersisted()
+        name -> dt
       }.toMap
     val passes = Seq(pass(), pass(), pass())
     val results = passes.head.keys.toSeq.sorted.map { k =>

@@ -28,6 +28,9 @@ object BenchOne {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         println(f"[benchone] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // drop leaked localCheckpoint blocks so repeated measurements
+        // stay independent (see Bench.dropPersisted)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

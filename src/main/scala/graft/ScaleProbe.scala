@@ -81,6 +81,16 @@ import org.apache.spark.sql.functions._
   * even on this adversarial corpus where ~every gram is repeated
   * (each doc has ~10 near-copies), because nothing enumerates pairs:
   * the shuffles carry distinct gram hashes and pruned positions only.
+  *
+  * Round-7 gauntlet probes (settled values; this VM intermittently
+  * stalls Spark jobs at idle CPU for minutes at a time, so slow
+  * outliers were re-measured with repeated same-JVM passes):
+  * q34 TPC-H-Q4 1.7→2.3 s (the textbook semi-join plan, linear);
+  * q36 TPC-H-Q22 1.0→1.8 s; dd12 inline 5.5→38.8 s — dominated, as
+  * designed, by recomputing dd2+dd7 for the labels; the production
+  * shape `Dedup.keepBest` on MATERIALIZED labels (`dd12_labels` mode)
+  * is FLAT 0.6→0.8 s at 1×→10×, confirming cluster labels belong in a
+  * stored table written once by the clustering job.
   */
 object ScaleProbe {
   val Copies = 10
@@ -137,10 +147,11 @@ object ScaleProbe {
     }
 
     val allProbes = Seq("q1_agg", "q10_topk_per_group", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
-      "q24_salted_agg", "q26_tpch_q6", "q29_percentiles", "q35_tpch_q21",
+      "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
+      "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
-      "dd13_substring_dedup",
+      "dd12_keep_best", "dd13_substring_dedup",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
