@@ -91,6 +91,11 @@ import org.apache.spark.sql.functions._
   * shape `Dedup.keepBest` on MATERIALIZED labels (`dd12_labels` mode)
   * is FLAT 0.6→0.8 s at 1×→10×, confirming cluster labels belong in a
   * stored table written once by the clustering job.
+  *
+  * dd14 residual corpus: settled 3.2→~9–13 s at 1×→10× (anti-join cut;
+  * see the dd14 plan note for the HOF-variant A/B). q37 TPC-H-Q17
+  * (correlated scalar aggregates) 1.7→3.5 s; q38 TPC-H-Q20 (EXISTS over
+  * correlated GROUP BY+HAVING) flat 1.2→1.2 s at 1×→10×.
   */
 object ScaleProbe {
   val Copies = 10
@@ -148,10 +153,10 @@ object ScaleProbe {
 
     val allProbes = Seq("q1_agg", "q10_topk_per_group", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
-      "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22",
+      "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
-      "dd12_keep_best", "dd13_substring_dedup",
+      "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",

@@ -822,6 +822,7 @@ object Relational {
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
     Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
     Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.table(s, d, "part").createOrReplaceTempView("part_v")
   }
 
   private def q34TpchQ4(s: SparkSession, d: String): DataFrame = {
@@ -907,11 +908,74 @@ object Relational {
        |                  AND o_totalprice > 350000)
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // q37/q38 — two more decorrelation classes the q33–q36 gauntlet does
+  // not cover (both reached from SQL text, both decorrelated by Catalyst
+  // to joins — no per-row subquery execution):
+  //  - q37 (TPC-H Q17 shape): CORRELATED SCALAR AGGREGATE subqueries —
+  //    the "less than 20% of average quantity for this part" predicate,
+  //    in exact integer form (qty·5·cnt < sum ⟺ qty < 0.2·avg, no
+  //    float division); Catalyst rewrites each scalar agg into an
+  //    aggregate + left outer join on the correlation key.
+  //  - q38 (TPC-H Q20 shape, adapted — no partsupp table in this
+  //    corpus): EXISTS over a CORRELATED GROUP BY + HAVING — aggregate
+  //    under a correlated predicate, decorrelated to an aggregate +
+  //    left-semi join. The inner IN-list nests a second (uncorrelated)
+  //    subquery, so the one query exercises nested decorrelation.
+  private def q37TpchQ17(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      s"""SELECT CAST(SUM(${centsSql("l.l_extendedprice")}) AS BIGINT) AS cents_total,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#4'
+         |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+         |      (SELECT COUNT(*) FROM lineitem_v i WHERE i.l_partkey = l.l_partkey)
+         |    < (SELECT CAST(SUM(CAST(i.l_quantity AS BIGINT)) AS BIGINT)
+         |       FROM lineitem_v i WHERE i.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  private val q37Sql =
+    s"""SELECT CAST(SUM(${centsSql("l.l_extendedprice")}) AS BIGINT) AS cents_total,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE p.p_brand = 'Brand#4'
+       |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+       |      (SELECT COUNT(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+       |    < (SELECT CAST(SUM(CAST(i.l_quantity AS BIGINT)) AS BIGINT)
+       |       FROM lineitem i WHERE i.l_partkey = l.l_partkey)""".stripMargin
+
+  private def q38TpchQ20(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier_v s
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem_v li
+        |  WHERE li.l_suppkey = s.s_suppkey
+        |    AND li.l_partkey IN (SELECT p_partkey FROM part_v WHERE p_name LIKE 'red%')
+        |  GROUP BY li.l_partkey
+        |  HAVING SUM(CAST(li.l_quantity AS BIGINT)) > 100)
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
+  private val q38Sql =
+    """SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem li
+      |  WHERE li.l_suppkey = s.s_suppkey
+      |    AND li.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |  GROUP BY li.l_partkey
+      |  HAVING SUM(CAST(li.l_quantity AS BIGINT)) > 100)
+      |ORDER BY s.s_suppkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q31_sql_surface", q31SqlSurface, Some(q31Sql)),
     Q("q33_sql_decorrelate", q33SqlDecorrelate, Some(q33Sql)),
     Q("q34_tpch_q4", q34TpchQ4, Some(q34Sql)),
     Q("q35_tpch_q21", q35TpchQ21, Some(q35Sql)),
+    Q("q37_tpch_q17", q37TpchQ17, Some(q37Sql)),
+    Q("q38_tpch_q20", q38TpchQ20, Some(q38Sql)),
     Q("q36_tpch_q22", q36TpchQ22, Some(q36Sql)),
     Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),

@@ -282,7 +282,39 @@ object TextOps {
       |  CAST(score_ppm AS BIGINT) AS score_ppm
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t9_vocab_stats — corpus vocabulary statistics, the input to tokenizer
+  // and vocab construction: per-term total frequency (tf) and document
+  // frequency (df), global top-100 by tf (term-asc tiebreak) with rank.
+  //
+  // Scale: (term, doc) partial counts combine map-side, then one
+  // vocab-sized aggregate; the global top-100 is orderBy+limit —
+  // Spark's distributed TakeOrdered (each partition forwards ≤100
+  // rows) — NOT a vocab-wide single-partition window; the rank column
+  // is a window over the 100 surviving rows only.
+  private def t9VocabStats(s: SparkSession, d: String): DataFrame = {
+    val td = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("n"))
+    val stats = td.groupBy("term")
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("term")).limit(100)
+    stats.withColumn("term_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("tf").desc, col("term"))).cast("long"))
+      .orderBy("term_rank")
+  }
+
+  private val t9Sql =
+    """WITH td AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |g AS (SELECT term, doc_id, COUNT(*) AS n FROM td GROUP BY 1, 2),
+      |s AS (SELECT term, CAST(SUM(n) AS BIGINT) AS tf, COUNT(*) AS df FROM g GROUP BY 1)
+      |SELECT term, tf, df,
+      |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS term_rank
+      |FROM s ORDER BY tf DESC, term LIMIT 100""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("t9_vocab_stats", t9VocabStats, Some(t9Sql)),
     Q("t8_top_terms", t8TopTerms, Some(t8Sql)),
     Q("t6_stratified_sample", t6StratifiedSample, Some(t6Sql)),
     Q("t1_lang_id", t1LangId, Some(t1Sql)),

@@ -19,32 +19,33 @@ object PieceProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
 
-    // OLD dd11 verify: corpus-wide shingle aggregate, no candidate pruning
-    def oldDd11(s: SparkSession, dir: String): DataFrame = {
-      val isNew = col("doc_id") % 5 === 0
-      val bands = graft.operators.Dedup.bandFrame(s, dir).localCheckpoint()
-      val index = bands.filter(!isNew)
-      val probe = bands.filter(isNew)
-      val cand = probe.select(col("doc_id").as("nid"), col("band"), col("key"))
-        .join(index.select(col("doc_id").as("oid"), col("band"), col("key")),
-          Seq("band", "key"))
-        .select("nid", "oid").distinct()
-      val hs = graft.operators.Dedup.shingleRows(s, dir)
-        .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+    // dd14 variant A: exists()-HOF span test per token (interpreted)
+    def hofDd14(s: SparkSession, dir: String): DataFrame = {
+      val docs = graft.Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val spans = graft.Registry.queries("dd13_substring_dedup")(s, dir)
         .groupBy("doc_id")
-        .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-      val verified = cand
-        .join(hs.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
-        .join(hs.select(col("doc_id").as("oid"), col("hs").as("hb"), col("n").as("nb")), "oid")
-        .withColumn("common",
-          graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
-        .filter(col("common") * 10L >= (col("na") + col("nb") - col("common")) * 8L)
-        .groupBy("nid")
-        .agg(count(lit(1)).as("n_dups"), min(col("oid")).as("dup_of"))
-      graft.Tables.documents(s, dir).filter(isNew).select(col("doc_id"))
-        .join(verified.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_dups").isNotNull.as("is_dup"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("dup_of"))
+        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+      val pos = docs
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"), col("i"),
+          element_at(col("toks"), col("i") + 1).as("tok"))
+      val kept = pos.join(spans, Seq("doc_id"), "left")
+        .filter(col("spans").isNull || !exists(col("spans"),
+          sp => col("i") >= sp("span_start") && col("i") <= sp("span_end")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+              x => x("tok"))).as("clean_text"))
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+          col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
         .orderBy("doc_id")
     }
 
@@ -56,12 +57,11 @@ object PieceProbe {
       println(f"[ab] $label%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       drop()
     }
-    // warm both once, then alternate 3 measured passes each
-    time("warm-old")(oldDd11(spark, d))
-    time("warm-new")(graft.SparkEntry.queries("dd11_incremental_dedup")(spark, d))
+    time("warm-hof")(hofDd14(spark, d))
+    time("warm-anti")(graft.Registry.queries("dd14_residual_corpus")(spark, d))
     for (_ <- 1 to 3) {
-      time("old")(oldDd11(spark, d))
-      time("new")(graft.SparkEntry.queries("dd11_incremental_dedup")(spark, d))
+      time("hof")(hofDd14(spark, d))
+      time("anti")(graft.Registry.queries("dd14_residual_corpus")(spark, d))
     }
     spark.stop()
   }

@@ -68,4 +68,33 @@ class Dd13SubstringSpec extends SparkSpec {
     val dup = run(Seq(1L -> full, 2L -> full))
     assert(dup === Seq((1L, 0L, 11L, 12L), (2L, 0L, 11L, 12L)))
   }
+
+  private def runResidual(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dd14").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    Registry.queries("dd14_residual_corpus")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("dd14: repeated spans are cut, unique text survives in order, untouched docs pass through") {
+    val shared = words("s", 10)
+    val out = runResidual(Seq(
+      1L -> s"${words("a", 5)} $shared ${words("b", 5)}",
+      2L -> s"${words("c", 7)} $shared",
+      3L -> words("z", 9)))
+    assert(out === Seq(
+      (1L, s"${words("a", 5)} ${words("b", 5)}", 20L, 10L),
+      (2L, words("c", 7), 17L, 10L),
+      (3L, words("z", 9), 9L, 0L)))
+  }
+
+  test("dd14: a fully-duplicated doc empties; its twin empties too (canonical copy lives in dd12)") {
+    val full = words("f", 12)
+    val out = runResidual(Seq(1L -> full, 2L -> full, 3L -> words("z", 20)))
+    assert(out === Seq(
+      (1L, "", 12L, 12L), (2L, "", 12L, 12L), (3L, words("z", 20), 20L, 0L)))
+  }
 }
