@@ -96,6 +96,13 @@ import org.apache.spark.sql.functions._
   * see the dd14 plan note for the HOF-variant A/B). q37 TPC-H-Q17
   * (correlated scalar aggregates) 1.7→3.5 s; q38 TPC-H-Q20 (EXISTS over
   * correlated GROUP BY+HAVING) flat 1.2→1.2 s at 1×→10×.
+  *
+  * dd15 containment: 2.4 s → ~62–77 s settled at 1×→10× — like dd2/mm4
+  * this is OUTPUT-driven on the probe corpus: every doc is ~90%+
+  * contained in its ~10 near-copies, so the true containment pair list
+  * itself grows ~50×; the probe-side prefix bound keeps candidates
+  * within ~10× of true pairs (no unbounded fan-out). ev8 transitions:
+  * 0.9→~10–14 s, linear in the event stream (one user_id shuffle).
   */
 object ScaleProbe {
   val Copies = 10
@@ -156,10 +163,11 @@ object ScaleProbe {
       "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
-      "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus",
+      "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
+      "ev8_transitions",
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",

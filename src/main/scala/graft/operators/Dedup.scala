@@ -891,10 +891,72 @@ object Dedup {
        |  FROM kept GROUP BY doc_id) k ON k.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd15_containment — ASYMMETRIC near-containment: emit (ida, idb)
+  // where ≥90% of doc A's shingle set occurs in doc B (C(A→B) =
+  // |A∩B|/|A| ≥ 0.9). The quote/subset case symmetric Jaccard (dd2/dd6)
+  // misses: a short doc pasted into a long one has high containment but
+  // low Jaccard, and training pipelines drop the contained copy.
+  //
+  // Spark plan — containment AllPairs (the asymmetric variant of dd2's
+  // prefix filter): there is no length-ratio bound under containment
+  // (a tiny A may be contained in any size B), so only the PROBE side
+  // prefixes — A indexes its na − ⌈0.9·na⌉ + 1 globally-rarest tokens
+  // (df-ascending canonical order; pigeonhole: common ≥ ⌈0.9·na⌉ forces
+  // a shared token into A's prefix) — while the candidate side joins
+  // the FULL token index. Probe fan-out is bounded by rare-token
+  // document frequencies; exact verification (codegen'd sorted-set
+  // intersect) runs on candidates only. Threshold exact-integer:
+  // common·10 ≥ na·9. Self-pairs excluded; both directions can emit
+  // (A⊂B and B⊂A ⟺ near-equal sets).
+  private def dd15Containment(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "h")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ranked = sh.join(freq, "h")
+      .withColumn("pos", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    // prefix length na − ⌈0.9·na⌉ + 1, with ⌈0.9·na⌉ = (9n+9) div 10
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - expr("(9*n+9) div 10") + 1)
+      .select(col("doc_id").as("ida"), col("h"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("idb"), col("h")), Seq("h"))
+      .filter(col("ida") =!= col("idb"))
+      .select("ida", "idb").distinct()
+    val hs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+    cand
+      .join(hs.select(col("doc_id").as("ida"), col("hs").as("ha"), col("n").as("na")), "ida")
+      .join(hs.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("common",
+        graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
+      .filter(col("common") * 10L >= col("na") * 9L)
+      .select(col("ida"), col("idb"), col("common"), col("na").as("n_a"))
+      .orderBy("ida", "idb")
+  }
+
+  private val dd15Sql: String =
+    s"""WITH $shinglesSqlCte,
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb, common, na.n AS n_a
+       |FROM cm JOIN n na ON na.doc_id = ida
+       |WHERE common * 10 >= na.n * 9
+       |ORDER BY ida, idb""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd1_exact", dd1Exact, Some(dd1Sql)),
     Q("dd13_substring_dedup", dd13SubstringDedup, Some(dd13Sql)),
     Q("dd14_residual_corpus", dd14ResidualCorpus, Some(dd14Sql)),
+    Q("dd15_containment", dd15Containment, Some(dd15Sql)),
     Q("dd11_incremental_dedup", dd11IncrementalDedup, Some(dd11Sql)),
     Q("dd12_keep_best", dd12KeepBest, Some(dd12Sql)),
     Q("dd2_ngram_jaccard", dd2NgramJaccard, Some(dd2Sql), headline = true),

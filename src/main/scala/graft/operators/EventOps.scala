@@ -256,7 +256,42 @@ object EventOps {
       |  n >= 8 AND (n*c - s)*(n*c - s) > 9*(n*q - s*s) AS anomaly
       |FROM f ORDER BY h_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev8_transitions — the event-type transition matrix (first-order
+  // Markov counts): for each user's time-ordered event sequence, count
+  // (from_type → to_type) steps; emit the matrix with per-row totals.
+  // The denominator rides along as an exact integer (n_from) so a
+  // consumer derives probabilities without any float aggregate.
+  //
+  // Scale: the per-user lead() window shuffles events once on user_id
+  // (each user's sequence sorts independently); everything after is
+  // matrix-sized (|event_types|² rows) — the n_from window runs over
+  // that tiny frame, not the event stream.
+  private def ev8Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from",
+        sum(col("n_trans")).over(Window.partitionBy("from_type")))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val ev8Sql =
+    """WITH tr AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |  CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("ev8_transitions", ev8Transitions, Some(ev8Sql)),
     Q("ev7_anomaly", ev7Anomaly, Some(ev7Sql)),
     Q("ev6_cohort_retention", ev6CohortRetention, Some(ev6Sql)),
     Q("ev1_tumbling", ev1Tumbling, Some(ev1Sql)),
