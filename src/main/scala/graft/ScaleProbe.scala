@@ -164,7 +164,7 @@ object ScaleProbe {
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
-      "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8",
+      "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8", "sim8_ann_pq",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
       "ev8_transitions",
