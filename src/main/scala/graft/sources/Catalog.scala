@@ -117,4 +117,73 @@ object Catalog {
     spark.sql(s"TRUNCATE TABLE $table")
     append(df, table)
   }
+
+  /** One compacted partition: before/after parquet file counts. */
+  case class CompactionResult(partition: Map[String, String],
+      filesBefore: Int, filesAfter: Int)
+
+  /** Small-files maintenance for a partitioned warehouse table — the
+    * pass every incrementally-appended (T3) or streaming-fed (T5) fact
+    * table needs: each micro-batch/run appends its own small parquet
+    * files, and scan cost degrades with file count, not bytes. For each
+    * partition holding more than `maxFiles` files, rewrite it into
+    * `ceil(bytes / targetBytes)` files via DYNAMIC partition overwrite
+    * (`insertInto` under partitionOverwriteMode=dynamic), which replaces
+    * ONLY the rewritten partitions — untouched partitions keep their
+    * exact files. Content-preserving by construction (a repartition of
+    * the same rows); idempotent (a compacted partition no longer
+    * exceeds `maxFiles`).
+    *
+    * Scale: the driver loop is metadata-sized (one entry per
+    * over-fragmented partition — file listing via the catalog's file
+    * index, no data read); each rewrite is one job over just that
+    * partition's rows. Readers racing a rewrite see the partition
+    * atomically per Spark's committer contract for dynamic overwrite
+    * (staged then moved); full snapshot isolation needs a table format
+    * (Iceberg/Delta) and is out of scope by the public-Spark-only rule.
+    */
+  def compactPartitions(spark: SparkSession, table: String,
+      partitionBy: Seq[String], targetBytes: Long = 128L << 20,
+      maxFiles: Int = 4): Seq[CompactionResult] = {
+    import org.apache.spark.sql.functions._
+    require(partitionBy.nonEmpty, "compactPartitions needs a partitioned table")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // partition value list: metadata-only (SHOW PARTITIONS … = catalog)
+    val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0)) // e.g. "date=2025-05-12/country=US"
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      parts.toSeq.flatMap { spec =>
+        val kvs = spec.split('/').map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val slice = spark.table(table).filter(
+          kvs.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
+        val files = slice.inputFiles
+        if (files.length <= maxFiles) None
+        else {
+          val bytes = files.map(f =>
+            fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+          val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          // localCheckpoint breaks lineage to the table being rewritten
+          // (Spark rejects an overwrite whose plan reads the target);
+          // the pinned data is one partition — maintenance-job sized
+          val tableCols = spark.table(table).columns.toSeq
+          val pinned = slice.select(tableCols.map(col): _*)
+            .repartition(n).localCheckpoint()
+          try pinned.write.mode(SaveMode.Overwrite).insertInto(table)
+          finally pinned.unpersist(blocking = false)
+          val after = spark.table(table).filter(
+            kvs.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
+          Some(CompactionResult(kvs, files.length, after.inputFiles.length))
+        }
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

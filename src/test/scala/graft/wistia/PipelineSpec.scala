@@ -207,6 +207,41 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("Catalog.compactPartitions: fragmented partitions shrink, content and quiet partitions untouched") {
+    import spark.implicits._
+    val db = "compact_test"
+    val dir = Files.createTempDirectory("cat_compact").toString
+    graft.sources.Catalog.ensureDatabase(spark, db, Some(s"$dir/db"))
+    val t = s"$db.fact"
+    // 6 single-row appends into date A (6 files), one into date B
+    (1 to 6).foreach { i =>
+      graft.sources.Catalog.append(
+        Seq((i.toLong, i * 10L, "2024-03-01")).toDF("k", "v", "date"),
+        t, partitionBy = Seq("date"))
+    }
+    graft.sources.Catalog.append(
+      Seq((7L, 70L, "2024-03-02")).toDF("k", "v", "date"),
+      t, partitionBy = Seq("date"))
+    val before = spark.table(t).orderBy("k").collect().toSeq
+    val quietFiles = spark.table(t)
+      .filter(col("date") === "2024-03-02").inputFiles.toSeq
+
+    val results = graft.sources.Catalog.compactPartitions(
+      spark, t, partitionBy = Seq("date"), maxFiles = 4)
+
+    // only the fragmented partition was rewritten, down to 1 file
+    assert(results.map(_.partition) === Seq(Map("date" -> "2024-03-01")))
+    assert(results.head.filesBefore === 6 && results.head.filesAfter === 1)
+    // content identical; the quiet partition kept its exact files
+    assert(spark.table(t).orderBy("k").collect().toSeq === before)
+    assert(spark.table(t).filter(col("date") === "2024-03-02")
+      .inputFiles.toSeq === quietFiles)
+    // idempotent: second pass finds nothing to do
+    assert(graft.sources.Catalog.compactPartitions(
+      spark, t, partitionBy = Seq("date"), maxFiles = 4).isEmpty)
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("runStreaming idempotent=true: merge sink dedupes a replayed batch") {
     val dir = Files.createTempDirectory("pipeline_sidem").toString
     val wh = Pipeline.Warehouse(s"$dir/wh")
