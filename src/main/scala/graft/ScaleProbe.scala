@@ -166,6 +166,7 @@ object ScaleProbe {
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8", "sim8_ann_pq",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
+      "t9_vocab_stats", "t10_feature_hash",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
       "ev8_transitions",
       "w3_fact_engagement",

@@ -313,7 +313,43 @@ object TextOps {
       |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS term_rank
       |FROM s ORDER BY tf DESC, term LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t10_feature_hash — the HASHING-TRICK featurizer (Weinberger et al.
+  // 2009): each token hashes to one of 16 dimensions with a hash-derived
+  // ±1 sign, and a document's feature vector is the signed count sum per
+  // dimension — the deterministic, vocabulary-free text→vector bridge
+  // into the sim* ANN suite (no trained embedding needed). Output is the
+  // sparse long form (doc_id, dim, weight), weight ≠ 0 — engine-portable
+  // (no array-typed output) and exactly what a downstream
+  // pivot-to-dense or cosine pass consumes.
+  //
+  // Portability: the dimension/sign hash is the md5-derived 60-bit int
+  // (identical hex in both engines — the dd3 convention), dim = hm mod
+  // 16, sign = parity of hm div 16. Scale: featurization is map-only;
+  // the single shuffle is the (doc, dim) partial-sum — map-side
+  // combined, ≤16 rows per doc survive.
+  private def t10FeatureHash(s: SparkSession, d: String): DataFrame = {
+    val hm = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), pmod(hm, lit(16L)).as("dim"),
+        when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0L)
+      .orderBy("doc_id", "dim")
+  }
+
+  private val t10Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substring(md5(term), 1, 15))::BIGINT AS hm FROM tok),
+      |f AS (SELECT doc_id, hm % 16 AS dim,
+      |    CASE WHEN (hm // 16) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h)
+      |SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight
+      |FROM f GROUP BY 1, 2 HAVING SUM(sgn) <> 0 ORDER BY doc_id, dim""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("t10_feature_hash", t10FeatureHash, Some(t10Sql)),
     Q("t9_vocab_stats", t9VocabStats, Some(t9Sql)),
     Q("t8_top_terms", t8TopTerms, Some(t8Sql)),
     Q("t6_stratified_sample", t6StratifiedSample, Some(t6Sql)),
