@@ -103,6 +103,9 @@ import org.apache.spark.sql.functions._
   * itself grows ~50×; the probe-side prefix bound keeps candidates
   * within ~10× of true pairs (no unbounded fan-out). ev8 transitions:
   * 0.9→~10–14 s, linear in the event stream (one user_id shuffle).
+  * t9 vocab stats 1.4→2.1 s (TakeOrdered top-100, no vocab-wide
+  * window); t10 feature hashing 1.4→2.9 s (map-only + one combined
+  * (doc, dim) shuffle); sim8 PQ 3.3→5.9 s (ADC over 8-byte codes).
   */
 object ScaleProbe {
   val Copies = 10

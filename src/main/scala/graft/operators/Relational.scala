@@ -969,7 +969,34 @@ object Relational {
       |  HAVING SUM(CAST(li.l_quantity AS BIGINT)) > 100)
       |ORDER BY s.s_suppkey""".stripMargin
 
+  // q39 — explicit GROUPING SETS with grouping() flags: the one grouping
+  // construct q16 (ROLLUP) and q27 (CUBE) don't cover — an arbitrary,
+  // non-hierarchical set list, plus the grouping-indicator columns BI
+  // layers use to tell subtotal rows from data rows. One expand+agg plan
+  // (Spark's Expand operator), same as rollup/cube — no extra shuffles.
+  private def q39GroupingSets(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  private val q39Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q39_grouping_sets", q39GroupingSets, Some(q39Sql)),
     Q("q31_sql_surface", q31SqlSurface, Some(q31Sql)),
     Q("q33_sql_decorrelate", q33SqlDecorrelate, Some(q33Sql)),
     Q("q34_tpch_q4", q34TpchQ4, Some(q34Sql)),
