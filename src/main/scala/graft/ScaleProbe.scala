@@ -164,6 +164,7 @@ object ScaleProbe {
     val allProbes = Seq("q1_agg", "q10_topk_per_group", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
       "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
+      "q39_grouping_sets",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
