@@ -54,9 +54,29 @@ object Bench {
         dropPersisted()
         name -> dt
       }.toMap
-    val passes = Seq(pass(), pass(), pass())
+    // stall-resistant capture: this VM intermittently stalls Spark jobs at
+    // idle CPU for minutes (documented in ScaleProbe; it inflated the whole
+    // round-7 artifact ~2.9×). A stalled pass is detectable — its TOTAL is
+    // far above the best pass of the same session — and recoverable by
+    // re-running just that pass. Accept 3 passes; while the worst pass
+    // total exceeds 1.5× the best, replace it with a fresh pass (≤2
+    // retries), then take the per-query median of the accepted 3.
+    val passes = scala.collection.mutable.ArrayBuffer(pass(), pass(), pass())
+    var retries = 0
+    def totalOf(p: Map[String, Double]): Double = p.values.sum
+    while (retries < 2 && {
+      val ts = passes.map(totalOf)
+      ts.max > 1.5 * ts.min
+    }) {
+      val worst = passes.indexOf(passes.maxBy(totalOf))
+      System.err.println(
+        f"[bench] pass $worst stalled (${totalOf(passes(worst))}%.1f s vs best " +
+        f"${passes.map(totalOf).min}%.1f s); re-running")
+      passes(worst) = pass()
+      retries += 1
+    }
     val results = passes.head.keys.toSeq.sorted.map { k =>
-      k -> passes.map(_(k)).sorted.apply(1) // median of 3
+      k -> passes.map(_(k)).sorted.apply(1) // median of 3 accepted passes
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -66,9 +86,19 @@ object Bench {
     println(line)
     // the stdout line is the driver's contract, but a truncated pipe
     // capture once lost the head of it (round 6's BENCH artifact); the
-    // sidecar file makes the per-query map independently recoverable
+    // sidecar file makes the per-query map independently recoverable —
+    // and now also carries every accepted pass (per-query, per-pass) plus
+    // pass totals and the stall-retry count, so a machine-inflated capture
+    // is diagnosable from the artifact alone
+    val passJson = passes.map { p =>
+      val m = p.keys.toSeq.sorted.map(k => "\"" + k + f"""\":${p(k)}%.3f""")
+        .mkString("{", ",", "}")
+      f"""{"total":${totalOf(p)}%.3f,"queries":$m}"""
+    }.mkString("[", ",", "]")
+    val sidecar =
+      f"""{"median":$line,"stall_retries":$retries,"passes":$passJson}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_queries.json"), line + "\n")
+      java.nio.file.Paths.get("bench_queries.json"), sidecar + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }

@@ -125,6 +125,15 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Queries that localCheckpoint intermediates leave their blocks in
+    // the block manager forever (nothing unpersists them); across a
+    // multi-query probe run the accumulation eventually forces
+    // eviction/GC churn and the later timings go off a cliff (observed:
+    // the same dd11 10× run measuring 22 s on a fresh JVM and 175 s late
+    // in a session). Drop all persisted RDDs between runs so every
+    // measurement sees the same clean block manager.
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 
     if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
       println("[probe] materializing 10x corpus...")
@@ -169,8 +178,9 @@ object ScaleProbe {
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8", "sim8_ann_pq",
+      "sim9_incremental_ann",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
-      "t9_vocab_stats", "t10_feature_hash",
+      "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
       "ev8_transitions",
       "w3_fact_engagement",
@@ -212,6 +222,56 @@ object ScaleProbe {
         SparkEntry.queries("dd10_paragraph_dedup")(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(f"[probe] skew dd10 $label%-8s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      spark.stop()
+      return
+    }
+    // adversarial dd15 probe (`runMain graft.ScaleProbe skew:dd15`): the
+    // round-7 verdict's degenerate-corpus case — EVERY doc drawn from
+    // the same tiny phrase set, so every shingle's df is O(n) and the
+    // old probe-prefix × full-posting-list join was O(n²) candidates.
+    // hot corpus: 20k docs, each one of 200 templates (5 phrases from a
+    // SHARED 40-phrase pool → every token df ≈ n/8, 200 distinct
+    // shingle sets duplicated 100×). Under the distinct-set collapse,
+    // candidate generation runs over 200 representatives (rep-level df
+    // ≈ 25), and member expansion is the intra-group output itself
+    // (200·100·99 ≈ 2M pairs). uniform twin: same shape, all-unique
+    // phrases (zero duplication — measures the collapse's overhead when
+    // it buys nothing).
+    if (args.contains("skew:dd15")) {
+      val skewDir = "/tmp/sfprobe_skew15"
+      def corpus(hot: Boolean, path: String): Unit = {
+        if (!new java.io.File(s"$path/documents.parquet").exists()) {
+          if (hot) {
+            val pool = (0 until 40).map(p =>
+              (0 until 8).map(j => s"p${p}w$j").mkString(" "))
+            val tmpl = (0 until 200).map(t => (t.toLong,
+              (0 until 5).map(i => pool((t * 7 + i * 11) % 40)).mkString(" ")))
+            import spark.implicits._
+            val tdf = tmpl.toDF("tid", "text")
+            spark.range(20000).withColumn("tid", col("id") % 200)
+              .join(broadcast(tdf), "tid")
+              .select(col("id").as("doc_id"), col("text"))
+              .write.mode("overwrite").parquet(s"$path/documents.parquet")
+          } else {
+            spark.range(20000).selectExpr("id AS doc_id",
+              "array_join(transform(sequence(0, 39), " +
+                "j -> concat('w', CAST(id * 53 + j AS STRING))), ' ') AS text")
+              .write.mode("overwrite").parquet(s"$path/documents.parquet")
+          }
+        }
+      }
+      corpus(hot = true, s"$skewDir/hot")
+      corpus(hot = false, s"$skewDir/uni")
+      for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-200sets" -> s"$skewDir/hot")) {
+        SparkEntry.queries("dd15_containment")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("dd15_containment")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] skew dd15 $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
       }
       spark.stop()
       return
@@ -313,15 +373,6 @@ object ScaleProbe {
     }
     // optional args: probe only these queries
     val probes = if (args.isEmpty) allProbes else allProbes.filter(args.toSet)
-    // Queries that localCheckpoint intermediates leave their blocks in
-    // the block manager forever (nothing unpersists them); across a
-    // multi-query probe run the accumulation eventually forces
-    // eviction/GC churn and the later timings go off a cliff (observed:
-    // the same dd11 10× run measuring 22 s on a fresh JVM and 175 s late
-    // in a session). Drop all persisted RDDs between runs so every
-    // measurement sees the same clean block manager.
-    def dropPersisted(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     // dd12 on MATERIALIZED labels (`runMain graft.ScaleProbe dd12_labels`):
     // production writes dd7's label table once; this times the keep-best
     // selection alone, which is what repeats per downstream pass
