@@ -425,7 +425,7 @@ object Similarity {
        |r AS (SELECT c.qid, c.nbr, a.nrm AS na, b.nrm AS nb,
        |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
        |  FROM coarse c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nbr
-       |  WHERE c.crnk <= 50),
+       |  WHERE c.crnk <= 10),
        |f AS (SELECT qid, nbr, $cosSql AS cos,
        |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
        |  FROM r)
@@ -534,7 +534,100 @@ object Similarity {
        |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM f WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim9_incremental_ann — probe a NEW EMBEDDING BATCH against a STORED
+  // IVF index without re-encoding the corpus: the similarity-side twin
+  // of dd11's batch-vs-stored-index dedup (the nightly-ingest ANN
+  // workload — "which existing vectors are tonight's vectors near?").
+  // The batch is every 5th vector (dd11's convention); the index is the
+  // REST of the corpus, IVF-assigned to the 16 lowest index vec_ids
+  // (sim3's deterministic centroid stand-in) and checkpointed to stand
+  // for the stored (cell)-bucketed table that production appends to per
+  // ingest. Per batch, work is O(batch): each new vector scores the 16
+  // BROADCAST centroids map-side, probes its nprobe=6 nearest cells
+  // (sim5's multi-probe recall knob), and exact cosine reranks only the
+  // probed cells' members — the corpus is never re-scored or re-assigned.
+  // Top-3 per batch vector; batch and index are disjoint so no self-pair
+  // filter is needed. Recall@3 vs brute force is pinned by Sim9RecallSpec.
+  private def sim9IncrementalAnn(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val isNew = col("vec_id") % 5 === 0
+    // one materialized scaling pass serves both sides (dd11's note); in
+    // production the index side is a stored table and only the batch is
+    // scaled per ingest
+    val e = scaledVectors(s, d).localCheckpoint()
+    val corpus = e.filter(!isNew)
+    val cent = corpus.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // the stored index: built once per corpus (not per batch) — the
+    // checkpoint stands for the stored frame
+    val index = corpus.crossJoin(broadcast(cent))
+      .withColumn("cdot", dot(col("v"), col("vc")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .localCheckpoint()
+    // per-batch work starts here
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val probed = e.filter(isNew)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot", dot(col("va"), col("vc")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 6)
+      .select(col("qid"), col("va"), col("na"), col("cid").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    probed.join(index.select(col("vec_id").as("nbr"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell")), Seq("cell"))
+      .withColumn("dot", dot(col("va"), col("vb")))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"),
+        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val sim9Sql =
+    s"""WITH $scaledVectorsSqlCte,
+       |corp AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 5 <> 0),
+       |cent AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM corp ORDER BY vec_id LIMIT 16),
+       |ap AS (SELECT corp.vec_id, corp.v, corp.nrm, cent.cid, cent.nc,
+       |  CAST((SELECT SUM(corp.v[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM corp, cent),
+       |ar AS (SELECT vec_id, v, nrm, cid AS cell,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS arn
+       |  FROM ap),
+       |idx AS (SELECT vec_id, v, nrm, cell FROM ar WHERE arn = 1),
+       |qp AS (SELECT e.vec_id AS qid, e.v AS va, e.nrm AS na, cent.cid, cent.nc,
+       |  CAST((SELECT SUM(e.v[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM e, cent WHERE e.vec_id % 5 = 0),
+       |qr AS (SELECT qid, va, na, cid AS cell,
+       |  row_number() OVER (PARTITION BY qid ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS prn
+       |  FROM qp),
+       |pc AS (SELECT qid, va, na, cell FROM qr WHERE prn <= 6),
+       |p AS (SELECT pc.qid, idx.vec_id AS nbr, pc.na, idx.nrm AS nb,
+       |  CAST((SELECT SUM(pc.va[i] * idx.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM pc JOIN idx ON pc.cell = idx.cell),
+       |c AS (SELECT qid, nbr, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM p)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("sim9_incremental_ann", sim9IncrementalAnn, Some(sim9Sql)),
     Q("sim8_ann_pq", sim8AnnPq, Some(sim8Sql)),
     Q("sim1_ann_brute", sim1AnnBrute, Some(sim1Sql), headline = true),
     Q("sim2_ann_lsh", sim2AnnLsh, Some(sim2Sql)),

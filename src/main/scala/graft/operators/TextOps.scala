@@ -348,7 +348,115 @@ object TextOps {
       |SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight
       |FROM f GROUP BY 1, 2 HAVING SUM(sgn) <> 0 ORDER BY doc_id, dim""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t11_bpe_merges — the iterative BPE-style PAIR-MERGE loop (Sennrich et
+  // al. 2016, at word granularity): k rounds of (count adjacent token
+  // pairs across the corpus → take the globally most frequent pair,
+  // count-desc / lhs-asc / rhs-asc tie-break → merge every
+  // leftmost-non-overlapping occurrence into one token → recount). The
+  // missing bridge from corpus stats (t9) to an actual tokenizer: the
+  // output IS the merge table a BPE tokenizer replays at encode time.
+  //
+  // Greedy-merge semantics: within a run of consecutive candidate
+  // positions (only possible when lhs == rhs, e.g. "a a a a"), BPE
+  // merges left-to-right non-overlapping — i.e. the candidates at even
+  // offsets from the run start. Runs are isolated with gaps-and-islands
+  // (pos − row_number), so the rewrite is pure window algebra — no
+  // per-doc sequential scan.
+  //
+  // Scale (dd7's loop discipline — the driver iterates over ACTIONS,
+  // never rows): each round is one map-side-combined pair-count shuffle,
+  // a distributed TakeOrdered(1) (the only collect — a single row, like
+  // the HWM scalar), and a doc_id-partitioned window rewrite;
+  // localCheckpoint truncates lineage per round so round k's plan does
+  // not replay rounds 1..k−1.
+  private val t11K = 6
+
+  private def t11BpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    var corpus = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= t11K && !done) {
+      val withNext = corpus.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("lhs"), col("nxt").as("rhs"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs")).limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        merges += ((r.toLong, a, b, best(0).getLong(2)))
+        // leftmost-non-overlapping occurrences: even offsets within each
+        // run of consecutive candidate positions
+        val sel = withNext.filter(col("tok") === a && col("nxt") === b)
+          .select("doc_id", "pos")
+          .withColumn("grp", col("pos") - row_number().over(wDoc))
+          .withColumn("off", col("pos") - min(col("pos"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "grp")))
+          .filter(col("off") % 2 === 0)
+          .select(col("doc_id"), col("pos"), lit(1).as("m"))
+        corpus = corpus.join(sel, Seq("doc_id", "pos"), "left")
+          .withColumn("pm", lag(col("m"), 1).over(wDoc))
+          .filter(col("pm").isNull || col("pm") =!= 1) // drop consumed rhs
+          .withColumn("tok2",
+            when(col("m") === 1, lit(a + " " + b)).otherwise(col("tok")))
+          .withColumn("pos2", row_number().over(wDoc).cast("long") - 1L)
+          .select(col("doc_id"), col("pos2").as("pos"), col("tok2").as("tok"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  // the oracle replays the same k rounds, fully unrolled (one CTE block
+  // per round — no recursion, so the statement is engine-portable)
+  private val t11Sql: String = {
+    val sb = new StringBuilder
+    sb.append("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),\n")
+    sb.append("c0 AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS tok\n")
+    sb.append("  FROM t, UNNEST(generate_series(1, len(toks))) u(i)),")
+    for (r <- 1 to t11K) {
+      val p = r - 1
+      sb.append(s"""
+w$r AS (SELECT doc_id, pos, tok,
+    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM c$p),
+best$r AS (SELECT tok AS lhs, nxt AS rhs, COUNT(*) AS c FROM w$r
+  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+cand$r AS (SELECT w.doc_id, w.pos FROM w$r w, best$r b
+  WHERE w.tok = b.lhs AND w.nxt = b.rhs),
+sel$r AS (SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, pos - min(pos) OVER (PARTITION BY doc_id, grp) AS off
+    FROM (SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM cand$r)) WHERE off % 2 = 0),
+j$r AS (SELECT c.doc_id, c.pos, c.tok, s.pos IS NOT NULL AS m,
+    lag(s.pos IS NOT NULL) OVER (PARTITION BY c.doc_id ORDER BY c.pos) AS pm
+  FROM c$p c LEFT JOIN sel$r s ON s.doc_id = c.doc_id AND s.pos = c.pos),
+c$r AS (SELECT doc_id,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS pos,
+    CASE WHEN m THEN (SELECT lhs || ' ' || rhs FROM best$r) ELSE tok END AS tok
+  FROM j$r WHERE pm IS NULL OR NOT pm),""")
+    }
+    sb.append("\nm AS (" + (1 to t11K).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM best$r").mkString(" UNION ALL ")
+      + ")\nSELECT * FROM m ORDER BY merge_round")
+    sb.toString
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("t11_bpe_merges", t11BpeMerges, Some(t11Sql)),
     Q("t10_feature_hash", t10FeatureHash, Some(t10Sql)),
     Q("t9_vocab_stats", t9VocabStats, Some(t9Sql)),
     Q("t8_top_terms", t8TopTerms, Some(t8Sql)),

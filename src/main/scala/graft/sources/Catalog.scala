@@ -125,8 +125,8 @@ object Catalog {
   /** Small-files maintenance for a partitioned warehouse table — the
     * pass every incrementally-appended (T3) or streaming-fed (T5) fact
     * table needs: each micro-batch/run appends its own small parquet
-    * files, and scan cost degrades with file count, not bytes. For each
-    * partition holding more than `maxFiles` files, rewrite it into
+    * files, and scan cost degrades with file count, not bytes. Each
+    * partition holding more than `maxFiles` files is rewritten into
     * `ceil(bytes / targetBytes)` files via DYNAMIC partition overwrite
     * (`insertInto` under partitionOverwriteMode=dynamic), which replaces
     * ONLY the rewritten partitions — untouched partitions keep their
@@ -134,51 +134,89 @@ object Catalog {
     * the same rows); idempotent (a compacted partition no longer
     * exceeds `maxFiles`).
     *
-    * Scale: the driver loop is metadata-sized (one entry per
-    * over-fragmented partition — file listing via the catalog's file
-    * index, no data read); each rewrite is one job over just that
-    * partition's rows. Readers racing a rewrite see the partition
+    * Fragmented partitions are rewritten `batchSize` at a time in ONE
+    * dynamic-overwrite write each — a table with hundreds of fragmented
+    * partitions costs O(ceil(frag/batchSize)) Spark jobs, not O(frag).
+    * Within a batch, each partition still lands in its own
+    * `ceil(bytes/targetBytes)` output files: rows carry a per-partition
+    * `_slot` in [0, n) and the pre-write shuffle keys on (partition
+    * columns, _slot), so one write task emits one file per partition
+    * value it holds.
+    *
+    * Partition specs from SHOW PARTITIONS are decoded, not
+    * string-compared: `__HIVE_DEFAULT_PARTITION__` becomes an IS NULL
+    * predicate (null partitions compact like any other), and literal
+    * values are CAST to the partition column's declared type so typed
+    * (non-string) partition columns match exactly. File sizes resolve
+    * the filesystem PER PATH (`path.getFileSystem`), so a warehouse on
+    * a non-default filesystem (s3a/hdfs vs local) lists correctly.
+    *
+    * Concurrency contract: readers racing a rewrite see each partition
     * atomically per Spark's committer contract for dynamic overwrite
-    * (staged then moved); full snapshot isolation needs a table format
-    * (Iceberg/Delta) and is out of scope by the public-Spark-only rule.
+    * (staged then moved) — but the pass must NOT run concurrently with
+    * WRITERS appending to the same partitions: rows appended between
+    * the survey/pin and the overwrite would be silently replaced by the
+    * pinned snapshot. Quiesce ingestion or serialize compaction with
+    * the append job (full snapshot isolation needs a table format —
+    * Iceberg/Delta — out of scope by the public-Spark-only rule).
     */
   def compactPartitions(spark: SparkSession, table: String,
       partitionBy: Seq[String], targetBytes: Long = 128L << 20,
-      maxFiles: Int = 4): Seq[CompactionResult] = {
+      maxFiles: Int = 4, batchSize: Int = 64): Seq[CompactionResult] = {
     import org.apache.spark.sql.functions._
     require(partitionBy.nonEmpty, "compactPartitions needs a partitioned table")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    // partition value list: metadata-only (SHOW PARTITIONS … = catalog)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val schema = spark.table(table).schema
+    val tableCols = spark.table(table).columns.toSeq
+    def pred(kvs: Map[String, String]): org.apache.spark.sql.Column =
+      kvs.map { case (k, v) =>
+        if (v == "__HIVE_DEFAULT_PARTITION__") col(k).isNull
+        else col(k) === lit(v).cast(schema(k).dataType)
+      }.reduce(_ && _)
+    // survey pass: metadata-only (SHOW PARTITIONS + file-index listing)
     val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
       .map(_.getString(0)) // e.g. "date=2025-05-12/country=US"
+    val frag = parts.toSeq.flatMap { spec =>
+      val kvs = spec.split('/').map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      val files = spark.table(table).filter(pred(kvs)).inputFiles
+      if (files.length <= maxFiles) None
+      else {
+        val bytes = files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(hconf).getFileStatus(p).getLen
+        }.sum
+        Some((kvs, files.length,
+          math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)))
+      }
+    }
     val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      parts.toSeq.flatMap { spec =>
-        val kvs = spec.split('/').map { kv =>
-          val Array(k, v) = kv.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
-        }.toMap
-        val slice = spark.table(table).filter(
-          kvs.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
-        val files = slice.inputFiles
-        if (files.length <= maxFiles) None
-        else {
-          val bytes = files.map(f =>
-            fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-          val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-          // localCheckpoint breaks lineage to the table being rewritten
-          // (Spark rejects an overwrite whose plan reads the target);
-          // the pinned data is one partition — maintenance-job sized
-          val tableCols = spark.table(table).columns.toSeq
-          val pinned = slice.select(tableCols.map(col): _*)
-            .repartition(n).localCheckpoint()
-          try pinned.write.mode(SaveMode.Overwrite).insertInto(table)
-          finally pinned.unpersist(blocking = false)
-          val after = spark.table(table).filter(
-            kvs.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
-          Some(CompactionResult(kvs, files.length, after.inputFiles.length))
+      frag.grouped(batchSize).toSeq.flatMap { batch =>
+        val orPred = batch.map(b => pred(b._1)).reduce(_ || _)
+        // per-partition target file count as a CASE chain over the specs
+        val slotN = batch.tail
+          .foldLeft(when(pred(batch.head._1), lit(batch.head._3))) {
+            case (acc, (kvs, _, n)) => acc.when(pred(kvs), lit(n))
+          }.otherwise(lit(1))
+        val sumN = batch.map(_._3).sum
+        // localCheckpoint breaks lineage to the table being rewritten
+        // (Spark rejects an overwrite whose plan reads the target);
+        // pinned data is one batch of partitions — maintenance-sized
+        val pinned = spark.table(table).filter(orPred)
+          .withColumn("_slot",
+            pmod(xxhash64(struct(tableCols.map(col): _*)), slotN))
+          .repartition(sumN, (partitionBy :+ "_slot").map(col): _*)
+          .select(tableCols.map(col): _*)
+          .localCheckpoint()
+        try pinned.write.mode(SaveMode.Overwrite).insertInto(table)
+        finally pinned.unpersist(blocking = false)
+        batch.map { case (kvs, before, _) =>
+          CompactionResult(kvs, before,
+            spark.table(table).filter(pred(kvs)).inputFiles.length)
         }
       }
     } finally saved match {

@@ -226,6 +226,43 @@ object Streams {
         })
   }
 
+  /** LATE-DATA ACCOUNTING: every watermark in this suite silently drops
+    * rows that arrive behind it (tumbling/session aggregation,
+    * stream-stream join, dropDuplicatesWithinWatermark) — correct for
+    * state bounding, but at 100 TB the drop COUNT is an SLO: a spike
+    * means an upstream producer lagged past the lateness budget and a
+    * backfill is owed. Spark's public accounting is
+    * `StreamingQueryProgress.stateOperators[*].numRowsDroppedByWatermark`
+    * — per micro-batch, so `lastProgress` alone under-counts any stream
+    * older than one batch. This listener (public
+    * `StreamingQueryListener` API) accumulates the per-batch counts into
+    * a per-query running total that survives the progress ring buffer;
+    * attach with `spark.streams.addListener`, read
+    * `droppedLateRows(query.id)`, alert on the derivative.
+    */
+  class LateDropAccumulator
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    private val totals =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      val dropped = e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      if (dropped > 0)
+        totals.merge(e.progress.id, Long.box(dropped),
+          (a, b) => Long.box(a.longValue + b.longValue))
+    }
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    /** Total rows dropped behind the watermark by `queryId`'s stateful
+      * operators since the listener attached.
+      */
+    def droppedLateRows(queryId: java.util.UUID): Long =
+      Option(totals.get(queryId)).map(_.longValue).getOrElse(0L)
+  }
+
   /** Incremental append pipeline: one activation processes exactly the
     * files that arrived since the last checkpoint and stops — the
     * reference's Cloud-Scheduler→Job activation (T5) without the manual

@@ -205,6 +205,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LateDropAccumulator counts rows dropped behind the watermark, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val acc = new Streams.LateDropAccumulator
+    spark.streams.addListener(acc)
+    val stream = MemoryStream[E]
+    val q = Streams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").start()
+    try {
+      // batch 1: max event time 12:00 → watermark 11:30 for batch 2
+      stream.addData(E(ts("2024-01-01 12:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      assert(acc.droppedLateRows(q.id) === 0L)
+      // batch 2: two rows behind the 11:30 watermark (windows already
+      // closed) plus one live row — exactly 2 dropped
+      stream.addData(
+        E(ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+        E(ts("2024-01-01 10:20:00"), 3L, "view", 1.0),
+        E(ts("2024-01-01 12:05:00"), 4L, "click", 1.0))
+      q.processAllAvailable()
+      assert(acc.droppedLateRows(q.id) === 2L)
+      // batch 3: one more late row — the total ACCUMULATES (lastProgress
+      // alone would reset to this batch's count)
+      stream.addData(E(ts("2024-01-01 10:40:00"), 5L, "click", 1.0))
+      q.processAllAvailable()
+      assert(acc.droppedLateRows(q.id) === 3L)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(acc)
+    }
+  }
+
   test("availableNow sink processes a raw-zone directory incrementally (T5)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

@@ -242,6 +242,41 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("Catalog.compactPartitions: one batched write compacts N partitions in far fewer than N jobs") {
+    import spark.implicits._
+    val db = "compact_batch_test"
+    val dir = Files.createTempDirectory("cat_compactb").toString
+    graft.sources.Catalog.ensureDatabase(spark, db, Some(s"$dir/db"))
+    val t = s"$db.fact"
+    // 8 partitions, each fragmented into 6 single-row files
+    val dates = (1 to 8).map(i => f"2024-03-$i%02d")
+    for (d <- dates; i <- 1 to 6) {
+      graft.sources.Catalog.append(
+        Seq((d.hashCode.toLong * 10 + i, i * 10L, d)).toDF("k", "v", "date"),
+        t, partitionBy = Seq("date"))
+    }
+    val before = spark.table(t).orderBy("k").collect().toSeq
+    assert(dates.forall(d =>
+      spark.table(t).filter(col("date") === d).inputFiles.length === 6))
+
+    spark.sparkContext.setJobGroup("compact-batch", "batched compaction")
+    val results =
+      try graft.sources.Catalog.compactPartitions(
+        spark, t, partitionBy = Seq("date"), maxFiles = 4)
+      finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("compact-batch").length
+
+    // all 8 partitions compacted, identical contents
+    assert(results.map(_.partition("date")).sorted === dates)
+    assert(results.forall(r => r.filesBefore === 6 && r.filesAfter === 1))
+    assert(spark.table(t).orderBy("k").collect().toSeq === before)
+    // the point of batching: ONE pinned write for all 8 partitions —
+    // far fewer jobs than the 2-per-partition serial loop (≥16)
+    assert(jobs <= 6, s"batched compaction ran $jobs jobs for 8 partitions")
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("runStreaming idempotent=true: merge sink dedupes a replayed batch") {
     val dir = Files.createTempDirectory("pipeline_sidem").toString
     val wh = Pipeline.Warehouse(s"$dir/wh")
