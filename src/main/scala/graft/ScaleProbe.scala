@@ -106,6 +106,33 @@ import org.apache.spark.sql.functions._
   * t9 vocab stats 1.4→2.1 s (TakeOrdered top-100, no vocab-wide
   * window); t10 feature hashing 1.4→2.9 s (map-only + one combined
   * (doc, dim) shuffle); sim8 PQ 3.3→5.9 s (ADC over 8-byte codes).
+  *
+  * Round-8 (measured, local[32], settled same-JVM passes):
+  * - skew:dd15 adversarial corpus (20k docs, EVERY token df ≈ n/8, 200
+  *   distinct shingle sets × 100 copies — the round-7 verdict's
+  *   degenerate case): 9.2 s, vs 10.7 s for the all-unique same-shape
+  *   twin — the distinct-set collapse makes the degenerate corpus run
+  *   at par (candidates are rep-level, ~20k rows where the unguarded
+  *   probe×posting-list join would have materialized ~200M), and
+  *   costs nothing when it buys nothing.
+  * - dd15 with the guards on the regular corpus: 1× settled 4.9–5.2 s
+  *   (pre-guard 2.4 s — the collapse/fingerprint machinery is a ~2×
+  *   constant at 1×); 10× 87–190 s across settled passes on a machine
+  *   with ±2× stall variance (pre-guard 62–77 s). The 10× floor is the
+  *   VERIFY SHUFFLE, not CPU: 6.1M candidate sig-pairs (≈12× the 489k
+  *   true pairs) each carry two ~400-long set arrays ≈ 20 GB through
+  *   the pair join; the thresholded early-exit intersect
+  *   (IntersectCountAtLeastFrac) removed the per-pair CPU floor (~92%
+  *   of candidates bail after the disjoint prefix).
+  * - t11 BPE merges: 11.6 → 16.7 s at 1×→10× — sub-linear: 6 rounds of
+  *   fixed shuffle count; pair counting combines map-side, rewrite is
+  *   per-doc windows.
+  * - sim9 incremental ANN: 2.5 → 33.2 s at 1×→10× — the probe join is
+  *   O(batch · nprobe/k · corpus) by design (nprobe=6 of k=16 cells =
+  *   37% of brute); at real scale k grows ~√N so the probed fraction
+  *   shrinks with corpus size — k is fixed small here only because the
+  *   deterministic centroid stand-in needs the gate corpus to fill 16
+  *   cells.
   */
 object ScaleProbe {
   val Copies = 10
@@ -173,19 +200,21 @@ object ScaleProbe {
     val allProbes = Seq("q1_agg", "q10_topk_per_group", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
       "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
-      "q39_grouping_sets",
+      "q39_grouping_sets", "q40_tpch_q18", "q41_tpch_q13", "q42_tpch_q19",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8", "sim8_ann_pq",
       "sim9_incremental_ann",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
-      "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges",
+      "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
+      "t13_heavy_hitters",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
       "ev8_transitions",
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
+      "mix2_temperature", "pk4_shuffle",
       "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb",
       "mm7_media_ann_topk")
     // adversarial dd10 skew probe (`runMain graft.ScaleProbe skew:dd10`):

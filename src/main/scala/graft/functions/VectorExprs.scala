@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{DotLong, HyperplaneBands, IntersectCountSortedLong, SparkShim, TopKPairs}
+import org.apache.spark.sql.graftshim.{DotLong, HyperplaneBands, IntersectCountAtLeastFrac, IntersectCountSortedLong, MisraGries, SparkShim, TopKPairs}
 
 /** Column-level entry points for the native vector/set expressions (see
   * [[org.apache.spark.sql.graftshim.DotLong]] and
@@ -26,6 +26,16 @@ object VectorFunctions {
     SparkShim.column(IntersectCountSortedLong(
       SparkShim.expression(a), SparkShim.expression(b)))
 
+  /** Thresholded variant (PPJoin positional verification): the exact
+    * common count when it reaches `⌈num·|a|/den⌉`, −1 as soon as the
+    * remaining elements can no longer get there — failing pairs bail
+    * after the disjoint prefix instead of walking both full arrays.
+    */
+  def intersectCountAtLeastFrac(a: Column, b: Column,
+      num: Int, den: Int): Column =
+    SparkShim.column(IntersectCountAtLeastFrac(
+      SparkShim.expression(a), SparkShim.expression(b), num, den))
+
   /** Bounded top-k aggregate: the k largest (key DESC, payload ASC)
     * pairs per group as `array<struct<key, payload>>` in rank order.
     * Partial-aggregable — at most k pairs per group leave each map task
@@ -34,5 +44,16 @@ object VectorFunctions {
   def topK(key: Column, payload: Column, k: Int): Column =
     SparkShim.column(TopKPairs(
       SparkShim.expression(key), SparkShim.expression(payload), k)
+      .toAggregateExpression())
+
+  /** Misra–Gries heavy-hitters CANDIDATE sketch: the surviving candidate
+    * items (every item with frequency > n/(capacity+1) guaranteed
+    * present, possibly plus run-dependent extras) as a sorted
+    * `array<long>`. Partial-aggregable — ≤ capacity counters leave each
+    * map task. Consume with an exact semi-join recount; never treat the
+    * candidate set as final.
+    */
+  def misraGries(item: Column, capacity: Int): Column =
+    SparkShim.column(MisraGries(SparkShim.expression(item), capacity)
       .toAggregateExpression())
 }

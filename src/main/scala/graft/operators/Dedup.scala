@@ -946,24 +946,35 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
       .localCheckpoint()
-    // one row per doc: sorted shingle-set, size, and the set signature
-    val docSets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-      .withColumn("sig", xxhash64(col("hs")))
-      .localCheckpoint() // reused: reps, verify arrays, member expansion
+    // set fingerprint per doc WITHOUT materializing the set: an
+    // order-insensitive exact-int triple (count + two independent xors,
+    // the second over re-hashed tokens so the pair doesn't cancel
+    // together), map-side combinable, no overflow under ANSI — docs
+    // with equal sets collide on sig by construction; distinct sets
+    // collide only via 64-bit hash accident (dd2's documented caveat
+    // class). Full sorted arrays are built later, and only for
+    // candidate-involved representatives.
+    val sigs = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("hxor"),
+        expr("bit_xor(xxhash64(h))").as("hxor2"))
+      .withColumn("sig", xxhash64(col("hxor"), col("hxor2"), col("n")))
+      .localCheckpoint() // reused: reps, verify prune, member expansion
     val wSig = org.apache.spark.sql.expressions.Window
       .partitionBy("sig").orderBy("doc_id")
-    val repSets = docSets.withColumn("rn", row_number().over(wSig))
-      .filter(col("rn") === 1).drop("rn")
+    val repIds = sigs.withColumn("rn", row_number().over(wSig))
+      .filter(col("rn") === 1).select(col("doc_id"), col("sig"), col("n"))
     // token index over REPRESENTATIVES only, in global canonical order
-    val repSh = sh.join(repSets.select(col("doc_id"), col("sig")), "doc_id")
+    // (n rides in from the fingerprint — no per-doc count window)
+    val repSh = sh.join(repIds, "doc_id")
     val freq = repSh.groupBy("h").agg(count(lit(1)).as("df"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "h")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // pinned: BOTH the probe prefix and the candidate index derive from
+    // ranked — without the checkpoint each side would recompute the
+    // whole join+window subtree
     val ranked = repSh.join(freq, "h")
       .withColumn("pos", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .localCheckpoint()
     // prefix length na − ⌈0.9·na⌉ + 1, with ⌈0.9·na⌉ = (9n+9) div 10
     val prefix = ranked
       .filter(col("pos") <= col("n") - expr("(9*n+9) div 10") + 1)
@@ -977,16 +988,33 @@ object Dedup {
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
         >= expr("(9*na+9) div 10"))
       .select("siga", "sigb").distinct()
+      .localCheckpoint() // referenced by the prune AND the verify join
+    // exact verify arrays only for reps that appear in a candidate pair
+    // (dd11's semi-join prune: verify cost is O(candidates), not
+    // O(corpus)). NO broadcast hint: on dup-heavy corpora the candidate
+    // sig set is output-scale — AQE picks broadcast only when it fits.
+    val candSigs = cand.select(col("siga").as("sig"))
+      .union(cand.select(col("sigb").as("sig"))).distinct()
+    val hs = sh
+      .join(repIds.join(candSigs, Seq("sig"), "left_semi")
+        .select(col("doc_id"), col("sig")), "doc_id")
+      .groupBy("sig")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+      .localCheckpoint() // reused by both sides of the pair join
+    // thresholded verify: ~92% of candidates fail the 0.9 gate, and the
+    // early-exit intersect abandons them after the disjoint prefix
+    // (common·10 ≥ na·9 ⟺ common ≥ ⌈0.9·na⌉, so −1 ⟺ fail — exact
+    // counts for every passing pair)
     val interSig = cand
-      .join(repSets.select(col("sig").as("siga"), col("hs").as("ha"),
+      .join(hs.select(col("sig").as("siga"), col("hs").as("ha"),
         col("n").as("na")), "siga")
-      .join(repSets.select(col("sig").as("sigb"), col("hs").as("hb")), "sigb")
-      .withColumn("common",
-        graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
-      .filter(col("common") * 10L >= col("na") * 9L)
+      .join(hs.select(col("sig").as("sigb"), col("hs").as("hb")), "sigb")
+      .withColumn("common", graft.functions.VectorFunctions
+        .intersectCountAtLeastFrac(col("ha"), col("hb"), 9, 10))
+      .filter(col("common") >= 0L)
       .select(col("siga"), col("sigb"), col("common"), col("na"))
     // expand set-level verdicts to member doc pairs (pure output work)
-    val mem = docSets.select(col("sig"), col("doc_id"), col("n"))
+    val mem = sigs.select(col("sig"), col("doc_id"), col("n"))
     val inter = interSig
       .join(mem.select(col("sig").as("siga"), col("doc_id").as("ida")), "siga")
       .join(mem.select(col("sig").as("sigb"), col("doc_id").as("idb")), "sigb")

@@ -995,7 +995,105 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q40/q41/q42 — three classic TPC-H plan shapes not yet in the gauntlet
+  // (DataFrame-API, not SQL — the declarative twins of Q18/Q13/Q19):
+  //  - q40 (Q18, large-volume customers): groupBy+HAVING on the fact
+  //    table feeding a join back to its dimensions. The aggregated+
+  //    filtered `big` side shrinks by orders of magnitude, so AQE picks
+  //    a broadcast join at runtime when it fits — no manual hint, the
+  //    filtered size is data-dependent.
+  //  - q41 (Q13, customer distribution): LEFT OUTER join with a
+  //    pushed-down predicate on the RIGHT side (pre-join filter, not a
+  //    post-join WHERE — the outer-join trap BI tools hit), then a
+  //    two-level aggregation producing a histogram of counts.
+  //  - q42 (Q19, disjunctive brackets): OR of three (brand, size,
+  //    quantity) brackets across a join. The per-table halves of the
+  //    disjunction reach each parquet scan as pushed filters (brand/size
+  //    prune `part`, quantity prunes `lineitem` row groups); the exact
+  //    cross-table bracket pairing evaluates on the joined row inside
+  //    whole-stage codegen. Adapted to this corpus: no
+  //    shipmode/container columns, brackets use p_size + l_quantity.
+  private def q40TpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 300L)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("total_cents"),
+        col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+  }
+
+  private val q40Sql =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       |  ${centsSql("o_totalprice")} AS total_cents, sum_qty
+       |FROM orders
+       |JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+       |        AS sum_qty FROM lineitem GROUP BY l_orderkey
+       |      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) big
+       |  ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_cents DESC, o_orderkey""".stripMargin
+
+  private def q41TpchQ13(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    val perCust = Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q41Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private def q42TpchQ19(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val q = col("l_quantity")
+    val bracket =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        q.between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+          q.between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(15, 40) &&
+          q.between(20, 50))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          / 10000.0).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q42Sql =
+    s"""SELECT SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}))/10000.0
+       |    AS revenue,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 1 AND 15)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       |       AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+       |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q40_tpch_q18", q40TpchQ18, Some(q40Sql)),
+    Q("q41_tpch_q13", q41TpchQ13, Some(q41Sql)),
+    Q("q42_tpch_q19", q42TpchQ19, Some(q42Sql)),
     Q("q39_grouping_sets", q39GroupingSets, Some(q39Sql)),
     Q("q31_sql_surface", q31SqlSurface, Some(q31Sql)),
     Q("q33_sql_decorrelate", q33SqlDecorrelate, Some(q33Sql)),

@@ -455,7 +455,97 @@ c$r AS (SELECT doc_id,
     sb.toString
   }
 
+  // ---------------------------------------------------------------------
+  // t12_bigram_lm — n-gram language-model fluency scoring (the KenLM-
+  // style perplexity filter of CCNet/RefinedWeb, in exact-integer form):
+  // train corpus bigram statistics, then score every document by the
+  // mean conditional-probability of its bigrams, scaled to ppm.
+  // P(w2|w1) = C(w1,w2)/C(w1·) is kept exact as `C(pair)·10⁶ div
+  // C(prefix)` (t8's integer-ratio discipline — longs sum associatively,
+  // no float-aggregation drift), so low-fluency (rare-transition) docs
+  // rank identically on any executor count.
+  //
+  // Scale: bigram extraction is MAP-ONLY — `zip_with` over the split
+  // array pairs each token with its successor inside the row, no per-doc
+  // window shuffle (t11 needs the window because it REWRITES positions;
+  // scoring doesn't). Then: one map-side-combined shuffle for C(w1,·),
+  // one for C(w1,w2), a broadcast-or-shuffle join of the token stream
+  // against the count tables (AQE decides — vocab² is data-dependent),
+  // and one final map-side-combined per-doc sum. C(w1,·) is counted over
+  // bigram STARTS (not raw tokens), so Σ_w2 P(w2|w1) = 1 exactly.
+  private def t12BigramLm(s: SparkSession, d: String): DataFrame = {
+    val a = split(col("text"), " ")
+    val pairs = zip_with(
+      slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+      slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("cw1"))
+    val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+    bi.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("cp * 1000000L div cw1")).as("score_sum_ppm"))
+      .withColumn("fluency_ppm", expr("score_sum_ppm div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  private val t12Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) u(i)),
+      |uni AS (SELECT w1, COUNT(*) AS cw1 FROM bi GROUP BY 1),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS cp FROM bi GROUP BY 1, 2)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(c.cp * 1000000 // u.cw1) AS BIGINT) AS score_sum_ppm,
+      |  CAST(SUM(c.cp * 1000000 // u.cw1) // COUNT(*) AS BIGINT) AS fluency_ppm
+      |FROM bi b JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+      |  JOIN uni u ON b.w1 = u.w1
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t13_heavy_hitters — exact corpus heavy hitters WITHOUT a full
+  // group-by over the vocabulary: a Misra–Gries candidate sketch (native
+  // partial-aggregable TypedImperativeAggregate, ≤64 counters leave each
+  // map task — O(tasks·64) shuffle where groupBy(term) shuffles
+  // O(distinct terms)), then the dedup suite's candidates-then-verify
+  // discipline: semi-join the token stream to the candidate set and
+  // recount EXACTLY, keeping terms with frequency > n/32 (capacity 64 >
+  // 31 guarantees no heavy item is missed; sketch extras are
+  // run-dependent but die in the exact filter, so the output is the
+  // exact answer). The md5-derived item key keeps the sketch domain
+  // engine-portable; a hash collision can only ADD a candidate term,
+  // which the exact recount then judges on its own true count.
+  private def t13HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val withH = toks.select(col("term"),
+      conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("h"))
+    val cand = withH
+      .agg(graft.functions.VectorFunctions.misraGries(col("h"), 64).as("cand"))
+      .select(explode(col("cand")).as("h"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    withH.join(cand, Seq("h"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 32L > col("n_total"))
+      .select(col("term"), col("cnt"), col("n_total"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  private val t13Sql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tot AS (SELECT COUNT(*) AS n_total FROM tok)
+      |SELECT term, COUNT(*) AS cnt, n_total
+      |FROM tok CROSS JOIN tot
+      |GROUP BY term, n_total HAVING COUNT(*) * 32 > n_total
+      |ORDER BY cnt DESC, term""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("t13_heavy_hitters", t13HeavyHitters, Some(t13Sql)),
+    Q("t12_bigram_lm", t12BigramLm, Some(t12Sql)),
     Q("t11_bpe_merges", t11BpeMerges, Some(t11Sql)),
     Q("t10_feature_hash", t10FeatureHash, Some(t10Sql)),
     Q("t9_vocab_stats", t9VocabStats, Some(t9Sql)),

@@ -433,7 +433,102 @@ object TrainPrep {
       |    * g.s_tokens < g.target_s * 1000000 AS keep
       |FROM t JOIN tgt g USING (source) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mix2_temperature — temperature-scaled domain sampling (the α=0.5
+  // multilingual/multi-domain rebalance of mBERT/XLM-R and data-mixture
+  // papers): domain d with n_d docs gets weight n_d^α, flattening the
+  // head without letting tiny domains dominate. Exact-integer form:
+  // w_d = ⌊√(n_d·10⁶)⌋ — sqrt of an exact integer is a SINGLE
+  // correctly-rounded IEEE op, and every figure after it (targets,
+  // ranks) is integer math, so Spark and the oracle agree bit-for-bit.
+  // Each domain then contributes its target count deterministically: the
+  // target_d lowest-md5-hash docs (the same portable-hash rank-sampling
+  // mix1 uses for its keep decision).
+  //
+  // Scale: domain stats are one map-side-combined groupBy over a
+  // 2-column projection; the 1-row total crossJoins back (broadcast);
+  // per-domain ranking is a window partitioned by source — the ONLY
+  // per-domain serial point, bounded per partition by the largest
+  // domain, and at 100 TB the rank filter would swap to the q10
+  // bounded-top-k aggregate (TopKPairs) if a single domain outgrew a
+  // partition.
+  private def mix2Temperature(s: SparkSession, d: String): DataFrame = {
+    val totalTarget = 250L
+    val docs = Tables.documents(s, d)
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_d"))
+      .withColumn("w_d", floor(sqrt(col("n_d") * 1000000.0)).cast("long"))
+    val tot = nd.agg(sum("w_d").as("sw"))
+    val tgt = nd.crossJoin(tot)
+      .select(col("source"), col("n_d"),
+        least(col("n_d"), expr(s"$totalTarget * w_d div sw")).as("target_d"))
+    val hh = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("source").orderBy("hh", "doc_id")
+    docs.select(col("doc_id"), col("source"), hh.as("hh"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(tgt), "source")
+      .filter(col("rk") <= col("target_d"))
+      .select(col("doc_id"), col("source"), col("rk"), col("target_d"))
+      .orderBy("source", "rk")
+  }
+
+  private val mix2Sql =
+    """WITH nd AS (SELECT source, COUNT(*) AS n_d,
+      |    CAST(FLOOR(SQRT(COUNT(*) * 1000000.0)) AS BIGINT) AS w_d
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(w_d) AS BIGINT) AS sw FROM nd),
+      |tgt AS (SELECT source, n_d,
+      |    least(n_d, 250 * w_d // sw) AS target_d FROM nd CROSS JOIN tot),
+      |r AS (SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.rk, CAST(g.target_d AS BIGINT) AS target_d
+      |FROM r JOIN tgt g USING (source)
+      |WHERE r.rk <= g.target_d ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pk4_shuffle — deterministic global training-order shuffle + sharding
+  // (the "seeded shuffle" every data loader needs reproducibly): each doc
+  // gets a portable seeded hash key, lands in shard = key mod S, and
+  // takes its within-shard position from the hash order. Re-running with
+  // the same seed reproduces the exact epoch order on any cluster size;
+  // changing the seed is a fresh permutation.
+  //
+  // Scale: ONE shuffle (the window partitioned by shard); shard count S
+  // would be O(cluster parallelism) so each shard's sort is a partition-
+  // local sort of ~N/S keys. No driver-side work. The md5-derived key
+  // (t10's conv trick) keeps the permutation engine-portable — DuckDB
+  // replays it bit-for-bit, and so would any other store.
+  private def pk4Shuffle(s: SparkSession, d: String): DataFrame = {
+    val seed = 42
+    val shards = 8L
+    val hh = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":"), lit(seed))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), hh.as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(shards)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  private val pk4Sql =
+    """WITH h AS (SELECT doc_id,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+      |      AS hkey FROM documents),
+      |s AS (SELECT doc_id, hkey, hkey % 8 AS shard FROM h)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) - 1
+      |    AS BIGINT) AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
+    Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Sql)),
     Q("pk2_pack_emit", pk2PackEmit, Some(pk2Sql)),

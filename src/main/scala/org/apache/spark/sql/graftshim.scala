@@ -216,6 +216,188 @@ case class IntersectCountSortedLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** THRESHOLDED common-element count of two SORTED `array<long>` set
+  * columns — PPJoin's positional verification: returns the exact
+  * intersect count when it reaches `⌈num·|left|/den⌉`, and −1 as soon
+  * as `common + min(remaining_left, remaining_right)` can no longer get
+  * there (most candidate pairs in a containment/similarity join FAIL
+  * verification, and the early exit abandons them after walking only
+  * the disjoint prefix instead of both full arrays — measured ~3× on
+  * dd15's 10× verify stage, where ~92% of 6.1M candidates fail).
+  * Exact for every pair that passes; the −1 encodes "below threshold"
+  * without claiming a specific count.
+  */
+case class IntersectCountAtLeastFrac(left: Expression, right: Expression,
+    num: Int, den: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "intersect_count_at_least_frac"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val t = (nx.toLong * num + den - 1) / den // ⌈num·nx/den⌉
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else {
+        if (xv < yv) i += 1 else j += 1
+        val rem = math.min(nx - i, ny - j)
+        if (c + rem < t) return -1L
+      }
+    }
+    if (c >= t) c else -1L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val t = ctx.freshName("t")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val rem = ctx.freshName("rem")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |long $t = (((long) $nx) * $num + $den - 1) / $den;
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else {
+         |    if ($xv < $yv) { $i++; } else { $j++; }
+         |    int $rem = ($nx - $i < $ny - $j) ? ($nx - $i) : ($ny - $j);
+         |    if ($c + $rem < $t) { $c = -1L; break; }
+         |  }
+         |}
+         |${ev.value} = ($c >= $t) ? $c : -1L;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Misra–Gries heavy-hitters CANDIDATE sketch over a long-typed item
+  * column: a bounded map of `capacity` counters per aggregation buffer,
+  * emitting the surviving candidate items as a sorted `array<long>`.
+  *
+  * Guarantee (the one the exact-recount consumer relies on): every item
+  * with true frequency > n/(capacity+1) is in the output — decrements
+  * only happen when `capacity+1` distinct live items each give up one
+  * count, so an item can lose at most n/(capacity+1) total. The merge
+  * operation (counter-wise sum, then subtract the (capacity+1)-th
+  * largest count and drop non-positives) preserves the same bound
+  * (Agarwal et al., "Mergeable Summaries", PODS'12), so the sketch is
+  * partial-aggregable: each map task forwards ≤ capacity counters and
+  * the 100 TB shuffle is O(tasks·capacity), not O(distinct items).
+  * The EXTRA (non-heavy) candidates a buffer may carry are run-order-
+  * dependent — which is why this aggregate emits candidates for an
+  * EXACT semi-join recount (the dedup suite's candidates-then-verify
+  * discipline applied to frequency), never final answers.
+  */
+case class MisraGries(
+    item: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[MGBuffer]
+  with ExpectsInputTypes {
+
+  require(capacity > 0, "capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(item)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer(capacity)
+
+  override def update(buf: MGBuffer, input: org.apache.spark.sql.catalyst.InternalRow): MGBuffer = {
+    val v = item.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long], 1L)
+    buf
+  }
+
+  override def merge(buf: MGBuffer, other: MGBuffer): MGBuffer = {
+    other.counts.foreach { case (k, c) => buf.addNoCompress(k, c) }
+    buf.compress()
+    buf
+  }
+
+  override def eval(buf: MGBuffer): Any = {
+    val keys = buf.counts.keys.toArray
+    java.util.Arrays.sort(keys)
+    new GenericArrayData(keys)
+  }
+
+  override def serialize(buf: MGBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.counts.size)
+    bb.putInt(buf.counts.size)
+    buf.counts.foreach { case (k, c) => bb.putLong(k); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new MGBuffer(capacity)
+    var i = 0
+    while (i < n) { buf.addNoCompress(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(item = newChildren(0))
+}
+
+/** Counter map for [[MisraGries]]: at most `capacity` live counters;
+  * `add` applies the classic decrement-all step when full, `compress`
+  * restores the bound after a merge by subtracting the (capacity+1)-th
+  * largest count from every counter.
+  */
+final class MGBuffer(val capacity: Int) {
+  val counts = new scala.collection.mutable.LongMap[Long](capacity * 2)
+
+  def add(k: Long, c: Long): Unit = { addNoCompress(k, c); compress() }
+
+  def addNoCompress(k: Long, c: Long): Unit =
+    counts(k) = counts.getOrElse(k, 0L) + c
+
+  def compress(): Unit = {
+    if (counts.size > capacity) {
+      // (capacity+1)-th largest count = the smallest count that must
+      // reach zero for the map to fit; capacity is small, sort is fine
+      val vs = counts.values.toArray
+      java.util.Arrays.sort(vs)
+      val dec = vs(vs.length - capacity - 1)
+      val dead = counts.iterator.collect { case (k, c) if c <= dec => k }.toArray
+      dead.foreach(counts.remove)
+      counts.transformValuesInPlace(c => c - dec)
+    }
+  }
+}
+
 /** Bounded top-k-per-group aggregate: keeps the k largest
   * (key DESC, payload ASC) pairs per group in a fixed-size sorted buffer,
   * emitting `array<struct<key double, payload long>>` in rank order.
