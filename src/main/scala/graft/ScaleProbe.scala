@@ -127,6 +127,18 @@ import org.apache.spark.sql.functions._
   * - t11 BPE merges: 11.6 → 16.7 s at 1×→10× — sub-linear: 6 rounds of
   *   fixed shuffle count; pair counting combines map-side, rewrite is
   *   per-doc windows.
+  * - round-8 batch 2 (1×→10×): q40 Q18 1.6→2.7 s (AQE broadcasts the
+  *   HAVING-filtered big-orders side), q41 Q13 1.0→1.3 s, q42 Q19
+  *   0.6→0.7 s (disjunctive per-table filter halves pushed to both
+  *   scans), t12 bigram LM 1.1→4.2 s (map-only zip_with extraction +
+  *   two combined count shuffles), t13 heavy hitters 1.2→5.5 s (MG
+  *   sketch partials + exact candidate recount — shuffle O(tasks·64),
+  *   not O(vocab)), mix2 temperature sampling 0.57→0.61 s, pk4 seeded
+  *   shuffle 0.33→0.47 s (both flat — single bounded shuffles).
+  * - sim10 k-means training: 4.3 → 3.6 s at 1×→10× — flat: 3 fixed
+  *   rounds of broadcast-argmin (map-side) + one combined (cid,dim)
+  *   shuffle whose volume is corpus-linear but whose agg output is k·64
+  *   rows regardless of corpus size.
   * - sim9 incremental ANN: 2.5 → 33.2 s at 1×→10× — the probe join is
   *   O(batch · nprobe/k · corpus) by design (nprobe=6 of k=16 cells =
   *   37% of brute); at real scale k grows ~√N so the probed fraction
@@ -205,7 +217,7 @@ object ScaleProbe {
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8", "sim8_ann_pq",
-      "sim9_incremental_ann",
+      "sim9_incremental_ann", "sim10_kmeans_train",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
       "t13_heavy_hitters",

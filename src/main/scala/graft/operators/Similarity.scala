@@ -626,7 +626,99 @@ object Similarity {
        |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim10_kmeans_train — distributed Lloyd k-means over the embedding
+  // corpus, in EXACT integer arithmetic: the training step that produces
+  // the IVF coarse quantizer sim3/sim5/sim9 take as given (their
+  // vec_id<16 codebook is a deterministic stand-in; this is the real
+  // trainer in the same exact-math discipline). k=8 centroids, 3
+  // iterations, init = the k lowest vec_ids.
+  //
+  // Exactness: vectors are the micro-scaled longs; assignment argmin
+  // uses the reduced L2² form |c|² − 2·a·c (the |a|² shift is constant
+  // per row, order-preserving — both factors exact int64), tie-break
+  // lowest cid; the M-step per-dimension mean is floor(Σq / n) computed
+  // as a SINGLE IEEE double division + floor of exact ints (both inside
+  // 2^53), identical in DuckDB — so after 3 rounds both engines hold
+  // bit-identical centroids. (Spark's `div` truncates toward zero while
+  // DuckDB `//` floors, so negative sums make floor-via-double the
+  // portable integer mean.)
+  //
+  // Scale (dd7/t11's loop discipline — the driver iterates over
+  // ACTIONS, never rows): per round, assignment is a map-side
+  // broadcast-crossJoin × codegen'd DotLong argmin (no shuffle of the
+  // corpus), the M-step is ONE map-side-combined (cid, dim) shuffle of
+  // posexploded dims, and the new k×64 centroid frame localCheckpoints
+  // so round r's plan does not replay rounds 1..r−1. Empty clusters
+  // drop out identically on both engines. Output: (cid, size, d, cv) —
+  // the trained codebook, flattened for the oracle compare.
+  private val sim10K = 8
+  private val sim10Iters = 3
+
+  private def sim10KmeansTrain(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val e = scaledVectors(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    var cent = e.filter(col("vec_id") < sim10K)
+      .select(col("vec_id").cast("long").as("cid"), col("v").as("vc"))
+    var sizes: DataFrame = null
+    for (_ <- 1 to sim10Iters) {
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("nc", graft.functions.VectorFunctions.normSqLong(col("vc")))
+        .withColumn("dist", col("nc") - lit(2L) * dot(col("v"), col("vc")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val perDim = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "q")))
+        .groupBy("cid", "d")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
+      cent = perDim.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("z"),
+          max(col("n")).as("n"))
+        .select(col("cid"), transform(col("z"), p => p.getField("cv")).as("vc"),
+          col("n"))
+        .localCheckpoint()
+      sizes = cent.select(col("cid"), col("n"))
+      cent = cent.select(col("cid"), col("vc"))
+    }
+    cent.join(sizes, "cid")
+      .select(col("cid"), col("n").as("size"),
+        posexplode(col("vc")).as(Seq("d", "cv")))
+      .select(col("cid"), col("size"), col("d").cast("long").as("d"), col("cv"))
+      .orderBy("cid", "d")
+  }
+
+  private val sim10Sql = {
+    def iter(prev: String, r: Int): String =
+      s"""a$r AS (SELECT e.vec_id, e.v, c.cid,
+         |  CAST((SELECT SUM(c.vc[i] * c.vc[i] - 2 * e.v[i] * c.vc[i])
+         |        FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dist
+         |  FROM e, $prev c),
+         |s$r AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM a$r)
+         |  WHERE rn = 1),
+         |p$r AS (SELECT cid, u.i AS d,
+         |    CAST(FLOOR(CAST(SUM(v[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv,
+         |    COUNT(*) AS n
+         |  FROM s$r, UNNEST(generate_series(1, 64)) u(i) GROUP BY cid, u.i),
+         |c$r AS (SELECT cid, list(cv ORDER BY d) AS vc, MAX(n) AS n
+         |  FROM p$r GROUP BY cid),""".stripMargin
+    s"""WITH $scaledVectorsSqlCte,
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS vc FROM e WHERE vec_id < $sim10K),
+       |${(1 to sim10Iters).map(r => iter(s"c${r - 1}", r)).mkString("\n")}
+       |f AS (SELECT cid, n, u.i - 1 AS d, vc[u.i] AS cv
+       |  FROM c$sim10Iters, UNNEST(generate_series(1, 64)) u(i))
+       |SELECT cid, CAST(n AS BIGINT) AS size, CAST(d AS BIGINT) AS d,
+       |  CAST(cv AS BIGINT) AS cv
+       |FROM f ORDER BY cid, d""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("sim10_kmeans_train", sim10KmeansTrain, Some(sim10Sql)),
     Q("sim9_incremental_ann", sim9IncrementalAnn, Some(sim9Sql)),
     Q("sim8_ann_pq", sim8AnnPq, Some(sim8Sql)),
     Q("sim1_ann_brute", sim1AnnBrute, Some(sim1Sql), headline = true),
