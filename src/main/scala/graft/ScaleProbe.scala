@@ -134,7 +134,10 @@ import org.apache.spark.sql.functions._
   *   two combined count shuffles), t13 heavy hitters 1.2→5.5 s (MG
   *   sketch partials + exact candidate recount — shuffle O(tasks·64),
   *   not O(vocab)), mix2 temperature sampling 0.57→0.61 s, pk4 seeded
-  *   shuffle 0.33→0.47 s (both flat — single bounded shuffles).
+  *   shuffle 0.33→0.47 s (both flat — single bounded shuffles);
+  *   q43 Q10 2.6→3.1 s, q44 Q14 1.1→1.0 s, q45 Q15 2.3→2.0 s (all
+  *   near-flat — quarter/month date filters prune row groups before
+  *   the joins see the 10× fact table).
   * - sim10 k-means training: 4.3 → 3.6 s at 1×→10× — flat: 3 fixed
   *   rounds of broadcast-argmin (map-side) + one combined (cid,dim)
   *   shuffle whose volume is corpus-linear but whose agg output is k·64
@@ -213,6 +216,7 @@ object ScaleProbe {
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
       "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
       "q39_grouping_sets", "q40_tpch_q18", "q41_tpch_q13", "q42_tpch_q19",
+      "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",

@@ -1090,7 +1090,110 @@ object Relational {
        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q43/q44/q45 — the remaining headline TPC-H reporting shapes (Q10/
+  // Q14/Q15), completing the 15-shape coverage:
+  //  - q43 (Q10, returned items): 4-table join (broadcast nation),
+  //    quarter-windowed, revenue-ranked top-20. Revenue is the exact
+  //    cents sum divided once (q26's convention) so the DESC sort is
+  //    deterministic; ties break on c_custkey.
+  //  - q44 (Q14, promo revenue share): two conditional exact-cents sums
+  //    in ONE scan pass (no self-join), ratio = two IEEE ops on exact
+  //    ints. The month filter prunes lineitem row groups by l_shipdate.
+  //  - q45 (Q15, top supplier): uncorrelated scalar MAX subquery over a
+  //    grouped revenue view — Catalyst decorrelates to an aggregate +
+  //    broadcast cross join; run through spark.sql since the scalar-
+  //    subquery SQL text is the shape BI tools emit.
+  private def q43TpchQ10(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("acctbal_cents", cents(col("c_acctbal")))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"), col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q43Sql =
+    s"""SELECT c_custkey, c_name, ${centsSql("c_acctbal")} AS acctbal_cents, n_name,
+       |  SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}))/10000.0 AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01'
+       |GROUP BY c_custkey, c_name, acctbal_cents, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  private def q44TpchQ14(s: SparkSession, d: String): DataFrame = {
+    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_c"),
+        sum(rev).as("total_c"))
+      .select(
+        (col("promo_c") * 100.0 / col("total_c")).as("promo_pct"),
+        col("promo_c"), col("total_c"))
+  }
+
+  private val q44Sql =
+    s"""WITH f AS (SELECT
+       |    ${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}) AS rev,
+       |    p_type
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01')
+       |SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+       |    * 100.0 / CAST(SUM(rev) AS BIGINT) AS promo_pct,
+       |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_c,
+       |  CAST(SUM(rev) AS BIGINT) AS total_c
+       |FROM f""".stripMargin
+
+  private def q45TpchQ15(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    CAST(SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")})) AS BIGINT)
+         |      AS total_c
+         |  FROM lineitem_v
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_c
+         |FROM supplier_v JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_c = (SELECT MAX(total_c) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  private val q45Sql =
+    s"""WITH rev AS (SELECT l_suppkey,
+       |    CAST(SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")})) AS BIGINT)
+       |      AS total_c
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_c
+       |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       |WHERE total_c = (SELECT MAX(total_c) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q43_tpch_q10", q43TpchQ10, Some(q43Sql)),
+    Q("q44_tpch_q14", q44TpchQ14, Some(q44Sql)),
+    Q("q45_tpch_q15", q45TpchQ15, Some(q45Sql)),
     Q("q40_tpch_q18", q40TpchQ18, Some(q40Sql)),
     Q("q41_tpch_q13", q41TpchQ13, Some(q41Sql)),
     Q("q42_tpch_q19", q42TpchQ19, Some(q42Sql)),
