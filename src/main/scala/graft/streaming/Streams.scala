@@ -226,6 +226,60 @@ object Streams {
         })
   }
 
+  /** Input/state/output records for [[streamingHeavyHitters]]. */
+  case class TokEv(term: String, ts: java.sql.Timestamp)
+  case class MGState(keys: Array[Long], counts: Array[Long])
+  case class HHCand(shard: Long, term_hash: Long, floor_count: Long)
+
+  /** Portable term hash — the same md5-15-hex-chars→long key t13's batch
+    * heavy-hitters pass uses, so streaming candidates join directly
+    * against batch recounts.
+    */
+  private[graft] def termHash(term: String): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(term).substring(0, 15), 16)
+
+  /** Online heavy-hitters candidate tracking — the STREAMING half of
+    * t13's candidates-then-exact-recount split: terms are hash-
+    * partitioned into `shards` groups, and each shard's state is one
+    * Misra–Gries counter map ([[org.apache.spark.sql.graftshim.MGBuffer]]
+    * — the same structure the batch aggregate uses, same propped merge
+    * guarantee). Because a term's occurrences all land in ONE shard,
+    * any term with GLOBAL frequency > n/(capacity+1) has shard-local
+    * frequency > n_shard/(capacity+1) (n_shard ≤ n), so it survives its
+    * shard's sketch — the union of shard candidates is a superset of
+    * the global heavy set at every point in the stream.
+    *
+    * Each micro-batch emits the shard's full current candidate list
+    * (OutputMode.Update semantics — downstream reads the latest emission
+    * per shard, exactly-once not required for a candidate feed); the
+    * scheduled batch recount (t13) turns candidates into exact answers.
+    * `floor_count` is the MG residual count — a guaranteed LOWER bound
+    * on the term's true shard count (decrements only ever subtract), so
+    * a monitoring layer can alert on it without waiting for the recount.
+    * State per shard is ≤ capacity counters (16 B each) — total state
+    * is shards·capacity·16 B regardless of stream length or vocabulary.
+    */
+  def streamingHeavyHitters(toks: Dataset[TokEv], capacity: Int = 64,
+      shards: Int = 16): Dataset[HHCand] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.map(t => termHash(t.term))
+      .groupByKey(h => java.lang.Math.floorMod(h, shards.toLong))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Long, it: Iterator[Long], state: GroupState[MGState]) => {
+          val buf = new org.apache.spark.sql.graftshim.MGBuffer(capacity)
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.keys.length) { buf.addNoCompress(s.keys(i), s.counts(i)); i += 1 }
+          }
+          it.foreach(buf.add(_, 1L))
+          val pairs = buf.counts.toArray.sortBy(_._1)
+          state.update(MGState(pairs.map(_._1), pairs.map(_._2)))
+          pairs.iterator.map { case (h, c) => HHCand(shard, h, c) }
+        })
+  }
+
   /** LATE-DATA ACCOUNTING: every watermark in this suite silently drops
     * rows that arrive behind it (tumbling/session aggregation,
     * stream-stream join, dropDuplicatesWithinWatermark) — correct for
