@@ -137,7 +137,8 @@ import org.apache.spark.sql.functions._
   *   shuffle 0.33→0.47 s (both flat — single bounded shuffles);
   *   q43 Q10 2.6→3.1 s, q44 Q14 1.1→1.0 s, q45 Q15 2.3→2.0 s (all
   *   near-flat — quarter/month date filters prune row groups before
-  *   the joins see the 10× fact table).
+  *   the joins see the 10× fact table); pipe1 composed prep pipeline
+  *   1.3→1.7 s (four stages fused into one plan, three shuffles).
   * - sim10 k-means training: 4.3 → 3.6 s at 1×→10× — flat: 3 fixed
   *   rounds of broadcast-argmin (map-side) + one combined (cid,dim)
   *   shuffle whose volume is corpus-linear but whose agg output is k·64
@@ -230,7 +231,7 @@ object ScaleProbe {
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
-      "mix2_temperature", "pk4_shuffle",
+      "mix2_temperature", "pk4_shuffle", "pipe1_train_manifest",
       "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb",
       "mm7_media_ann_topk")
     // adversarial dd10 skew probe (`runMain graft.ScaleProbe skew:dd10`):

@@ -526,7 +526,66 @@ object TrainPrep {
       |    AS BIGINT) AS pos
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // pipe1_train_manifest — the END-TO-END prep pipeline as ONE composed
+  // declarative plan: quality gate (t2's exact boolean) → exact dedup
+  // first-wins (dd1) → test-split decontamination (dc1's doc_id%10 split
+  // at exact-hash granularity) → seeded shuffle manifest (pk4). This is
+  // the "run your whole prep in one call" surface: because every stage
+  // is a declarative transform on the same frame, Catalyst fuses them —
+  // the quality predicate evaluates inside the parquet scan's codegen
+  // stage, dedup is one hash shuffle, decontamination an AQE-sized
+  // anti-join, and the manifest one more bounded shuffle. Four pipeline
+  // stages, three shuffles total, zero materializations — where an
+  // airflow-style stage-per-job pipeline would write and re-read the
+  // corpus three times.
+  private def pipe1TrainManifest(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val base = Tables.documents(s, d)
+      .withColumn("n_words", nWords)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .withColumn("th", md5(col("text")))
+    val test = base.filter(col("doc_id") % 10 === 0).select(col("th")).distinct()
+    val train = base.filter(col("doc_id") % 10 =!= 0)
+    val w = Window.partitionBy("th").orderBy("doc_id")
+    val clean = train
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(test, Seq("th"), "left_anti")
+    val hh = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val ws = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    clean.select(col("doc_id"), col("n_words"), hh.as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(8L)))
+      .withColumn("pos", row_number().over(ws).cast("long") - 1L)
+      .select(col("doc_id"), col("n_words"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  private val pipe1Sql =
+    """WITH q AS (SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, md5(text) AS th
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10
+      |    AND len(regexp_replace(text, '[^a-z]', '', 'g')) * 2 > n_chars),
+      |test AS (SELECT DISTINCT th FROM q WHERE doc_id % 10 = 0),
+      |ded AS (SELECT doc_id, n_words, th FROM (
+      |    SELECT doc_id, n_words, th,
+      |      row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+      |    FROM q WHERE doc_id % 10 <> 0) WHERE rn = 1),
+      |cl AS (SELECT doc_id, n_words FROM ded
+      |  WHERE th NOT IN (SELECT th FROM test)),
+      |h AS (SELECT doc_id, n_words,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+      |      AS hkey FROM cl)
+      |SELECT doc_id, n_words, CAST(hkey % 8 AS BIGINT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id) - 1
+      |    AS BIGINT) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("pipe1_train_manifest", pipe1TrainManifest, Some(pipe1Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),
