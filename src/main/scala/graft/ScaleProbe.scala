@@ -217,7 +217,7 @@ object ScaleProbe {
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
       "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
       "q39_grouping_sets", "q40_tpch_q18", "q41_tpch_q13", "q42_tpch_q19",
-      "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15",
+      "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15", "q46_window_gauntlet",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
@@ -225,7 +225,7 @@ object ScaleProbe {
       "sim9_incremental_ann", "sim10_kmeans_train",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
-      "t13_heavy_hitters",
+      "t13_heavy_hitters", "t14_incremental_vocab",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
       "ev8_transitions",
       "w3_fact_engagement",

@@ -593,13 +593,19 @@ object Relational {
   // ---------------------------------------------------------------------
   // q26_tpch_q6 — the classic forecast-revenue scan: single table, three
   // selective predicates, one sum. The pure test of scan throughput +
-  // predicate pushdown (explain shows all three in PushedFilters); at
-  // 100 TB this is the query where columnar IO and codegen dominate.
+  // predicate pushdown; at 100 TB this is the query where columnar IO and
+  // codegen dominate. The discount bracket is exact-cents
+  // (round(100·x) ∈ [5,7]), which as an expression can never reach
+  // PushedFilters — so the plan ALSO carries the implied raw-double
+  // superset bracket x ∈ [0.044, 0.076], which does push down and lets
+  // parquet row-group stats skip; the exact predicate then trims the
+  // boundary rows. PlanShapeSpec pins all three pushed filters.
   private def q26TpchQ6(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
         col("l_quantity") < 24)
+      .filter(col("l_discount") >= 0.044 && col("l_discount") <= 0.076)
       .filter(cents(col("l_discount")).between(5L, 7L))
       .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0)
         .as("revenue"))
@@ -1190,7 +1196,47 @@ object Relational {
        |WHERE total_c = (SELECT MAX(total_c) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q46_window_gauntlet — the ranking-window family in one pass: rank,
+  // dense_rank, ntile(4), percent_rank, cume_dist over orders ranked by
+  // exact-cents price within status partitions. Covers the window
+  // functions the rest of the surface doesn't (row_number: q8/q10;
+  // lag/lead: q9/W2; first_value: q21; RANGE frames: q33/ev7).
+  // percent_rank/cume_dist are ratios of exact window counts — single
+  // IEEE divisions, deterministic; the orderkey tie-break removes rank
+  // ties entirely. One shuffle (the status partition), all five
+  // functions evaluated in a single Window physical operator.
+  private def q46WindowGauntlet(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .orderBy("o_orderstatus", "rnk")
+  }
+
+  private val q46Sql =
+    s"""SELECT o_orderkey, o_orderstatus,
+       |  ${centsSql("o_totalprice")} AS total_cents,
+       |  CAST(rank() OVER w AS BIGINT) AS rnk,
+       |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       |  percent_rank() OVER w AS prank,
+       |  cume_dist() OVER w AS cdist
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+       |WINDOW w AS (PARTITION BY o_orderstatus
+       |             ORDER BY ${centsSql("o_totalprice")} DESC, o_orderkey)
+       |ORDER BY o_orderstatus, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q46_window_gauntlet", q46WindowGauntlet, Some(q46Sql)),
     Q("q43_tpch_q10", q43TpchQ10, Some(q43Sql)),
     Q("q44_tpch_q14", q44TpchQ14, Some(q44Sql)),
     Q("q45_tpch_q15", q45TpchQ15, Some(q45Sql)),

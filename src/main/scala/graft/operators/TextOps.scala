@@ -543,7 +543,45 @@ c$r AS (SELECT doc_id,
       |GROUP BY term, n_total HAVING COUNT(*) * 32 > n_total
       |ORDER BY cnt DESC, term""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t14_incremental_vocab — incremental corpus-statistics maintenance:
+  // merge a NEW DOCUMENT BATCH's term stats into STORED corpus stats
+  // without re-reading the corpus — the stats-side member of the
+  // batch-vs-stored-index family (dd11 = dedup, sim9 = ANN). Batch =
+  // every 5th doc (the family's convention); the stored side is the
+  // remaining corpus' (term, tf, df) frame, localCheckpointed to stand
+  // for the warehouse stats table a nightly ingest maintains. The merge
+  // is a union + one map-side-combined groupBy SUM — O(batch vocab +
+  // stored vocab), the corpus token stream is never re-scanned. The
+  // CORRECTNESS CLAIM the oracle pins: merged stats are bit-identical
+  // to recomputing t9-style stats over the full corpus (tf and df are
+  // both sums over disjoint doc sets, so the merge is exact — this is
+  // why tf/df-based pipelines CAN be incremental while quantile-based
+  // ones need sketches).
+  private def t14IncrementalVocab(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("doc_id") % 5 === 0
+    def stats(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("n"))
+      .groupBy("term").agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+    val stored = stats(Tables.documents(s, d).filter(!isNew)).localCheckpoint()
+    val batch = stats(Tables.documents(s, d).filter(isNew))
+    stored.unionByName(batch)
+      .groupBy("term")
+      .agg(sum("tf").as("tf"), sum("df").as("df"))
+      .orderBy(col("tf").desc, col("term"))
+  }
+
+  // the oracle recomputes from the FULL corpus in one pass — the merge
+  // must be indistinguishable from a from-scratch rebuild
+  private val t14Sql =
+    """WITH td AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |g AS (SELECT term, doc_id, COUNT(*) AS n FROM td GROUP BY 1, 2)
+      |SELECT term, CAST(SUM(n) AS BIGINT) AS tf, COUNT(*) AS df
+      |FROM g GROUP BY term ORDER BY tf DESC, term""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("t14_incremental_vocab", t14IncrementalVocab, Some(t14Sql)),
     Q("t13_heavy_hitters", t13HeavyHitters, Some(t13Sql)),
     Q("t12_bigram_lm", t12BigramLm, Some(t12Sql)),
     Q("t11_bpe_merges", t11BpeMerges, Some(t11Sql)),
