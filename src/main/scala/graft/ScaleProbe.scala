@@ -143,6 +143,20 @@ import org.apache.spark.sql.functions._
   *   rounds of broadcast-argmin (map-side) + one combined (cid,dim)
   *   shuffle whose volume is corpus-linear but whose agg output is k·64
   *   rows regardless of corpus size.
+  * - round-8 batch 3, the last seven TPC-H shapes (1×→10×): q47 Q2
+  *   1.3→4.6 s (correlated MIN decorrelated to agg+SMJ on p_partkey;
+  *   the derived-ps agg over lineitem runs twice — the known Q2 cost),
+  *   q48 Q7 0.7→1.6 s (nation filters prune supplier/customer before
+  *   the fact joins), q49 Q8 0.9→1.4 s, q50 Q9 1.6→6.9 s (5-way join
+  *   incl. the (pk,sk)-grained ps), q51 Q11 1.2→5.2 s (ps agg + tiny
+  *   grouped frame vs 1-row global total), q52 Q12 0.4→1.4 s,
+  *   q53 Q16 0.8→3.4 s (distinct (pk,sk) collapse before any join).
+  * - q46 ranking-window gauntlet: 0.53 → 0.60 s at 1×→10× — flat: the
+  *   o_orderdate filter prunes row groups before the one status-key
+  *   window shuffle; all five ranking functions run in one Window op.
+  * - t14 incremental vocab merge: 0.75 → 1.38 s at 1×→10× — sub-2×:
+  *   both the stored-stats build and the batch stats combine map-side,
+  *   and the merge shuffle is vocab-sized, not token-stream-sized.
   * - sim9 incremental ANN: 2.5 → 33.2 s at 1×→10× — the probe join is
   *   O(batch · nprobe/k · corpus) by design (nprobe=6 of k=16 cells =
   *   37% of brute); at real scale k grows ~√N so the probed fraction
@@ -218,6 +232,8 @@ object ScaleProbe {
       "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
       "q39_grouping_sets", "q40_tpch_q18", "q41_tpch_q13", "q42_tpch_q19",
       "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15", "q46_window_gauntlet",
+      "q47_tpch_q2", "q48_tpch_q7", "q49_tpch_q8", "q50_tpch_q9",
+      "q51_tpch_q11", "q52_tpch_q12", "q53_tpch_q16",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",

@@ -829,7 +829,24 @@ object Relational {
     Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
     Tables.nation(s, d).createOrReplaceTempView("nation_v")
     Tables.table(s, d, "part").createOrReplaceTempView("part_v")
+    Tables.region(s, d).createOrReplaceTempView("region_v")
   }
+
+  /** Derived part-supplier relation for the partsupp-shaped TPC-H
+    * queries (Q2/Q9/Q11/Q16): this corpus has no partsupp table, so the
+    * (part, supplier) grain is recovered from lineitem — supplycost as
+    * the MIN observed unit price in exact cents (integer division:
+    * both engines floor positive values identically), qty as the summed
+    * quantity. One map-side-combined groupBy; the result is ~|distinct
+    * (partkey, suppkey)| rows, far smaller than lineitem at any scale.
+    * `div` is the dialect's integer-division operator: `DIV` in Spark
+    * SQL, `//` in DuckDB.
+    */
+  private def psCte(t: String, div: String): String =
+    s"""ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |    MIN(${centsSql("l_extendedprice")} $div CAST(l_quantity AS BIGINT)) AS cost_c,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       |  FROM $t GROUP BY l_partkey, l_suppkey)""".stripMargin
 
   private def q34TpchQ4(s: SparkSession, d: String): DataFrame = {
     viewsFor(s, d)
@@ -1235,7 +1252,308 @@ object Relational {
        |             ORDER BY ${centsSql("o_totalprice")} DESC, o_orderkey)
        |ORDER BY o_orderstatus, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q47–q53 — the seven TPC-H shapes not yet covered (Q2/Q7/Q8/Q9/Q11/
+  // Q12/Q16), completing all 22. Adapted to this corpus like q34–q45:
+  // partsupp is derived from lineitem (psCte), Q12's ship modes become
+  // shipdate−orderdate delay buckets (no l_shipmode/commitdate here),
+  // Q16's "complaint" suppliers become negative-balance suppliers. All
+  // money math in exact integer cents; every ratio is a single IEEE
+  // division of two exact ints; orderings carry full tie-breaks.
+  //
+  // Scale notes per query:
+  //  - q47 (Q2, min-cost supplier): correlated scalar MIN over the
+  //    derived ps + 3 dimension joins — Catalyst decorrelates to an
+  //    aggregate + join on the correlation key (p_partkey); region/
+  //    nation broadcast. ps is (pk,sk)-grained: tiny next to lineitem.
+  //  - q48 (Q7, volume shipping): nation filters applied to supplier/
+  //    customer BEFORE the fact joins (2 of 25 nations → both sides
+  //    pruned ~12× before any shuffle); the filtered supplier side is
+  //    broadcast, the customer side stays a shuffle join (customers
+  //    scale with the corpus; suppliers are 15× fewer in TPC-H).
+  //  - q49 (Q8, market share): share = two conditional exact-cents sums
+  //    in one aggregation pass, one IEEE division at the end.
+  //  - q50 (Q9, profit): 5-way join on the derived ps; profit in exact
+  //    10⁻⁴-cent units summed as BIGINT, divided once for display.
+  //  - q51 (Q11, important stock): HAVING-vs-global-total expressed as
+  //    exact integer cross-multiplication (q36's convention, no float
+  //    fraction); the global total is a 1-row broadcast cross join.
+  //  - q52 (Q12, priority-by-delay): one fact join, CASE bucket, two
+  //    count-if sums — map-side combined.
+  //  - q53 (Q16, supplier counts): distinct (pk,sk) collapse FIRST
+  //    (shrinks lineitem to the ps grain before any join), NOT-IN
+  //    excluded suppliers as a broadcast left-anti, count-distinct at
+  //    the (brand,type,size) grain.
+  private def q47TpchQ2(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      s"""WITH ${psCte("lineitem_v", "DIV")}
+         |SELECT ${centsSql("s_acctbal")} AS acctbal_c, s_name, n_name,
+         |  p_partkey, p_name, ps.cost_c AS supplycost_c
+         |FROM ps
+         |JOIN part_v ON p_partkey = ps.ps_partkey
+         |JOIN supplier_v ON s_suppkey = ps.ps_suppkey
+         |JOIN nation_v ON s_nationkey = n_nationkey
+         |JOIN region_v ON n_regionkey = r_regionkey
+         |WHERE p_size BETWEEN 25 AND 35 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+         |  AND ps.cost_c = (SELECT MIN(ps2.cost_c)
+         |    FROM ps ps2
+         |    JOIN supplier_v s2 ON s2.s_suppkey = ps2.ps_suppkey
+         |    JOIN nation_v n2 ON s2.s_nationkey = n2.n_nationkey
+         |    JOIN region_v r2 ON n2.n_regionkey = r2.r_regionkey
+         |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+         |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin)
+  }
+
+  private val q47Sql =
+    s"""WITH ${psCte("lineitem", "//")}
+       |SELECT ${centsSql("s_acctbal")} AS acctbal_c, s_name, n_name,
+       |  p_partkey, p_name, ps.cost_c AS supplycost_c
+       |FROM ps
+       |JOIN part ON p_partkey = ps.ps_partkey
+       |JOIN supplier ON s_suppkey = ps.ps_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size BETWEEN 25 AND 35 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+       |  AND ps.cost_c = (SELECT MIN(ps2.cost_c)
+       |    FROM ps ps2
+       |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  private def q48TpchQ7(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    val sup = Tables.supplier(s, d).join(n1, col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, d).join(n2, col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / 10000.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q48Sql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}))/10000.0 AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name IN ('NATION_3','NATION_7')
+       |  AND n2.n_name IN ('NATION_3','NATION_7')
+       |  AND n1.n_name <> n2.n_name
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  private def q49TpchQ8(s: SparkSession, d: String): DataFrame = {
+    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    val nCust = broadcast(Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk")))
+    val nSupp = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "STANDARD").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(nCust, col("c_nationkey") === col("c_nk"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(nSupp, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0L))).as("nation_c"),
+        sum(rev).as("total_c"))
+      .select(col("o_year"),
+        (col("nation_c").cast("double") / col("total_c")).as("mkt_share"),
+        col("nation_c"), col("total_c"))
+      .orderBy("o_year")
+  }
+
+  private val q49Sql =
+    s"""WITH f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    ${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")}) AS rev,
+       |    n1.n_name AS supp_nation
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |    JOIN region ON n2.n_regionkey = r_regionkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01')
+       |SELECT o_year,
+       |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) AS BIGINT)
+       |    AS DOUBLE) / CAST(SUM(rev) AS BIGINT) AS mkt_share,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) AS BIGINT) AS nation_c,
+       |  CAST(SUM(rev) AS BIGINT) AS total_c
+       |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  private def q50TpchQ9(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      s"""WITH ${psCte("lineitem_v", "DIV")},
+         |f AS (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    ${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")})
+         |      - ps.cost_c * 100 * CAST(l_quantity AS BIGINT) AS amount
+         |  FROM lineitem_v
+         |  JOIN ps ON ps.ps_partkey = l_partkey AND ps.ps_suppkey = l_suppkey
+         |  JOIN part_v ON p_partkey = l_partkey
+         |  JOIN supplier_v ON s_suppkey = l_suppkey
+         |  JOIN orders_v ON o_orderkey = l_orderkey
+         |  JOIN nation_v ON s_nationkey = n_nationkey
+         |  WHERE p_name LIKE '%red%')
+         |SELECT nation, o_year,
+         |  CAST(SUM(amount) AS BIGINT) AS profit_c4,
+         |  CAST(CAST(SUM(amount) AS BIGINT) AS DOUBLE) / 10000.0 AS profit
+         |FROM f GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  private val q50Sql =
+    s"""WITH ${psCte("lineitem", "//")},
+       |f AS (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    ${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")})
+       |      - ps.cost_c * 100 * CAST(l_quantity AS BIGINT) AS amount
+       |  FROM lineitem
+       |  JOIN ps ON ps.ps_partkey = l_partkey AND ps.ps_suppkey = l_suppkey
+       |  JOIN part ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%red%')
+       |SELECT nation, o_year,
+       |  CAST(SUM(amount) AS BIGINT) AS profit_c4,
+       |  CAST(CAST(SUM(amount) AS BIGINT) AS DOUBLE) / 10000.0 AS profit
+       |FROM f GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  private def q51TpchQ11(s: SparkSession, d: String): DataFrame = {
+    viewsFor(s, d)
+    s.sql(
+      s"""WITH ${psCte("lineitem_v", "DIV")},
+         |scoped AS (SELECT ps_partkey, CAST(SUM(cost_c * qty) AS BIGINT) AS value_c
+         |  FROM ps JOIN supplier_v ON s_suppkey = ps_suppkey
+         |    JOIN nation_v ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+         |  GROUP BY ps_partkey),
+         |tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS t FROM scoped)
+         |SELECT ps_partkey AS p_partkey, value_c
+         |FROM scoped CROSS JOIN tot
+         |WHERE value_c * 1000 > t
+         |ORDER BY value_c DESC, p_partkey""".stripMargin)
+  }
+
+  private val q51Sql =
+    s"""WITH ${psCte("lineitem", "//")},
+       |scoped AS (SELECT ps_partkey, CAST(SUM(cost_c * qty) AS BIGINT) AS value_c
+       |  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+       |    JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+       |  GROUP BY ps_partkey),
+       |tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS t FROM scoped)
+       |SELECT ps_partkey AS p_partkey, value_c
+       |FROM scoped CROSS JOIN tot
+       |WHERE value_c * 1000 > t
+       |ORDER BY value_c DESC, p_partkey""".stripMargin
+
+  private def q52TpchQ12(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_bucket",
+        when(delay <= 30, "FAST").when(delay <= 90, "NORMAL").otherwise("SLOW"))
+      .groupBy("ship_bucket")
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_bucket")
+  }
+
+  private val q52Sql =
+    """WITH j AS (SELECT
+      |    CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+      |         WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'NORMAL'
+      |         ELSE 'SLOW' END AS ship_bucket,
+      |    o_orderpriority
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01')
+      |SELECT ship_bucket,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS low_line_count
+      |FROM j GROUP BY ship_bucket ORDER BY ship_bucket""".stripMargin
+
+  private def q53TpchQ16(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pfil = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(pfil, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val q53Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q47_tpch_q2", q47TpchQ2, Some(q47Sql)),
+    Q("q48_tpch_q7", q48TpchQ7, Some(q48Sql)),
+    Q("q49_tpch_q8", q49TpchQ8, Some(q49Sql)),
+    Q("q50_tpch_q9", q50TpchQ9, Some(q50Sql)),
+    Q("q51_tpch_q11", q51TpchQ11, Some(q51Sql)),
+    Q("q52_tpch_q12", q52TpchQ12, Some(q52Sql)),
+    Q("q53_tpch_q16", q53TpchQ16, Some(q53Sql)),
     Q("q46_window_gauntlet", q46WindowGauntlet, Some(q46Sql)),
     Q("q43_tpch_q10", q43TpchQ10, Some(q43Sql)),
     Q("q44_tpch_q14", q44TpchQ14, Some(q44Sql)),
