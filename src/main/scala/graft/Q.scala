@@ -23,6 +23,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     operators.Relational.queries ++
+      operators.GraphOps.queries ++
       operators.TextOps.queries ++
       operators.TrainPrep.queries ++
       operators.Dedup.queries ++

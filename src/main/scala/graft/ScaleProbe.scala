@@ -143,6 +143,13 @@ import org.apache.spark.sql.functions._
   *   rounds of broadcast-argmin (map-side) + one combined (cid,dim)
   *   shuffle whose volume is corpus-linear but whose agg output is k·64
   *   rows regardless of corpus size.
+  * - gr1 exact-ppm PageRank: 2.1 → 8.9 s at 1×→10× — 3 fixed rounds,
+  *   one dst-shuffle each; rank frame node-sized throughout.
+  * - gr2 thresholded triangle count: 1.6 → 5.7 s at 1×→10×. The w≥2
+  *   significance threshold is the scale lever: weight-1 noise edges
+  *   (1.2M at sf0.1) would densify the 2000-node projection and make
+  *   the triangle join cubic — measured 13.8 s/76 s (1×/10×) on the
+  *   unthresholded supplier projection vs 1.6 s/5.7 s here.
   * - round-8 batch 3, the last seven TPC-H shapes (1×→10×): q47 Q2
   *   1.3→4.6 s (correlated MIN decorrelated to agg+SMJ on p_partkey;
   *   the derived-ps agg over lineitem runs twice — the known Q2 cost),
@@ -234,6 +241,7 @@ object ScaleProbe {
       "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15", "q46_window_gauntlet",
       "q47_tpch_q2", "q48_tpch_q7", "q49_tpch_q8", "q50_tpch_q9",
       "q51_tpch_q11", "q52_tpch_q12", "q53_tpch_q16",
+      "gr1_pagerank", "gr2_triangles",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Graph analytics over warehouse-derived edge lists — the family dd7's
+  * connected components opened (iterative label propagation) widened to
+  * rank propagation and local structure. The reference has no graph
+  * surface; these are beyond-reference operators a training-data /
+  * analytics platform needs (influence ranking for sampling weights,
+  * graph structure for dedup-cluster diagnostics).
+  *
+  * Everything is EXACT INTEGER arithmetic (the [[graft.Q]] determinism
+  * contract): ranks live in ppm (parts-per-million longs), damping 0.85
+  * is the exact rational 17/20 applied with integer division, so every
+  * iteration is bit-reproducible on any executor count AND replayable in
+  * the DuckDB oracle with the same unrolled arithmetic.
+  *
+  * Scale design: the edge list is distinct-collapsed at the (customer,
+  * supplier) grain before anything iterates — |edges| ≤ |distinct pairs|,
+  * far below lineitem. Each PageRank round is ONE shuffle (groupBy dst)
+  * plus broadcast-or-shuffle joins AQE sizes; the driver loop iterates
+  * over a FIXED round count (actions, never rows), with localCheckpoint
+  * lineage cuts per round (dd7's loop discipline).
+  */
+object GraphOps {
+
+  /** Fixed PageRank rounds: deterministic and oracle-replayable (the
+    * DuckDB twin unrolls exactly this many CTE steps).
+    */
+  private val PrRounds = 3
+
+  /** Bipartite commerce graph at the (customer, supplier) grain:
+    * node id = 2·custkey for customers, 2·suppkey+1 for suppliers
+    * (collision-free namespacing), edges both directions so every node
+    * has outdegree ≥ 1 (no dangling-mass correction needed).
+    */
+  private def edgesAndDegrees(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust_node"),
+        (col("l_suppkey") * 2 + 1).as("supp_node"))
+      .distinct()
+    val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+      .unionByName(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
+      .localCheckpoint() // reused by every iteration — scan the join once
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    (edges, deg)
+  }
+
+  // ---------------------------------------------------------------------
+  // gr1_pagerank — damped PageRank in exact ppm-integer arithmetic:
+  // r₀ = 1e6 for every node; each round
+  //   contrib(v→w) = r(v) div outdeg(v)
+  //   r'(w) = 150000 + (17 · Σ contrib) div 20        (= 0.15 + 0.85·Σ)
+  // 3 fixed rounds. Integer division makes every step exact, so the
+  // DuckDB oracle (same arithmetic, CTE-unrolled) matches bit-for-bit —
+  // the float-free twin of the classic formulation. One shuffle per
+  // round; the rank frame is node-sized, never edge-sized.
+  private def gr1PageRank(s: SparkSession, d: String): DataFrame = {
+    val (edges, deg) = edgesAndDegrees(s, d)
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to PrRounds) {
+      ranks = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank_ppm div outdeg").as("contrib"))
+        .groupBy("id")
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("id"), expr("150000L + (17L * s) div 20L").as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
+      .select(
+        when(col("id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        expr("id div 2").as("node_key"),
+        col("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("node_type"), col("node_key"))
+  }
+
+  private def gr1CtesFor(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, CAST(SUM(r.rank_ppm // d.outdeg) AS BIGINT) AS s
+         |  FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.id
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT id, 150000 + (17 * s) // 20 AS rank_ppm FROM c$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey*2 AS cust_node, l_suppkey*2+1 AS supp_node
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT cust_node AS src, supp_node AS dst FROM pairs
+       |      UNION ALL SELECT supp_node, cust_node FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+       |$steps""".stripMargin
+  }
+
+  private val gr1Sql =
+    s"""${gr1CtesFor(PrRounds)}
+       |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  id // 2 AS node_key, rank_ppm
+       |FROM r$PrRounds
+       |ORDER BY rank_ppm DESC, node_type, node_key""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // gr2_triangles — triangle count + global clustering coefficient on
+  // the part co-purchase graph (parts connected iff they appear in the
+  // same order — market-basket structure). Triangle enumeration uses the
+  // standard orientation trick: project each undirected edge once as
+  // (lo, hi), then count paths a<b<c where (a,b), (b,c), (a,c) all
+  // exist — each triangle counted exactly once, no permutation blowup.
+  // Clustering coefficient = 3·triangles / wedges, as an exact ppm ratio.
+  //
+  // Scale, in two layers:
+  //  1. Pair emission groups by ORDER (bounded basket size), so it is
+  //     C(basket,2) per order — linear in lineitem with a small
+  //     constant, never quadratic in a global dimension. The same
+  //     projection over customer×supplier is near-complete and makes
+  //     triangle counting inherently cubic (measured 13.8 s vs this
+  //     version's ~1 s at 1×).
+  //  2. Edges are SIGNIFICANCE-THRESHOLDED (co-occurrence weight ≥ 2):
+  //     on any corpus the weight-1 noise floor is what densifies the
+  //     projection (here 1.2M weight-1 edges vs 3.6k at w≥2 on sf0.1);
+  //     thresholding is both the analytically right graph (deliberate
+  //     co-purchases, not coincidence) and what keeps the triangle
+  //     join's deg² work bounded. A skew-hardened variant would also
+  //     cap per-basket fan-out the way dd9 caps buckets.
+  private def gr2Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("lo"), col("y.pk").as("hi"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("lo", "hi")
+      .localCheckpoint()
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
+      .join(e.as("ac"), col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = e.select(col("lo").as("v")).unionByName(e.select(col("hi").as("v")))
+    val wedges = nodes.groupBy("v").agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_nodes"), sum(expr("deg * (deg - 1L) div 2L")).as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select(
+        col("n_nodes"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0L, lit(0L))
+          .otherwise(expr("(3L * n_triangles * 1000000L) div n_wedges"))
+          .as("clustering_ppm"))
+  }
+
+  private val gr2Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT lo, hi FROM (
+      |    SELECT x.pk AS lo, y.pk AS hi, COUNT(*) AS w
+      |    FROM li x JOIN li y ON x.o = y.o AND x.pk < y.pk
+      |    GROUP BY 1, 2) ew
+      |  WHERE w >= 2),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |  FROM e ab JOIN e bc ON ab.hi = bc.lo
+      |    JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+      |deg AS (SELECT v, COUNT(*) AS deg FROM (
+      |    SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) GROUP BY v),
+      |w AS (SELECT COUNT(*) AS n_nodes,
+      |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT n_nodes, n_triangles, n_wedges,
+      |  CASE WHEN n_wedges = 0 THEN 0
+      |       ELSE (3 * n_triangles * 1000000) // n_wedges END AS clustering_ppm
+      |FROM tri CROSS JOIN w""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("gr1_pagerank", gr1PageRank, Some(gr1Sql)),
+    Q("gr2_triangles", gr2Triangles, Some(gr2Sql)))
+}
