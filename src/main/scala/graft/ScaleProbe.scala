@@ -143,6 +143,9 @@ import org.apache.spark.sql.functions._
   *   rounds of broadcast-argmin (map-side) + one combined (cid,dim)
   *   shuffle whose volume is corpus-linear but whose agg output is k·64
   *   rows regardless of corpus size.
+  * - dd16 semantic dedup: 1.6 → 3.1 s at 1×→10× — training is sim10's
+  *   fixed-round loop, assignment map-side; the only data-quadratic
+  *   step (within-cluster cosine verify) is bounded by Σ|cluster|².
   * - gr1 exact-ppm PageRank: 2.1 → 8.9 s at 1×→10× — 3 fixed rounds,
   *   one dst-shuffle each; rank frame node-sized throughout.
   * - gr2 thresholded triangle count: 1.6 → 5.7 s at 1×→10×. The w≥2
@@ -241,7 +244,7 @@ object ScaleProbe {
       "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15", "q46_window_gauntlet",
       "q47_tpch_q2", "q48_tpch_q7", "q49_tpch_q8", "q50_tpch_q9",
       "q51_tpch_q11", "q52_tpch_q12", "q53_tpch_q16",
-      "gr1_pagerank", "gr2_triangles",
+      "gr1_pagerank", "gr2_triangles", "dd16_semantic_dedup",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",

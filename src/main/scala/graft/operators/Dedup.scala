@@ -1037,7 +1037,83 @@ object Dedup {
        |WHERE common * 10 >= na.n * 9
        |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd16_semantic_dedup — SemDeDup-style semantic deduplication (Abbas
+  // et al. 2023): k-means-cluster the embedding corpus, then look for
+  // near-duplicates ONLY within clusters — the clustering replaces LSH
+  // as the candidate generator, turning the O(n²) cosine comparison
+  // into Σ|cluster|². Reuses sim10's exact-integer Lloyd trainer
+  // ([[Similarity.kmeansFit]]) so the trained partition is
+  // bit-reproducible, then applies SemDeDup's one-hop keep rule: a
+  // vector is a duplicate iff some LOWER-id vector in the same cluster
+  // has cosine ≥ 0.45 (dd5's threshold — so dd16's dup set is exactly
+  // the dd5 pair set restricted to co-clustered endpoints, a containment
+  // Dd16Spec asserts); its keeper is the lowest such id (one hop, not
+  // connected components — dd7 is the transitive variant).
+  //
+  // Scale: training is sim10's loop (broadcast-argmin map-side, one
+  // (cid,dim) shuffle per round); assignment is one more broadcast-
+  // argmin pass; the pair join shuffles on cid only, so the quadratic
+  // verify is bounded by the largest cluster, the same bucket-bounding
+  // story as dd9 (a production variant caps or re-splits outsize
+  // clusters; k grows ~√N at scale, shrinking per-cluster mass).
+  // Cosine uses dd5's deterministic form: exact-int dot and norms, two
+  // sqrts + one multiply + one divide in IEEE doubles.
+  private def dd16SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val e = Similarity.scaledVectors(s, d)
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    val cent = broadcast(Similarity.kmeansFit(s, d).select(col("cid"), col("vc")))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(cent)
+      .withColumn("nc", graft.functions.VectorFunctions.normSqLong(col("vc")))
+      .withColumn("dist", col("nc") - lit(2L) * dot(col("v"), col("vc")))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+      .localCheckpoint() // reused by both pair sides + the final join
+    val a = assigned.select(col("cid"), col("vec_id").as("ida"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, "cid").filter(col("ida") < col("idb"))
+      .withColumn("cos", dot(col("va"), col("vb")).cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= 0.45)
+      .groupBy(col("idb").as("vec_id"))
+      .agg(min(col("ida")).as("k"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("k").isNotNull.as("is_dup"),
+        coalesce(col("k"), col("vec_id")).as("keeper"))
+      .orderBy("vec_id")
+  }
+
+  private val dd16Sql =
+    s"""WITH ${Similarity.kmeansSqlCtes}
+       |az AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+       |  CAST((SELECT SUM(c.vc[i] * c.vc[i] - 2 * e.v[i] * c.vc[i])
+       |        FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dist
+       |  FROM e, ${Similarity.kmeansFinalCte} c),
+       |sz AS (SELECT vec_id, v, nrm, cid FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM az)
+       |  WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM sz a JOIN sz b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dups AS (SELECT idb AS vec_id, MIN(ida) AS k FROM p
+       |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.45
+       |  GROUP BY idb)
+       |SELECT s.vec_id, s.cid,
+       |  (d.k IS NOT NULL) AS is_dup,
+       |  COALESCE(d.k, s.vec_id) AS keeper
+       |FROM sz s LEFT JOIN dups d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("dd16_semantic_dedup", dd16SemanticDedup, Some(dd16Sql)),
     Q("dd1_exact", dd1Exact, Some(dd1Sql)),
     Q("dd13_substring_dedup", dd13SubstringDedup, Some(dd13Sql)),
     Q("dd14_residual_corpus", dd14ResidualCorpus, Some(dd14Sql)),

@@ -655,16 +655,22 @@ object Similarity {
   private val sim10K = 8
   private val sim10Iters = 3
 
-  private def sim10KmeansTrain(s: SparkSession, d: String): DataFrame = {
+  /** The sim10 Lloyd loop, shared with dd16's semantic dedup: returns
+    * the trained centroid frame `(cid, vc, n)` after [[sim10Iters]]
+    * rounds (localCheckpointed — callers reuse it without replaying the
+    * training lineage). Exactness and loop discipline documented at
+    * sim10 below.
+    */
+  private[operators] def kmeansFit(s: SparkSession, d: String): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     val e = scaledVectors(s, d).select(col("vec_id"), col("v")).localCheckpoint()
     var cent = e.filter(col("vec_id") < sim10K)
-      .select(col("vec_id").cast("long").as("cid"), col("v").as("vc"))
-    var sizes: DataFrame = null
+      .select(col("vec_id").cast("long").as("cid"), col("v").as("vc"),
+        lit(1L).as("n"))
     for (_ <- 1 to sim10Iters) {
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val assigned = e.crossJoin(broadcast(cent))
+      val assigned = e.crossJoin(broadcast(cent.select("cid", "vc")))
         .withColumn("nc", graft.functions.VectorFunctions.normSqLong(col("vc")))
         .withColumn("dist", col("nc") - lit(2L) * dot(col("v"), col("vc")))
         .withColumn("rn", row_number().over(wAssign))
@@ -682,17 +688,22 @@ object Similarity {
         .select(col("cid"), transform(col("z"), p => p.getField("cv")).as("vc"),
           col("n"))
         .localCheckpoint()
-      sizes = cent.select(col("cid"), col("n"))
-      cent = cent.select(col("cid"), col("vc"))
     }
-    cent.join(sizes, "cid")
+    cent
+  }
+
+  private def sim10KmeansTrain(s: SparkSession, d: String): DataFrame =
+    kmeansFit(s, d)
       .select(col("cid"), col("n").as("size"),
         posexplode(col("vc")).as(Seq("d", "cv")))
       .select(col("cid"), col("size"), col("d").cast("long").as("d"), col("cv"))
       .orderBy("cid", "d")
-  }
 
-  private val sim10Sql = {
+  /** DuckDB CTE chain replaying [[kmeansFit]] exactly: scaled vectors
+    * (`e`) → init (`c0`) → per-round assign/mean CTEs, ending at
+    * `c$sim10Iters(cid, vc, n)`. Shared by sim10's and dd16's oracles.
+    */
+  private[operators] val kmeansSqlCtes: String = {
     def iter(prev: String, r: Int): String =
       s"""a$r AS (SELECT e.vec_id, e.v, c.cid,
          |  CAST((SELECT SUM(c.vc[i] * c.vc[i] - 2 * e.v[i] * c.vc[i])
@@ -707,15 +718,22 @@ object Similarity {
          |  FROM s$r, UNNEST(generate_series(1, 64)) u(i) GROUP BY cid, u.i),
          |c$r AS (SELECT cid, list(cv ORDER BY d) AS vc, MAX(n) AS n
          |  FROM p$r GROUP BY cid),""".stripMargin
-    s"""WITH $scaledVectorsSqlCte,
+    // NOTE: ends with a trailing comma — consumers append their own CTEs
+    s"""$scaledVectorsSqlCte,
        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS vc FROM e WHERE vec_id < $sim10K),
-       |${(1 to sim10Iters).map(r => iter(s"c${r - 1}", r)).mkString("\n")}
+       |${(1 to sim10Iters).map(r => iter(s"c${r - 1}", r)).mkString("\n")}""".stripMargin
+  }
+
+  /** Name of the final trained-centroid CTE inside [[kmeansSqlCtes]]. */
+  private[operators] val kmeansFinalCte: String = s"c$sim10Iters"
+
+  private val sim10Sql =
+    s"""WITH $kmeansSqlCtes
        |f AS (SELECT cid, n, u.i - 1 AS d, vc[u.i] AS cv
-       |  FROM c$sim10Iters, UNNEST(generate_series(1, 64)) u(i))
+       |  FROM $kmeansFinalCte, UNNEST(generate_series(1, 64)) u(i))
        |SELECT cid, CAST(n AS BIGINT) AS size, CAST(d AS BIGINT) AS d,
        |  CAST(cv AS BIGINT) AS cv
        |FROM f ORDER BY cid, d""".stripMargin
-  }
 
   val queries: Seq[Q] = Seq(
     Q("sim10_kmeans_train", sim10KmeansTrain, Some(sim10Sql)),
