@@ -126,7 +126,10 @@ import org.apache.spark.sql.functions._
   *   of candidates bail after the disjoint prefix).
   * - t11 BPE merges: 11.6 → 16.7 s at 1×→10× — sub-linear: 6 rounds of
   *   fixed shuffle count; pair counting combines map-side, rewrite is
-  *   per-doc windows.
+  *   per-doc windows. Round-8 rework (merge marks computed inline via a
+  *   running candidate count instead of a filtered self-join back on
+  *   (doc_id, pos)) removed one corpus re-shuffle per round: re-measured
+  *   4.5 → 5.9 s at 1×→10×, ~2.6× faster at both scales.
   * - round-8 batch 2 (1×→10×): q40 Q18 1.6→2.7 s (AQE broadcasts the
   *   HAVING-filtered big-orders side), q41 Q13 1.0→1.3 s, q42 Q19
   *   0.6→0.7 s (disjunctive per-table filter halves pushed to both

@@ -396,19 +396,27 @@ object TextOps {
         val b = best(0).getString(1)
         merges += ((r.toLong, a, b, best(0).getLong(2)))
         // leftmost-non-overlapping occurrences: even offsets within each
-        // run of consecutive candidate positions
-        val sel = withNext.filter(col("tok") === a && col("nxt") === b)
-          .select("doc_id", "pos")
-          .withColumn("grp", col("pos") - row_number().over(wDoc))
-          .withColumn("off", col("pos") - min(col("pos"))
+        // run of consecutive candidate positions. Marked INLINE on the
+        // full frame (no filtered self-join back on (doc_id, pos) — that
+        // join re-shuffled the corpus on a different key every round):
+        // grp = pos − running candidate count isolates runs exactly like
+        // the filtered pos − row_number form, and min-over-(doc, grp)
+        // only reads candidate rows via the when(). All windows cluster
+        // by doc_id, so the whole round is one doc_id exchange (reused
+        // from the checkpointed corpus) plus the pair-count shuffle.
+        val cand = col("tok") === a && col("nxt") === b
+        corpus = withNext
+          .withColumn("cand", cand)
+          .withColumn("grp",
+            when(col("cand"), col("pos") -
+              sum(when(col("cand"), 1L).otherwise(0L)).over(wDoc)))
+          .withColumn("minp", min(when(col("cand"), col("pos")))
             .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "grp")))
-          .filter(col("off") % 2 === 0)
-          .select(col("doc_id"), col("pos"), lit(1).as("m"))
-        corpus = corpus.join(sel, Seq("doc_id", "pos"), "left")
+          .withColumn("m", col("cand") && (col("pos") - col("minp")) % 2 === 0)
           .withColumn("pm", lag(col("m"), 1).over(wDoc))
-          .filter(col("pm").isNull || col("pm") =!= 1) // drop consumed rhs
+          .filter(col("pm").isNull || !col("pm")) // drop consumed rhs
           .withColumn("tok2",
-            when(col("m") === 1, lit(a + " " + b)).otherwise(col("tok")))
+            when(col("m"), lit(a + " " + b)).otherwise(col("tok")))
           .withColumn("pos2", row_number().over(wDoc).cast("long") - 1L)
           .select(col("doc_id"), col("pos2").as("pos"), col("tok2").as("tok"))
           .localCheckpoint()
