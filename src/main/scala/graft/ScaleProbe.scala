@@ -146,6 +146,8 @@ import org.apache.spark.sql.functions._
   *   rounds of broadcast-argmin (map-side) + one combined (cid,dim)
   *   shuffle whose volume is corpus-linear but whose agg output is k·64
   *   rows regardless of corpus size.
+  * - cur1 curriculum schedule: 0.44 → 0.50 s at 1×→10× — flat: map-only
+  *   threshold staging + one stage-partitioned window.
   * - dd16 semantic dedup: 1.6 → 3.1 s at 1×→10× — training is sim10's
   *   fixed-round loop, assignment map-side; the only data-quadratic
   *   step (within-cluster cosine verify) is bounded by Σ|cluster|².
@@ -261,7 +263,7 @@ object ScaleProbe {
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
-      "mix2_temperature", "pk4_shuffle", "pipe1_train_manifest",
+      "mix2_temperature", "pk4_shuffle", "pipe1_train_manifest", "cur1_curriculum",
       "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb",
       "mm7_media_ann_topk")
     // adversarial dd10 skew probe (`runMain graft.ScaleProbe skew:dd10`):

@@ -584,9 +584,56 @@ object TrainPrep {
       |    AS BIGINT) AS pos
       |FROM h ORDER BY shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cur1_curriculum — curriculum-ordered training schedule: docs are
+  // binned easy→hard by FIXED length thresholds (threshold bins, not
+  // global quantiles — a global ntile would need a single-partition
+  // window; fixed cutoffs are map-only, scale-free, and what production
+  // curricula use so the schedule is stable across corpus growth), then
+  // deterministically shuffled WITHIN each difficulty stage with pk4's
+  // seeded portable hash. Global training order = (stage, pos) lexical —
+  // short fluent docs first, long-tail docs last, reproducible on any
+  // cluster size and replayable bit-for-bit by the oracle.
+  //
+  // Scale: one shuffle (the stage-partitioned window); stages are few
+  // and balanced by construction of the cutoffs, and a skewed stage
+  // degrades to pk4's per-shard sort, not a global one.
+  private def cur1Curriculum(s: SparkSession, d: String): DataFrame = {
+    val seed = 7
+    val hh = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":"), lit(seed))), 1, 15), 16, 10)
+      .cast("long")
+    val stage = when(col("n_chars") < 180, 0L)
+      .when(col("n_chars") < 310, 1L)
+      .when(col("n_chars") < 420, 2L)
+      .otherwise(3L)
+    val w = Window.partitionBy("stage").orderBy("hkey", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("stage", stage)
+      .withColumn("hkey", hh)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("stage"), col("pos"))
+      .orderBy("stage", "pos")
+  }
+
+  private val cur1Sql =
+    """WITH b AS (SELECT doc_id,
+      |    CASE WHEN n_chars < 180 THEN 0
+      |         WHEN n_chars < 310 THEN 1
+      |         WHEN n_chars < 420 THEN 2 ELSE 3 END AS stage,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+      |      AS hkey
+      |  FROM documents)
+      |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+      |  CAST(row_number() OVER (PARTITION BY stage ORDER BY hkey, doc_id) - 1
+      |    AS BIGINT) AS pos
+      |FROM b ORDER BY stage, pos""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("pipe1_train_manifest", pipe1TrainManifest, Some(pipe1Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
+    Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Sql)),
