@@ -148,6 +148,9 @@ import org.apache.spark.sql.functions._
   *   rows regardless of corpus size.
   * - cur1 curriculum schedule: 0.44 → 0.50 s at 1×→10× — flat: map-only
   *   threshold staging + one stage-partitioned window.
+  * - ev9 SCD2 history: 0.70 → 0.73 s at 1×→10× — flat: one user_id
+  *   shuffle shared by all three windows; versioning runs on the
+  *   collapsed change-row frame.
   * - dd16 semantic dedup: 1.6 → 3.1 s at 1×→10× — training is sim10's
   *   fixed-round loop, assignment map-side; the only data-quadratic
   *   step (within-cluster cosine verify) is bounded by Σ|cluster|².
@@ -259,7 +262,7 @@ object ScaleProbe {
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
       "t13_heavy_hitters", "t14_incremental_vocab",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
-      "ev8_transitions",
+      "ev8_transitions", "ev9_scd2_history",
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",

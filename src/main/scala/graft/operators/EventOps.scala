@@ -290,7 +290,59 @@ object EventOps {
       |  CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev9_scd2_history — slowly-changing-dimension (type 2) history build
+  // from a change stream: per user, derive the activity tier from each
+  // event, collapse consecutive repeats (lag ≠ current keeps only CHANGE
+  // rows), then version the survivors with valid_from/valid_to windows
+  // (lead of the next change; NULL = current row). The textbook
+  // versioned-dimension derivation every warehouse needs next to its
+  // star schema — dim_media/dim_visitor here are type-1 overwrites; this
+  // is the type-2 twin with full history.
+  //
+  // Scale: ONE user_id shuffle — the change-collapse lag, the version
+  // row_number and the valid_to lead all share the same (user_id ×
+  // (ts, event_id)) window clustering, and the filter between them
+  // preserves partitioning; everything after the collapse runs on the
+  // (small) change-row frame. Timestamps exported as exact epoch micros
+  // (the ev-family convention).
+  private def ev9Scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tier = when(col("value") < 10.0, "low")
+      .when(col("value") < 100.0, "mid").otherwise("high")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), tier.as("tier"))
+      .withColumn("prev", lag(col("tier"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("tier"))
+      .withColumn("valid_from", unix_micros(col("ts")))
+      .withColumn("valid_to", lead(unix_micros(col("ts")), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version"), col("tier"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  private val ev9Sql =
+    """WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CASE WHEN value < 10 THEN 'low'
+      |         WHEN value < 100 THEN 'mid' ELSE 'high' END AS tier
+      |  FROM events),
+      |c AS (SELECT *, lag(tier) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM t),
+      |ch AS (SELECT user_id, us, event_id, tier FROM c
+      |  WHERE prev IS NULL OR prev <> tier)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  tier, us AS valid_from,
+      |  lead(us) OVER w AS valid_to,
+      |  (lead(us) OVER w IS NULL) AS is_current
+      |FROM ch
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("ev9_scd2_history", ev9Scd2History, Some(ev9Sql)),
     Q("ev8_transitions", ev8Transitions, Some(ev8Sql)),
     Q("ev7_anomaly", ev7Anomaly, Some(ev7Sql)),
     Q("ev6_cohort_retention", ev6CohortRetention, Some(ev6Sql)),
