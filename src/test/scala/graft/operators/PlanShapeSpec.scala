@@ -51,4 +51,29 @@ class PlanShapeSpec extends graft.SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate,"), plan.take(3000))
     assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(3000))
   }
+
+  test("runtime bloom-filter join pruning engages on the Q10 shape at scale thresholds") {
+    // At 100 TB the selective orders scan should inject a bloom filter
+    // into the lineitem side of the shuffle join (runtime row-level
+    // filtering). The default 10 MB creation threshold exceeds every
+    // test table, so this pins the capability by scaling the threshold
+    // down — the plan property, not the data size, is what must hold.
+    val conf = spark.conf
+    // broadcast joins don't need (or get) bloom filters, so also force
+    // the shuffle-join plan the same query produces at 100 TB
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1g",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => conf.set(k, v) }
+      val plan = formatted("q43_tpch_q10")
+      assert(plan.toLowerCase.contains("bloomfilter"), plan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
