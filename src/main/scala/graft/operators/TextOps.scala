@@ -588,7 +588,69 @@ c$r AS (SELECT doc_id,
       |SELECT term, CAST(SUM(n) AS BIGINT) AS tf, COUNT(*) AS df
       |FROM g GROUP BY term ORDER BY tf DESC, term""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // search1_bm25 — BM25-style query-relevance ranking over the corpus,
+  // in EXACT RATIONAL arithmetic (the determinism contract forbids ln,
+  // so the idf is the rational (N−df)/df instead of log((N−df+.5)/(df+.5))
+  // — same ordering for a fixed query, exactly replayable; it is CAPPED
+  // at 100 so the integer range stays bounded where log idf would have
+  // compressed it). k1 = 1.2 and b = 0.75 are folded through as the
+  // exact rationals 6/5 and 3/4; with avgdl = ⌊T/N⌋ the classic
+  //   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  // becomes (22·tf·avg·10⁶) div (10·tf·avg + 3·avg + 9·dl) — every
+  // factor document-length-scaled, so the int64 bound holds at ANY
+  // corpus size (avg < 3·10⁸ tokens/doc, N < 9·10¹² docs).
+  //
+  // Scale: tokenize map-side; tf is one map-side-combined (doc, term)
+  // shuffle RESTRICTED to query terms (the isin pushes into the scan
+  // stage); df and the corpus totals are broadcast 1-to-3-row frames;
+  // dl joins on doc_id; final ranking is a distributed TakeOrdered(20).
+  private def search1Bm25(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "scan")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum("dl").as("tt"), count(lit(1)).as("n"))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("avg", expr("tt div n"))
+      .withColumn("tfn_ppm",
+        expr("(22L * tf * avg * 1000000L) div (10L * tf * avg + 3L * avg + 9L * dl)"))
+      .withColumn("idf_ppm",
+        least(expr("((n - df) * 1000000L) div df"), lit(100000000L)))
+      .withColumn("s_ppm", expr("(tfn_ppm * idf_ppm) div 1000000L"))
+      .groupBy("doc_id")
+      .agg(sum("s_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val search1Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt, COUNT(*) AS n FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id,
+      |    (22 * tf.tf * (tt // n) * 1000000)
+      |      // (10 * tf.tf * (tt // n) + 3 * (tt // n) + 9 * dl.dl) AS tfn_ppm,
+      |    LEAST(((n - df) * 1000000) // df, 100000000) AS idf_ppm
+      |  FROM tf JOIN dft ON tf.term = dft.term
+      |    JOIN dl ON tf.doc_id = dl.doc_id
+      |    CROSS JOIN tot)
+      |SELECT doc_id,
+      |  CAST(SUM((tfn_ppm * idf_ppm) // 1000000) AS BIGINT) AS score_ppm,
+      |  COUNT(*) AS n_terms
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("search1_bm25", search1Bm25, Some(search1Sql)),
     Q("t14_incremental_vocab", t14IncrementalVocab, Some(t14Sql)),
     Q("t13_heavy_hitters", t13HeavyHitters, Some(t13Sql)),
     Q("t12_bigram_lm", t12BigramLm, Some(t12Sql)),
