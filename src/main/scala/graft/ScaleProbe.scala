@@ -146,6 +146,8 @@ import org.apache.spark.sql.functions._
   *   rounds of broadcast-argmin (map-side) + one combined (cid,dim)
   *   shuffle whose volume is corpus-linear but whose agg output is k·64
   *   rows regardless of corpus size.
+  * - search2 phrase query: 0.53 → 0.67 s at 1×→10× — flat: postings
+  *   pruned to the query terms before the positional join.
   * - search1 BM25 ranking: 0.74 → 0.89 s at 1×→10× — flat: the query-
   *   term isin prunes the tf shuffle to 3 terms; df/totals broadcast;
   *   ranking is a distributed TakeOrdered(20).
@@ -263,7 +265,7 @@ object ScaleProbe {
       "sim9_incremental_ann", "sim10_kmeans_train",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
-      "t13_heavy_hitters", "t14_incremental_vocab", "search1_bm25",
+      "t13_heavy_hitters", "t14_incremental_vocab", "search1_bm25", "search2_phrase",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
       "ev8_transitions", "ev9_scd2_history",
       "w3_fact_engagement",

@@ -649,7 +649,44 @@ c$r AS (SELECT doc_id,
       |FROM sc GROUP BY doc_id
       |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // search2_phrase — exact phrase search ("hash join", adjacency-exact)
+  // via a POSITIONAL index: posexplode the token stream, keep the two
+  // query terms' postings, and join them on (doc, pos+1 = pos) — the
+  // classic positional-inverted-index phrase query, generalizing to
+  // k-term phrases as a k−1-way chain. Emits per-doc phrase frequency
+  // plus the first match position (both exact ints).
+  //
+  // Scale: the postings frame is filtered to the query terms BEFORE the
+  // join (term pruning in the scan stage, like search1's tf shuffle),
+  // so the join is |postings(t1)| ⋈ |postings(t2)| on (doc_id, pos) —
+  // never the full token stream. One shuffle per side.
+  private def search2Phrase(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val a = toks.filter(col("term") === "hash")
+      .select(col("doc_id"), col("pos").cast("long").as("pa"))
+    val b = toks.filter(col("term") === "join")
+      .select(col("doc_id"), col("pos").cast("long").as("pb"))
+    a.join(b, a("doc_id") === b("doc_id") && col("pb") === col("pa") + 1L)
+      .groupBy(a("doc_id"))
+      .agg(count(lit(1)).as("phrase_count"), min(col("pa")).as("first_pos"))
+      .orderBy(col("phrase_count").desc, col("doc_id"))
+  }
+
+  private val search2Sql =
+    """WITH toks AS (SELECT doc_id, u.i - 1 AS pos, t.parts[u.i] AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) t,
+      |    UNNEST(generate_series(1, len(t.parts))) u(i)),
+      |a AS (SELECT doc_id, CAST(pos AS BIGINT) AS pa FROM toks WHERE term = 'hash'),
+      |b AS (SELECT doc_id, CAST(pos AS BIGINT) AS pb FROM toks WHERE term = 'join')
+      |SELECT a.doc_id, COUNT(*) AS phrase_count, MIN(pa) AS first_pos
+      |FROM a JOIN b ON a.doc_id = b.doc_id AND pb = pa + 1
+      |GROUP BY a.doc_id
+      |ORDER BY phrase_count DESC, a.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("search2_phrase", search2Phrase, Some(search2Sql)),
     Q("search1_bm25", search1Bm25, Some(search1Sql)),
     Q("t14_incremental_vocab", t14IncrementalVocab, Some(t14Sql)),
     Q("t13_heavy_hitters", t13HeavyHitters, Some(t13Sql)),
