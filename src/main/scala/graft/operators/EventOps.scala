@@ -341,7 +341,63 @@ object EventOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev10_attribution — first-/last-touch conversion attribution: for
+  // each `purchase` event, credit the FIRST and the LAST strictly-
+  // preceding touch event (`click`/`view`) by the same user — the
+  // standard marketing-attribution query every event warehouse runs
+  // next to its funnel (ev4). first/last IGNORE NULLS over the
+  // strictly-preceding row frame is exact and deterministic because
+  // rows are totally ordered by (ts, event_id) within each user
+  // partition; purchases with no prior touch emit NULL touch columns
+  // (identically in both engines).
+  //
+  // Scale: ONE user_id shuffle — all five window expressions share the
+  // same (user_id × (ts, event_id)) sort and frame, the purchase filter
+  // runs after the windows and preserves partitioning, and the output
+  // is purchase-row sized. Timestamps export as exact epoch micros.
+  private def ev10Attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = col("event_type").isin("click", "view")
+    val tid = when(touch, col("event_id"))
+    val tus = when(touch, unix_micros(col("ts")))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("first_touch_id", first(tid, ignoreNulls = true).over(w))
+      .withColumn("first_touch_us", first(tus, ignoreNulls = true).over(w))
+      .withColumn("last_touch_id", last(tid, ignoreNulls = true).over(w))
+      .withColumn("last_touch_us", last(tus, ignoreNulls = true).over(w))
+      .withColumn("n_touches", count(tid).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("first_touch_id"), col("first_touch_us"),
+        col("last_touch_id"), col("last_touch_us"), col("n_touches"))
+      .orderBy("purchase_id")
+  }
+
+  private val ev10Sql =
+    """WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    CASE WHEN event_type IN ('click', 'view') THEN event_id END AS tid,
+      |    CASE WHEN event_type IN ('click', 'view') THEN epoch_us(ts) END AS tus
+      |  FROM events),
+      |a AS (SELECT user_id, us, event_id, event_type,
+      |    first_value(tid IGNORE NULLS) OVER w AS first_touch_id,
+      |    first_value(tus IGNORE NULLS) OVER w AS first_touch_us,
+      |    last_value(tid IGNORE NULLS) OVER w AS last_touch_id,
+      |    last_value(tus IGNORE NULLS) OVER w AS last_touch_us,
+      |    COUNT(tid) OVER w AS n_touches
+      |  FROM t
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+      |  first_touch_id, first_touch_us, last_touch_id, last_touch_us,
+      |  n_touches
+      |FROM a WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("ev10_attribution", ev10Attribution, Some(ev10Sql)),
     Q("ev9_scd2_history", ev9Scd2History, Some(ev9Sql)),
     Q("ev8_transitions", ev8Transitions, Some(ev8Sql)),
     Q("ev7_anomaly", ev7Anomaly, Some(ev7Sql)),

@@ -735,7 +735,79 @@ object Similarity {
        |  CAST(cv AS BIGINT) AS cv
        |FROM f ORDER BY cid, d""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim11_range_join — cosine RANGE join across two vector sets: all
+  // cross pairs (a ∈ A, b ∈ B) with cos(a,b) ≥ 0.35, A = even vec_ids,
+  // B = odd (standing for yesterday's vs today's snapshot) — the
+  // contrastive-pair mining primitive. Unlike sim1–sim10's top-k, the
+  // output here is THRESHOLD-driven, so the plan must never materialize
+  // A×B: candidates come from dd9's 128-bit/4-bit-band sign-LSH sketch
+  // (both engines replay the same deterministic hyperplanes, so the
+  // oracle is exact), restricted to cross-parity pairs sharing a band
+  // code, capped and dedup'd, then exact-cosine verified. Recall vs the
+  // brute-force range join is pinned by Sim11RecallSpec (0.99 expected
+  // from 32 bands at this threshold).
+  //
+  // Scale: the band join shuffles only (band, code) postings; the ≤512
+  // (band, code) size table is broadcast and over-full buckets are
+  // dropped before the join (dd9MaxBucket's reasoning — an over-full
+  // bucket is a disguised cross product and those hyperplanes carry no
+  // signal there), bounding candidates linearly in n; exact dot/norm
+  // arithmetic runs only on surviving candidate pairs.
+  private def sim11RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val eb = Dedup.dd9Sketch(s, d)
+    val bands = eb.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("band", "code")))
+      .localCheckpoint() // referenced 3×: size table + both join sides
+    val keep = broadcast(bands.groupBy("band", "code").count()
+      .filter(col("count") <= 400L).select("band", "code"))
+    val kept = bands.join(keep, Seq("band", "code"))
+    val cand = kept.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("ida"), col("band"), col("code"))
+      .join(kept.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("idb"), col("band"), col("code")),
+        Seq("band", "code"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(eb.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
+      .join(eb.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")
+      .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("vb")))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= 0.35)
+      .select(col("ida"), col("idb"),
+        floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("ida", "idb")
+  }
+
+  private val sim11Sql =
+    s"""WITH $scaledVectorsSqlCte,
+       |sig AS (
+       |  SELECT e.vec_id, t.b,
+       |    CASE WHEN (SELECT SUM((CASE WHEN
+       |        ((((((t.b*64 + u.i - 1) * 2654435761) % 2147483648) * 2654435761) % 2147483648) >> 15) & 1 = 0
+       |        THEN 1 ELSE -1 END) * e.v[u.i])
+       |        FROM UNNEST(generate_series(1, 64)) u(i)) >= 0 THEN 1 ELSE 0 END AS s
+       |  FROM e, UNNEST(generate_series(0, 127)) t(b)),
+       |bc AS (SELECT vec_id, b // 4 AS band, SUM(s * (1 << (b % 4))) AS code
+       |       FROM sig GROUP BY 1, 2),
+       |keep AS (SELECT band, code FROM bc GROUP BY band, code
+       |         HAVING COUNT(*) <= 400),
+       |bk AS (SELECT bc.* FROM bc JOIN keep USING (band, code)),
+       |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.code = b.code
+       |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |p AS (SELECT c.ida, c.idb, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM cand c JOIN e a ON a.vec_id = c.ida JOIN e b ON b.vec_id = c.idb)
+       |SELECT ida, idb,
+       | CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) AS BIGINT) AS cos_e6
+       |FROM p
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+       |ORDER BY ida, idb""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("sim11_range_join", sim11RangeJoin, Some(sim11Sql)),
     Q("sim10_kmeans_train", sim10KmeansTrain, Some(sim10Sql)),
     Q("sim9_incremental_ann", sim9IncrementalAnn, Some(sim9Sql)),
     Q("sim8_ann_pq", sim8AnnPq, Some(sim8Sql)),

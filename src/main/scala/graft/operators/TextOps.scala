@@ -685,7 +685,148 @@ c$r AS (SELECT doc_id,
       |GROUP BY a.doc_id
       |ORDER BY phrase_count DESC, a.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // search3_incremental_index — nightly inverted-index refresh: merge a
+  // new document batch's postings statistics (document frequency + term
+  // frequency) into a STORED index without rescanning the old corpus —
+  // the search-side twin of dd11's batch-vs-stored-index dedup and
+  // sim9's incremental ANN (same convention: batch = doc_id % 5 == 0,
+  // index = the rest, checkpointed to stand for the stored stats table
+  // that production maintains per ingest). Output is the UPDATED rows
+  // only — one per term touched by the batch, with old/new/total df and
+  // the merged tf — exactly what an upsert into the stats table writes.
+  //
+  // Scale: per-ingest work is O(batch): batch postings aggregate in one
+  // map-side-combined shuffle over batch tokens only, and the merge
+  // join reads stored rows solely for batch terms (at 100 TB the stored
+  // side is term-bucketed so the join co-locates without a full
+  // shuffle; a bloom filter of batch terms prunes its scan). The stored
+  // stats build itself is the one-time index construction, amortized
+  // across ingests.
+  private def search3IncrementalIndex(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val isNew = col("doc_id") % 5 === 0
+    // the stored index-stats table (built once per corpus, not per batch)
+    val stored = toks.filter(!isNew)
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df_old"), count(lit(1)).as("tf_old"))
+      .localCheckpoint()
+    // per-batch work starts here
+    val batch = toks.filter(isNew)
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df_new"), count(lit(1)).as("tf_new"))
+    batch.join(stored, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("df_old"), lit(0L)).as("df_old"),
+        col("df_new"),
+        (coalesce(col("df_old"), lit(0L)) + col("df_new")).as("df_total"),
+        (coalesce(col("tf_old"), lit(0L)) + col("tf_new")).as("tf_total"))
+      .orderBy("term")
+  }
+
+  private val search3Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |ob AS (SELECT term, COUNT(DISTINCT doc_id) AS df_old, COUNT(*) AS tf_old
+      |  FROM toks WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |nb AS (SELECT term, COUNT(DISTINCT doc_id) AS df_new, COUNT(*) AS tf_new
+      |  FROM toks WHERE doc_id % 5 = 0 GROUP BY 1)
+      |SELECT nb.term,
+      |  CAST(COALESCE(ob.df_old, 0) AS BIGINT) AS df_old,
+      |  CAST(nb.df_new AS BIGINT) AS df_new,
+      |  CAST(COALESCE(ob.df_old, 0) + nb.df_new AS BIGINT) AS df_total,
+      |  CAST(COALESCE(ob.tf_old, 0) + nb.tf_new AS BIGINT) AS tf_total
+      |FROM nb LEFT JOIN ob ON nb.term = ob.term
+      |ORDER BY nb.term""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t15_lm_quality — CCNet-style LM quality binning: train the bigram
+  // LM on a clean REFERENCE subset (lang = 'en', standing for the
+  // wikipedia-quality corpus CCNet trains KenLM on), score EVERY
+  // document by mean conditional bigram probability (t12's exact-ppm
+  // discipline; unseen bigrams back off to 0), then split the corpus
+  // into head/middle/tail TERCILES of the score — the
+  // perplexity-bucket partition that decides which slice of a crawl
+  // feeds training. bucket = 1 + 3·|{docs with strictly higher
+  // score}| div N, so tied scores share a bucket deterministically.
+  //
+  // Scale: scoring is t12's plan (map-side bigrams, two count shuffles
+  // against the REFERENCE subset only, one join + per-doc sum). The
+  // tercile cut does NOT global-sort the corpus: score_ppm lives in the
+  // BOUNDED domain [0, 10⁶], so an exact quantile needs only a
+  // score-value histogram (≤10⁶+1 rows regardless of corpus size), one
+  // running sum over that bounded frame, and a broadcast join back —
+  // the bounded-domain exact-quantile plan, vs ntile()'s
+  // single-partition sort of all N rows.
+  private def t15LmQuality(s: SparkSession, d: String): DataFrame = {
+    val a = split(col("text"), " ")
+    val pairs = zip_with(
+      slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+      slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val docs = Tables.documents(s, d)
+    val bi = docs.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val refBi = docs.filter(col("lang") === "en")
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = refBi.groupBy("w1").agg(count(lit(1)).as("cw1"))
+    val cnt = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+    val perDoc = bi
+      .join(cnt, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("coalesce(cp, 0L) * 1000000L div coalesce(cw1, 1L)")).as("ssum"))
+    val scored = docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("ssum div nb"), lit(0L)).as("score_ppm"))
+    val tot = scored.agg(count(lit(1)).as("n_docs"))
+    val hist = scored.groupBy("score_ppm").agg(count(lit(1)).as("hc"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_ppm").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cut = hist.select(col("score_ppm"),
+      coalesce(sum(col("hc")).over(wh), lit(0L)).as("n_higher"))
+    scored.join(broadcast(cut), Seq("score_ppm"))
+      .crossJoin(broadcast(tot))
+      .withColumn("quality_bucket", expr("1L + n_higher * 3L div n_docs"))
+      .select(col("doc_id"), col("n_bigrams"), col("score_ppm"),
+        col("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val t15Sql =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) u(i)),
+      |rbi AS (SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) u(i) WHERE lang = 'en'),
+      |uni AS (SELECT w1, COUNT(*) AS cw1 FROM rbi GROUP BY 1),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS cp FROM rbi GROUP BY 1, 2),
+      |pd AS (SELECT b.doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(COALESCE(c.cp, 0) * 1000000 // COALESCE(u.cw1, 1)) AS BIGINT) AS ssum
+      |  FROM bi b LEFT JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+      |    LEFT JOIN uni u ON b.w1 = u.w1
+      |  GROUP BY 1),
+      |sc AS (SELECT d.doc_id,
+      |    CAST(COALESCE(pd.nb, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(COALESCE(pd.ssum // pd.nb, 0) AS BIGINT) AS score_ppm
+      |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+      |tot AS (SELECT COUNT(*) AS n_docs FROM sc),
+      |hist AS (SELECT score_ppm, COUNT(*) AS hc FROM sc GROUP BY 1),
+      |cut AS (SELECT score_ppm, COALESCE(SUM(hc) OVER (ORDER BY score_ppm DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_higher
+      |  FROM hist)
+      |SELECT sc.doc_id, sc.n_bigrams, sc.score_ppm,
+      |  CAST(1 + n_higher * 3 // n_docs AS BIGINT) AS quality_bucket
+      |FROM sc JOIN cut ON sc.score_ppm = cut.score_ppm CROSS JOIN tot
+      |ORDER BY sc.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("t15_lm_quality", t15LmQuality, Some(t15Sql)),
+    Q("search3_incremental_index", search3IncrementalIndex, Some(search3Sql)),
     Q("search2_phrase", search2Phrase, Some(search2Sql)),
     Q("search1_bm25", search1Bm25, Some(search1Sql)),
     Q("t14_incremental_vocab", t14IncrementalVocab, Some(t14Sql)),
