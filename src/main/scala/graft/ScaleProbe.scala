@@ -186,6 +186,14 @@ import org.apache.spark.sql.functions._
   *   shrinks with corpus size — k is fixed small here only because the
   *   deterministic centroid stand-in needs the gate corpus to fill 16
   *   cells.
+  * - round-8 batch 4 (1×→10×): t15 LM-quality terciles 1.2→3.1 s
+  *   (t12's scoring plan + the bounded-domain histogram cut — no
+  *   global sort of the corpus); search3 incremental index merge
+  *   0.46→1.4 s (batch-postings agg + term-join restricted to batch
+  *   terms); sim11 cosine range join 1.1→2.4 s (banded-LSH candidates
+  *   with the ≤400 bucket cap, exact verify on candidates only);
+  *   ev10 first/last-touch attribution 0.43→0.81 s (one user_id
+  *   shuffle shared by all five attribution windows).
   */
 object ScaleProbe {
   val Copies = 10
@@ -265,9 +273,11 @@ object ScaleProbe {
       "sim9_incremental_ann", "sim10_kmeans_train",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
-      "t13_heavy_hitters", "t14_incremental_vocab", "search1_bm25", "search2_phrase",
+      "t13_heavy_hitters", "t14_incremental_vocab", "t15_lm_quality",
+      "search1_bm25", "search2_phrase", "search3_incremental_index",
+      "sim11_range_join",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",
-      "ev8_transitions", "ev9_scd2_history",
+      "ev8_transitions", "ev9_scd2_history", "ev10_attribution",
       "w3_fact_engagement",
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
