@@ -193,7 +193,11 @@ import org.apache.spark.sql.functions._
   *   terms); sim11 cosine range join 1.1→2.4 s (banded-LSH candidates
   *   with the ≤400 bucket cap, exact verify on candidates only);
   *   ev10 first/last-touch attribution 0.43→0.81 s (one user_id
-  *   shuffle shared by all five attribution windows).
+  *   shuffle shared by all five attribution windows); t16 PMI
+  *   collocations 0.67→1.8 s (two combined count shuffles, score join
+  *   on the vocab-sized pair frame, TakeOrdered(50)); pk5 length
+  *   buckets 0.30→0.34 s (map-only CASE chain + 16-group aggregate —
+  *   flat).
   */
 object ScaleProbe {
   val Copies = 10
@@ -274,6 +278,7 @@ object ScaleProbe {
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
       "t13_heavy_hitters", "t14_incremental_vocab", "t15_lm_quality",
+      "t16_pmi_collocations", "pk5_length_buckets",
       "search1_bm25", "search2_phrase", "search3_incremental_index",
       "sim11_range_join",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",

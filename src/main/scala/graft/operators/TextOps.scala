@@ -824,7 +824,65 @@ c$r AS (SELECT doc_id,
       |FROM sc JOIN cut ON sc.score_ppm = cut.score_ppm CROSS JOIN tot
       |ORDER BY sc.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t16_pmi_collocations — collocation mining: rank word bigrams by
+  // pointwise mutual information and emit the top 50 (min pair count 5
+  // — the standard noise floor). The RANKING score is the PMI kernel
+  // c_xy / (c_x·c_y): the N²/M constants in full PMI are pair-
+  // independent and drop out of the order, and log is monotone, so
+  // ranking by the kernel IS ranking by PMI. Computed as floor(10⁹ ·
+  // c_xy / (c_x·c_y)) in IEEE doubles — exact-int inputs (counts ≪
+  // 2⁵³), one multiply + one divide + floor, bit-identical in both
+  // engines (the cos_e6 discipline); an all-int64 form would overflow
+  // at corpus scale (c_xy·10⁹ passes 2⁶³ once a pair occurs ~10¹⁰
+  // times).
+  //
+  // Scale: bigram extraction is t12's map-only zip_with; c_xy and c_x
+  // are map-side-combined count shuffles; the score join runs on the
+  // VOCAB-sized pair-count frame (never the token stream) with the
+  // unigram side broadcast-or-hash by AQE; final ranking is a
+  // distributed TakeOrdered(50).
+  private def t16PmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val a = split(col("text"), " ")
+    val pairs = zip_with(
+      slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+      slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val bi = Tables.documents(s, d)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5L)
+    cxy
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .withColumn("score_e9", floor(lit(1e9) * col("c_xy").cast("double") /
+        (col("c_x").cast("double") * col("c_y").cast("double"))).cast("long"))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "score_e9")
+      .orderBy(col("score_e9").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  private val t16Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) u(i)),
+      |uni AS (SELECT unnest(toks) AS w FROM t),
+      |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      |cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 5)
+      |SELECT cxy.w1, cxy.w2, c_xy,
+      |  a.c AS c_x, b.c AS c_y,
+      |  CAST(FLOOR(1e9 * CAST(c_xy AS DOUBLE) /
+      |    (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))) AS BIGINT) AS score_e9
+      |FROM cxy JOIN uc a ON cxy.w1 = a.w JOIN uc b ON cxy.w2 = b.w
+      |ORDER BY score_e9 DESC, cxy.w1, cxy.w2 LIMIT 50""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("t16_pmi_collocations", t16PmiCollocations, Some(t16Sql)),
     Q("t15_lm_quality", t15LmQuality, Some(t15Sql)),
     Q("search3_incremental_index", search3IncrementalIndex, Some(search3Sql)),
     Q("search2_phrase", search2Phrase, Some(search2Sql)),

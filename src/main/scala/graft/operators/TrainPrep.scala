@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -630,7 +630,57 @@ object TrainPrep {
       |    AS BIGINT) AS pos
       |FROM b ORDER BY stage, pos""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // pk5_length_buckets — dynamic-batching shape analysis: assign every
+  // document to its power-of-two token-length bucket and report, per
+  // bucket, the document count, true token total, padded token total
+  // (docs × bucket capacity — what the accelerator actually allocates
+  // when batches are padded to the bucket length) and the padding waste
+  // in ppm. This table is how a training pipeline picks its batch
+  // shapes: pk1/pk2 pack greedily into one context length; length
+  // bucketing is the alternative layout for sample-preserving
+  // (non-packed) fine-tuning, and the waste column quantifies the
+  // trade. The bucket is computed by a 16-arm CASE chain (exact
+  // integers, identical in both engines — no float log2, whose rounding
+  // at exact powers of two is not portable).
+  //
+  // Scale: map-only projection + ONE map-side-combined 16-group
+  // aggregate; nothing is corpus-sized after the scan.
+  private def pk5LengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    val bucket = (0 to 15).foldRight(lit(1L << 16): Column) { (k, rest) =>
+      when(n <= (1L << k), lit(1L << k)).otherwise(rest)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), n.as("n_tokens"), bucket.as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("n_padded", expr("n_docs * bucket_len"))
+      .withColumn("waste_ppm",
+        expr("(n_padded - n_tokens) * 1000000L div n_padded"))
+      .select("bucket_len", "n_docs", "n_tokens", "n_padded", "waste_ppm")
+      .orderBy("bucket_len")
+  }
+
+  private val pk5Sql = {
+    val arms = (0 to 15).map(k => s"WHEN n <= ${1L << k} THEN ${1L << k}")
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |b AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |    CAST(CASE $arms ELSE ${1L << 16} END AS BIGINT) AS bucket_len
+       |  FROM t),
+       |g AS (SELECT bucket_len, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY 1)
+       |SELECT bucket_len, n_docs, n_tokens,
+       |  CAST(n_docs * bucket_len AS BIGINT) AS n_padded,
+       |  CAST((n_docs * bucket_len - n_tokens) * 1000000
+       |    // (n_docs * bucket_len) AS BIGINT) AS waste_ppm
+       |FROM g ORDER BY bucket_len""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("pk5_length_buckets", pk5LengthBuckets, Some(pk5Sql)),
     Q("pipe1_train_manifest", pipe1TrainManifest, Some(pipe1Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
     Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
