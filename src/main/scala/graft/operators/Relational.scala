@@ -1546,7 +1546,57 @@ object Relational {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q54_incremental_agg — incremental materialized-view maintenance
+  // (delta aggregation): a STORED aggregate built from the base slice
+  // (l_orderkey % 5 ≠ 0, localCheckpointed — dd11/sim9/search3's
+  // stored-table convention) is brought up to date by aggregating ONLY
+  // the delta batch (l_orderkey % 5 = 0) and merging partials — the
+  // production refresh pattern at 100 TB, where recomputing a corpus-
+  // wide aggregate per ingest is the thing you must never do. All
+  // maintained measures are self-maintainable partials (counts + exact
+  // cent sums); derived ratios (avg) are computed AT READ from the
+  // merged partials, never stored — the textbook IVM discipline. The
+  // oracle is the FULL recompute over the whole table, so the gate
+  // proves merged-incremental ≡ ground truth.
+  //
+  // Scale: per-refresh work is one map-side-combined aggregate over the
+  // delta + a merge groupBy on two group-count-sized frames (≤ a few
+  // rows per key-combination, regardless of corpus size).
+  private def q54IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"))
+    val li = Tables.lineitem(s, d)
+    // the stored MV (built once from the base slice, not per refresh)
+    val stored = agg(li.filter(col("l_orderkey") % 5 =!= 0)).localCheckpoint()
+    // per-refresh work starts here
+    val delta = agg(li.filter(col("l_orderkey") % 5 === 0))
+    stored.unionByName(delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("n_rows").as("n_rows"),
+        sum("sum_qty_c").as("sum_qty_c"),
+        sum("sum_base_c").as("sum_base_c"))
+      .withColumn("avg_qty_ppm", expr("sum_qty_c * 10000L div n_rows"))
+      .select("l_returnflag", "l_linestatus", "n_rows",
+        "sum_qty_c", "sum_base_c", "avg_qty_ppm")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q54Sql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+       |  CAST(SUM(${centsSql("l_quantity")}) * 10000
+       |    // COUNT(*) AS BIGINT) AS avg_qty_ppm
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q54_incremental_agg", q54IncrementalAgg, Some(q54Sql)),
     Q("q47_tpch_q2", q47TpchQ2, Some(q47Sql)),
     Q("q48_tpch_q7", q48TpchQ7, Some(q48Sql)),
     Q("q49_tpch_q8", q49TpchQ8, Some(q49Sql)),
