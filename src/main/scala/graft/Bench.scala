@@ -43,16 +43,25 @@ object Bench {
     // independent of suite order.
     def dropPersisted(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // failure-honest: a query that throws contributes NO timing — its
+    // elapsed time is the time-to-crash, not the query's cost, and a ~0.05 s
+    // analysis failure would otherwise read as a 100× speedup in any
+    // cross-round diff. Failures are tracked by name and reported in a
+    // `failed` field of both the stdout line and the sidecar.
+    val failed = scala.collection.mutable.Set.empty[String]
     def pass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         dropPersisted()
-        name -> dt
+        if (ok) Some(name -> dt) else None
       }.toMap
     // stall-resistant capture: this VM intermittently stalls Spark jobs at
     // idle CPU for minutes (documented in ScaleProbe; it inflated the whole
@@ -75,14 +84,18 @@ object Bench {
       passes(worst) = pass()
       retries += 1
     }
-    val results = passes.head.keys.toSeq.sorted.map { k =>
+    // median only over queries that succeeded in every accepted pass; a
+    // query that failed even once is excluded and listed in `failed`
+    val okKeys = passes.map(_.keySet).reduce(_ intersect _) -- failed
+    val results = okKeys.toSeq.sorted.map { k =>
       k -> passes.map(_(k)).sorted.apply(1) // median of 3 accepted passes
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is the driver's contract, but a truncated pipe
     // capture once lost the head of it (round 6's BENCH artifact); the
@@ -96,7 +109,7 @@ object Bench {
       f"""{"total":${totalOf(p)}%.3f,"queries":$m}"""
     }.mkString("[", ",", "]")
     val sidecar =
-      f"""{"median":$line,"stall_retries":$retries,"passes":$passJson}"""
+      f"""{"median":$line,"failed":$failedJson,"stall_retries":$retries,"passes":$passJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), sidecar + "\n")
     catch { case e: Throwable =>

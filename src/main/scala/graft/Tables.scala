@@ -27,23 +27,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp. Read nanos as long and integer-divide
-    * to micros (`div`, not `/` — the epoch-nanos magnitude exceeds exact
-    * double range), matching DuckDB's nanos→micros truncation.
+  /** events.parquet's `ts` physical type has varied across corpus
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read as a
+    * timestamp) and TIMESTAMP(MICROS, NTZ). Dispatch on the type Spark
+    * actually scans:
+    *
+    *  - `LongType`: the `nanosAsLong` flag surfaced a NANOS column as raw
+    *    epoch-nanos. Integer-divide to micros (`div`, not `/` — epoch-nanos
+    *    magnitude exceeds exact double range), matching DuckDB's
+    *    nanos→micros truncation.
+    *  - `TimestampNTZType` / `TimestampType`: cast straight to
+    *    `timestamp`. The session is pinned UTC, so an NTZ micros value is
+    *    preserved bit-for-bit and the DuckDB naive-timestamp oracle
+    *    semantics are unchanged.
     *
     * The `nanosAsLong` flag is session-global BY NECESSITY: it is read at
     * scan execution, not at `spark.read` time, so a set-then-restore here
     * would break the (lazy) scan later. Global is safe in this engine:
-    * events is the only TIMESTAMP(NANOS) table, every reader goes through
+    * events is the only possibly-NANOS table, every reader goes through
     * this loader, and for non-nanos parquet the flag is a no-op — it only
     * changes how the NANOS physical annotation is surfaced.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
