@@ -118,12 +118,18 @@ import org.apache.spark.sql.functions._
   * - dd15 with the guards on the regular corpus: 1× settled 4.9–5.2 s
   *   (pre-guard 2.4 s — the collapse/fingerprint machinery is a ~2×
   *   constant at 1×); 10× 87–190 s across settled passes on a machine
-  *   with ±2× stall variance (pre-guard 62–77 s). The 10× floor is the
-  *   VERIFY SHUFFLE, not CPU: 6.1M candidate sig-pairs (≈12× the 489k
-  *   true pairs) each carry two ~400-long set arrays ≈ 20 GB through
-  *   the pair join; the thresholded early-exit intersect
+  *   with ±2× stall variance (pre-guard 62–77 s). That 10× floor was
+  *   the VERIFY SHUFFLE, not CPU: 6.1M candidate sig-pairs (≈12× the
+  *   489k true pairs) each carried two ~400-long set arrays ≈ 20 GB
+  *   through the pair join; the thresholded early-exit intersect
   *   (IntersectCountAtLeastFrac) removed the per-pair CPU floor (~92%
-  *   of candidates bail after the disjoint prefix).
+  *   of candidates bail after the disjoint prefix). Round 9 fixes the
+  *   shuffle itself with the FINGERPRINT-FIRST verify (P=64
+  *   sorted-prefix arrays + a lossless min-max overlap bound reject
+  *   most candidates carrying 64+64 longs; only survivors re-join the
+  *   full arrays): re-measured 4.92 → 22.7 s at 1×→10× — the settled
+  *   10× time dropped ~4–8× with bit-identical output (differential
+  *   brute-force spec in Dd15ContainmentSpec).
   * - t11 BPE merges: 11.6 → 16.7 s at 1×→10× — sub-linear: 6 rounds of
   *   fixed shuffle count; pair counting combines map-side, rewrite is
   *   per-doc windows. Round-8 rework (merge marks computed inline via a
@@ -180,12 +186,15 @@ import org.apache.spark.sql.functions._
   * - t14 incremental vocab merge: 0.75 → 1.38 s at 1×→10× — sub-2×:
   *   both the stored-stats build and the batch stats combine map-side,
   *   and the merge shuffle is vocab-sized, not token-stream-sized.
-  * - sim9 incremental ANN: 2.5 → 33.2 s at 1×→10× — the probe join is
-  *   O(batch · nprobe/k · corpus) by design (nprobe=6 of k=16 cells =
-  *   37% of brute); at real scale k grows ~√N so the probed fraction
-  *   shrinks with corpus size — k is fixed small here only because the
-  *   deterministic centroid stand-in needs the gate corpus to fill 16
-  *   cells.
+  * - sim9 incremental ANN: 2.5 → 33.2 s at 1×→10× under the old FIXED
+  *   k=16/nprobe=6 (a 37%-of-brute scan at any N). Round 9 sizes the
+  *   index from the corpus (k = ⌈√N⌉, nprobe = max(6, ⌈1.5·√k⌉) — the
+  *   reranked fraction shrinks ~N^(−1/4)): re-measured 1.27 → 10.96 s
+  *   at 1×→10×. The probe workload itself grows 10× (every 5th vector
+  *   probes), so the scale signal is per-probed-vector cost: 3.2 ms at
+  *   1× (N=1.6k, 25% scanned) → 2.7 ms at 10× (N=16k, 13.4% scanned) —
+  *   per-query cost now FALLS as the corpus grows. Recall@3 0.65
+  *   (≥0.60 floor) re-pinned by Sim9RecallSpec.
   * - round-8 batch 4 (1×→10×): t15 LM-quality terciles 1.2→3.1 s
   *   (t12's scoring plan + the bounded-domain histogram cut — no
   *   global sort of the corpus); search3 incremental index merge

@@ -540,13 +540,27 @@ object Similarity {
   // of dd11's batch-vs-stored-index dedup (the nightly-ingest ANN
   // workload — "which existing vectors are tonight's vectors near?").
   // The batch is every 5th vector (dd11's convention); the index is the
-  // REST of the corpus, IVF-assigned to the 16 lowest index vec_ids
+  // REST of the corpus, IVF-assigned to the k lowest index vec_ids
   // (sim3's deterministic centroid stand-in) and checkpointed to stand
   // for the stored (cell)-bucketed table that production appends to per
-  // ingest. Per batch, work is O(batch): each new vector scores the 16
-  // BROADCAST centroids map-side, probes its nprobe=6 nearest cells
+  // ingest. Per batch, work is O(batch): each new vector scores the k
+  // BROADCAST centroids map-side, probes its nprobe nearest cells
   // (sim5's multi-probe recall knob), and exact cosine reranks only the
   // probed cells' members — the corpus is never re-scored or re-assigned.
+  //
+  // THE INDEX IS SIZED FROM THE CORPUS: k = ⌈√N⌉ cells, nprobe =
+  // max(6, ⌈1.5·√k⌉). A fixed k is a scan in disguise — at k=16/nprobe=6
+  // every probe reranked 37% of the corpus regardless of N (the r8
+  // 10×-probe showed it: 2.5→33.2 s, super-linear). With k ~ √N the
+  // reranked fraction is nprobe/k ~ 1.5·k^(-1/2) ~ N^(-1/4) — it SHRINKS
+  // as the corpus grows (35% at sf0.01's N=400, 13% at the 10× probe's
+  // N=16k, ~1% at N=10^9), while the nprobe ~ √k growth keeps absolute
+  // probe width rising for recall (the 1.5 factor holds the no-gap
+  // corpus above Sim9RecallSpec's 0.60 floor; ⌈√k⌉ alone measured
+  // 0.587 at sf0.01). Both k and nprobe derive from one
+  // COUNT — a bounded scalar action (the HWM-class exception, not a
+  // data collect) — and the oracle recomputes the identical values via
+  // scalar subqueries (IEEE sqrt + ceil are exact in both engines).
   // Top-3 per batch vector; batch and index are disjoint so no self-pair
   // filter is needed. Recall@3 vs brute force is pinned by Sim9RecallSpec.
   private def sim9IncrementalAnn(s: SparkSession, d: String): DataFrame = {
@@ -557,7 +571,9 @@ object Similarity {
     // scaled per ingest
     val e = scaledVectors(s, d).localCheckpoint()
     val corpus = e.filter(!isNew)
-    val cent = corpus.orderBy("vec_id").limit(16)
+    val k = math.ceil(math.sqrt(corpus.count().toDouble)).toInt
+    val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(k.toDouble)).toInt)
+    val cent = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
@@ -581,7 +597,7 @@ object Similarity {
       .withColumn("ccos", col("cdot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 6)
+      .filter(col("prn") <= nprobe)
       .select(col("qid"), col("va"), col("na"), col("cid").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
@@ -600,7 +616,8 @@ object Similarity {
   private val sim9Sql =
     s"""WITH $scaledVectorsSqlCte,
        |corp AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 5 <> 0),
-       |cent AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM corp ORDER BY vec_id LIMIT 16),
+       |cent AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM corp ORDER BY vec_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM corp)),
        |ap AS (SELECT corp.vec_id, corp.v, corp.nrm, cent.cid, cent.nc,
        |  CAST((SELECT SUM(corp.v[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
        |  FROM corp, cent),
@@ -616,7 +633,8 @@ object Similarity {
        |  row_number() OVER (PARTITION BY qid ORDER BY
        |    CAST(cdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS prn
        |  FROM qp),
-       |pc AS (SELECT qid, va, na, cell FROM qr WHERE prn <= 6),
+       |pc AS (SELECT qid, va, na, cell FROM qr WHERE prn <= (SELECT
+       |  GREATEST(6, CAST(ceil(1.5 * sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT)) FROM corp)),
        |p AS (SELECT pc.qid, idx.vec_id AS nbr, pc.na, idx.nrm AS nb,
        |  CAST((SELECT SUM(pc.va[i] * idx.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
        |  FROM pc JOIN idx ON pc.cell = idx.cell),

@@ -53,4 +53,27 @@ class Dd15ContainmentSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(!cont.contains((1L, 2L)))
   }
+
+  test("fingerprint-first verify is lossless: bit-identical to brute force at sf0.001") {
+    // the r9 prefix-bound pre-filter must drop only pairs that cannot
+    // reach the 0.9 gate — compare the full operator against an inline
+    // token-join brute force (the oracle's shape) on the real corpus
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.001")
+    val sh = Dedup.shingleRows(spark, d)
+      .select(col("doc_id"), col("s")).distinct()
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("common"))
+      .join(n.select(col("doc_id").as("ida"), col("n").as("n_a")), "ida")
+      .filter(col("common") * 10 >= col("n_a") * 9)
+      .select("ida", "idb", "common", "n_a")
+    val got = Registry.queries("dd15_containment")(spark, d)
+      .select("ida", "idb", "common", "n_a")
+    assert(got.count() > 0)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "dd15 diverged from brute-force containment")
+  }
 }

@@ -3,16 +3,19 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 /** sim9 incremental ANN quality: probing a new batch (vec_id % 5 = 0)
-  * against the stored IVF index (nprobe=6 of 16 cells) must recover most
+  * against the stored IVF index (k = ⌈√N⌉ cells, nprobe = max(6,
+  * ⌈1.5·√k⌉) probed — sized from the corpus since round 9) must recover most
   * of the true top-3 index neighbors per batch vector — the exact truth
   * is the batch×index brute-force cosine top-3, computed inline here.
   * Deterministic end to end (seed-vector centroids, exact-int scoring).
-  * Measured 0.68 at sf0.01 (nprobe=4 scored 0.52 — the gate exists so
-  * nobody shrinks the probe width without noticing) — this corpus is
-  * the documented no-gap worst case (most true neighbors sit at cos ≈
-  * 0.3, indistinguishable from random by any coarse sketch), so the
-  * floor is pinned at ≥0.60; the knobs that raise it on real corpora
-  * are nprobe and the centroid count (sim5/sim6's measured trade-off).
+  * Measured 0.68 at sf0.01 under the old fixed k=16/nprobe=6 (37%
+  * scanned); the corpus-sized index at sf0.01 gives k=20/nprobe=7 (35%
+  * scanned, measured 0.650; nprobe=6/30% measured 0.587, below floor)
+  * — this corpus is the documented no-gap worst case (most
+  * true neighbors sit at cos ≈ 0.3, indistinguishable from random by
+  * any coarse sketch), so the floor is pinned at ≥0.60; the knobs that
+  * raise it on real corpora are nprobe and the centroid count
+  * (sim5/sim6's measured trade-off).
   */
 class Sim9RecallSpec extends graft.SparkSpec {
 
