@@ -114,7 +114,9 @@ import org.apache.spark.sql.functions._
   *   twin — the distinct-set collapse makes the degenerate corpus run
   *   at par (candidates are rep-level, ~20k rows where the unguarded
   *   probe×posting-list join would have materialized ~200M), and
-  *   costs nothing when it buys nothing.
+  *   costs nothing when it buys nothing. With round 9's
+  *   fingerprint-first verify: hot 6.26 s / uniform 3.97 s — both
+  *   faster, still at par.
   * - dd15 with the guards on the regular corpus: 1× settled 4.9–5.2 s
   *   (pre-guard 2.4 s — the collapse/fingerprint machinery is a ~2×
   *   constant at 1×); 10× 87–190 s across settled passes on a machine
