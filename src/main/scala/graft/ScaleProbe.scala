@@ -197,6 +197,17 @@ import org.apache.spark.sql.functions._
   *   1× (N=1.6k, 25% scanned) → 2.7 ms at 10× (N=16k, 13.4% scanned) —
   *   per-query cost now FALLS as the corpus grows. Recall@3 0.65
   *   (≥0.60 floor) re-pinned by Sim9RecallSpec.
+  * - round-9 events-family sweep on the regenerated MICROS corpus (the
+  *   family had no honest 10× numbers after the r8 testdata break;
+  *   1×→10×): ev3 sessions 1.23→1.45 s, ev4 funnel 0.69→0.73 s,
+  *   ev5 interval join 1.69→4.50 s (the one genuinely join-bound
+  *   member — both sides shuffle on user_id, output grows with the
+  *   in-window pair count), ev6 cohorts 0.64→1.10 s, ev7 anomaly
+  *   0.34→0.32 s, ev8 transitions 0.58→1.04 s, ev9 SCD2 0.68→1.14 s,
+  *   ev10 attribution 0.75→1.31 s, w3 fact build 2.27→4.75 s (A6
+  *   sessionizer windows keyed (media, visitor, day) — partition count
+  *   grows with users, no single-partition window anywhere). All
+  *   sub-linear; the family shares the one-user_id-shuffle discipline.
   * - round-8 batch 4 (1×→10×): t15 LM-quality terciles 1.2→3.1 s
   *   (t12's scoring plan + the bounded-domain histogram cut — no
   *   global sort of the corpus); search3 incremental index merge
@@ -285,7 +296,7 @@ object ScaleProbe {
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8", "sim8_ann_pq",
-      "sim9_incremental_ann", "sim10_kmeans_train",
+      "sim9_incremental_ann", "sim10_kmeans_train", "sim12_mmr_select",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
       "t13_heavy_hitters", "t14_incremental_vocab", "t15_lm_quality",

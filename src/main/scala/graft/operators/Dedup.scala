@@ -1031,7 +1031,10 @@ object Dedup {
         col("n").as("na"), col("pmx").as("mxa")), "siga")
       .join(meta.select(col("sig").as("sigb"), col("pf").as("pfb"),
         col("n").as("nb"), col("pmx").as("mxb")), "sigb")
-      .withColumn("pc", size(array_intersect(col("pfa"), col("pfb"))).cast("long"))
+      // prefixes are sorted slices of sorted distinct arrays — the
+      // codegen'd merge-intersect applies (no interpreted array_intersect)
+      .withColumn("pc", graft.functions.VectorFunctions
+        .intersectCountSorted(col("pfa"), col("pfb")))
       .withColumn("rest", when(col("mxa") <= col("mxb"),
         col("na") - least(lit(P.toLong), col("na")))
         .otherwise(greatest(col("nb") - least(lit(P.toLong), col("nb")), lit(0L))))

@@ -824,7 +824,107 @@ object Similarity {
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
        |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim12_mmr_select — Maximal Marginal Relevance diverse top-k
+  // (Carbonell & Goldstein 1998): greedily select k=10 vectors for a
+  // query (vec_id 0), each round taking the candidate maximizing
+  // 2·rel − maxsim over an integer-e6 cosine scale (λ=2/3 MMR folded to
+  // integers: score = 2·⌊cos(q,c)·10⁶⌋ − max_{s∈S}⌊cos(c,s)·10⁶⌋,
+  // maxsim ≡ 0 for the empty set so round 1 is pure relevance; ties →
+  // lowest vec_id). The curation op a pure top-k (sim1) cannot express:
+  // top-k returns near-duplicate neighbors, MMR's penalty term forces
+  // the selected set apart — the diverse-sampling step training-data
+  // pipelines run after clustering/retrieval.
+  //
+  // Scale: k fixed rounds of (a) a broadcast crossJoin of candidates ×
+  // the ≤k-row selected frame — map-side, no corpus shuffle — and (b) a
+  // TakeOrdered(1) argmax collected to the driver (t11/dd7's loop
+  // discipline: the driver iterates over ACTIONS and holds k scalars,
+  // never data). rel is computed once against the broadcast query and
+  // localCheckpointed. At 100 TB the candidate set is the top-M of an
+  // ANN pass (sim3/sim9) rather than the whole corpus — same plan.
+  // Exactness: ⌊cos·10⁶⌋ via one division + two sqrts + one multiply,
+  // all correctly-rounded IEEE doubles, identical in DuckDB (the sim1–
+  // sim11 cos_e6 discipline); the oracle unrolls all k greedy rounds.
+  private val mmrK = 10
+  private def sim12MmrSelect(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    def cosE6(dotC: Column, na: Column, nb: Column): Column =
+      floor(dotC.cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * 1000000)
+        .cast("long")
+    val e = scaledVectors(s, d).localCheckpoint()
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("vq"), col("nrm").as("nq"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosE6(dot(col("v"), col("vq")), col("nrm"), col("nq")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+      .localCheckpoint()
+    var picks = Vector.empty[(Long, Long, Long, Long)] // rank, id, rel, score
+    for (r <- 1 to mmrK) {
+      val selIds = picks.map(_._2)
+      val rem =
+        if (selIds.isEmpty) cand else cand.filter(!col("vec_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty) rem.withColumn("score", col("rel") * 2L)
+        else {
+          val sel = e.filter(col("vec_id").isin(selIds: _*))
+            .select(col("v").as("vs"), col("nrm").as("ns"))
+          rem.crossJoin(broadcast(sel))
+            .withColumn("sim", cosE6(dot(col("v"), col("vs")), col("nrm"), col("ns")))
+            .groupBy("vec_id", "rel").agg(max("sim").as("maxsim"))
+            .withColumn("score", col("rel") * 2L - col("maxsim"))
+        }
+      val top = scored.orderBy(col("score").desc, col("vec_id"))
+        .select("vec_id", "rel", "score").limit(1).collect()
+      if (top.nonEmpty)
+        picks :+= ((r.toLong, top(0).getLong(0), top(0).getLong(1), top(0).getLong(2)))
+    }
+    import s.implicits._
+    picks.toDF("rank", "vec_id", "rel_e6", "score").orderBy("rank")
+  }
+
+  /** DuckDB oracle replaying the k greedy rounds unrolled: sel{r} grows
+    * one row per round; m{r} re-scores the remaining candidates against
+    * sel{r-1}; p{r} is round r's argmax (score DESC, vec_id ASC).
+    */
+  private val sim12Sql: String = {
+    val cosE6 =
+      "CAST(floor(CAST(dt AS DOUBLE) / (sqrt(CAST(xn AS DOUBLE)) * sqrt(CAST(yn AS DOUBLE))) * 1000000) AS BIGINT)"
+    def dotSql(a: String, b: String) =
+      s"CAST((SELECT SUM($a.v[i] * $b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT)"
+    // every chain CTE is MATERIALIZED: without it DuckDB inlines
+    // sel{r} → p{r} → x{r} → sel{r−1} → … EXPONENTIALLY (each expanded
+    // leaf re-scans the parquet — observed as fd exhaustion at k=10)
+    def round(r: Int): String =
+      s"""x$r AS MATERIALIZED (SELECT c.vec_id, c.rel, ${cosE6
+            .replace("dt", dotSql("c", "s")).replace("xn", "c.nrm").replace("yn", "s.nrm")} AS sim_e6
+         |  FROM cand c, e s
+         |  WHERE s.vec_id IN (SELECT vec_id FROM sel${r - 1})
+         |    AND c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})),
+         |m$r AS (SELECT vec_id, rel, MAX(sim_e6) AS maxsim FROM x$r GROUP BY 1, 2),
+         |p$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS rank, vec_id, rel AS rel_e6,
+         |    2 * rel - maxsim AS score
+         |  FROM m$r ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM p$r),""".stripMargin
+    s"""WITH $scaledVectorsSqlCte,
+       |q AS (SELECT v AS vq, nrm AS nq FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT e.vec_id, e.v, e.nrm, ${cosE6
+          .replace("dt", dotSql("e", "q")).replace("xn", "e.nrm").replace("yn", "q.nq")
+          .replace("q.v[i]", "q.vq[i]")} AS rel
+       |  FROM e, q WHERE e.vec_id <> 0),
+       |p1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS rel_e6,
+       |    2 * rel AS score
+       |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM p1),
+       |${(2 to mmrK).map(round).mkString("\n")}
+       |all_p AS (${(1 to mmrK).map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ")})
+       |SELECT rank, vec_id, rel_e6, score FROM all_p ORDER BY rank""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("sim12_mmr_select", sim12MmrSelect, Some(sim12Sql)),
     Q("sim11_range_join", sim11RangeJoin, Some(sim11Sql)),
     Q("sim10_kmeans_train", sim10KmeansTrain, Some(sim10Sql)),
     Q("sim9_incremental_ann", sim9IncrementalAnn, Some(sim9Sql)),
