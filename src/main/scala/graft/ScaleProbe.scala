@@ -197,6 +197,14 @@ import org.apache.spark.sql.functions._
   *   1× (N=1.6k, 25% scanned) → 2.7 ms at 10× (N=16k, 13.4% scanned) —
   *   per-query cost now FALLS as the corpus grows. Recall@3 0.65
   *   (≥0.60 floor) re-pinned by Sim9RecallSpec.
+  * - t17 TextRank keywords: 2.17 → 5.30 s at 1×→10× — sub-linear: the
+  *   co-occurrence edge build is two (doc_id, i)-equi joins + one
+  *   distinct on hashed-long pairs; each of the 3 PageRank rounds is
+  *   one dst-shuffle of the node-sized rank frame (gr1's loop).
+  * - sim12 MMR diverse selection: 2.75 → 2.92 s at 1×→10× — flat: k=10
+  *   fixed rounds of broadcast-crossJoin scoring (map-side, no corpus
+  *   shuffle) + a TakeOrdered(1) argmax action each; the rel frame is
+  *   computed once and localCheckpointed.
   * - round-9 events-family sweep on the regenerated MICROS corpus (the
   *   family had no honest 10× numbers after the r8 testdata break;
   *   1×→10×): ev3 sessions 1.23→1.45 s, ev4 funnel 0.69→0.73 s,
@@ -300,7 +308,7 @@ object ScaleProbe {
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
       "t13_heavy_hitters", "t14_incremental_vocab", "t15_lm_quality",
-      "t16_pmi_collocations", "pk5_length_buckets",
+      "t16_pmi_collocations", "t17_textrank_keywords", "pk5_length_buckets",
       "search1_bm25", "search2_phrase", "search3_incremental_index",
       "sim11_range_join",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",

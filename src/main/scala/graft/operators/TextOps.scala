@@ -881,7 +881,92 @@ c$r AS (SELECT doc_id,
       |FROM cxy JOIN uc a ON cxy.w1 = a.w JOIN uc b ON cxy.w2 = b.w
       |ORDER BY score_e9 DESC, cxy.w1, cxy.w2 LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t17_textrank_keywords — TextRank keyword extraction (Mihalcea &
+  // Tarau 2004): PageRank over the word co-occurrence graph (content
+  // words, length ≥ 4, co-occurring within a ±2 window in any doc; one
+  // undirected unweighted edge per distinct word pair), 3 fixed rounds
+  // of gr1's exact ppm-integer damped update (r₀ = 10⁶; r' = 150000 +
+  // 17·Σ(rank div outdeg) div 20), global top-30 keywords by final
+  // rank. The graph-based salience ranker that tf-idf-style scoring
+  // (t8/t9) cannot express — a word ranks high for sitting between
+  // well-connected words, not for raw frequency.
+  //
+  // Scale (gr1's loop discipline on a text graph): tokens shuffle once
+  // into distinct (src, dst) edges keyed by xxhash64 LONGS, not strings
+  // (word strings re-join only for the final 30 rows); each round is
+  // ONE dst-shuffle of a node-sized rank frame + a localCheckpoint
+  // lineage cut; the driver iterates a fixed round count (actions,
+  // never rows); final ranking is a distributed TakeOrdered(30). The
+  // oracle replays the identical integer arithmetic on word strings —
+  // equality holds unless xxhash64 collides inside the corpus vocab
+  // (dd2's documented caveat class).
+  private val trRounds = 3
+  private def t17TextrankKeywords(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .filter(length(col("w")) >= 4)
+      .select(col("doc_id"), col("i"), col("w"), xxhash64(col("w")).as("h"))
+      .localCheckpoint() // 3 uses: both pair sides + the word map
+    // window-2 co-occurrence as two EQUI joins on (doc_id, i+k) — never
+    // the doc-keyed self-join whose per-doc cross product a post-filter
+    // would have to undo
+    val pairs = Seq(1, 2).map { k =>
+      tok.select(col("doc_id"), (col("i") + k).as("i"), col("h").as("ha"))
+        .join(tok.select(col("doc_id"), col("i"), col("h").as("hb")),
+          Seq("doc_id", "i"))
+        .filter(col("ha") =!= col("hb"))
+        .select("ha", "hb")
+    }.reduce(_ unionByName _).distinct()
+    val edges = pairs.select(col("ha").as("src"), col("hb").as("dst"))
+      .unionByName(pairs.select(col("hb").as("src"), col("ha").as("dst")))
+      .distinct()
+      .localCheckpoint() // scanned every round
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to trRounds) {
+      ranks = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank_ppm div outdeg").as("contrib"))
+        .groupBy("id")
+        .agg(sum(col("contrib")).as("sc"))
+        .select(col("id"), expr("150000L + (17L * sc) div 20L").as("rank_ppm"))
+        .localCheckpoint()
+    }
+    val words = tok.select(col("h").as("id"), col("w").as("word")).distinct()
+    ranks.join(words, "id")
+      .select(col("word"), col("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("word"))
+      .limit(30)
+  }
+
+  private val t17Sql = {
+    val steps = (1 to trRounds).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, CAST(SUM(r.rank_ppm // dg.outdeg) AS BIGINT) AS sc
+         |  FROM e JOIN deg dg ON e.src = dg.src JOIN r${i - 1} r ON e.src = r.id
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT id, 150000 + (17 * sc) // 20 AS rank_ppm FROM c$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.i AS i, toks[u.i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       |    UNNEST(generate_series(1, len(toks))) u(i)
+       |  WHERE length(toks[u.i]) >= 4),
+       |pairs AS (SELECT DISTINCT a.w AS wa, b.w AS wb
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+       |    AND b.i - a.i IN (1, 2) AND a.w <> b.w),
+       |e AS (SELECT wa AS src, wb AS dst FROM pairs
+       |      UNION SELECT wb, wa FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+       |$steps
+       |SELECT id AS word, rank_ppm FROM r$trRounds
+       |ORDER BY rank_ppm DESC, word LIMIT 30""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("t17_textrank_keywords", t17TextrankKeywords, Some(t17Sql)),
     Q("t16_pmi_collocations", t16PmiCollocations, Some(t16Sql)),
     Q("t15_lm_quality", t15LmQuality, Some(t15Sql)),
     Q("search3_incremental_index", search3IncrementalIndex, Some(search3Sql)),
