@@ -197,6 +197,8 @@ import org.apache.spark.sql.functions._
   *   1× (N=1.6k, 25% scanned) → 2.7 ms at 10× (N=16k, 13.4% scanned) —
   *   per-query cost now FALLS as the corpus grows. Recall@3 0.65
   *   (≥0.60 floor) re-pinned by Sim9RecallSpec.
+  * - t18 BPE encode: 5.89 → 9.86 s at 1×→10× — sub-linear (t11's loop
+  *   plus two per-doc counts; same fixed-shuffle-count story).
   * - t17 TextRank keywords: 2.17 → 5.30 s at 1×→10× — sub-linear: the
   *   co-occurrence edge build is two (doc_id, i)-equi joins + one
   *   distinct on hashed-long pairs; each of the 3 PageRank rounds is
@@ -308,7 +310,8 @@ object ScaleProbe {
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
       "t13_heavy_hitters", "t14_incremental_vocab", "t15_lm_quality",
-      "t16_pmi_collocations", "t17_textrank_keywords", "pk5_length_buckets",
+      "t16_pmi_collocations", "t17_textrank_keywords", "t18_bpe_encode",
+      "pk5_length_buckets",
       "search1_bm25", "search2_phrase", "search3_incremental_index",
       "sim11_range_join",
       "ev3_session_window", "ev4_funnel", "ev5_interval_join", "ev6_cohort_retention", "ev7_anomaly",

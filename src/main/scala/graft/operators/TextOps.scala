@@ -372,8 +372,13 @@ object TextOps {
   // not replay rounds 1..k−1.
   private val t11K = 6
 
-  private def t11BpeMerges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The shared BPE merge loop: k rounds of count→argmax→rewrite.
+    * Returns the merge table rows (driver-side, k scalars) and the
+    * FINAL rewritten corpus frame — t11 reports the former, t18 the
+    * per-doc encode statistics of the latter.
+    */
+  private def bpeLoop(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     var corpus = Tables.documents(s, d)
@@ -423,13 +428,19 @@ object TextOps {
         r += 1
       }
     }
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+    (merges.toSeq, corpus)
+  }
+
+  private def t11BpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeLoop(s, d)._1.toDF("merge_round", "lhs", "rhs", "pair_count")
       .orderBy("merge_round")
   }
 
   // the oracle replays the same k rounds, fully unrolled (one CTE block
-  // per round — no recursion, so the statement is engine-portable)
-  private val t11Sql: String = {
+  // per round — no recursion, so the statement is engine-portable);
+  // shared chain: c0 = exploded corpus, c$t11K = the fully-merged corpus
+  private val bpeSqlCtes: String = {
     val sb = new StringBuilder
     sb.append("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),\n")
     sb.append("c0 AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS tok\n")
@@ -456,12 +467,51 @@ c$r AS (SELECT doc_id,
     CASE WHEN m THEN (SELECT lhs || ' ' || rhs FROM best$r) ELSE tok END AS tok
   FROM j$r WHERE pm IS NULL OR NOT pm),""")
     }
-    sb.append("\nm AS (" + (1 to t11K).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, " +
-        s"CAST(c AS BIGINT) AS pair_count FROM best$r").mkString(" UNION ALL ")
-      + ")\nSELECT * FROM m ORDER BY merge_round")
-    sb.toString
+    sb.toString.stripSuffix(",")
   }
+
+  private val t11Sql: String =
+    s"""$bpeSqlCtes,
+       |m AS (${(1 to t11K).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, " +
+            s"CAST(c AS BIGINT) AS pair_count FROM best$r").mkString(" UNION ALL ")})
+       |SELECT * FROM m ORDER BY merge_round""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t18_bpe_encode — ENCODE with the trained merge table: the other half
+  // of the tokenizer t11 trains. Applies all k merges to every document
+  // (the identical rewrite loop — encode replays training's merge order,
+  // Sennrich's construction) and reports the per-doc tokenization
+  // result: token count before/after and the compression ratio in exact
+  // ppm (after·10⁶ div before). A doc full of frequent pairs compresses
+  // hard; one of rare tokens not at all — the per-doc signal a packing
+  // (pk1) or curriculum (cur1) stage consumes as "token budget after
+  // tokenization", not whitespace count.
+  //
+  // Scale: identical loop discipline to t11 (k fixed rounds, one
+  // pair-count shuffle + one doc_id-clustered window rewrite each, the
+  // 1-row argmax the only collect); the final stats are one map-side-
+  // combined per-doc count over each end of the loop.
+  private def t18BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val before = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_before"))
+    val after = bpeLoop(s, d)._2
+      .groupBy("doc_id").agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("doc_id"))
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        expr("n_after * 1000000L div n_before").as("compression_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val t18Sql: String =
+    s"""$bpeSqlCtes,
+       |b AS (SELECT doc_id, COUNT(*) AS n_before FROM c0 GROUP BY 1),
+       |a AS (SELECT doc_id, COUNT(*) AS n_after FROM c$t11K GROUP BY 1)
+       |SELECT b.doc_id, CAST(n_before AS BIGINT) AS n_before,
+       |  CAST(n_after AS BIGINT) AS n_after,
+       |  n_after * 1000000 // n_before AS compression_ppm
+       |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // t12_bigram_lm — n-gram language-model fluency scoring (the KenLM-
@@ -966,6 +1016,7 @@ c$r AS (SELECT doc_id,
   }
 
   val queries: Seq[Q] = Seq(
+    Q("t18_bpe_encode", t18BpeEncode, Some(t18Sql)),
     Q("t17_textrank_keywords", t17TextrankKeywords, Some(t17Sql)),
     Q("t16_pmi_collocations", t16PmiCollocations, Some(t16Sql)),
     Q("t15_lm_quality", t15LmQuality, Some(t15Sql)),
