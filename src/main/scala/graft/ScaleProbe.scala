@@ -197,6 +197,10 @@ import org.apache.spark.sql.functions._
   *   1× (N=1.6k, 25% scanned) → 2.7 ms at 10× (N=16k, 13.4% scanned) —
   *   per-query cost now FALLS as the corpus grows. Recall@3 0.65
   *   (≥0.60 floor) re-pinned by Sim9RecallSpec.
+  * - gr3 LPA communities: 3.47 → 9.49 s at 1×→10× — sub-linear: the
+  *   edge build dominates (same thresholded projection as gr2); each of
+  *   the 3 rounds is two map-side-combined aggregations on node-sized
+  *   frames, no window.
   * - t18 BPE encode: 5.89 → 9.86 s at 1×→10× — sub-linear (t11's loop
   *   plus two per-doc counts; same fixed-shuffle-count story).
   * - t17 TextRank keywords: 2.17 → 5.30 s at 1×→10× — sub-linear: the
@@ -301,7 +305,7 @@ object ScaleProbe {
       "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15", "q46_window_gauntlet",
       "q47_tpch_q2", "q48_tpch_q7", "q49_tpch_q8", "q50_tpch_q9",
       "q51_tpch_q11", "q52_tpch_q12", "q53_tpch_q16",
-      "gr1_pagerank", "gr2_triangles", "dd16_semantic_dedup",
+      "gr1_pagerank", "gr2_triangles", "gr3_lpa_communities", "dd16_semantic_dedup",
       "dd1_exact", "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_lsh_jaccard",
       "dd7_dedup_clusters", "dd8_simhash_pairs", "dd9_embed_lsh", "dd11_incremental_dedup",
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",

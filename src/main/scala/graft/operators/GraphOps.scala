@@ -170,7 +170,81 @@ object GraphOps {
       |       ELSE (3 * n_triangles * 1000000) // n_wedges END AS clustering_ppm
       |FROM tri CROSS JOIN w""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // gr3_lpa_communities — synchronous label-propagation community
+  // detection (Raghavan et al. 2007) on gr2's significance-thresholded
+  // part co-purchase graph: labels init to own node id; each round every
+  // node adopts its neighbors' MODE label (count desc, label asc
+  // tie-break — the deterministic synchronous variant; async/random LPA
+  // is irreproducible by construction and useless under an exact
+  // oracle); 3 fixed rounds. Distinct from dd7's connected components
+  // (min-label propagation finds CONNECTivity; mode propagation finds
+  // DENSITY — two components bridged by one edge stay separate
+  // communities here). The market-basket segmentation a mixture stage
+  // (mix1/mix2) consumes as domain labels when none are given.
+  //
+  // Scale (gr1's loop discipline): each round is two map-side-combined
+  // aggregations — (v, label) neighbor-label counts, then a min-of-
+  // struct((−c, label)) argmax per node — NO per-node window (a window
+  // would re-shuffle the count frame it just built; min-of-struct
+  // partial-aggregates instead), with a localCheckpoint lineage cut.
+  // The label frame is node-sized throughout; edges scan from one
+  // checkpointed frame every round.
+  private val LpaRounds = 3
+
+  private def gr3LpaCommunities(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("lo"), col("y.pk").as("hi"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("lo", "hi")
+    val edges = e.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint() // scanned every round
+    var lab = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to LpaRounds) {
+      lab = edges
+        .join(lab.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("v"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    lab.select(col("v").as("part_key"), col("label").as("community"))
+      .orderBy("part_key")
+  }
+
+  private val gr3Sql: String = {
+    val steps = (1 to LpaRounds).map { i =>
+      s"""l$i AS (SELECT v, label FROM (
+         |  SELECT e.src AS v, l.label, COUNT(*) AS c,
+         |    row_number() OVER (PARTITION BY e.src
+         |      ORDER BY COUNT(*) DESC, l.label) AS rn
+         |  FROM e2 e JOIN l${i - 1} l ON e.dst = l.v
+         |  GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT lo, hi FROM (
+       |    SELECT x.pk AS lo, y.pk AS hi, COUNT(*) AS w
+       |    FROM li x JOIN li y ON x.o = y.o AND x.pk < y.pk
+       |    GROUP BY 1, 2) ew
+       |  WHERE w >= 2),
+       |e2 AS (SELECT lo AS src, hi AS dst FROM e
+       |       UNION ALL SELECT hi, lo FROM e),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM e2),
+       |$steps
+       |SELECT v AS part_key, label AS community FROM l$LpaRounds
+       |ORDER BY part_key""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("gr1_pagerank", gr1PageRank, Some(gr1Sql)),
-    Q("gr2_triangles", gr2Triangles, Some(gr2Sql)))
+    Q("gr2_triangles", gr2Triangles, Some(gr2Sql)),
+    Q("gr3_lpa_communities", gr3LpaCommunities, Some(gr3Sql)))
 }
