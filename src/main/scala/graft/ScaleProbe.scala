@@ -197,6 +197,9 @@ import org.apache.spark.sql.functions._
   *   1× (N=1.6k, 25% scanned) → 2.7 ms at 10× (N=16k, 13.4% scanned) —
   *   per-query cost now FALLS as the corpus grows. Recall@3 0.65
   *   (≥0.60 floor) re-pinned by Sim9RecallSpec.
+  * - q55 MAD outliers: 4.33 → 9.46 s at 1×→10× — sub-linear: two exact
+  *   per-group medians (grouped sorts) + broadcast med/mad joins + one
+  *   combined final count; the sketch swap at real scale is q29→q32's.
   * - gr3 LPA communities: 3.47 → 9.49 s at 1×→10× — sub-linear: the
   *   edge build dominates (same thresholded projection as gr2); each of
   *   the 3 rounds is two map-side-combined aggregations on node-sized
@@ -299,7 +302,7 @@ object ScaleProbe {
     }
 
     val allProbes = Seq("q1_agg", "q10_topk_per_group", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
-      "q24_salted_agg", "q26_tpch_q6", "q29_percentiles",
+      "q24_salted_agg", "q26_tpch_q6", "q29_percentiles", "q55_mad_outliers",
       "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
       "q39_grouping_sets", "q40_tpch_q18", "q41_tpch_q13", "q42_tpch_q19",
       "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15", "q46_window_gauntlet",

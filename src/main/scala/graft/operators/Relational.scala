@@ -686,6 +686,61 @@ object Relational {
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q55_mad_outliers — robust per-group outlier accounting via
+  // median/MAD (the 3-MAD rule — outlier-resistant where q30-style
+  // mean/stddev z-scores are themselves dragged by the outliers being
+  // hunted): per returnflag, med = median(price), MAD = median(|price −
+  // med|), count rows with |price − med| > 3·MAD. ALL-INTEGER despite
+  // interpolated medians: prices double to 2×cents (every midpoint of
+  // two even ints is an int, so percentile(0.5) is integral-valued and
+  // casts exactly), deviations double again before the second median —
+  // the 3-MAD test becomes 2·dev > 3·mad4 with both sides exact int64,
+  // identical in DuckDB's quantile_cont.
+  //
+  // Scale: two exact per-group medians = two per-group sorts (the q29
+  // trade, grouped so each sorts its own partition's slice), one
+  // broadcast join of the 3-row med frame back onto the fact, one
+  // map-side-combined final count. The sketch path at 100 TB swaps
+  // percentile → approx_percentile exactly as q29 → q32.
+  private def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val v2 = (cents(col("l_extendedprice")) * 2L).as("v2")
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), v2)
+    val med = li.groupBy("l_returnflag")
+      .agg(percentile(col("v2"), lit(0.5)).cast("long").as("med2"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("v2") - col("med2")))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(percentile(col("dev") * 2L, lit(0.5)).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med2")).as("med2"),
+        max(col("mad4")).as("mad4"),
+        sum(when(col("dev") * 2L > lit(3L) * col("mad4"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q55Sql =
+    s"""WITH li AS (SELECT l_returnflag, ${centsSql("l_extendedprice")} * 2 AS v2
+       |  FROM lineitem),
+       |med AS (SELECT l_returnflag,
+       |    CAST(quantile_cont(v2, 0.5) AS BIGINT) AS med2
+       |  FROM li GROUP BY 1),
+       |dev AS (SELECT li.l_returnflag, v2, med2, abs(v2 - med2) AS dev
+       |  FROM li JOIN med USING (l_returnflag)),
+       |mad AS (SELECT l_returnflag,
+       |    CAST(quantile_cont(dev * 2, 0.5) AS BIGINT) AS mad4
+       |  FROM dev GROUP BY 1)
+       |SELECT dev.l_returnflag, COUNT(*) AS n,
+       |  MAX(med2) AS med2, MAX(mad4) AS mad4,
+       |  CAST(SUM(CASE WHEN dev * 2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM dev JOIN mad USING (l_returnflag)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q32_approx_percentiles — the sketch path for q29 (same pairing as
   // q19/q25): `approx_percentile` is Spark's Greenwald-Khanna quantile
   // summary — constant-size per group, mergeable, no per-group sort. The
@@ -1620,6 +1675,7 @@ object Relational {
     Q("q38_tpch_q20", q38TpchQ20, Some(q38Sql)),
     Q("q36_tpch_q22", q36TpchQ22, Some(q36Sql)),
     Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
+    Q("q55_mad_outliers", q55MadOutliers, Some(q55Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
     Q("q32_approx_percentiles", q32ApproxPercentiles, Some(q32Sql)),
     Q("q25_approx_distinct", q25ApproxDistinct, Some(q25Sql)),
