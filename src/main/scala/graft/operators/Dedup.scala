@@ -41,7 +41,14 @@ object Dedup {
     * (candidate-pair join / band join / per-doc signature agg).
     */
   private[graft] def shingleRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shingleRowsOf(Tables.documents(s, d))
+
+  /** Same shingle generator over an arbitrary `(doc_id, text, …)` frame —
+    * the composed pipelines (pipe2) shingle a FILTERED corpus, not the
+    * raw table, so the generator is factored off the table loader.
+    */
+  private[operators] def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("toks"),
@@ -51,10 +58,15 @@ object Dedup {
         element_at(col("toks"), col("i") + 2),
         element_at(col("toks"), col("i") + 3)).as("s"))
 
-  private[operators] val shinglesSqlCte =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-      |       FROM t, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) u(i))""".stripMargin
+  /** Oracle twin of [[shingleRowsOf]]: `t`/`sh` CTEs over an arbitrary
+    * relation (a table name or an earlier CTE).
+    */
+  private[operators] def shinglesSqlCteOver(rel: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel),
+       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |       FROM t, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) u(i))""".stripMargin
+
+  private[operators] val shinglesSqlCte = shinglesSqlCteOver("documents")
 
   // ---------------------------------------------------------------------
   // dd1_exact — exact dedup by content hash, keep-first (SURVEY A10
@@ -188,12 +200,18 @@ object Dedup {
     * and doc pairs re-expand afterwards (within-signature C(n,2) +
     * cross-signature). Output-identical to banding doc rows.
     */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  private def lshCandidates(s: SparkSession, d: String): DataFrame =
+    lshCandidatesOf(Tables.documents(s, d))
+
+  /** [[lshCandidates]] over an arbitrary `(doc_id, text, …)` frame
+    * (shared with TrainPrep.pipe2's fuzzy-dedup stage).
+    */
+  private[operators] def lshCandidatesOf(docs: DataFrame): DataFrame = {
     val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
     val sigCols = (0 until numHashes).map(i =>
       min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
     val sigKey = xxhash64(concat_ws(",", (0 until numHashes).map(i => col(s"h$i")): _*))
-    val sig = shingleRows(s, d).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = shingleRowsOf(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       .withColumn("sk", sigKey)
       .localCheckpoint() // referenced 3× (distinct values + both expand sides)
     val vals = sig.dropDuplicates("sk")
@@ -209,14 +227,14 @@ object Dedup {
         Seq("band", "key"))
       .filter(col("ka") < col("kb"))
       .select("ka", "kb").distinct()
-    val docs = sig.select(col("sk"), col("doc_id"))
+    val docSk = sig.select(col("sk"), col("doc_id"))
     val cross = vpairs
-      .join(docs.select(col("sk").as("ka"), col("doc_id").as("ia")), "ka")
-      .join(docs.select(col("sk").as("kb"), col("doc_id").as("ib")), "kb")
+      .join(docSk.select(col("sk").as("ka"), col("doc_id").as("ia")), "ka")
+      .join(docSk.select(col("sk").as("kb"), col("doc_id").as("ib")), "kb")
       .select(least(col("ia"), col("ib")).as("ida"),
         greatest(col("ia"), col("ib")).as("idb"))
-    val within = docs.select(col("sk"), col("doc_id").as("ida"))
-      .join(docs.select(col("sk"), col("doc_id").as("idb")), "sk")
+    val within = docSk.select(col("sk"), col("doc_id").as("ida"))
+      .join(docSk.select(col("sk"), col("doc_id").as("idb")), "sk")
       .filter(col("ida") < col("idb"))
       .select("ida", "idb")
     cross.unionByName(within).distinct()
@@ -228,7 +246,11 @@ object Dedup {
   /** CTE chain ending in `cand(ida, idb)` — the oracle twin of
     * [[lshCandidates]].
     */
-  private val lshCandidatesSqlCtes: String = {
+  /** The `hm`/`sig`/`bands`/`cand` CTE chain of the MinHash-LSH candidate
+    * generator over an arbitrary shingle relation `sh(doc_id, s)` — ends
+    * in `cand(ida, idb)`. Shared with TrainPrep.pipe2's oracle.
+    */
+  private[operators] def lshCandSqlCtesOver(sh: String): String = {
     val sigCols = (0 until numHashes)
       .map(i => s"min((hm * ${permA(i)} + ${permB(i)}) % $P) AS h$i").mkString(", ")
     val bandRows = (0 until numBands).map { b =>
@@ -236,13 +258,16 @@ object Dedup {
         .map(i => s"h$i::VARCHAR").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$shinglesSqlCte,
-       |hm AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % $P AS hm FROM sh),
+    s"""hm AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % $P AS hm FROM $sh),
        |sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY doc_id),
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val lshCandidatesSqlCtes: String =
+    s"""$shinglesSqlCte,
+       |${lshCandSqlCtesOver("sh")}""".stripMargin
 
   private val dd3Sql: String =
     s"""WITH $lshCandidatesSqlCtes
@@ -367,9 +392,16 @@ object Dedup {
   // joins + one aggregate with localCheckpoint lineage cuts; the driver
   // loop iterates over ACTIONS (a convergence count), never over rows.
   // Oracle: DuckDB recursive CTE computing the same min-reachable label.
-  private def dd7DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dd2NgramJaccard(s, d).select(col("ida"), col("idb"))
-    val edges = pairs
+  /** Min-label propagation with pointer jumping over an undirected pair
+    * list `(ida, idb)`: returns `(doc_id, cluster_id)` for every node
+    * appearing in a pair, cluster_id = min doc_id of the connected
+    * component (the dd7 loop, factored so composed pipelines — pipe2's
+    * fuzzy-dedup stage — can cluster their own verified pair graphs).
+    * Eagerly executes (localCheckpoint per round); edges are
+    * cluster-graph-sized, tiny next to the corpus.
+    */
+  private[operators] def propagateLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("ida"), col("idb"))
       .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .localCheckpoint()
     var labels = edges.select(col("ida").as("doc_id")).distinct()
@@ -409,12 +441,15 @@ object Dedup {
     // graph up to diameter ~2^30. Surface the pathological case instead
     // of returning partially-propagated labels.
     if (!converged) throw new IllegalStateException(
-      s"dd7 label propagation did not converge after $iter rounds")
-    labels
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).as("is_canonical"))
-      .orderBy("doc_id")
+      s"label propagation did not converge after $iter rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
+
+  private def dd7DedupClusters(s: SparkSession, d: String): DataFrame =
+    propagateLabels(dd2NgramJaccard(s, d).select(col("ida"), col("idb")))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
 
   /** Recursive CTE chain ending in `lbl(doc_id, cluster_id)` — the
     * oracle twin of the dd7 label propagation (shared with dd12).

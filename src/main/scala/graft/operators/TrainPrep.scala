@@ -585,6 +585,217 @@ object TrainPrep {
       |FROM h ORDER BY shard, pos""".stripMargin
 
   // ---------------------------------------------------------------------
+  // pipe2_full_prep — the PRODUCTION LLM prep pipeline composed end-to-end
+  // as ONE declarative program (pipe1's composition thesis at full
+  // strength): where pipe1 chains quality → EXACT dedup → decon →
+  // shuffle, this runs the pipeline a real pretraining corpus build runs:
+  //
+  //   1. quality gate        (t2's exact boolean — map-only, fused into
+  //                           the parquet scan's codegen stage)
+  //   2. FUZZY dedup         (dd3's MinHash-LSH candidates → dd6's exact
+  //                           integer Jaccard ≥ 0.8 verify → dd7's
+  //                           min-label connected components → dd12's
+  //                           keep-best representative per cluster)
+  //   3. decontamination     (dc1's word-3-gram overlap vs the held-out
+  //                           doc_id%10=0 split: drop train docs with
+  //                           ≥ 20% shingle overlap, exact integer test)
+  //   4. temperature mixture (mix2's α=0.5 exact-integer re-weighting,
+  //                           budget = half the survivors — the budget is
+  //                           derived from the data, a scalar subquery in
+  //                           the oracle, not a magic constant)
+  //   5. seeded shuffle      (pk4's portable md5 permutation → shard, pos)
+  //   6. packing             (pk1's layout in TRAINING order: global token
+  //                           offsets + context-window spans, prefix-summed
+  //                           shard-major — shuffle first, then pack, the
+  //                           order a sequential trainer consumes)
+  //
+  // Output: one manifest row per surviving doc — (doc_id, source,
+  // n_tokens, shard, pos, start_off, chunk_first, chunk_last).
+  //
+  // Scale (the point of the exercise): all six stages are declarative
+  // transforms on one frame lineage, so Catalyst fuses them — the
+  // corpus-sized shuffles are (a) the distinct-shingle-hash shuffle shared
+  // by verify + decon, (b) the per-doc shingle-set/count aggs, (c) the
+  // MinHash signature agg, (d) the band self-join over DISTINCT
+  // signatures, (e) the candidate verify joins (candidate-sized), (f) the
+  // keep-best agg + join-back, (g) the decon overlap join + aggs, (h) ONE
+  // source-partitioned window (mixture rank), (i) ONE shard-partitioned
+  // window computing pos AND local offsets in a single Window op, plus the
+  // presentation sort — ~10 shuffles for a 6-stage pipeline, where a
+  // stage-per-job orchestration would write and re-read the corpus 5×.
+  // Label propagation runs on the verified-pair graph (pair-sized, not
+  // corpus-sized); the 8 per-shard totals cross the driver as scalars
+  // (the HWM exception) and broadcast back. The manifest frame is
+  // localCheckpointed once before its two consumers (totals + emission) —
+  // in production this is exactly the point where the manifest table is
+  // written; at 100 TB the checkpoint is a narrow ~50 B/doc frame, and
+  // every stage upstream of it has already collapsed the token streams.
+  private def pipe2FullPrep(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    // stage 1 — quality gate; held-out split excluded from training
+    val qual = Tables.documents(s, d)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+    val train = qual.filter(col("doc_id") % 10 =!= 0)
+
+    // stage 2 — fuzzy dedup (LSH candidates, exact verify, cluster,
+    // keep-best). shTrain is referenced 3× (verify sets, decon totals,
+    // decon overlap) — checkpoint the narrow (doc_id, h) frame once.
+    val shTrain = Dedup.shingleRowsOf(train)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      .localCheckpoint()
+    val hs = shTrain.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+    val pairs = Dedup.lshCandidatesOf(train)
+      .join(hs.select(col("doc_id").as("ida"), col("hs").as("ha"), col("n").as("na")), "ida")
+      .join(hs.select(col("doc_id").as("idb"), col("hs").as("hb"), col("n").as("nb")), "idb")
+      .withColumn("common",
+        graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
+      .filter(col("common") * 10L >= (col("na") + col("nb") - col("common")) * 8L)
+      .select("ida", "idb")
+    val kept = Dedup.keepBest(train, Dedup.propagateLabels(pairs))
+      .filter(col("kept")).select("doc_id")
+
+    // stage 3 — decontamination: the benchmark fingerprint universe comes
+    // from the FULL held-out split (benchmarks are external — they don't
+    // pass the training quality gate first)
+    val testSh = Dedup.shingleRowsOf(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val dsh = shTrain.join(kept, "doc_id")
+    val ctot = dsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val cshr = dsh.join(testSh, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val surv = train.select(col("doc_id"), col("source"), nWords.as("n_tokens"))
+      .join(ctot, "doc_id")
+      .join(cshr, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_shared"), lit(0L)) * 5L < col("n_shingles"))
+      .select("doc_id", "source", "n_tokens")
+
+    // stage 4 — temperature mixture (mix2, α = 0.5), doc budget = half
+    // the surviving corpus
+    val nd = surv.groupBy("source").agg(count(lit(1)).as("n_d"))
+      .withColumn("w_d", floor(sqrt(col("n_d") * 1000000.0)).cast("long"))
+    val tot = nd.agg(sum("w_d").as("sw"))
+      .crossJoin(surv.agg(expr("count(1) div 2").as("tt")))
+    val tgt = nd.crossJoin(tot)
+      .select(col("source"), least(col("n_d"), expr("tt * w_d div sw")).as("target_d"))
+    val hh = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val wSrc = Window.partitionBy("source").orderBy("hh", "doc_id")
+    val mixed = surv.withColumn("hh", hh)
+      .withColumn("rk", row_number().over(wSrc).cast("long"))
+      .join(broadcast(tgt), "source")
+      .filter(col("rk") <= col("target_d"))
+      .select("doc_id", "source", "n_tokens")
+
+    // stages 5+6 — seeded shuffle then pack in training order. pos and
+    // the within-shard running token offset share one Window op (same
+    // partition + order); shard totals are 8 driver scalars prefix-summed
+    // and broadcast back (pk1's two-phase distributed prefix sum with
+    // shards as the partitions).
+    val hkey = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    val manifest = mixed.withColumn("hkey", hkey)
+      .withColumn("shard", pmod(col("hkey"), lit(8L)))
+      .withColumn("pos", row_number().over(wSh).cast("long") - 1L)
+      .withColumn("local_off",
+        coalesce(sum(col("n_tokens"))
+          .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint()
+    val stots = manifest.groupBy("shard").agg(sum("n_tokens").as("stot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cum = (0 until 8).scanLeft(0L)((acc, i) => acc + stots.getOrElse(i.toLong, 0L))
+    val offs = s.createDataFrame((0 until 8).map(i => (i.toLong, cum(i))))
+      .toDF("shard", "shard_off")
+    manifest.join(broadcast(offs), "shard")
+      .withColumn("start_off", col("shard_off") + col("local_off"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("shard"), col("pos"), col("start_off"),
+        expr(s"start_off div $packBudget").as("chunk_first"),
+        expr(s"(start_off + greatest(n_tokens, 1L) - 1L) div $packBudget")
+          .as("chunk_last"))
+      .orderBy("shard", "pos")
+  }
+
+  private val pipe2Sql =
+    s"""WITH RECURSIVE
+       |q0 AS (SELECT doc_id, source, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 10
+       |    AND len(regexp_replace(text, '[^a-z]', '', 'g')) * 2 > n_chars),
+       |tr AS (SELECT * FROM q0 WHERE doc_id % 10 <> 0),
+       |${Dedup.shinglesSqlCteOver("tr")},
+       |${Dedup.lshCandSqlCtesOver("sh")},
+       |nsh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT c.ida, c.idb, COUNT(*) AS common
+       |  FROM cand c JOIN sh a ON a.doc_id = c.ida
+       |  JOIN sh b ON b.doc_id = c.idb AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT cm.ida, cm.idb FROM cm
+       |  JOIN nsh na ON na.doc_id = cm.ida JOIN nsh nb ON nb.doc_id = cm.idb
+       |  WHERE common * 10 >= (na.n + nb.n - common) * 8),
+       |edges AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+       |rr AS (SELECT ida AS doc_id, idb AS reach FROM edges
+       |  UNION SELECT rr.doc_id, e.idb FROM rr JOIN edges e ON e.ida = rr.reach),
+       |lbl AS (SELECT doc_id, LEAST(doc_id, MIN(reach)) AS cluster_id
+       |  FROM rr GROUP BY doc_id),
+       |tk AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM tr),
+       |la AS (SELECT tk.doc_id, tk.source, tk.n_tokens,
+       |    COALESCE(lbl.cluster_id, tk.doc_id) AS cluster_id
+       |  FROM tk LEFT JOIN lbl ON lbl.doc_id = tk.doc_id),
+       |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+       |    SELECT cluster_id, doc_id, row_number() OVER (
+       |      PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn
+       |    FROM la) WHERE rn = 1),
+       |ded AS (SELECT la.doc_id, la.source, la.n_tokens
+       |  FROM la JOIN rep USING (cluster_id) WHERE la.doc_id = rep.rep_id),
+       |te AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |tesh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |  FROM te, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) u(i)),
+       |dsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN ded ON ded.doc_id = sh.doc_id),
+       |ctot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM dsh GROUP BY 1),
+       |cshr AS (SELECT doc_id, COUNT(*) AS n_shared
+       |  FROM dsh JOIN tesh USING (s) GROUP BY 1),
+       |srv AS (SELECT d2.doc_id, d2.source, d2.n_tokens FROM ded d2
+       |  JOIN ctot ON ctot.doc_id = d2.doc_id
+       |  LEFT JOIN cshr ON cshr.doc_id = d2.doc_id
+       |  WHERE COALESCE(cshr.n_shared, 0) * 5 < ctot.n_shingles),
+       |nd AS (SELECT source, COUNT(*) AS n_d,
+       |    CAST(FLOOR(SQRT(COUNT(*) * 1000000.0)) AS BIGINT) AS w_d
+       |  FROM srv GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(w_d) AS BIGINT) AS sw,
+       |    (SELECT COUNT(*) // 2 FROM srv) AS tt FROM nd),
+       |tgt AS (SELECT source, least(n_d, tt * w_d // sw) AS target_d
+       |  FROM nd CROSS JOIN tot),
+       |rkd AS (SELECT doc_id, source, n_tokens,
+       |    row_number() OVER (PARTITION BY source ORDER BY
+       |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+       |      doc_id) AS rk
+       |  FROM srv),
+       |mixed AS (SELECT r.doc_id, r.source, r.n_tokens
+       |  FROM rkd r JOIN tgt USING (source) WHERE r.rk <= target_d),
+       |shf AS (SELECT doc_id, source, n_tokens,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+       |      AS hkey FROM mixed),
+       |sp AS (SELECT doc_id, source, n_tokens, CAST(hkey % 8 AS BIGINT) AS shard,
+       |    CAST(row_number() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id) - 1
+       |      AS BIGINT) AS pos
+       |  FROM shf),
+       |pk AS (SELECT doc_id, source, n_tokens, shard, pos,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shard, pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM sp)
+       |SELECT doc_id, source, n_tokens, shard, pos, start_off,
+       |  start_off // $packBudget AS chunk_first,
+       |  (start_off + greatest(n_tokens, 1) - 1) // $packBudget AS chunk_last
+       |FROM pk ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cur1_curriculum — curriculum-ordered training schedule: docs are
   // binned easy→hard by FIXED length thresholds (threshold bins, not
   // global quantiles — a global ntile would need a single-partition
@@ -682,6 +893,7 @@ object TrainPrep {
   val queries: Seq[Q] = Seq(
     Q("pk5_length_buckets", pk5LengthBuckets, Some(pk5Sql)),
     Q("pipe1_train_manifest", pipe1TrainManifest, Some(pipe1Sql)),
+    Q("pipe2_full_prep", pipe2FullPrep, Some(pipe2Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
     Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
