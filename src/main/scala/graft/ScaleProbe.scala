@@ -418,6 +418,54 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // adversarial gr2/gr3 basket probe (`runMain graft.ScaleProbe
+    // skew:gr3`): the co-purchase edge build enumerates C(basket, 2)
+    // pairs per order inside ONE join-key group — a degenerate basket is
+    // a per-key quadratic bomb no partitioning can split. hot corpus:
+    // sf0.1 lineitem + ONE 20k-item order whose part keys are outside
+    // the base range (all its pairs are weight-1 coincidences, so the
+    // w ≥ 2 threshold drops every one AFTER enumeration — pure
+    // enumeration cost, output identical to the uniform twin). Measures
+    // the edge build capped (saneBaskets' ≤256 filter) vs uncapped, then
+    // the shipped queries on both corpora.
+    if (args.contains("skew:gr3")) {
+      val skewDir = "/tmp/sfprobe_skewgr"
+      if (!new java.io.File(s"$skewDir/uni/lineitem.parquet").exists()) {
+        val base = Tables.lineitem(spark, src).select("l_orderkey", "l_partkey")
+        base.write.mode("overwrite").parquet(s"$skewDir/uni/lineitem.parquet")
+        base.unionByName(spark.range(20000).select(
+            lit(999999999L).as("l_orderkey"), (col("id") + 10000000L).as("l_partkey")))
+          .write.mode("overwrite").parquet(s"$skewDir/hot/lineitem.parquet")
+      }
+      def edges(dir: String, capped: Boolean): DataFrame = {
+        val li0 = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
+        val li = if (!capped) li0 else
+          li0.join(li0.groupBy("o").agg(count(lit(1)).as("bs"))
+            .filter(col("bs") <= 256L).select("o"), "o")
+        li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("lo"), col("y.pk").as("hi"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("lo", "hi")
+      }
+      for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-20k" -> s"$skewDir/hot");
+           capped <- Seq(true, false)) {
+        val t0 = System.nanoTime()
+        edges(dir, capped).write.format("noop").mode("overwrite").save()
+        println(f"[probe] skew gr3 $label%-8s capped=$capped%-5s edge build ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-20k" -> s"$skewDir/hot");
+           q <- Seq("gr2_triangles", "gr3_lpa_communities")) {
+        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[probe] skew gr3 $label%-8s $q%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // comparison twin for the custom top-k aggregate: the row_number
     // window formulation of q10 (`runMain graft.ScaleProbe q10_window`)
     if (args.contains("q10_window")) {

@@ -124,12 +124,50 @@ object GraphOps {
   //     projection (here 1.2M weight-1 edges vs 3.6k at w≥2 on sf0.1);
   //     thresholding is both the analytically right graph (deliberate
   //     co-purchases, not coincidence) and what keeps the triangle
-  //     join's deg² work bounded. A skew-hardened variant would also
-  //     cap per-basket fan-out the way dd9 caps buckets.
-  private def gr2Triangles(s: SparkSession, d: String): DataFrame = {
+  //     join's deg² work bounded.
+  //  3. Per-basket fan-out is CAPPED before the pair self-join (see
+  //     [[MaxBasket]]) — the threshold bounds the graph the triangle
+  //     join sees, the cap bounds the pair enumeration that builds it.
+  /** Baskets larger than this are excluded from the co-purchase
+    * projection entirely — dd9's bucket-cap discipline applied to orders.
+    * A degenerate basket (wholesale bulk order, scraped catalog dump) is
+    * a per-key quadratic bomb: C(basket, 2) pair rows materialize inside
+    * ONE join-key group before the w ≥ 2 significance filter can reject
+    * them, and no partitioning scheme can split a single key. It is also
+    * analytically noise — a 10⁵-item basket says nothing about deliberate
+    * co-purchase. TPC-H baskets are ≤ 7 items, so the cap is inactive on
+    * the gate corpus (output unchanged); `skew:gr3` measures the
+    * degenerate tail it guards (sf0.1 + one 20k-item order: edge build
+    * 61.8 s uncapped → 2.2 s capped, and capped-on-uniform runs at par
+    * with uncapped — the guard is free when it fires on nothing). The
+    * hot basket's pairs are all weight-1 coincidences the w ≥ 2 filter
+    * would have dropped AFTER enumerating all 2·10⁸ of them; skipping
+    * the basket up front is output-identical.
+    */
+  private val MaxBasket = 256L
+
+  /** Distinct (order, part) rows from baskets of sane size — the shared
+    * first stage of gr2/gr3's co-purchase projection. The basket-size
+    * filter is one map-side-combined count agg + a join back on the
+    * order key (AQE-sized; the oversize-order list is tiny or empty).
+    */
+  private def saneBaskets(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
       .distinct()
+    val ok = li.groupBy("o").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= MaxBasket).select("o")
+    li.join(ok, "o")
+  }
+
+  /** SQL twin of [[saneBaskets]]: `li` (distinct order/part, capped). */
+  private val saneBasketsSqlCte =
+    s"""li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+       |ok AS (SELECT o FROM li0 GROUP BY o HAVING COUNT(*) <= $MaxBasket),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (o))""".stripMargin
+
+  private def gr2Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = saneBaskets(s, d)
     val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("lo"), col("y.pk").as("hi"))
       .agg(count(lit(1)).as("w"))
@@ -152,7 +190,7 @@ object GraphOps {
   }
 
   private val gr2Sql =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+    s"""WITH $saneBasketsSqlCte,
       |e AS (SELECT lo, hi FROM (
       |    SELECT x.pk AS lo, y.pk AS hi, COUNT(*) AS w
       |    FROM li x JOIN li y ON x.o = y.o AND x.pk < y.pk
@@ -193,9 +231,7 @@ object GraphOps {
   private val LpaRounds = 3
 
   private def gr3LpaCommunities(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-      .distinct()
+    val li = saneBaskets(s, d)
     val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("lo"), col("y.pk").as("hi"))
       .agg(count(lit(1)).as("w"))
@@ -229,7 +265,7 @@ object GraphOps {
          |  FROM e2 e JOIN l${i - 1} l ON e.dst = l.v
          |  GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+    s"""WITH $saneBasketsSqlCte,
        |e AS (SELECT lo, hi FROM (
        |    SELECT x.pk AS lo, y.pk AS hi, COUNT(*) AS w
        |    FROM li x JOIN li y ON x.o = y.o AND x.pk < y.pk
