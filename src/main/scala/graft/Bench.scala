@@ -46,9 +46,11 @@ object Bench {
     // failure-honest: a query that throws contributes NO timing — its
     // elapsed time is the time-to-crash, not the query's cost, and a ~0.05 s
     // analysis failure would otherwise read as a 100× speedup in any
-    // cross-round diff. Failures are tracked by name and reported in a
-    // `failed` field of both the stdout line and the sidecar.
-    val failed = scala.collection.mutable.Set.empty[String]
+    // cross-round diff. A pass simply omits failed queries from its map;
+    // the reported `failed` set is recomputed at the end from the ACCEPTED
+    // passes only, so a failure seen only in a stall-discarded pass does
+    // not leak into the artifact.
+    val allNames = SparkEntry.queries.keySet
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -56,7 +58,6 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed += name
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -72,21 +73,30 @@ object Bench {
     // retries), then take the per-query median of the accepted 3.
     val passes = scala.collection.mutable.ArrayBuffer(pass(), pass(), pass())
     var retries = 0
-    def totalOf(p: Map[String, Double]): Double = p.values.sum
+    // stall comparison must be apples-to-apples: a heavy query that threw
+    // in exactly one pass would drop that pass's raw total and spuriously
+    // trip (or mask) the 1.5× check, so totals are computed over the keys
+    // common to every current pass.
+    def commonTotal(p: Map[String, Double], common: Set[String]): Double =
+      common.iterator.map(p).sum
     while (retries < 2 && {
-      val ts = passes.map(totalOf)
+      val common = passes.map(_.keySet).reduce(_ intersect _)
+      val ts = passes.map(commonTotal(_, common))
       ts.max > 1.5 * ts.min
     }) {
-      val worst = passes.indexOf(passes.maxBy(totalOf))
+      val common = passes.map(_.keySet).reduce(_ intersect _)
+      val worst = passes.indexOf(passes.maxBy(commonTotal(_, common)))
       System.err.println(
-        f"[bench] pass $worst stalled (${totalOf(passes(worst))}%.1f s vs best " +
-        f"${passes.map(totalOf).min}%.1f s); re-running")
+        f"[bench] pass $worst stalled (${commonTotal(passes(worst), common)}%.1f s vs best " +
+        f"${passes.map(commonTotal(_, common)).min}%.1f s); re-running")
       passes(worst) = pass()
       retries += 1
     }
     // median only over queries that succeeded in every accepted pass; a
-    // query that failed even once is excluded and listed in `failed`
-    val okKeys = passes.map(_.keySet).reduce(_ intersect _) -- failed
+    // query missing from any accepted pass failed there and is listed in
+    // `failed` (recomputed here — discarded stall passes don't count)
+    val okKeys = passes.map(_.keySet).reduce(_ intersect _)
+    val failed = allNames -- okKeys
     val results = okKeys.toSeq.sorted.map { k =>
       k -> passes.map(_(k)).sorted.apply(1) // median of 3 accepted passes
     }
@@ -106,7 +116,7 @@ object Bench {
     val passJson = passes.map { p =>
       val m = p.keys.toSeq.sorted.map(k => "\"" + k + f"""\":${p(k)}%.3f""")
         .mkString("{", ",", "}")
-      f"""{"total":${totalOf(p)}%.3f,"queries":$m}"""
+      f"""{"total":${p.values.sum}%.3f,"queries":$m}"""
     }.mkString("[", ",", "]")
     val sidecar =
       f"""{"median":$line,"failed":$failedJson,"stall_retries":$retries,"passes":$passJson}"""

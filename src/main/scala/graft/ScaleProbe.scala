@@ -314,6 +314,7 @@ object ScaleProbe {
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8", "sim8_ann_pq",
       "sim9_incremental_ann", "sim10_kmeans_train", "sim12_mmr_select",
+      "sim13_mmr_ann",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
       "t13_heavy_hitters", "t14_incremental_vocab", "t15_lm_quality",
@@ -466,6 +467,164 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // adversarial t17 hub-word probe (`runMain graft.ScaleProbe
+    // skew:t17`): one ultra-hot word interleaved at every other position
+    // of every doc — the co-occurrence graph gets a hub node whose
+    // degree is ~n·windowSize where a normal word's is ~4. The plan's
+    // claim: the edge build is (doc_id, i)-equi joins (1:1, no skew) and
+    // pairs.distinct() + the per-round contrib aggregation are map-side-
+    // combined on the hub key, so the hub costs one hot-but-combinable
+    // key, not a quadratic. uniform twin: all-unique words, same shape.
+    if (args.contains("skew:t17")) {
+      val skewDir = "/tmp/sfprobe_skewt17"
+      def corpus(hot: Boolean, path: String): Unit = {
+        if (!new java.io.File(s"$path/documents.parquet").exists()) {
+          // 24 words/doc; hot: even positions are THE hub word, odd
+          // positions unique per (doc, position)
+          val w = (j: String) =>
+            if (hot) s"CASE WHEN $j % 2 = 0 THEN 'hubhubhub' ELSE concat('w', CAST(id * 53 + $j AS STRING)) END"
+            else s"concat('w', CAST(id * 53 + $j AS STRING))"
+          spark.range(50000).selectExpr("id AS doc_id",
+            s"array_join(transform(sequence(0, 23), j -> ${w("j")}), ' ') AS text")
+            .write.mode("overwrite").parquet(s"$path/documents.parquet")
+        }
+      }
+      corpus(hot = true, s"$skewDir/hot")
+      corpus(hot = false, s"$skewDir/uni")
+      for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-hub" -> s"$skewDir/hot")) {
+        SparkEntry.queries("t17_textrank_keywords")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("t17_textrank_keywords")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] skew t17 $label%-8s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
+    // adversarial dd16 one-cluster probe (`runMain graft.ScaleProbe
+    // skew:dd16`): every embedding in one tight cosine blob, so k-means
+    // puts the whole corpus in ONE cluster and the within-cluster verify
+    // degenerates toward dd5's C(n,2) brute force — the known SemDeDup
+    // failure mode (the fix at scale is k ~ √N, shrinking per-cluster
+    // mass; this measures what the fixed-k=8 gate build does when the
+    // data defeats the clustering). uniform twin: same N spread across
+    // directions so clusters stay balanced.
+    if (args.contains("skew:dd16")) {
+      val skewDir = "/tmp/sfprobe_skewdd16"
+      val n = 10000L
+      def corpus(hot: Boolean, path: String): Unit = {
+        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
+          // hot: base direction (1,1,...,1) + per-vector epsilon in one
+          // dim -> pairwise cosine ~1 (every pair verifies, one cluster).
+          // uniform: dominant dim rotates -> 64 well-separated groups.
+          val vec =
+            if (hot)
+              "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
+            else
+              "transform(sequence(0, 63), j -> CAST(CASE WHEN j = CAST(id % 64 AS INT) THEN 10.0 ELSE CAST((id * 7 + j) % 5 AS DOUBLE) * 0.1 END AS FLOAT))"
+          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding")
+            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+        }
+      }
+      corpus(hot = true, s"$skewDir/hot")
+      corpus(hot = false, s"$skewDir/uni")
+      for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-1blob" -> s"$skewDir/hot")) {
+        SparkEntry.queries("dd16_semantic_dedup")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("dd16_semantic_dedup")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] skew dd16 $label%-9s n=$n ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
+    // adversarial exact-percentile probe (`runMain graft.ScaleProbe
+    // skew:q55`): the round-9 verdict's named risk — Spark's `percentile`
+    // is a TypedImperativeAggregate that buffers a (value -> count) map
+    // PER GROUP, so one giant group with all-distinct values is a
+    // per-group O(n) heap no partitioning can split (the q29/q55 memory
+    // caveat). Corpus: 20M rows of bit-mixed (≈all-distinct) values,
+    // once as ONE group and once spread over 1009 groups. Three exact/
+    // approx formulations race on each:
+    //   exact-imperative — q29/q55's `percentile` (the buffering one);
+    //   sketch          — q32's `approx_percentile` (constant-size G-K
+    //                     summary, mergeable; THE 100 TB path);
+    //   exact-windowsort — interpolated percentile recomputed from a
+    //                     row_number window over a per-group sort: one
+    //                     task per group but a SPILLING external sort,
+    //                     so it degrades to disk where the imperative
+    //                     buffer degrades to OOM — the exact-path
+    //                     fallback when the answer must be exact.
+    // The two exact variants cross-check (their p50+p90 checksums must
+    // agree) so the fallback is pinned to the shipped semantics.
+    if (args.contains("skew:q55")) {
+      val skewDir = "/tmp/sfprobe_skewq55"
+      val rows = 20000000L
+      for ((label, groups) <- Seq("uniform-1009g" -> 1009L, "hot-1group" -> 1L)) {
+        val path = s"$skewDir/${label.takeWhile(_ != '-')}"
+        if (!new java.io.File(path).exists()) {
+          spark.range(rows).select(
+              concat(lit("g"), col("id") % groups).as("g"),
+              // multiplicative bit-mix: values ≈ all distinct, arrival
+              // order uncorrelated with value order (no presorted luck)
+              ((col("id") * 2862933555777941757L + 3037000493L)
+                % 1000000007L).as("v"))
+            .write.mode("overwrite").parquet(path)
+        }
+        val t = spark.read.parquet(path)
+        def exactImperative() = t.groupBy("g").agg(
+          percentile(col("v"), lit(0.5)).as("p50"),
+          percentile(col("v"), lit(0.9)).as("p90"))
+        def sketch() = t.groupBy("g").agg(
+          approx_percentile(col("v"), lit(0.5), lit(1000)).as("p50"),
+          approx_percentile(col("v"), lit(0.9), lit(1000)).as("p90"))
+        def windowSort() = {
+          import org.apache.spark.sql.expressions.Window
+          val rn = row_number().over(Window.partitionBy("g").orderBy("v"))
+          val ranked = t.withColumn("rn", rn)
+            .join(broadcast(t.groupBy("g").agg(count(lit(1)).as("n"))), "g")
+          def interp(p: Double) = {
+            val r = (col("n") - 1L).cast("double") * p
+            val lo = floor(r).cast("long")
+            val vLo = max(when(col("rn") === lo + 1L, col("v")))
+            val vHi = max(when(col("rn") === ceil(r).cast("long") + 1L, col("v")))
+            vLo + (r - lo.cast("double")) * (coalesce(vHi, vLo) - vLo)
+          }
+          ranked.groupBy("g").agg(
+            interp(0.5).as("p50"), interp(0.9).as("p90"))
+        }
+        val variants = Seq[(String, () => DataFrame)](
+          "exact-imperative" -> (() => exactImperative()),
+          "sketch-gk1000" -> (() => sketch()),
+          "exact-windowsort" -> (() => windowSort()))
+        val sums = scala.collection.mutable.Map.empty[String, Double]
+        for ((vlabel, mk) <- variants) {
+          try {
+            mk().write.format("noop").mode("overwrite").save() // warm
+            dropPersisted()
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            val chk = mk().agg(sum(col("p50") + col("p90"))).collect()(0).getDouble(0)
+            sums(vlabel) = chk
+            println(f"[probe] skew q55 $label%-14s $vlabel%-17s $dt%7.2f s  checksum=$chk%.3f")
+          } catch { case e: Throwable =>
+            println(s"[probe] skew q55 $label $vlabel FAILED: " +
+              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(160)}")
+          } finally dropPersisted()
+        }
+        for (a <- sums.get("exact-imperative"); b <- sums.get("exact-windowsort"))
+          println(s"[probe] skew q55 $label exact variants agree: ${a == b}")
+      }
+      spark.stop()
+      return
+    }
     // comparison twin for the custom top-k aggregate: the row_number
     // window formulation of q10 (`runMain graft.ScaleProbe q10_window`)
     if (args.contains("q10_window")) {
@@ -581,14 +740,23 @@ object ScaleProbe {
       spark.stop()
       return
     }
-    // warm then measure, at both scales
+    // warm then measure, at both scales. The events family also reports
+    // OUTPUT CARDINALITY (an untimed count after the measurement): ev5's
+    // 10× super-linearity is driven by in-window pair-count growth, and
+    // without the rows column that inherent output growth is
+    // indistinguishable from a plan regression.
     for (sf <- Seq(src, out); name <- probes) {
       try {
         SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
         dropPersisted()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
-        println(f"[probe] ${if (sf == src) "1x " else "10x"} $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rowsInfo =
+          if (name.startsWith("ev"))
+            s"  rows=${SparkEntry.queries(name)(spark, sf).count()}"
+          else ""
+        println(f"[probe] ${if (sf == src) "1x " else "10x"} $name%-22s $dt%6.2f s$rowsInfo")
       } catch { case e: Throwable =>
         println(s"[probe] FAIL $sf $name: ${e.getMessage.take(200)}")
       } finally dropPersisted()

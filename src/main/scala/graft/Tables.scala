@@ -50,12 +50,19 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      // fail LOUDLY on anything else: a silent cast of e.g. a string or
+      // int32-date regeneration could produce nulls and green-but-empty
+      // downstream results between test runs
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected parquet-scanned type $other; " +
+        "update Tables.events dispatch for the new corpus generation")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -923,7 +923,143 @@ object Similarity {
        |SELECT rank, vec_id, rel_e6, score FROM all_p ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim13_mmr_ann — sim12's MMR selection fed by an ANN candidate pass
+  // instead of the whole corpus: the shape sim12's scaladoc promises for
+  // 100 TB ("the candidate set is the top-M of an ANN pass — same
+  // plan"), made real. Candidate generation is sim9's corpus-sized IVF
+  // (k = ⌈√N⌉ cells from the lowest vec_ids, nprobe = max(6, ⌈1.5·√k⌉)
+  // probed cells for the single query vec 0), exact-cosine reranked to
+  // the top-M=50 candidates (rel DESC, vec_id ties). The greedy 2·rel −
+  // maxsim loop then runs UNCHANGED over the 50-row candidate frame —
+  // every round's crossJoin is candidate × ≤k-row broadcast, so at
+  // 100 TB the MMR stage's cost is O(M·k) regardless of corpus size; the
+  // corpus-sized work is confined to the (stored, incremental — sim9)
+  // index probe. Selection quality vs sim12's exhaustive candidates is
+  // pinned by Sim13MmrAnnSpec (pick overlap), and the oracle replays
+  // both stages: the IVF probe as scalar-subquery CTEs and the k greedy
+  // rounds unrolled.
+  private val mmrAnnM = 50
+  private def sim13MmrAnn(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    def cosE6(dotC: Column, na: Column, nb: Column): Column =
+      floor(dotC.cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * 1000000)
+        .cast("long")
+    val e = scaledVectors(s, d).localCheckpoint()
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("vq"), col("nrm").as("nq"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val k = math.ceil(math.sqrt(corpus.count().toDouble)).toInt
+    val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(k.toDouble)).toInt)
+    val cent = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    // stored-index assignment (sim9's build, shared discipline)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val index = corpus.crossJoin(broadcast(cent))
+      .withColumn("cdot", dot(col("v"), col("vc")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    // probe: the nprobe cells whose centroids are nearest the query
+    val cells = cent.crossJoin(broadcast(q))
+      .withColumn("cdot", dot(col("vc"), col("vq")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nc").cast("double")) * sqrt(col("nq").cast("double"))))
+      .orderBy(col("ccos").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    // exact rerank of probed members -> top-M candidate frame
+    val cand = index.join(broadcast(cells), col("cell") === col("cid"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosE6(dot(col("v"), col("vq")), col("nrm"), col("nq")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(mmrAnnM)
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+      .localCheckpoint()
+    // greedy MMR rounds — sim12's loop verbatim, over the M-row frame
+    var picks = Vector.empty[(Long, Long, Long, Long)]
+    for (r <- 1 to mmrK) {
+      val selIds = picks.map(_._2)
+      val rem =
+        if (selIds.isEmpty) cand else cand.filter(!col("vec_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty) rem.withColumn("score", col("rel") * 2L)
+        else {
+          val sel = cand.filter(col("vec_id").isin(selIds: _*))
+            .select(col("v").as("vs"), col("nrm").as("ns"))
+          rem.crossJoin(broadcast(sel))
+            .withColumn("sim", cosE6(dot(col("v"), col("vs")), col("nrm"), col("ns")))
+            .groupBy("vec_id", "rel").agg(max("sim").as("maxsim"))
+            .withColumn("score", col("rel") * 2L - col("maxsim"))
+        }
+      val top = scored.orderBy(col("score").desc, col("vec_id"))
+        .select("vec_id", "rel", "score").limit(1).collect()
+      if (top.nonEmpty)
+        picks :+= ((r.toLong, top(0).getLong(0), top(0).getLong(1), top(0).getLong(2)))
+    }
+    import s.implicits._
+    picks.toDF("rank", "vec_id", "rel_e6", "score").orderBy("rank")
+  }
+
+  /** Oracle: sim9's IVF-probe CTE chain (corpus-sized k/nprobe via
+    * scalar subqueries) feeding sim12's unrolled greedy rounds, with the
+    * candidate CTE capped at top-M. Chain CTEs are MATERIALIZED for the
+    * same exponential-inlining reason as sim12Sql.
+    */
+  private val sim13Sql: String = {
+    val cosE6 =
+      "CAST(floor(CAST(dt AS DOUBLE) / (sqrt(CAST(xn AS DOUBLE)) * sqrt(CAST(yn AS DOUBLE))) * 1000000) AS BIGINT)"
+    def dotSql(a: String, b: String) =
+      s"CAST((SELECT SUM($a.v[i] * $b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT)"
+    def round(r: Int): String =
+      s"""x$r AS MATERIALIZED (SELECT c.vec_id, c.rel, ${cosE6
+            .replace("dt", dotSql("c", "s")).replace("xn", "c.nrm").replace("yn", "s.nrm")} AS sim_e6
+         |  FROM cand c, cand s
+         |  WHERE s.vec_id IN (SELECT vec_id FROM sel${r - 1})
+         |    AND c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})),
+         |m$r AS (SELECT vec_id, rel, MAX(sim_e6) AS maxsim FROM x$r GROUP BY 1, 2),
+         |p$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS rank, vec_id, rel AS rel_e6,
+         |    2 * rel - maxsim AS score
+         |  FROM m$r ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM p$r),""".stripMargin
+    s"""WITH $scaledVectorsSqlCte,
+       |q AS (SELECT v AS vq, nrm AS nq FROM e WHERE vec_id = 0),
+       |corp AS (SELECT vec_id, v, nrm FROM e WHERE vec_id <> 0),
+       |cent AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM corp ORDER BY vec_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM corp)),
+       |ap AS (SELECT corp.vec_id, corp.v, corp.nrm, cent.cid, cent.nc,
+       |  CAST((SELECT SUM(corp.v[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM corp, cent),
+       |ar AS (SELECT vec_id, v, nrm, cid AS cell,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS arn
+       |  FROM ap),
+       |idx AS (SELECT vec_id, v, nrm, cell FROM ar WHERE arn = 1),
+       |pc AS (SELECT cid FROM cent, q
+       |  ORDER BY CAST((SELECT SUM(cent.vc[i] * q.vq[i])
+       |      FROM UNNEST(generate_series(1, 64)) t(i)) AS DOUBLE)
+       |    / (sqrt(CAST(nc AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) DESC, cid
+       |  LIMIT (SELECT GREATEST(6, CAST(ceil(1.5 * sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT)) FROM corp)),
+       |cand AS MATERIALIZED (SELECT idx.vec_id, idx.v, idx.nrm, ${cosE6
+          .replace("dt", dotSql("idx", "q")).replace("xn", "idx.nrm").replace("yn", "q.nq")
+          .replace("q.v[i]", "q.vq[i]")} AS rel
+       |  FROM idx JOIN pc ON idx.cell = pc.cid, q
+       |  ORDER BY rel DESC, idx.vec_id LIMIT $mmrAnnM),
+       |p1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS rel_e6,
+       |    2 * rel AS score
+       |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM p1),
+       |${(2 to mmrK).map(round).mkString("\n")}
+       |all_p AS (${(1 to mmrK).map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ")})
+       |SELECT rank, vec_id, rel_e6, score FROM all_p ORDER BY rank""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("sim13_mmr_ann", sim13MmrAnn, Some(sim13Sql)),
     Q("sim12_mmr_select", sim12MmrSelect, Some(sim12Sql)),
     Q("sim11_range_join", sim11RangeJoin, Some(sim11Sql)),
     Q("sim10_kmeans_train", sim10KmeansTrain, Some(sim10Sql)),

@@ -280,6 +280,50 @@ object Streams {
         })
   }
 
+  /** Input/state/output records for [[streamingIndexMaintenance]]. */
+  case class TermPost(term: String, doc_id: Long)
+  case class IdxState(df: Long, tf: Long)
+  case class IdxUpdate(term: String, df_total: Long, tf_total: Long)
+
+  /** Streaming twin of search3's incremental inverted-index maintenance
+    * — the last batch-only incremental op (dd11 dedup / sim9 ANN /
+    * search3 postings) re-expressed with the streaming state store AS
+    * the stored stats table: each micro-batch explodes its documents
+    * into term postings, groups by term, and folds the batch's
+    * (distinct-doc, token) counts into per-term (df, tf) state, emitting
+    * one updated row per TOUCHED term — exactly the upsert row set
+    * search3 computes against its checkpointed stored frame.
+    *
+    * Assumes the corpus is APPEND-ONLY with each doc_id arriving in
+    * exactly one micro-batch (search3's disjoint batch-vs-stored
+    * convention) — df increments by the batch's distinct-doc count
+    * because no doc can re-contribute to a term it already counted.
+    *
+    * Scale: state is one 16-byte (df, tf) pair per vocabulary term —
+    * the postings-STATS table itself, term-sharded by the state store
+    * exactly as the batch variant's stored table is term-bucketed; per
+    * batch, work and emitted rows are O(batch terms), the corpus is
+    * never rescanned. StreamsSpec pins batch/stream parity: replaying
+    * search3's stored+batch split through two micro-batches must emit
+    * search3's df_total/tf_total row set bit-for-bit.
+    */
+  def streamingIndexMaintenance(docs: Dataset[DocIn]): Dataset[IdxUpdate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(d => d.text.split(" ").iterator.map(t => TermPost(t, d.doc_id)))
+      .groupByKey(_.term)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (term: String, it: Iterator[TermPost], state: GroupState[IdxState]) => {
+          var tfNew = 0L
+          val docsSeen = scala.collection.mutable.HashSet.empty[Long]
+          it.foreach { p => tfNew += 1; docsSeen += p.doc_id }
+          val prev = state.getOption.getOrElse(IdxState(0L, 0L))
+          val next = IdxState(prev.df + docsSeen.size, prev.tf + tfNew)
+          state.update(next)
+          Iterator.single(IdxUpdate(term, next.df, next.tf))
+        })
+  }
+
   /** LATE-DATA ACCOUNTING: every watermark in this suite silently drops
     * rows that arrive behind it (tumbling/session aggregation,
     * stream-stream join, dropDuplicatesWithinWatermark) — correct for

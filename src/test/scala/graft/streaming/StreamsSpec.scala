@@ -267,4 +267,38 @@ class StreamsSpec extends SparkSpec {
     try q2.awaitTermination(60000) finally if (q2.isActive) q2.stop()
     assert(second === 2L)
   }
+
+  test("streamingIndexMaintenance: stored+batch micro-batches emit search3's row set (batch/stream parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => Streams.DocIn(r.getLong(0), r.getString(1), ts("2024-01-01 00:00:00")))
+    val stored = docs.filter(_.doc_id % 5 != 0) // search3's stored index
+    val batch = docs.filter(_.doc_id % 5 == 0)  // search3's new batch
+    assert(stored.nonEmpty && batch.nonEmpty)
+    // capture the LAST non-empty micro-batch's emissions — the upsert
+    // row set the second activation writes
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val stream = MemoryStream[Streams.DocIn]
+    val q = Streams.streamingIndexMaintenance(stream.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.IdxUpdate], _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty) {
+          captured.clear()
+          captured ++= rows.map(u => (u.term, u.df_total, u.tf_total))
+        }
+        ()
+      }.start()
+    try {
+      stream.addData(stored.toIndexedSeq: _*); q.processAllAvailable()
+      stream.addData(batch.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val expected = graft.SparkEntry.queries("search3_incremental_index")(spark, dir)
+      .select("term", "df_total", "tf_total").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(captured.toSet === expected)
+  }
 }
