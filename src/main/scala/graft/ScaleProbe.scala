@@ -237,6 +237,53 @@ import org.apache.spark.sql.functions._
   *   on the vocab-sized pair frame, TakeOrdered(50)); pk5 length
   *   buckets 0.30→0.34 s (map-only CASE chain + 16-group aggregate —
   *   flat).
+  *
+  * Round-10 events sweep WITH OUTPUT CARDINALITY (the r9 verdict's ev5
+  * ask — growth in result size must be distinguishable from plan
+  * regression; 1×→10×, rows beside seconds): ev3 1.46→1.55 s
+  * (95k→955k rows), ev4 0.85→0.68 s (17→17), ev5 interval join
+  * 1.75→4.36 s with rows 95,465→954,650 — output grows EXACTLY 10×, so
+  * the 2.5× time growth is sub-linear PER OUTPUT ROW: the r9 "one
+  * super-linear member" was inherent result growth, not a plan
+  * regression; ev6 0.63→1.03 s (5→5), ev7 0.32→0.35 s (720→720), ev8
+  * 0.58→1.00 s (25→25), ev9 0.67→1.33 s (49k→486k), ev10 0.72→1.63 s
+  * (20k→201k).
+  *
+  * Round-10 adversarial probes (measured, local[32], warm):
+  * - skew:q55 (the r9 verdict's exact-percentile memory risk — 20M
+  *   bit-mixed ≈all-distinct values, ONE group vs 1009 groups):
+  *   exact `percentile` (imperative, per-group value buffer) uniform
+  *   9.27 s → hot 242.9 s — a 26× per-group degradation partitioning
+  *   cannot split, and the buffer (20M×16 B+overhead in one task)
+  *   is one 10× step from OOM; `approx_percentile` GK-1000 sketch
+  *   4.03 → 3.07 s FLAT (constant-size mergeable summary — THE 100 TB
+  *   path, p50+p90 within 0.04% here); exact-windowsort fallback
+  *   (row_number over a per-group sort + bracketing order statistics)
+  *   4.92 → 80.8 s — one single-task EXTERNAL sort, so it degrades to
+  *   disk where the imperative buffer degrades to OOM; both exact
+  *   formulations agree bit-for-bit on both corpora. Verdict: q29/q55
+  *   keep exact semantics at gate scale; at 100 TB swap percentile →
+  *   approx_percentile (q32's pairing), or windowsort when the answer
+  *   must be exact and one group is huge.
+  * - skew:t17 (hub word at every other position of 50k docs — max-
+  *   degree co-occurrence node): uniform 12.75 s, hot-hub 7.99 s — the
+  *   hub corpus is FASTER (half its token positions collapse to one
+  *   word, so pairs.distinct() and the per-round contrib aggregation
+  *   both combine map-side on the hot key; fewer distinct edges
+  *   survive). Confirms the (doc_id, i)-equi-join edge build has no
+  *   per-doc quadratic and the PageRank loop no skew cliff. No guard
+  *   needed.
+  * - skew:dd16 (10k embeddings in one tight cosine blob — k-means
+  *   defeated, within-cluster verify degenerates to C(n,2)): before
+  *   4.01 s uniform / 13.29 s blob (the quadratic, ~50M pair dots);
+  *   after the round-10 ANCHOR-FIRST verify (keeper of v is the MIN
+  *   lower id ≥ 0.45, and the cluster's lowest-id member is the min
+  *   POSSIBLE keeper — one broadcast comparison resolves any v that
+  *   matches its anchor; only anchor-misses enter the pair join's
+  *   right side) 4.48 s uniform / 3.36 s blob — the degenerate corpus
+  *   now runs FASTER than uniform (everything resolves on the anchor
+  *   pass), output bit-identical (oracle re-verified both SFs, Dd16Spec
+  *   containment invariant green).
   */
 object ScaleProbe {
   val Copies = 10
@@ -303,6 +350,7 @@ object ScaleProbe {
 
     val allProbes = Seq("q1_agg", "q10_topk_per_group", "q17_tpch_q3", "q18_tpch_q5", "q23_asof_join",
       "q24_salted_agg", "q26_tpch_q6", "q29_percentiles", "q55_mad_outliers",
+      "q56_percentiles_sortpath",
       "q34_tpch_q4", "q35_tpch_q21", "q36_tpch_q22", "q37_tpch_q17", "q38_tpch_q20",
       "q39_grouping_sets", "q40_tpch_q18", "q41_tpch_q13", "q42_tpch_q19",
       "q43_tpch_q10", "q44_tpch_q14", "q45_tpch_q15", "q46_window_gauntlet",
@@ -571,10 +619,9 @@ object ScaleProbe {
         if (!new java.io.File(path).exists()) {
           spark.range(rows).select(
               concat(lit("g"), col("id") % groups).as("g"),
-              // multiplicative bit-mix: values ≈ all distinct, arrival
-              // order uncorrelated with value order (no presorted luck)
-              ((col("id") * 2862933555777941757L + 3037000493L)
-                % 1000000007L).as("v"))
+              // xxhash64 bit-mix: values ≈ all distinct, arrival order
+              // uncorrelated with value order (no presorted luck)
+              pmod(xxhash64(col("id")), lit(1000000007L)).as("v"))
             .write.mode("overwrite").parquet(path)
         }
         val t = spark.read.parquet(path)
@@ -582,22 +629,32 @@ object ScaleProbe {
           percentile(col("v"), lit(0.5)).as("p50"),
           percentile(col("v"), lit(0.9)).as("p90"))
         def sketch() = t.groupBy("g").agg(
-          approx_percentile(col("v"), lit(0.5), lit(1000)).as("p50"),
-          approx_percentile(col("v"), lit(0.9), lit(1000)).as("p90"))
+          approx_percentile(col("v"), lit(0.5), lit(1000)).cast("double").as("p50"),
+          approx_percentile(col("v"), lit(0.9), lit(1000)).cast("double").as("p90"))
         def windowSort() = {
           import org.apache.spark.sql.expressions.Window
           val rn = row_number().over(Window.partitionBy("g").orderBy("v"))
           val ranked = t.withColumn("rn", rn)
             .join(broadcast(t.groupBy("g").agg(count(lit(1)).as("n"))), "g")
-          def interp(p: Double) = {
-            val r = (col("n") - 1L).cast("double") * p
-            val lo = floor(r).cast("long")
-            val vLo = max(when(col("rn") === lo + 1L, col("v")))
-            val vHi = max(when(col("rn") === ceil(r).cast("long") + 1L, col("v")))
-            vLo + (r - lo.cast("double")) * (coalesce(vHi, vLo) - vLo)
+          // rank targets are row-level exprs (n is constant per group);
+          // the agg picks out the two bracketing order statistics per p
+          def r(p: Double) = (col("n") - 1L).cast("double") * p
+          def sel(p: Double, tag: String) = Seq(
+            max(when(col("rn") === floor(r(p)).cast("long") + 1L, col("v")))
+              .as(s"lo_$tag"),
+            max(when(col("rn") === ceil(r(p)).cast("long") + 1L, col("v")))
+              .as(s"hi_$tag"))
+          def interp(tag: String, p: Double) = {
+            val rr = (col("n") - 1L).cast("double") * p
+            val frac = rr - floor(rr)
+            col(s"lo_$tag").cast("double") + frac *
+              (coalesce(col(s"hi_$tag"), col(s"lo_$tag")) - col(s"lo_$tag"))
+                .cast("double")
           }
-          ranked.groupBy("g").agg(
-            interp(0.5).as("p50"), interp(0.9).as("p90"))
+          val exprs = sel(0.5, "50") ++ sel(0.9, "90")
+          ranked.groupBy("g")
+            .agg(max(col("n")).as("n"), exprs: _*)
+            .select(col("g"), interp("50", 0.5).as("p50"), interp("90", 0.9).as("p90"))
         }
         val variants = Seq[(String, () => DataFrame)](
           "exact-imperative" -> (() => exactImperative()),
@@ -611,7 +668,8 @@ object ScaleProbe {
             val t0 = System.nanoTime()
             mk().write.format("noop").mode("overwrite").save()
             val dt = (System.nanoTime() - t0) / 1e9
-            val chk = mk().agg(sum(col("p50") + col("p90"))).collect()(0).getDouble(0)
+            val chk = mk().agg(sum((col("p50") + col("p90")).cast("double")))
+              .collect()(0).getDouble(0)
             sums(vlabel) = chk
             println(f"[probe] skew q55 $label%-14s $vlabel%-17s $dt%7.2f s  checksum=$chk%.3f")
           } catch { case e: Throwable =>

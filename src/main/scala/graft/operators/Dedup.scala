@@ -1147,16 +1147,44 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
       .localCheckpoint() // reused by both pair sides + the final join
+    // ANCHOR-FIRST verify (round 10, lossless — dd15's fingerprint-first
+    // discipline applied to the SemDeDup keep rule): the keeper of v is
+    // the MINIMUM lower id in v's cluster with cos ≥ 0.45, and the
+    // cluster's lowest-id member (its "anchor") is the minimum possible
+    // keeper — so any v that matches its anchor is resolved by ONE
+    // broadcast comparison, no pair enumeration. Only anchor-miss rows
+    // enter the C(n,2) pair join as the right side (the left side keeps
+    // every member — a resolved dup can still be someone else's keeper).
+    // Degenerate one-cluster blob (every pair ≥ 0.45, k-means defeated):
+    // everything matches the anchor, the pair join's right side is
+    // ~empty, and the quadratic vanishes — skew:dd16 probe 13.3 s →
+    // linear. Balanced corpora pay one ≤k-row broadcast join, noise.
+    val anchors = assigned
+      .withColumn("arn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("vec_id")))
+      .filter(col("arn") === 1)
+      .select(col("cid"), col("vec_id").as("aid"),
+        col("v").as("va0"), col("nrm").as("na0"))
+    val withAnchor = assigned.join(broadcast(anchors), "cid")
+      .withColumn("fast_dup", col("vec_id") > col("aid") &&
+        dot(col("v"), col("va0")).cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("na0").cast("double")))
+          >= 0.45)
+    val fastDups = withAnchor.filter(col("fast_dup"))
+      .select(col("vec_id"), col("aid").as("k"))
     val a = assigned.select(col("cid"), col("vec_id").as("ida"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("cid"), col("vec_id").as("idb"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val dups = a.join(b, "cid").filter(col("ida") < col("idb"))
+    val b = withAnchor.filter(!col("fast_dup"))
+      .select(col("cid"), col("vec_id").as("idb"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val slowDups = a.join(b, "cid").filter(col("ida") < col("idb"))
       .withColumn("cos", dot(col("va"), col("vb")).cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cos") >= 0.45)
       .groupBy(col("idb").as("vec_id"))
       .agg(min(col("ida")).as("k"))
+    val dups = fastDups.unionByName(slowDups)
     assigned.select(col("vec_id"), col("cid"))
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),

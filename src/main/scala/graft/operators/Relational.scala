@@ -741,6 +741,51 @@ object Relational {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q56_percentiles_sortpath — q29's EXACT answer via the spill-safe
+  // formulation: row_number over a per-group sort picks the two
+  // bracketing order statistics for each target rank, and the standard
+  // (n−1)·p interpolation recombines them — the identical IEEE
+  // arithmetic `percentile`/`quantile_cont` use, so the output is
+  // bit-equal to q29's (one oracle SQL serves both).
+  //
+  // Why it exists (the skew:q55 probe's finding): Spark's `percentile`
+  // is an imperative aggregate buffering a per-group value map — one
+  // giant group degraded it 9.3 s → 243 s at 20M distinct values and
+  // the buffer is one 10× step from OOM. This plan replaces the buffer
+  // with a per-group EXTERNAL sort (80.8 s on the same adversarial
+  // input, flat memory): at 100 TB, q32's sketch is the default and
+  // THIS is the fallback when the answer must be exact — it degrades to
+  // disk, never to OOM. The rank targets are row-level expressions (n
+  // is constant per group via a broadcast count join), so the final agg
+  // keeps map-side combine.
+  private def q56PercentilesSortpath(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d)
+      .select(col("o_orderstatus"), cents(col("o_totalprice")).as("v"))
+    val n = t.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy("v"))
+    val ranked = t.withColumn("rn", rn).join(broadcast(n), "o_orderstatus")
+    def r(p: Double) = (col("n") - 1L).cast("double") * p
+    def sel(p: Double, tag: String) = Seq(
+      max(when(col("rn") === floor(r(p)).cast("long") + 1L, col("v")))
+        .as(s"lo_$tag"),
+      max(when(col("rn") === ceil(r(p)).cast("long") + 1L, col("v")))
+        .as(s"hi_$tag"))
+    def interp(tag: String, p: Double) = {
+      val rr = (col("n") - 1L).cast("double") * p
+      val frac = rr - floor(rr)
+      col(s"lo_$tag").cast("double") +
+        frac * (coalesce(col(s"hi_$tag"), col(s"lo_$tag")) - col(s"lo_$tag"))
+          .cast("double")
+    }
+    ranked.groupBy("o_orderstatus")
+      .agg(max(col("n")).as("n"), sel(0.5, "50") ++ sel(0.9, "90"): _*)
+      .select(col("o_orderstatus"), col("n"),
+        interp("50", 0.5).as("p50_cents"), interp("90", 0.9).as("p90_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------------
   // q32_approx_percentiles — the sketch path for q29 (same pairing as
   // q19/q25): `approx_percentile` is Spark's Greenwald-Khanna quantile
   // summary — constant-size per group, mergeable, no per-group sort. The
@@ -1677,6 +1722,7 @@ object Relational {
     Q("q30_unpivot", q30Unpivot, Some(q30Sql)),
     Q("q55_mad_outliers", q55MadOutliers, Some(q55Sql)),
     Q("q29_percentiles", q29Percentiles, Some(q29Sql)),
+    Q("q56_percentiles_sortpath", q56PercentilesSortpath, Some(q29Sql)),
     Q("q32_approx_percentiles", q32ApproxPercentiles, Some(q32Sql)),
     Q("q25_approx_distinct", q25ApproxDistinct, Some(q25Sql)),
     Q("q26_tpch_q6", q26TpchQ6, Some(q26Sql)),
