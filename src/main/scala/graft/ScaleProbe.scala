@@ -249,6 +249,15 @@ import org.apache.spark.sql.functions._
   * 0.58→1.00 s (25→25), ev9 0.67→1.33 s (49k→486k), ev10 0.72→1.63 s
   * (20k→201k).
   *
+  * Round-10 additions (1×→10×, measured, local[32], warm): pipe2 full
+  * prep pipeline 5.68→14.66 s (six stages, ~10 shuffles, sub-linear —
+  * the LSH/verify/decon stages all combine map-side and the packing
+  * windows are shard-partitioned); sim13 MMR-over-ANN 2.57→5.13 s
+  * (index build + probe grow with the corpus, the MMR loop's M=50
+  * candidate frame does not); q56 sort-path exact percentiles
+  * 1.28→4.59 s (one group-key exchange + external sort, no per-group
+  * buffer).
+  *
   * Round-10 adversarial probes (measured, local[32], warm):
   * - skew:q55 (the r9 verdict's exact-percentile memory risk — 20M
   *   bit-mixed ≈all-distinct values, ONE group vs 1009 groups):

@@ -139,6 +139,43 @@ class TrainPrepSpec extends SparkSpec {
     assert(again.exceptAll(out).count() === 0L)
   }
 
+  test("pipe2: manifest invariants — disjoint offsets, no held-out docs, stages compose") {
+    // value-level correctness is the DuckDB oracle's job; this pins the
+    // STRUCTURAL contract a trainer consuming the manifest relies on.
+    val m = q("pipe2_full_prep").cache()
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    // no held-out docs (doc_id % 10 == 0 is the benchmark split)
+    assert(rows.forall(_.getLong(0) % 10 != 0), "held-out doc leaked into training manifest")
+    // doc_ids unique (dedup + mixture sample never duplicate)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // token spans tile the stream: sorted by (shard, pos), each doc's
+    // start_off is the previous doc's start_off + n_tokens, shards
+    // concatenated in order — the global prefix sum is gapless
+    val byOrder = rows.sortBy(r => (r.getLong(3), r.getLong(4)))
+    val offs = byOrder.map(r => (r.getLong(5), r.getLong(2))) // start_off, n_tokens
+    offs.sliding(2).foreach {
+      case Array((o1, n1), (o2, _)) => assert(o2 == o1 + n1, s"gap at offset $o1+$n1 != $o2")
+      case _ => ()
+    }
+    assert(offs.head._1 == 0L)
+    // chunk span columns agree with the offsets (512-token windows)
+    rows.foreach { r =>
+      val (nt, off, cf, cl) = (r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(cf == off / 512L)
+      assert(cl == (off + math.max(nt, 1L) - 1L) / 512L)
+    }
+    // fuzzy dedup actually dropped something: the manifest must be a
+    // strict subset of the quality-passing training split
+    val trainQuality = graft.Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 10 &&
+        length(regexp_replace(col("text"), "[^a-z]", "")) * 2 > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(rows.length < trainQuality,
+      s"manifest ${rows.length} not a strict subset of $trainQuality quality docs")
+    m.unpersist()
+  }
+
   test("t7: every row redacts its two injected emails and two IPs") {
     val out = q("t7_pii_redact").cache()
     // >= not ===: the injection guarantees two of each, but the corpus
