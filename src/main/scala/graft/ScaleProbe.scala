@@ -256,7 +256,11 @@ import org.apache.spark.sql.functions._
   * (index build + probe grow with the corpus, the MMR loop's M=50
   * candidate frame does not); q56 sort-path exact percentiles
   * 1.28→4.59 s (one group-key exchange + external sort, no per-group
-  * buffer).
+  * buffer); sim14 incremental IVFPQ 4.47→12.07 s — sim9-shaped after
+  * storing codes at the VECTOR grain (one row per vector, 8 packed
+  * codes, ADC = 8 codegen'd element_at lookups): the naive
+  * row-per-(vector, subspace) ADC join carried 8× the rows and
+  * measured 44.8 s at 10×.
   *
   * Round-10 adversarial probes (measured, local[32], warm):
   * - skew:q55 (the r9 verdict's exact-percentile memory risk — 20M
@@ -371,7 +375,7 @@ object ScaleProbe {
       "dd12_keep_best", "dd13_substring_dedup", "dd14_residual_corpus", "dd15_containment",
       "sim2_ann_lsh", "sim4_centroid", "sim7_ann_sq8", "sim8_ann_pq",
       "sim9_incremental_ann", "sim10_kmeans_train", "sim12_mmr_select",
-      "sim13_mmr_ann",
+      "sim13_mmr_ann", "sim14_ann_ivfpq",
       "t2_quality", "t5_repetition", "t6_stratified_sample", "t8_top_terms",
       "t9_vocab_stats", "t10_feature_hash", "t11_bpe_merges", "t12_bigram_lm",
       "t13_heavy_hitters", "t14_incremental_vocab", "t15_lm_quality",

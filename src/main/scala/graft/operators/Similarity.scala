@@ -1058,7 +1058,205 @@ object Similarity {
        |SELECT rank, vec_id, rel_e6, score FROM all_p ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim14_ann_ivfpq — incremental IVFPQ (Jégou et al. 2011; the FAISS
+  // IVFPQ serving architecture, composed from this suite's verified
+  // pieces): sim9's STORED cell-partitioned index + sim8's product-
+  // quantized codes + sim9's batch-vs-index convention. The corpus
+  // (vec_id % 5 ≠ 0) is IVF-assigned to k = ⌈√N⌉ cells and PQ-encoded
+  // once — the stored table holds (cell, vec_id, 8 byte-codes), 8 bytes
+  // of scan payload per vector instead of 512. Per ingest batch
+  // (vec_id % 5 = 0), each query scores the broadcast IVF centroids
+  // map-side, probes its nprobe = max(6, ⌈1.5·√k⌉) nearest cells, and
+  // ADC-scans ONLY those cells' codes via its per-query lookup table
+  // (64-dot LUT per subspace — no full-width index vector is touched in
+  // the coarse pass); the top-50 coarse survivors per query are exact-
+  // cosine reranked to the final top-3. Work per batch: O(batch·k) for
+  // probing, O(Σ_q |probed cells|·m) LUT-joined code rows for the scan
+  // (the 1.6-TB-instead-of-100-TB trade), O(batch·50) full-vector
+  // fetches for rerank — the corpus is never rescanned or re-encoded.
+  //
+  // Determinism: PQ codebook = subvectors of the 64 lowest CORPUS ids
+  // (vec_id < 80 ∧ vec_id % 5 ≠ 0 is exactly 64 ids — sim8's
+  // deterministic stand-in restricted to the index side, as a stored
+  // codebook must be); assignment/coarse/final ranks all carry explicit
+  // integer tie-breaks; ADC sums are exact int64. Recall@3 vs the
+  // batch-vs-index brute force is pinned by Sim14RecallSpec.
+  private def sim14AnnIvfpq(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val m = 8; val sub = 8
+    val isNew = col("vec_id") % 5 === 0
+    val e = scaledVectors(s, d).localCheckpoint()
+    val corpus = e.filter(!isNew)
+    val kIvf = math.ceil(math.sqrt(corpus.count().toDouble)).toInt
+    val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(kIvf.toDouble)).toInt)
+    val cent = corpus.orderBy("vec_id").limit(kIvf)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .withColumn("cdot", dot(col("v"), col("vc")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .localCheckpoint() // the stored full-vector side (rerank fetches)
+    def subCols(vcol: Column) = array((0 until m).map(j =>
+      struct(lit(j).as("j"), slice(vcol, j * sub + 1, sub).as("sv"))): _*)
+    val subvCorpus = corpus
+      .select(col("vec_id"), explode(subCols(col("v"))).as("x"))
+      .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
+    // PQ codebook with a DENSE per-subspace code index 0..63 (codebook
+    // ids are the 64 lowest corpus ids — not contiguous — and the ADC
+    // lookup below is element_at by position)
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy("j").orderBy("code")
+    val pqcent = subvCorpus.filter(col("vec_id") < 80) // 64 corpus ids
+      .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
+      .withColumn("cn", graft.functions.VectorFunctions.normSqLong(col("cv")))
+      .withColumn("cidx", row_number().over(wCode) - 1)
+    // the stored code table AT THE VECTOR GRAIN: (cell, vec_id, cd[8]) —
+    // one row per vector carrying its 8 packed codes, the columnar
+    // analogue of FAISS's contiguous 8-byte code strip. (A first cut
+    // kept one row PER (vector, subspace) and joined the LUT on
+    // (qid, j, code): 8× the rows through the hot join made the 10×
+    // probe 44.8 s; this layout + the element_at sum below brought it
+    // to the sim9-shaped join size.)
+    val codes = subvCorpus.join(broadcast(pqcent), Seq("j"))
+      .withColumn("d2", col("cn") - lit(2L) * dot(col("sv"), col("cv")))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("cidx"))).as("b"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("b.cidx").as("ci"))))
+        .as("z"))
+      .select(col("vec_id"),
+        transform(col("z"), p => p.getField("ci")).as("cd"))
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .localCheckpoint()
+    // per-batch work starts here
+    val batch = e.filter(isNew)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val probed = batch
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot", dot(col("va"), col("vc")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    // per-query LUT, one row per query: 8 arrays of 64 subspace dots,
+    // positioned by cidx so ADC is pure element_at arithmetic
+    val lutJ = batch
+      .select(col("vec_id").as("qid"), explode(subCols(col("v"))).as("x"))
+      .select(col("qid"), col("x.j").as("j"), col("x.sv").as("sv"))
+      .join(broadcast(pqcent), Seq("j"))
+      .select(col("qid"), col("j"), col("cidx"),
+        dot(col("sv"), col("cv")).as("pdot"))
+      .groupBy("qid", "j")
+      .agg(array_sort(collect_list(struct(col("cidx"), col("pdot")))).as("z"))
+      .select(col("qid"), col("j"),
+        transform(col("z"), p => p.getField("pdot")).as("arr"))
+    val lutAggs = (0 until m).map(j =>
+      max(when(col("j") === j, col("arr"))).as(s"l$j"))
+    val lutQ = lutJ.groupBy("qid").agg(lutAggs.head, lutAggs.tail: _*)
+    // ADC: one row per (probed-cell member × probing query), approx dot
+    // = Σ_j l_j[cd_j] — 8 codegen'd array lookups, no row explosion and
+    // no re-aggregation
+    val adcSum = (0 until m).map(j =>
+        element_at(col(s"l$j"),
+          element_at(col("cd"), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val adc = codes.join(probed, "cell")
+      .join(lutQ, "qid")
+      .select(col("qid"), col("vec_id").as("nbr"), adcSum.as("approx_dot"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("approx_dot").desc, col("nbr"))
+    val coarse = adc.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= 50).select("qid", "nbr")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    coarse
+      .join(batch.select(col("vec_id").as("qid"), col("v").as("va"),
+        col("nrm").as("na")), "qid")
+      .join(assigned.select(col("vec_id").as("nbr"), col("v").as("vb"),
+        col("nrm").as("nb")), "nbr")
+      .withColumn("dot", dot(col("va"), col("vb")))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"),
+        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Oracle: sim9's IVF CTE chain + sim8's PQ CTE chain composed — the
+    * stored side (assignment + codes) and the per-batch side (probe +
+    * LUT + ADC + rerank) replayed with identical integer arithmetic and
+    * tie-breaks.
+    */
+  private val sim14Sql: String =
+    s"""WITH $scaledVectorsSqlCte,
+       |corp AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 5 <> 0),
+       |cent AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM corp ORDER BY vec_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM corp)),
+       |ap AS (SELECT corp.vec_id, corp.v, corp.nrm, cent.cid, cent.nc,
+       |  CAST((SELECT SUM(corp.v[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM corp, cent),
+       |ar AS (SELECT vec_id, v, nrm, cid AS cell,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS arn
+       |  FROM ap),
+       |idx AS (SELECT vec_id, v, nrm, cell FROM ar WHERE arn = 1),
+       |subc AS (SELECT vec_id, u.j, v[u.j*8+1:u.j*8+8] AS sv
+       |  FROM corp, UNNEST(generate_series(0, 7)) u(j)),
+       |pqc AS (SELECT j, vec_id AS code, sv AS cv,
+       |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS cn
+       |  FROM subc WHERE vec_id < 80),
+       |codes AS (SELECT cd.vec_id, cd.j, cd.code, idx.cell FROM (
+       |  SELECT s.vec_id, s.j, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |      c.cn - 2 * CAST((SELECT SUM(s.sv[i] * c.cv[i])
+       |        FROM UNNEST(generate_series(1, 8)) t(i)) AS BIGINT), c.code) AS rn
+       |  FROM subc s JOIN pqc c ON c.j = s.j) cd
+       |  JOIN idx ON idx.vec_id = cd.vec_id WHERE cd.rn = 1),
+       |qp AS (SELECT e.vec_id AS qid, e.v AS va, e.nrm AS na, cent.cid, cent.nc,
+       |  CAST((SELECT SUM(e.v[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM e, cent WHERE e.vec_id % 5 = 0),
+       |qr AS (SELECT qid, cid AS cell,
+       |  row_number() OVER (PARTITION BY qid ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS prn
+       |  FROM qp),
+       |pc AS (SELECT qid, cell FROM qr WHERE prn <= (SELECT
+       |  GREATEST(6, CAST(ceil(1.5 * sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT)) FROM corp)),
+       |subq AS (SELECT vec_id AS qid, u.j, v[u.j*8+1:u.j*8+8] AS sv
+       |  FROM e, UNNEST(generate_series(0, 7)) u(j) WHERE vec_id % 5 = 0),
+       |lut AS (SELECT s.qid, s.j, c.code,
+       |    CAST((SELECT SUM(s.sv[i] * c.cv[i])
+       |      FROM UNNEST(generate_series(1, 8)) t(i)) AS BIGINT) AS pdot
+       |  FROM subq s JOIN pqc c ON c.j = s.j),
+       |adc AS (SELECT l.qid, cd.vec_id AS nbr, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+       |  FROM codes cd JOIN pc ON pc.cell = cd.cell
+       |  JOIN lut l ON l.qid = pc.qid AND l.j = cd.j AND l.code = cd.code
+       |  GROUP BY 1, 2),
+       |coarse AS (SELECT qid, nbr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nbr) AS crnk
+       |  FROM adc),
+       |r AS (SELECT c.qid, c.nbr, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM coarse c JOIN e a ON a.vec_id = c.qid JOIN idx b ON b.vec_id = c.nbr
+       |  WHERE c.crnk <= 50),
+       |f AS (SELECT qid, nbr, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM r)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM f WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("sim14_ann_ivfpq", sim14AnnIvfpq, Some(sim14Sql)),
     Q("sim13_mmr_ann", sim13MmrAnn, Some(sim13Sql)),
     Q("sim12_mmr_select", sim12MmrSelect, Some(sim12Sql)),
     Q("sim11_range_join", sim11RangeJoin, Some(sim11Sql)),
