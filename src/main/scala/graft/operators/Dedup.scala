@@ -175,11 +175,18 @@ object Dedup {
   /** (doc_id, band, key) MinHash band rows — the LSH index frame
     * (shared by dd3/dd6's self-join and dd11's incremental probe).
     */
-  private[graft] def bandFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandFrame(s: SparkSession, d: String): DataFrame =
+    bandFrameOf(Tables.documents(s, d))
+
+  /** [[bandFrame]] over an arbitrary `(doc_id, text, …)` frame — the
+    * composed incremental pipeline (TrainPrep.pipe3) builds its stored
+    * index over a quality-GATED corpus, not the raw table.
+    */
+  private[operators] def bandFrameOf(docs: DataFrame): DataFrame = {
     val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
     val sigCols = (0 until numHashes).map(i =>
       min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
-    val sig = shingleRows(s, d).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = shingleRowsOf(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until numBands).map { b =>
       val key = concat_ws(",",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)

@@ -796,6 +796,189 @@ object TrainPrep {
        |FROM pk ORDER BY shard, pos""".stripMargin
 
   // ---------------------------------------------------------------------
+  // pipe3_incremental_prep — the INCREMENTAL ingest twin of pipe2: where
+  // pipe2 answers "prep the corpus once", this answers "prep TONIGHT'S
+  // BATCH against the prepped store" — the nightly run of a continuously
+  // fed pretraining pipeline, and the pipeline-level member of the suite's
+  // batch-vs-stored-index family (dd11 = dedup, sim9/sim14 = ANN, search3
+  // = inverted index, q54 = aggregate view; reference analog: the
+  // incremental `since`-parameter ingest, SURVEY §2.7 T1–T3, composed with
+  // the full prep surface). Batch = doc_id % 7 = 3; store = the rest.
+  //
+  //   1. quality gate        (pipe2's predicate, batch rows only)
+  //   2. within-batch EXACT dedup (dd1's keep-min-doc_id, keyed on
+  //      md5(text) — survival decisions ride on an oracle-recomputable
+  //      content key, never on xxhash64)
+  //   3. fuzzy gate vs the STORED index (dd11's convention: the store's
+  //      MinHash band rows stand for a bucketed index table appended per
+  //      ingest — only the batch is shingled-and-signed per run in
+  //      production; candidates are batch×store band collisions, verified
+  //      by dd6's exact integer Jaccard ≥ 0.8; matching batch docs drop)
+  //   4. decontamination     (pipe2's rule: ≥ 20% shingle overlap with the
+  //      held-out doc_id % 10 = 0 fingerprint universe)
+  //   5. manifest APPEND     (pk4 shard = md5-hkey mod 8; pos and
+  //      start_off CONTINUE from the stored per-shard row/token totals —
+  //      append-only offsets, nothing already written ever shifts; the 8
+  //      stored (cnt, tot) pairs are the q54-style stored aggregate)
+  //
+  // Output: one manifest row per ACCEPTED batch doc — (doc_id, source,
+  // n_tokens, shard, pos, start_off) — O(batch) rows.
+  //
+  // Scale: every frame after the band split is batch- or candidate-sized;
+  // the store contributes (a) its band index (stored in production,
+  // localCheckpoint stands for it here — same stance as dd11) and (b) 8
+  // (cnt, tot) scalars. Nothing re-pairs, re-signs, or re-packs the
+  // corpus: per-ingest cost is O(batch · bucketDegree), independent of
+  // store size. Mixture/packing rebalance is deliberately OUT of the
+  // nightly path (it is a snapshot-time global op — pipe2); production
+  // systems append with per-shard offsets exactly so ingest never
+  // rewrites history.
+  private def pipe3IncrementalPrep(s: SparkSession, d: String): DataFrame = {
+    val isBatch = col("doc_id") % 7 === 3
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    // stage 1 — quality gate (held-out split excluded from train on both
+    // sides, as in pipe2)
+    val gated = Tables.documents(s, d)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0)
+    val store = gated.filter(!isBatch)
+    // stage 2 — within-batch exact dedup, keep-min-doc_id per content key
+    val wTh = Window.partitionBy("th").orderBy("doc_id")
+    val bdd = gated.filter(isBatch)
+      .withColumn("th", md5(col("text")))
+      .withColumn("rk", row_number().over(wTh))
+      .filter(col("rk") === 1).drop("th", "rk")
+    // stage 3 — fuzzy gate vs the stored band index. One signature pass
+    // serves both sides (the checkpoint stands for the stored index +
+    // the batch's fresh signatures, dd11's convention); candidate pairs
+    // and shingle sets are pinned because each is consumed twice.
+    val uni = store.unionByName(bdd)
+    val bands = Dedup.bandFrameOf(uni).localCheckpoint()
+    val cand = bands.filter(isBatch)
+        .select(col("doc_id").as("nid"), col("band"), col("key"))
+      .join(bands.filter(!isBatch)
+        .select(col("doc_id").as("oid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("nid", "oid").distinct()
+      .localCheckpoint()
+    val candIds = cand.select(col("nid").as("doc_id"))
+      .union(cand.select(col("oid").as("doc_id"))).distinct()
+    val hs = Dedup.shingleRowsOf(uni)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val dupNids = cand
+      .join(hs.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
+      .join(hs.select(col("doc_id").as("oid"), col("hs").as("hb"), col("n").as("nb")), "oid")
+      .withColumn("common",
+        graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
+      .filter(col("common") * 10L >= (col("na") + col("nb") - col("common")) * 8L)
+      .select(col("nid").as("doc_id")).distinct()
+    val fresh = bdd.join(dupNids, Seq("doc_id"), "left_anti")
+    // stage 4 — decontamination vs the held-out fingerprint universe
+    val testSh = Dedup.shingleRowsOf(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val fsh = Dedup.shingleRowsOf(fresh)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+    val ctot = fsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val cshr = fsh.join(testSh, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val acc = fresh.select(col("doc_id"), col("source"), nWords.as("n_tokens"))
+      .join(ctot, "doc_id")
+      .join(cshr, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_shared"), lit(0L)) * 5L < col("n_shingles"))
+      .select("doc_id", "source", "n_tokens")
+    // stage 5 — append: pos/start_off continue from the stored per-shard
+    // totals (8 broadcast rows — the stored aggregate)
+    val hkey = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val stored = store.select(col("doc_id"), nWords.as("n_tokens"))
+      .withColumn("shard", pmod(hkey, lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"))
+    val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    acc.withColumn("hkey", hkey)
+      .withColumn("shard", pmod(col("hkey"), lit(8L)))
+      .join(broadcast(stored), Seq("shard"), "left")
+      .withColumn("pos",
+        coalesce(col("cnt0"), lit(0L)) + row_number().over(wSh).cast("long") - 1L)
+      .withColumn("start_off", coalesce(col("tot0"), lit(0L)) +
+        coalesce(sum(col("n_tokens"))
+          .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "source", "n_tokens", "shard", "pos", "start_off")
+      .orderBy("shard", "pos")
+  }
+
+  private val pipe3Sql =
+    s"""WITH
+       |d0 AS (SELECT doc_id, source, text, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |g AS (SELECT * FROM d0
+       |  WHERE n_tokens >= 10
+       |    AND len(regexp_replace(text, '[^a-z]', '', 'g')) * 2 > n_chars
+       |    AND doc_id % 10 <> 0),
+       |bdd AS (SELECT doc_id, source, text, n_tokens FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+       |    FROM g WHERE doc_id % 7 = 3) WHERE rk = 1),
+       |uni AS (SELECT doc_id, text FROM g WHERE doc_id % 7 <> 3
+       |  UNION ALL SELECT doc_id, text FROM bdd),
+       |${Dedup.shinglesSqlCteOver("uni")},
+       |${Dedup.lshCandSqlCtesOver("sh")},
+       |dirc AS (SELECT CASE WHEN ida % 7 = 3 THEN ida ELSE idb END AS nid,
+       |    CASE WHEN ida % 7 = 3 THEN idb ELSE ida END AS oid
+       |  FROM cand WHERE (ida % 7 = 3) <> (idb % 7 = 3)),
+       |nsh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT c.nid, c.oid, COUNT(*) AS common
+       |  FROM dirc c JOIN sh a ON a.doc_id = c.nid
+       |  JOIN sh b ON b.doc_id = c.oid AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |dup AS (SELECT DISTINCT cm.nid FROM cm
+       |  JOIN nsh na ON na.doc_id = cm.nid JOIN nsh nb ON nb.doc_id = cm.oid
+       |  WHERE common * 10 >= (na.n + nb.n - common) * 8),
+       |fresh AS (SELECT * FROM bdd WHERE doc_id NOT IN (SELECT nid FROM dup)),
+       |te AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |tesh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |  FROM te, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) u(i)),
+       |fsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN fresh ON fresh.doc_id = sh.doc_id),
+       |ctot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM fsh GROUP BY 1),
+       |cshr AS (SELECT doc_id, COUNT(*) AS n_shared
+       |  FROM fsh JOIN tesh USING (s) GROUP BY 1),
+       |acc AS (SELECT f.doc_id, f.source, f.n_tokens FROM fresh f
+       |  JOIN ctot ON ctot.doc_id = f.doc_id
+       |  LEFT JOIN cshr ON cshr.doc_id = f.doc_id
+       |  WHERE COALESCE(cshr.n_shared, 0) * 5 < ctot.n_shingles),
+       |stm AS (SELECT CAST(hkey % 8 AS BIGINT) AS shard,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt0, CAST(SUM(n_tokens) AS BIGINT) AS tot0
+       |  FROM (SELECT n_tokens,
+       |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+       |        AS hkey
+       |    FROM g WHERE doc_id % 7 <> 3) GROUP BY 1),
+       |sp AS (SELECT doc_id, source, n_tokens,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+       |      AS hkey,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+       |      % 8 AS BIGINT) AS shard
+       |  FROM acc)
+       |SELECT sp.doc_id, sp.source, sp.n_tokens, sp.shard,
+       |  CAST(COALESCE(stm.cnt0, 0)
+       |    + row_number() OVER (PARTITION BY sp.shard ORDER BY hkey, doc_id) - 1
+       |    AS BIGINT) AS pos,
+       |  CAST(COALESCE(stm.tot0, 0)
+       |    + COALESCE(SUM(sp.n_tokens) OVER (PARTITION BY sp.shard
+       |        ORDER BY hkey, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS start_off
+       |FROM sp LEFT JOIN stm USING (shard)
+       |ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cur1_curriculum — curriculum-ordered training schedule: docs are
   // binned easy→hard by FIXED length thresholds (threshold bins, not
   // global quantiles — a global ntile would need a single-partition
@@ -894,6 +1077,7 @@ object TrainPrep {
     Q("pk5_length_buckets", pk5LengthBuckets, Some(pk5Sql)),
     Q("pipe1_train_manifest", pipe1TrainManifest, Some(pipe1Sql)),
     Q("pipe2_full_prep", pipe2FullPrep, Some(pipe2Sql)),
+    Q("pipe3_incremental_prep", pipe3IncrementalPrep, Some(pipe3Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
     Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
