@@ -268,6 +268,16 @@ import org.apache.spark.sql.functions._
   * 8-scalar stored-aggregate read).
   *
   * Round-10 adversarial probes (measured, local[32], warm):
+  * - skew:pipe3 (the incremental-prep fan-out contract, n=10k docs):
+  *   uniform all-distinct corpus 3.11 s / 1286 accepted; hot-batch
+  *   (whole batch near-copies of ONE stored doc) 4.08 s / 0 accepted —
+  *   candidates are batch×1, the gate absorbs the worst clean-store
+  *   input at O(batch) cost; hot-store (the store ITSELF near-copies)
+  *   17.89 s — the B×S candidate quadratic a dirty store buys, 5.8×
+  *   baseline at just 10k docs. Verdict: pipe3's bound rests on the
+  *   store being prior prep OUTPUT (bucket degree ~1, guaranteed by
+  *   the pipeline itself); ingesting a foreign un-prepped store needs
+  *   dd9's bucket cap in front.
   * - skew:q55 (the r9 verdict's exact-percentile memory risk — 20M
   *   bit-mixed ≈all-distinct values, ONE group vs 1009 groups):
   *   exact `percentile` (imperative, per-group value buffer) uniform
@@ -606,6 +616,69 @@ object ScaleProbe {
         SparkEntry.queries("dd16_semantic_dedup")(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(f"[probe] skew dd16 $label%-9s n=$n ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
+    // adversarial incremental-prep probe (`runMain graft.ScaleProbe
+    // skew:pipe3`): pipe3's fuzzy gate joins batch×store band rows with
+    // no bucket cap, so its fan-out bound rests on the STORE being the
+    // OUTPUT of prior prep runs (near-dup-free, bucket degree ~1).
+    // Three corpora measure the contract and its violation:
+    //   uniform   — all-distinct texts (baseline; ~zero candidates);
+    //   hot-batch — the whole batch is near-copies of ONE stored doc:
+    //               candidates = batch×1, the gate drops the batch at
+    //               O(batch) cost (the contract holding under the worst
+    //               CLEAN-store input);
+    //   hot-store — the store itself is near-copies of the same text:
+    //               candidates = batch_copies × store_copies, the B×S
+    //               quadratic a dirty store buys. The measured argument
+    //               for keeping the store prep-owned; the safety net
+    //               when ingesting a foreign store is dd9's bucket cap.
+    if (args.contains("skew:pipe3")) {
+      val skewDir = "/tmp/sfprobe_skewpipe3"
+      val n = 10000L
+      // 40 distinct all-alpha words (digits would fail the quality
+      // gate's alpha-ratio test)
+      val base = (1 to 40)
+        .map(i => s"w${('a' + (i / 26) % 26).toChar}${('a' + i % 26).toChar}")
+        .mkString(" ")
+      val alnum = "translate(CAST(%s AS STRING), '0123456789', 'abcdefghij')"
+      val uniWord = "concat('u', " + alnum.format("id * 40 + j") + ")"
+      val uniText =
+        s"concat_ws(' ', transform(sequence(0, 39), j -> $uniWord))"
+      val varText = s"concat('$base v', ${alnum.format("id")})"
+      def corpus(kind: String): String = {
+        val path = s"$skewDir/$kind"
+        if (!new java.io.File(s"$path/documents.parquet").exists()) {
+          val text = kind match {
+            case "uniform" => uniText
+            case "hot-batch" =>
+              s"CASE WHEN id % 7 = 3 OR id = 1 THEN $varText ELSE $uniText END"
+            case _ => varText // hot-store: every doc a near-copy
+          }
+          spark.range(n)
+            .selectExpr("id AS doc_id", s"$text AS text",
+              "'en' AS lang", "'web' AS source")
+            .selectExpr("doc_id", "text", "lang", "source",
+              "CAST(length(text) AS BIGINT) AS n_chars")
+            .write.mode("overwrite").parquet(s"$path/documents.parquet")
+        }
+        path
+      }
+      for (kind <- Seq("uniform", "hot-batch", "hot-store")) {
+        val dir = corpus(kind)
+        SparkEntry.queries("pipe3_incremental_prep")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("pipe3_incremental_prep")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val accepted =
+          SparkEntry.queries("pipe3_incremental_prep")(spark, dir).count()
+        println(f"[probe] skew pipe3 $kind%-9s n=$n accepted=$accepted%5d $dt%7.2f s")
         dropPersisted()
       }
       spark.stop()
