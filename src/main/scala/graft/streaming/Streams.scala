@@ -324,6 +324,59 @@ object Streams {
         })
   }
 
+  /** Input/state/output records for [[streamingManifestAppend]]. */
+  case class ManifestIn(doc_id: Long, n_tokens: Long)
+  case class ShardCounters(cnt: Long, tot: Long)
+  case class ManifestRow(doc_id: Long, shard: Long, pos: Long, start_off: Long)
+
+  /** Streaming twin of pipe3's manifest APPEND (stage 5) — the per-shard
+    * (row-count, token-total) counters live in the streaming state store
+    * instead of a stored-aggregate table: each micro-batch's accepted
+    * docs group by pk4's portable md5-hkey shard, the group sorts by
+    * (hkey, doc_id) (pipe3's deterministic intra-shard order), and
+    * pos/start_off are assigned by folding the shard's running counters
+    * — append-only offsets, so rows already emitted never shift.
+    * `priors` seeds the counters with the stored per-shard totals (the
+    * same 8 scalars pipe3 broadcasts), so a stream started against an
+    * existing store CONTINUES its manifest.
+    *
+    * Contract vs the batch twin: a single micro-batch emits pipe3's
+    * stage-5 rows bit-for-bit; across micro-batches order is arrival
+    * order (batch k+1 appends after batch k — the only possible
+    * semantics once earlier offsets are immutable), with (hkey, doc_id)
+    * order within each trigger. StreamsSpec pins both.
+    *
+    * Scale: state is ONE 16-byte counter pair per shard — nShards rows
+    * total, nothing per-doc; per trigger, work is one groupByKey
+    * shuffle of the batch's narrow manifest rows. The per-shard
+    * in-memory sort is bounded by the micro-batch slice, not the
+    * corpus.
+    */
+  def streamingManifestAppend(docs: Dataset[ManifestIn], nShards: Long = 8L,
+      priors: Map[Long, (Long, Long)] = Map.empty)
+      : Dataset[ManifestRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .map(d => (d.doc_id, d.n_tokens, termHash(s"${d.doc_id}:42")))
+      .groupByKey { case (_, _, hk) => java.lang.Math.floorMod(hk, nShards) }
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[ShardCounters]) => {
+          val rows = it.toArray.sortBy { case (id, _, hk) => (hk, id) }
+          val seed = priors.getOrElse(shard, (0L, 0L))
+          var ShardCounters(cnt, tot) =
+            state.getOption.getOrElse(ShardCounters(seed._1, seed._2))
+          val out = rows.map { case (id, n, _) =>
+            val r = ManifestRow(id, shard, cnt, tot)
+            cnt += 1; tot += n
+            r
+          }
+          state.update(ShardCounters(cnt, tot))
+          out.iterator
+        })
+  }
+
   /** LATE-DATA ACCOUNTING: every watermark in this suite silently drops
     * rows that arrive behind it (tumbling/session aggregation,
     * stream-stream join, dropDuplicatesWithinWatermark) — correct for

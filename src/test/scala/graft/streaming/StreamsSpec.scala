@@ -301,4 +301,69 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(captured.toSet === expected)
   }
+
+  test("streamingManifestAppend: one trigger matches pipe3 stage-5; split triggers keep the append contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 40L).map(i => Streams.ManifestIn(i, i * 3L))
+    val nTok = docs.map(d => d.doc_id -> d.n_tokens).toMap
+    val priors = (0L until 8L).map(s => s -> (10L * (s + 1), 100L * (s + 1))).toMap
+    // batch reference: pipe3's stage-5 arithmetic replayed in memory
+    val ref = docs.map(d => (d, Streams.termHash(s"${d.doc_id}:42")))
+      .groupBy { case (_, h) => java.lang.Math.floorMod(h, 8L) }
+      .toSeq.flatMap { case (shard, rows) =>
+        val sorted = rows.sortBy { case (d, h) => (h, d.doc_id) }
+        var (cnt, tot) = priors(shard)
+        sorted.map { case (d, _) =>
+          val r = Streams.ManifestRow(d.doc_id, shard, cnt, tot)
+          cnt += 1; tot += d.n_tokens
+          r
+        }
+      }.sortBy(r => (r.shard, r.pos))
+    // one trigger: bit-for-bit parity with the batch twin
+    val s1 = MemoryStream[Streams.ManifestIn]
+    val q1 = Streams.streamingManifestAppend(s1.toDS(), priors = priors)
+      .writeStream.format("memory").queryName("manifest1")
+      .outputMode("update").start()
+    try {
+      s1.addData(docs: _*)
+      q1.processAllAvailable()
+      val got = spark.table("manifest1").as[Streams.ManifestRow]
+        .collect().sortBy(r => (r.shard, r.pos)).toSeq
+      assert(got === ref)
+    } finally q1.stop()
+    // two triggers: offsets continue across micro-batches — per-shard pos
+    // contiguous from the priors, start_off chains exactly, and the final
+    // per-shard counters equal the single-batch run's (order-insensitive)
+    val s2 = MemoryStream[Streams.ManifestIn]
+    val q2 = Streams.streamingManifestAppend(s2.toDS(), priors = priors)
+      .writeStream.format("memory").queryName("manifest2")
+      .outputMode("update").start()
+    try {
+      s2.addData(docs.take(25): _*); q2.processAllAvailable()
+      s2.addData(docs.drop(25): _*); q2.processAllAvailable()
+      val got = spark.table("manifest2").as[Streams.ManifestRow].collect()
+      assert(got.map(_.doc_id).sorted.toSeq === docs.map(_.doc_id).sorted)
+      got.groupBy(_.shard).foreach { case (shard, rs) =>
+        val sorted = rs.sortBy(_.pos)
+        val (cnt0, tot0) = priors(shard)
+        assert(sorted.map(_.pos).toSeq === (cnt0 until cnt0 + rs.length))
+        assert(sorted.head.start_off === tot0)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.start_off === a.start_off + nTok(a.doc_id))
+          case _ =>
+        }
+      }
+      val finals = got.groupBy(_.shard).map { case (s, rs) =>
+        s -> (priors(s)._1 + rs.length,
+          priors(s)._2 + rs.map(r => nTok(r.doc_id)).sum)
+      }
+      val refFinals = ref.groupBy(_.shard).map { case (s, rs) =>
+        s -> (priors(s)._1 + rs.length,
+          priors(s)._2 + rs.map(r => nTok(r.doc_id)).sum)
+      }
+      assert(finals === refFinals)
+    } finally q2.stop()
+  }
 }
