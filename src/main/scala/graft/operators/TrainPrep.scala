@@ -833,6 +833,13 @@ object TrainPrep {
   // nightly path (it is a snapshot-time global op — pipe2); production
   // systems append with per-shard offsets exactly so ingest never
   // rewrites history.
+  //
+  // Plan audit (round 10, explain:pipe3_incremental_prep): 13 pre-AQE
+  // exchanges for the 5 stages; every batch/store-split join lands as a
+  // BroadcastHashJoin (candidate ids, stored totals, decon counts), the
+  // two SortMergeJoins are the candidate-sized verify pair joins; the
+  // within-batch dedup window recomputes once on the batch slice
+  // (batch-sized — cheaper than a third checkpoint materialization).
   private def pipe3IncrementalPrep(s: SparkSession, d: String): DataFrame = {
     val isBatch = col("doc_id") % 7 === 3
     val nWords = size(split(col("text"), " ")).cast("long")

@@ -366,4 +366,40 @@ class StreamsSpec extends SparkSpec {
       assert(finals === refFinals)
     } finally q2.stop()
   }
+
+  test("streamingManifestAppend: end-to-end parity with pipe3's manifest on the real corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val batch = graft.SparkEntry.queries("pipe3_incremental_prep")(spark, dir)
+      .collect()
+    // stored per-shard totals, recomputed as Pipe3Spec does
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val hkeyCol = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val priors = graft.Tables.documents(spark, dir)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), nWords.as("n_tokens"))
+      .withColumn("shard", pmod(hkeyCol, lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stream = MemoryStream[Streams.ManifestIn]
+    val q = Streams.streamingManifestAppend(stream.toDS(), priors = priors)
+      .writeStream.format("memory").queryName("manifest_e2e")
+      .outputMode("update").start()
+    try {
+      stream.addData(batch.map(r =>
+        Streams.ManifestIn(r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"))).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("manifest_e2e").as[Streams.ManifestRow].collect()
+        .map(r => (r.doc_id, r.shard, r.pos, r.start_off)).toSet
+      val want = batch.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("start_off"))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
 }
