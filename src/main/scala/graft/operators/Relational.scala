@@ -744,9 +744,13 @@ object Relational {
   // q56_percentiles_sortpath — q29's EXACT answer via the spill-safe
   // formulation: row_number over a per-group sort picks the two
   // bracketing order statistics for each target rank, and the standard
-  // (n−1)·p interpolation recombines them — the identical IEEE
-  // arithmetic `percentile`/`quantile_cont` use, so the output is
-  // bit-equal to q29's (one oracle SQL serves both).
+  // (n−1)·p interpolation recombines them. Interpolation caveat: this
+  // computes the quantile_cont form lo + frac·(hi−lo), while Spark's
+  // `percentile` evaluates (1−frac)·lo + frac·hi — algebraically equal
+  // but up to 1 ulp apart on non-dyadic fractions. Agreement with q29
+  // is verified on the gate corpora (probe-checked; one oracle SQL
+  // serves both), not guaranteed structurally; here the inputs are
+  // exact integer cents with p ∈ {0.5, 0.9}, where both forms are exact.
   //
   // Why it exists (the skew:q55 probe's finding): Spark's `percentile`
   // is an imperative aggregate buffering a per-group value map — one

@@ -350,7 +350,14 @@ object Streams {
     * total, nothing per-doc; per trigger, work is one groupByKey
     * shuffle of the batch's narrow manifest rows. The per-shard
     * in-memory sort is bounded by the micro-batch slice, not the
-    * corpus.
+    * corpus — and that bound is LOAD-BEARING: the state function
+    * materializes ~1/nShards of each trigger in one task's heap (unlike
+    * the batch twin's spillable window sort), so a production-sized
+    * ingest must either size triggers (rows/trigger ≲ nShards × what
+    * one task can sort in memory) or raise nShards; the manifest rows
+    * are 24 B each, so the default 8 shards handle multi-million-row
+    * triggers comfortably, but an unbounded backfill through one
+    * trigger is the misuse mode.
     */
   def streamingManifestAppend(docs: Dataset[ManifestIn], nShards: Long = 8L,
       priors: Map[Long, (Long, Long)] = Map.empty)
