@@ -273,11 +273,16 @@ import org.apache.spark.sql.functions._
   *   (whole batch near-copies of ONE stored doc) 4.08 s / 0 accepted —
   *   candidates are batch×1, the gate absorbs the worst clean-store
   *   input at O(batch) cost; hot-store (the store ITSELF near-copies)
-  *   17.89 s — the B×S candidate quadratic a dirty store buys, 5.8×
-  *   baseline at just 10k docs. Verdict: pipe3's bound rests on the
-  *   store being prior prep OUTPUT (bucket degree ~1, guaranteed by
-  *   the pipeline itself); ingesting a foreign un-prepped store needs
-  *   dd9's bucket cap in front.
+  *   measured 17.89 s UNGUARDED — the B×S candidate quadratic a dirty
+  *   store buys, 5.8× baseline at just 10k docs. CLOSED round 11: the
+  *   store-side bucket cap (TrainPrep.pipe3MaxStoreBucket = 400,
+  *   mirrored in the oracle's `sbk` CTE) drops non-discriminating
+  *   band buckets before the candidate join — hot-store re-measures
+  *   2.32 s (vs 3.73 s uniform same session), accepted-set unchanged
+  *   (the skew batch still dies at decontamination against the
+  *   held-out near-copies), pipe3's sf0.01 CORRECTNESS row still green
+  *   bit-identical (cap 30–130× above the clean-store max bucket of
+  *   3/13 at sf0.01/sf0.1).
   * - skew:q55 (the r9 verdict's exact-percentile memory risk — 20M
   *   bit-mixed ≈all-distinct values, ONE group vs 1009 groups):
   *   exact `percentile` (imperative, per-group value buffer) uniform
@@ -622,20 +627,24 @@ object ScaleProbe {
       return
     }
     // adversarial incremental-prep probe (`runMain graft.ScaleProbe
-    // skew:pipe3`): pipe3's fuzzy gate joins batch×store band rows with
-    // no bucket cap, so its fan-out bound rests on the STORE being the
-    // OUTPUT of prior prep runs (near-dup-free, bucket degree ~1).
-    // Three corpora measure the contract and its violation:
+    // skew:pipe3`): pipe3's fuzzy gate joins batch×store band rows.
+    // Round 11 wired dd9's bucket cap in front (store-side buckets
+    // > pipe3MaxStoreBucket are skipped), so the fan-out is bounded at
+    // O(batch · bands · cap) even when the store violates the "prior
+    // prep output" contract. Three corpora measure the contract and
+    // the guard:
     //   uniform   — all-distinct texts (baseline; ~zero candidates);
     //   hot-batch — the whole batch is near-copies of ONE stored doc:
     //               candidates = batch×1, the gate drops the batch at
     //               O(batch) cost (the contract holding under the worst
     //               CLEAN-store input);
     //   hot-store — the store itself is near-copies of the same text:
-    //               candidates = batch_copies × store_copies, the B×S
-    //               quadratic a dirty store buys. The measured argument
-    //               for keeping the store prep-owned; the safety net
-    //               when ingesting a foreign store is dd9's bucket cap.
+    //               the B×S quadratic a dirty store used to buy
+    //               (17.89 s unguarded); the cap drops the
+    //               non-discriminating buckets and the case now runs
+    //               BELOW baseline (2.32 s) with the accepted set
+    //               unchanged (stage 4 decontamination still kills the
+    //               skew batch).
     if (args.contains("skew:pipe3")) {
       val skewDir = "/tmp/sfprobe_skewpipe3"
       val n = 10000L

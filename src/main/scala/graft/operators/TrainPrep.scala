@@ -828,18 +828,30 @@ object TrainPrep {
   // the store contributes (a) its band index (stored in production,
   // localCheckpoint stands for it here — same stance as dd11) and (b) 8
   // (cnt, tot) scalars. Nothing re-pairs, re-signs, or re-packs the
-  // corpus: per-ingest cost is O(batch · bucketDegree), independent of
-  // store size. Mixture/packing rebalance is deliberately OUT of the
-  // nightly path (it is a snapshot-time global op — pipe2); production
-  // systems append with per-shard offsets exactly so ingest never
-  // rewrites history.
+  // corpus: per-ingest cost is O(batch · bucketDegree) on clean stores,
+  // and the stage-3 store-bucket cap bounds it at O(batch · bands · cap)
+  // even on a DIRTY foreign store (the skew:pipe3 hot-store case — see
+  // the guard comment at stage 3). Mixture/packing rebalance is
+  // deliberately OUT of the nightly path (it is a snapshot-time global
+  // op — pipe2); production systems append with per-shard offsets
+  // exactly so ingest never rewrites history.
   //
-  // Plan audit (round 10, explain:pipe3_incremental_prep): 13 pre-AQE
-  // exchanges for the 5 stages; every batch/store-split join lands as a
-  // BroadcastHashJoin (candidate ids, stored totals, decon counts), the
-  // two SortMergeJoins are the candidate-sized verify pair joins; the
+  // Plan audit (round 11, explain:pipe3_incremental_prep, with the
+  // stage-3 store-bucket guard): still 13 pre-AQE shuffle exchanges for
+  // the 5 stages — the guard's bucket-count window rides the same
+  // (band, key) exchange the candidate join needs, and dropping the
+  // candIds broadcast HINT costs nothing (AQE broadcasts the
+  // candidate-sized side on clean stores and falls back to a shuffled
+  // semi join on dirty ones — exactly the degradation we want); the
+  // SortMergeJoins are the candidate-sized verify pair joins; the
   // within-batch dedup window recomputes once on the batch slice
   // (batch-sized — cheaper than a third checkpoint materialization).
+  /** Store-side band buckets above this size are excluded from pipe3's
+    * candidate join (dd9's bucket-cap rationale; see the stage-3 guard
+    * comment below). 400 = dd9MaxBucket, inert on clean stores.
+    */
+  private val pipe3MaxStoreBucket = 400L
+
   private def pipe3IncrementalPrep(s: SparkSession, d: String): DataFrame = {
     val isBatch = col("doc_id") % 7 === 3
     val nWords = size(split(col("text"), " ")).cast("long")
@@ -860,19 +872,40 @@ object TrainPrep {
     // serves both sides (the checkpoint stands for the stored index +
     // the batch's fresh signatures, dd11's convention); candidate pairs
     // and shingle sets are pinned because each is consumed twice.
+    //
+    // FOREIGN-STORE GUARD (round 11, closing the skew:pipe3 verdict):
+    // store-side band buckets larger than pipe3MaxStoreBucket are
+    // skipped entirely before the candidate join — dd9's cap, same
+    // reasoning: an over-full bucket means that band doesn't
+    // discriminate in that region (its expansion is a disguised B×S
+    // cross product), and a store that GROWS such buckets has violated
+    // the "store is prior prep output" contract anyway (prior runs
+    // would have deduped it). The cap bounds candidates at
+    // O(batch · bands · cap) independent of store size and keeps the
+    // candidate-id set small enough for the semi join below regardless
+    // of store dirtiness (the broadcast/driver-OOM mode is gone — the
+    // semi join carries no broadcast hint; AQE picks the strategy).
+    // Inert on clean stores: gate-corpus max store bucket is 3 at
+    // sf0.01 and 13 at sf0.1 (measured via the oracle's band replay),
+    // 30–130× under the cap, so pipe3's output is unchanged — the
+    // oracle applies the identical cap (`sbk` CTE) so outputs stay
+    // hash-identical even on corpora where the cap is live.
     val uni = store.unionByName(bdd)
     val bands = Dedup.bandFrameOf(uni).localCheckpoint()
+    val wBucket = Window.partitionBy("band", "key")
+    val sBand = bands.filter(!isBatch)
+      .withColumn("sb", count(lit(1)).over(wBucket))
+      .filter(col("sb") <= pipe3MaxStoreBucket)
     val cand = bands.filter(isBatch)
         .select(col("doc_id").as("nid"), col("band"), col("key"))
-      .join(bands.filter(!isBatch)
-        .select(col("doc_id").as("oid"), col("band"), col("key")),
+      .join(sBand.select(col("doc_id").as("oid"), col("band"), col("key")),
         Seq("band", "key"))
       .select("nid", "oid").distinct()
       .localCheckpoint()
     val candIds = cand.select(col("nid").as("doc_id"))
       .union(cand.select(col("oid").as("doc_id"))).distinct()
     val hs = Dedup.shingleRowsOf(uni)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
@@ -937,9 +970,14 @@ object TrainPrep {
        |  UNION ALL SELECT doc_id, text FROM bdd),
        |${Dedup.shinglesSqlCteOver("uni")},
        |${Dedup.lshCandSqlCtesOver("sh")},
-       |dirc AS (SELECT CASE WHEN ida % 7 = 3 THEN ida ELSE idb END AS nid,
-       |    CASE WHEN ida % 7 = 3 THEN idb ELSE ida END AS oid
-       |  FROM cand WHERE (ida % 7 = 3) <> (idb % 7 = 3)),
+       |sbk AS (SELECT band, key FROM bands WHERE doc_id % 7 <> 3
+       |  GROUP BY band, key HAVING COUNT(*) <= $pipe3MaxStoreBucket),
+       |dirc AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+       |  FROM bands a
+       |  JOIN (SELECT b2.doc_id, b2.band, b2.key FROM bands b2
+       |        JOIN sbk USING (band, key) WHERE b2.doc_id % 7 <> 3) b
+       |    ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 7 = 3),
        |nsh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |cm AS (SELECT c.nid, c.oid, COUNT(*) AS common
        |  FROM dirc c JOIN sh a ON a.doc_id = c.nid
