@@ -1076,19 +1076,26 @@ object Similarity {
   // (the 1.6-TB-instead-of-100-TB trade), O(batch·50) full-vector
   // fetches for rerank — the corpus is never rescanned or re-encoded.
   //
-  // Determinism: PQ codebook = subvectors of the 64 lowest CORPUS ids
-  // (vec_id < 80 ∧ vec_id % 5 ≠ 0 is exactly 64 ids — sim8's
-  // deterministic stand-in restricted to the index side, as a stored
-  // codebook must be); assignment/coarse/final ranks all carry explicit
-  // integer tie-breaks; ADC sums are exact int64. Recall@3 vs the
-  // batch-vs-index brute force is pinned by Sim14RecallSpec.
+  // Determinism: the PQ codebook is TRAINED — pqIters rounds of
+  // per-subspace Lloyd k-means in sim10's exact-integer discipline
+  // (init = subvectors of the 64 lowest corpus ids by rank; exact-int64
+  // assignment with lowest-label tie-break; floor-of-double means),
+  // replayed round-for-round by the oracle's pq$r CTE chain, so both
+  // engines hold bit-identical codebooks. Assignment/coarse/final ranks
+  // all carry explicit integer tie-breaks; ADC sums are exact int64.
+  // Recall@3 vs the batch-vs-index brute force is pinned by
+  // Sim14RecallSpec (trained codebook: measured vs the round-10
+  // untrained stand-in's 0.630).
+  private val pqIters = 2
+  private val pqTrainBudget = 16384L
   private def sim14AnnIvfpq(s: SparkSession, d: String): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     val m = 8; val sub = 8
     val isNew = col("vec_id") % 5 === 0
     val e = scaledVectors(s, d).localCheckpoint()
     val corpus = e.filter(!isNew)
-    val kIvf = math.ceil(math.sqrt(corpus.count().toDouble)).toInt
+    val nCorpus = corpus.count()
+    val kIvf = math.ceil(math.sqrt(nCorpus.toDouble)).toInt
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(kIvf.toDouble)).toInt)
     val cent = corpus.orderBy("vec_id").limit(kIvf)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
@@ -1107,15 +1114,81 @@ object Similarity {
     val subvCorpus = corpus
       .select(col("vec_id"), explode(subCols(col("v"))).as("x"))
       .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
-    // PQ codebook with a DENSE per-subspace code index 0..63 (codebook
-    // ids are the 64 lowest corpus ids — not contiguous — and the ADC
-    // lookup below is element_at by position)
+      .localCheckpoint() // referenced 2 + 2·pqIters times (codes + training rounds)
+    // PQ codebook: TRAINED per-subspace Lloyd k-means (round 11 — sim10's
+    // exact-integer discipline at k=64 over 8-dim subvectors, all 8
+    // subspaces trained in one frame per round). Init = the subvectors of
+    // the 64 lowest corpus ids BY RANK (robust to sparse/re-spaced ids —
+    // the advisory's cardinality trap); each round assigns every corpus
+    // subvector to its nearest codeword by the reduced L2² form
+    // |c|² − 2·s·c (exact int64, tie-break lowest init-id label) and
+    // recenters as floor(Σq / n) via one IEEE double division of exact
+    // ints — bit-identical in DuckDB, empty codewords drop out
+    // identically. Codeword labels stay the init vec_ids through
+    // training; the DENSE 0..63 position index (cidx) for the ADC
+    // element_at lookup is assigned AFTER the final round, so codes and
+    // LUT agree even if a codeword dies.
+    //
+    // Scale: per round, assignment is one broadcast join of the ≤512-row
+    // codebook against the (n·m)-row subvector frame (map-side, no
+    // corpus shuffle) + one (j, code, d)-keyed map-side-combined agg;
+    // localCheckpoint cuts lineage per round (dd7/t11's loop
+    // discipline). Training cost is O(rounds · n · m · k) dots of width
+    // sub=8 — the same work FAISS's trainer does, expressed as two
+    // shuffles per round.
+    // Training sample (the 100 TB path): Lloyd rounds run over at most
+    // ~pqTrainBudget vectors, thinned by a PORTABLE md5 hash (oracle-
+    // replayable — the dd2/pipe stance: decisions that shape stored
+    // artifacts ride on md5, never xxhash64) at rate ⌈n/budget⌉ — the
+    // same bounded-sample discipline FAISS's trainer uses
+    // (max_points_per_centroid). Inert at gate scale (corpus 400/4000
+    // ≤ 16384 ⇒ rate 1, every vector trains); at 100 TB the trainer
+    // touches a fixed-size sample while encoding still covers the full
+    // corpus.
+    val trainRate =
+      math.max(1L, math.ceil(nCorpus.toDouble / pqTrainBudget).toLong)
+    val trainH = conv(substring(md5(
+      concat(col("vec_id").cast("string"), lit(":pq"))), 1, 15), 16, 10)
+      .cast("long")
+    val subvTrain =
+      if (trainRate == 1L) subvCorpus
+      else subvCorpus.filter(pmod(trainH, lit(trainRate)) === 0L)
+    val initIds = corpus.orderBy("vec_id").limit(64)
+      .select(col("vec_id").as("code"))
+    var cb = subvCorpus
+      .join(broadcast(initIds), col("vec_id") === col("code"))
+      .select(col("j"), col("code"), col("sv").as("cv"))
+    for (_ <- 1 to pqIters) {
+      // argmin by (d2, code) as a map-side-combinable min(struct) — the
+      // (d2, code) pair is unique per (vec_id, j) group (codes are
+      // distinct), so this is exactly the window rn=1 semantics without
+      // the per-group sort (measured: the window formulation cost ~1 s
+      // per round at sf0.1)
+      val asg = subvTrain
+        .join(broadcast(cb.withColumn("cn",
+          graft.functions.VectorFunctions.normSqLong(col("cv")))), Seq("j"))
+        .withColumn("d2", col("cn") - lit(2L) * dot(col("sv"), col("cv")))
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d2"), col("code"), col("sv"))).as("b"))
+        .select(col("j"), col("b.code").as("code"), col("b.sv").as("sv"))
+      cb = asg
+        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("d", "qv")))
+        .groupBy("j", "code", "d")
+        .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+        .withColumn("cv1",
+          floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
+        .groupBy("j", "code")
+        .agg(array_sort(collect_list(struct(col("d"), col("cv1")))).as("z"))
+        .select(col("j"), col("code"),
+          transform(col("z"), p => p.getField("cv1")).as("cv"))
+        .localCheckpoint()
+    }
     val wCode = org.apache.spark.sql.expressions.Window
       .partitionBy("j").orderBy("code")
-    val pqcent = subvCorpus.filter(col("vec_id") < 80) // 64 corpus ids
-      .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
+    val pqcent = cb
       .withColumn("cn", graft.functions.VectorFunctions.normSqLong(col("cv")))
       .withColumn("cidx", row_number().over(wCode) - 1)
+      .localCheckpoint() // consumed by codes, LUT — don't replay training
     // the stored code table AT THE VECTOR GRAIN: (cell, vec_id, cd[8]) —
     // one row per vector carrying its 8 packed codes, the columnar
     // analogue of FAISS's contiguous 8-byte code strip. (A first cut
@@ -1193,10 +1266,30 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** One round of the oracle's per-subspace Lloyd replay: assignment by
+    * exact-int64 reduced L2² with lowest-label tie-break, then
+    * floor-of-double per-dimension means — the (j, code)-keyed twin of
+    * sim10's `kmeansSqlCtes` iteration.
+    */
+  private def pqIterSql(r: Int): String =
+    s"""pa$r AS (SELECT s.vec_id, s.j, s.sv, c.code,
+       |    CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT)
+       |      - 2 * CAST((SELECT SUM(s.sv[i] * c.cv[i])
+       |          FROM UNNEST(generate_series(1, 8)) t(i)) AS BIGINT) AS d2
+       |  FROM subt s JOIN pq${r - 1} c ON c.j = s.j),
+       |ps$r AS (SELECT vec_id, j, sv, code FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id, j ORDER BY d2, code) AS rn FROM pa$r)
+       |  WHERE rn = 1),
+       |pp$r AS (SELECT j, code, u.i AS d,
+       |    CAST(FLOOR(CAST(SUM(sv[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM ps$r, UNNEST(generate_series(1, 8)) u(i) GROUP BY j, code, u.i),
+       |pq$r AS (SELECT j, code, list(cv ORDER BY d) AS cv
+       |  FROM pp$r GROUP BY j, code),""".stripMargin
+
   /** Oracle: sim9's IVF CTE chain + sim8's PQ CTE chain composed — the
-    * stored side (assignment + codes) and the per-batch side (probe +
-    * LUT + ADC + rerank) replayed with identical integer arithmetic and
-    * tie-breaks.
+    * stored side (trained codebook + assignment + codes) and the
+    * per-batch side (probe + LUT + ADC + rerank) replayed with identical
+    * integer arithmetic and tie-breaks.
     */
   private val sim14Sql: String =
     s"""WITH $scaledVectorsSqlCte,
@@ -1213,9 +1306,16 @@ object Similarity {
        |idx AS (SELECT vec_id, v, nrm, cell FROM ar WHERE arn = 1),
        |subc AS (SELECT vec_id, u.j, v[u.j*8+1:u.j*8+8] AS sv
        |  FROM corp, UNNEST(generate_series(0, 7)) u(j)),
-       |pqc AS (SELECT j, vec_id AS code, sv AS cv,
-       |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS cn
-       |  FROM subc WHERE vec_id < 80),
+       |subt AS (SELECT s.* FROM subc s WHERE
+       |  ('0x' || substring(md5(CAST(s.vec_id AS VARCHAR) || ':pq'), 1, 15))::BIGINT
+       |  % GREATEST(1, CAST(ceil((SELECT COUNT(DISTINCT vec_id) FROM corp)
+       |      / $pqTrainBudget.0) AS BIGINT)) = 0),
+       |pq0 AS (SELECT j, vec_id AS code, sv AS cv FROM subc
+       |  WHERE vec_id IN (SELECT vec_id FROM corp ORDER BY vec_id LIMIT 64)),
+       |${(1 to pqIters).map(r => pqIterSql(r)).mkString("\n")}
+       |pqc AS (SELECT j, code, cv,
+       |    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+       |  FROM pq$pqIters),
        |codes AS (SELECT cd.vec_id, cd.j, cd.code, idx.cell FROM (
        |  SELECT s.vec_id, s.j, c.code,
        |    row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY

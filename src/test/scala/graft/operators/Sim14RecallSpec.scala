@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * above by sim9's IVF-only recall on the same no-gap worst-case corpus
   * (sim9 measured 0.650 at sf0.01); the PQ coarse stage costs little on
   * top because the top-50 rerank pool absorbs ADC ranking noise.
-  * Measured 0.630 at sf0.01 (189/300) — 0.02 below sim9's IVF-only
-  * recall on the same index layout; floor pinned at ≥0.55.
+  * Measured 0.643 at sf0.01 (193/300) with the round-11 TRAINED
+  * codebook (2 Lloyd rounds per subspace) — up from 0.630 (189/300)
+  * with the untrained lowest-64-ids stand-in, and only 0.007 below
+  * sim9's IVF-only recall (the trained PQ coarse stage is nearly
+  * free); floor pinned at ≥0.60.
   */
 class Sim14RecallSpec extends graft.SparkSpec {
 
@@ -38,7 +41,7 @@ class Sim14RecallSpec extends graft.SparkSpec {
     val nTruth = exact.count()
     assert(nTruth > 0L)
     val hit = exact.intersect(got).count()
-    assert(hit.toDouble / nTruth >= 0.55,
+    assert(hit.toDouble / nTruth >= 0.60,
       s"sim14 recall regressed: $hit / $nTruth")
   }
 }
