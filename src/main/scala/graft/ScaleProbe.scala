@@ -267,6 +267,20 @@ import org.apache.spark.sql.functions._
   * for the batch, candidate joins bounded by bucket degree, and the
   * 8-scalar stored-aggregate read).
   *
+  * Round-11 adversarial probes (measured, local[32], warm):
+  * - skew:sim14 (one-cell IVFPQ degeneracy, n=20k, batch 4k, corpus
+  *   16k, k=127, nprobe=17): a one-blob corpus defeats the coarse
+  *   quantizer — every vector assigns to ONE cell, so each query's ADC
+  *   scan touches the whole corpus (Q·N = 64M ADC rows vs ~17M
+  *   balanced). Measured: uniform 12.1–12.7 s, hot-1cell 7.8–8.2 s —
+  *   the degenerate case is ABSORBED (faster, even: the scan is 8
+  *   codegen'd element_at lookups per row and AQE's skew handling
+  *   splits the hot cell join), so no guard is wired; the at-scale
+  *   remedies if a production corpus ever concentrates (cell re-split
+  *   or a recall-lossy per-cell scan cap) stay documented, not coded.
+  *   The trained-PQ path is exercised by both corpora (trainRate=2 at
+  *   n=20k — the sampled trainer runs live in this probe).
+  *
   * Round-10 adversarial probes (measured, local[32], warm):
   * - skew:pipe3 (the incremental-prep fan-out contract, n=10k docs):
   *   uniform all-distinct corpus 3.11 s / 1286 accepted; hot-batch
@@ -621,6 +635,48 @@ object ScaleProbe {
         SparkEntry.queries("dd16_semantic_dedup")(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(f"[probe] skew dd16 $label%-9s n=$n ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
+    // adversarial one-cell IVFPQ probe (`runMain graft.ScaleProbe
+    // skew:sim14`): sim14's per-query ADC scan touches the codes of the
+    // nprobe probed cells — its cost model assumes the IVF assignment
+    // spreads the corpus across k ≈ √N cells (scan ≈ nprobe·√N codes
+    // per query). A corpus that DEFEATS the clustering (one tight blob
+    // → every vector assigns to one cell, the skew:dd16 construction)
+    // concentrates the whole corpus in every query's probe set: scan
+    // rows go from Q·nprobe·√N to Q·N — the quadratic the cell
+    // restriction normally avoids. Measures both; the production
+    // remedies if it blows up are nprobe-aware cell re-splitting or a
+    // per-cell scan cap (recall-lossy — not wired unless needed).
+    if (args.contains("skew:sim14")) {
+      val skewDir = "/tmp/sfprobe_skewsim14"
+      val n = 20000L
+      def corpus(hot: Boolean, path: String): Unit = {
+        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
+          // hot: one tight blob (cosine ~1 pairwise) -> one IVF cell.
+          // uniform: dominant dim rotates -> 64 well-separated groups
+          // spread across the 127 cells. (skew:dd16's constructions.)
+          val vec =
+            if (hot)
+              "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
+            else
+              "transform(sequence(0, 63), j -> CAST(CASE WHEN j = CAST(id % 64 AS INT) THEN 10.0 ELSE CAST((id * 7 + j) % 5 AS DOUBLE) * 0.1 END AS FLOAT))"
+          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding")
+            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+        }
+      }
+      corpus(hot = true, s"$skewDir/hot")
+      corpus(hot = false, s"$skewDir/uni")
+      for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-1cell" -> s"$skewDir/hot")) {
+        SparkEntry.queries("sim14_ann_ivfpq")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries("sim14_ann_ivfpq")(spark, dir).count()
+        println(f"[probe] skew sim14 $label%-9s n=$n rows=$rows%5d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
         dropPersisted()
       }
       spark.stop()
