@@ -630,7 +630,13 @@ object TrainPrep {
   // in production this is exactly the point where the manifest table is
   // written; at 100 TB the checkpoint is a narrow ~50 B/doc frame, and
   // every stage upstream of it has already collapsed the token streams.
-  private def pipe2FullPrep(s: SparkSession, d: String): DataFrame = {
+  private def pipe2FullPrep(s: SparkSession, d: String): DataFrame =
+    pipe2ManifestFrame(s, d).orderBy("shard", "pos")
+
+  /** pipe2's manifest frame, unordered — shared by pipe2 (presentation
+    * sort) and pipe4 (chunk materialization over the same manifest).
+    */
+  private def pipe2ManifestFrame(s: SparkSession, d: String): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
     // stage 1 — quality gate; held-out split excluded from training
@@ -717,12 +723,13 @@ object TrainPrep {
         expr(s"start_off div $packBudget").as("chunk_first"),
         expr(s"(start_off + greatest(n_tokens, 1L) - 1L) div $packBudget")
           .as("chunk_last"))
-      .orderBy("shard", "pos")
   }
 
-  private val pipe2Sql =
-    s"""WITH RECURSIVE
-       |q0 AS (SELECT doc_id, source, text FROM documents
+  /** pipe2's CTE chain ending at `pk(doc_id, source, n_tokens, shard,
+    * pos, start_off)` — shared by pipe2's and pipe4's oracles.
+    */
+  private val pipe2SqlCtes =
+    s"""q0 AS (SELECT doc_id, source, text FROM documents
        |  WHERE len(string_split(text, ' ')) >= 10
        |    AND len(regexp_replace(text, '[^a-z]', '', 'g')) * 2 > n_chars),
        |tr AS (SELECT * FROM q0 WHERE doc_id % 10 <> 0),
@@ -789,11 +796,104 @@ object TrainPrep {
        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shard, pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |      AS start_off
-       |  FROM sp)
+       |  FROM sp)""".stripMargin
+
+  private val pipe2Sql =
+    s"""WITH RECURSIVE
+       |$pipe2SqlCtes
        |SELECT doc_id, source, n_tokens, shard, pos, start_off,
        |  start_off // $packBudget AS chunk_first,
        |  (start_off + greatest(n_tokens, 1) - 1) // $packBudget AS chunk_last
        |FROM pk ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pipe4_pack_emit — pipe2 carried through to what the trainer actually
+  // reads: where pipe2 ends at the packing MANIFEST (layout rows), this
+  // chains pk2's chunk materialization and pk3's attention-span
+  // boundaries onto that manifest IN THE SAME Catalyst plan — the full
+  // production path corpus → quality → fuzzy dedup → decon → mixture →
+  // shuffle → pack → materialized training chunks with block-diagonal
+  // attention boundaries. Output: one row per packed chunk —
+  // (chunk_id, n_tokens, n_docs, chunk_md5, n_seqs, seq_starts_csv) —
+  // the chunk digest stands for the token payload (exactly pk2's
+  // convention) and seq_starts_csv is pk3's canonical in-chunk
+  // document-start offsets.
+  //
+  // Scale — shuffles ADDED on top of pipe2's ~10 (counted on the
+  // explain): (1) the manifest⋈documents text join-back (manifest is
+  // doc-count-sized and narrow; AQE broadcasts it at gate scale, SMJ
+  // at 100 TB — either way ONE exchange of manifest rows, the token
+  // payload itself never pre-shuffles because documents arrive
+  // partition-local from the scan), (2) the regroup of exploded tokens
+  // by chunk_id (pk2's one unavoidable token shuffle — near-range
+  // because chunks concatenate adjacent (shard, pos) docs, each group
+  // ≤ packBudget tokens), and (3) the span-rows regroup by chunk_id
+  // (pk3's shuffle — narrow (chunk_id, rel) longs, ≤ B rows per
+  // group). The final chunks⋈spans join reuses the chunk_id hash
+  // partitioning both aggregates emit (no extra exchange). The
+  // manifest frame is localCheckpointed once and feeds both sides —
+  // in production it is the manifest table pipe2 already wrote.
+  private def pipe4PackEmit(s: SparkSession, d: String): DataFrame = {
+    val man = pipe2ManifestFrame(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"))
+      .localCheckpoint() // 2 consumers: token emission + span table
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val chunks = man.join(toks, "doc_id")
+      .select(col("doc_id"), col("start_off"),
+        posexplode(col("toks")).as(Seq("j", "tok")))
+      .select(col("doc_id"), col("tok"),
+        (col("start_off") + col("j")).as("pos"))
+      .withColumn("chunk_id", expr(s"pos div $packBudget"))
+      // all-imperative aggregates (pk2's Expand-avoidance stance): one
+      // regroup-by-chunk_id shuffle, no two-shuffle distinct plan
+      .groupBy("chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        collect_set(col("doc_id")).as("doc_set"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ")).as("chunk_md5"))
+      .select(col("chunk_id"), col("n_tokens"),
+        size(col("doc_set")).cast("long").as("n_docs"), col("chunk_md5"))
+    val spans = man
+      .select(col("start_off"),
+        explode(sequence(
+          expr(s"start_off div $packBudget"),
+          expr(s"(start_off + n_tokens - 1) div $packBudget"))).as("chunk_id"))
+      .select(col("chunk_id"),
+        (greatest(col("start_off"), col("chunk_id") * packBudget) -
+          col("chunk_id") * packBudget).as("rel"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_seqs"),
+        array_join(sort_array(collect_list(col("rel"))), ",").as("seq_starts_csv"))
+    chunks.join(spans, "chunk_id").orderBy("chunk_id")
+  }
+
+  private val pipe4Sql =
+    s"""WITH RECURSIVE
+       |$pipe2SqlCtes,
+       |mtx AS (SELECT pk.doc_id, pk.n_tokens, pk.start_off,
+       |    string_split(d.text, ' ') AS toks
+       |  FROM pk JOIN documents d USING (doc_id)),
+       |etok AS (SELECT doc_id, start_off + u.i - 1 AS pos, toks[u.i] AS tok
+       |  FROM mtx, UNNEST(generate_series(1, CAST(n_tokens AS INT))) u(i)),
+       |chk AS (SELECT pos // $packBudget AS chunk_id,
+       |    COUNT(*) AS n_tokens,
+       |    COUNT(DISTINCT doc_id) AS n_docs,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+       |  FROM etok GROUP BY 1),
+       |sp2 AS (SELECT CAST(u.c AS BIGINT) AS chunk_id,
+       |    GREATEST(start_off, u.c * $packBudget) - u.c * $packBudget AS rel
+       |  FROM pk, UNNEST(generate_series(CAST(start_off // $packBudget AS INT),
+       |    CAST((start_off + n_tokens - 1) // $packBudget AS INT))) u(c)),
+       |spn AS (SELECT chunk_id, COUNT(*) AS n_seqs,
+       |    string_agg(CAST(rel AS VARCHAR), ',' ORDER BY rel) AS seq_starts_csv
+       |  FROM sp2 GROUP BY 1)
+       |SELECT c.chunk_id, c.n_tokens, c.n_docs, c.chunk_md5,
+       |  s.n_seqs, s.seq_starts_csv
+       |FROM chk c JOIN spn s USING (chunk_id) ORDER BY chunk_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // pipe3_incremental_prep — the INCREMENTAL ingest twin of pipe2: where
@@ -850,7 +950,7 @@ object TrainPrep {
     * candidate join (dd9's bucket-cap rationale; see the stage-3 guard
     * comment below). 400 = dd9MaxBucket, inert on clean stores.
     */
-  private val pipe3MaxStoreBucket = 400L
+  private[graft] val pipe3MaxStoreBucket = 400L // shared with Streams' store-model builder
 
   private def pipe3IncrementalPrep(s: SparkSession, d: String): DataFrame = {
     val isBatch = col("doc_id") % 7 === 3
@@ -1123,6 +1223,7 @@ object TrainPrep {
     Q("pipe1_train_manifest", pipe1TrainManifest, Some(pipe1Sql)),
     Q("pipe2_full_prep", pipe2FullPrep, Some(pipe2Sql)),
     Q("pipe3_incremental_prep", pipe3IncrementalPrep, Some(pipe3Sql)),
+    Q("pipe4_pack_emit", pipe4PackEmit, Some(pipe4Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
     Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
