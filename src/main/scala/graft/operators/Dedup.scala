@@ -159,12 +159,14 @@ object Dedup {
   // At scale: signature agg partial-aggregates map-side into one shuffle
   // of 12 longs per doc; the band self-join shuffles (long, long, int)
   // rows and its groups are tiny by construction.
-  private val numHashes = 12
-  private val rowsPerBand = 3
-  private val numBands = numHashes / rowsPerBand
-  private val P = 2147483647L // 2^31 - 1 (prime)
-  private val permA: Seq[Long] = (0 until numHashes).map(i => (1000003L * (i + 1)) % P)
-  private val permB: Seq[Long] = (0 until numHashes).map(i => (999983L * (2 * i + 1)) % P)
+  // private[graft]: the streaming incremental-prep twin (Streams) replays
+  // the identical MinHash arithmetic in JVM code against these constants
+  private[graft] val numHashes = 12
+  private[graft] val rowsPerBand = 3
+  private[graft] val numBands = numHashes / rowsPerBand
+  private[graft] val P = 2147483647L // 2^31 - 1 (prime)
+  private[graft] val permA: Seq[Long] = (0 until numHashes).map(i => (1000003L * (i + 1)) % P)
+  private[graft] val permB: Seq[Long] = (0 until numHashes).map(i => (999983L * (2 * i + 1)) % P)
 
   // Spark-side plan: the min(permutation) signature partial-aggregates
   // map-side over raw shingle occurrences (no pre-DISTINCT shuffle — min

@@ -360,14 +360,15 @@ object Streams {
     * trigger is the misuse mode.
     */
   def streamingManifestAppend(docs: Dataset[ManifestIn], nShards: Long = 8L,
-      priors: Map[Long, (Long, Long)] = Map.empty)
+      priors: Map[Long, (Long, Long)] = Map.empty,
+      mode: OutputMode = OutputMode.Update)
       : Dataset[ManifestRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .map(d => (d.doc_id, d.n_tokens, termHash(s"${d.doc_id}:42")))
       .groupByKey { case (_, _, hk) => java.lang.Math.floorMod(hk, nShards) }
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(mode, GroupStateTimeout.NoTimeout)(
         (shard: Long, it: Iterator[(Long, Long, Long)],
          state: GroupState[ShardCounters]) => {
           val rows = it.toArray.sortBy { case (id, _, hk) => (hk, id) }
@@ -382,6 +383,198 @@ object Streams {
           state.update(ShardCounters(cnt, tot))
           out.iterator
         })
+  }
+
+  /** Input record for [[streamingIncrementalPrep]] — a RAW document row
+    * (the pipeline applies the quality gate itself, like pipe3 stage 1).
+    */
+  case class PrepDoc(doc_id: Long, text: String, source: String, n_chars: Long)
+
+  /** The stored-store model [[streamingIncrementalPrep]]'s gates consult:
+    * the store's MinHash band index (bucket-capped exactly like pipe3's
+    * stage-3 guard), the shingle-hash sets of store docs (fetched for
+    * candidate verification only), and the held-out fingerprint universe.
+    * Broadcast-sized here; at 100 TB each map is a stored TABLE the
+    * stream joins against (dd11's batch-vs-stored-index convention) —
+    * the band index and fingerprints are exactly what pipe3 reads, and
+    * candidate shingle-set fetches are point lookups by doc id.
+    */
+  case class PrepStore(
+      bandIndex: Map[String, Array[Long]],
+      storeShingles: Map[Long, Array[Long]],
+      testShingles: Set[Long])
+
+  /** Word 3-shingles, matching Dedup.shingleRowsOf exactly (split keeps
+    * trailing empties like Spark's `split`; docs under 3 tokens shingle
+    * to nothing).
+    */
+  private[graft] def shinglesOf(text: String): Array[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) Array.empty[String]
+    else Array.tabulate(toks.length - 2)(i =>
+      toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+  }
+
+  /** Sorted distinct md5-15-hex shingle hashes — the portable content
+    * fingerprint (survival decisions ride on md5, the pipe2/pipe3
+    * stance; [[termHash]] is pinned bit-identical to the engine's
+    * conv(substring(md5(x),1,15),16,10)).
+    */
+  private[graft] def shingleHashes(text: String): Array[Long] = {
+    val hs = shinglesOf(text).map(termHash)
+    java.util.Arrays.sort(hs)
+    var n = 0
+    val out = new Array[Long](hs.length)
+    var i = 0
+    while (i < hs.length) {
+      if (n == 0 || out(n - 1) != hs(i)) { out(n) = hs(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** The doc's 4 MinHash band keys as "band|h0,h1,h2" strings — the
+    * identical arithmetic of Dedup.bandFrameOf (same permutation
+    * constants, same md5-derived base hash), with STRING keys instead of
+    * the engine's xxhash64 compression (candidate keys, so either is
+    * sound; strings keep the JVM twin engine-independent).
+    */
+  private[graft] def bandKeysOf(text: String): Array[String] = {
+    import graft.operators.Dedup.{P, permA, permB, numHashes, rowsPerBand, numBands}
+    val hms = shinglesOf(text).map(s => termHash(s) % P)
+    if (hms.isEmpty) return Array.empty[String]
+    val sig = Array.tabulate(numHashes) { i =>
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hms.length) {
+        val v = (hms(j) * permA(i) + permB(i)) % P
+        if (v < m) m = v
+        j += 1
+      }
+      m
+    }
+    Array.tabulate(numBands)(b =>
+      b.toString + "|" + (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(sig).mkString(","))
+  }
+
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Build [[PrepStore]] from the quality-gated store documents and the
+    * raw held-out documents — the JVM twin of pipe3's stored index
+    * build. Store band buckets above pipe3's cap are dropped (the same
+    * foreign-store guard, same constant).
+    */
+  def buildPrepStore(storeDocs: Seq[(Long, String)],
+      testTexts: Seq[String]): PrepStore = {
+    val idx = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    storeDocs.foreach { case (id, text) =>
+      bandKeysOf(text).foreach(k =>
+        idx.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += id)
+    }
+    PrepStore(
+      bandIndex = idx.iterator
+        .filter(_._2.length <= graft.operators.TrainPrep.pipe3MaxStoreBucket)
+        .map { case (k, v) => k -> v.toArray }.toMap,
+      storeShingles = storeDocs.map { case (id, t) => id -> shingleHashes(t) }.toMap,
+      testShingles = testTexts.flatMap(shinglesOf).map(termHash).toSet)
+  }
+
+  /** THE composed streaming ingest: pipe3's five stages as ONE
+    * Trigger-compatible streaming pipeline — quality gate → exact
+    * content dedup → fuzzy gate vs the stored band index →
+    * decontamination → manifest append with per-shard offset
+    * continuation. Closes the round-10 gap where only stage 5 had a
+    * streaming twin.
+    *
+    * Stage placement:
+    *  - Stages 1/3/4 are STATELESS per-doc decisions against the
+    *    broadcast [[PrepStore]] (per-doc gate outcomes don't depend on
+    *    other batch docs — batch×store candidates only — so they
+    *    commute with stage 2's dedup and run first, shrinking what the
+    *    stateful operators see).
+    *  - Stage 2 is a content-keyed flatMapGroupsWithState in APPEND
+    *    mode: within a trigger the min-doc_id copy wins (pipe3's exact
+    *    semantics); across triggers the state remembers admitted
+    *    content keys, so a later re-ingest of the same text is dropped
+    *    (strictly stronger than the batch twin, which only sees one
+    *    batch — the store-collision half is what stage 3 covers).
+    *    State: one boolean per admitted content key — the stored
+    *    exact-dedup digest set (dd1's table) living in the state store,
+    *    same stance as streamingIndexMaintenance's per-term stats.
+    *  - Stage 5 reuses [[streamingManifestAppend]]'s fold in Append
+    *    mode. Both stateful operators are Append-mode
+    *    flatMapGroupsWithState, the combination Spark supports chaining
+    *    in one query (StreamsSpec runs the whole pipeline end-to-end).
+    *
+    * Parity: on a single trigger the accepted set and manifest rows are
+    * pipe3's bit-for-bit (StreamsSpec pins it against the real-corpus
+    * pipe3 output); across triggers offsets append per
+    * streamingManifestAppend's contract. The MinHash/Jaccard arithmetic
+    * is the engine's exactly — md5-derived base hashes, the same
+    * permutation constants, exact-integer Jaccard ≥ 0.8 on distinct
+    * shingle hashes; verification touches only band-collision
+    * candidates (bucket-capped), never the store at large.
+    */
+  def streamingIncrementalPrep(docs: Dataset[PrepDoc], store: PrepStore,
+      nShards: Long = 8L, priors: Map[Long, (Long, Long)] = Map.empty)
+      : Dataset[ManifestRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bStore = spark.sparkContext.broadcast(store)
+    val accepted = docs
+      .filter { d =>
+        // stage 1: quality gate + held-out exclusion (pipe3's predicate)
+        d.text.split(" ", -1).length >= 10 &&
+          2L * d.text.count(c => c >= 'a' && c <= 'z') > d.n_chars &&
+          d.doc_id % 10L != 0L
+      }
+      .filter { d =>
+        val st = bStore.value
+        val sh = shingleHashes(d.text)
+        val na = sh.length.toLong
+        // stage 3: fuzzy gate — band-collision candidates, exact Jaccard
+        val fuzzyDup = bandKeysOf(d.text).iterator
+          .flatMap(k => st.bandIndex.getOrElse(k, Array.empty[Long]))
+          .toArray.distinct.exists { oid =>
+            val ob = st.storeShingles(oid)
+            val common = sortedIntersectCount(sh, ob)
+            common * 10L >= (na + ob.length - common) * 8L
+          }
+        // stage 4: decontamination — ≥20% shingle overlap drops the doc
+        def nShared = sh.count(st.testShingles.contains).toLong
+        !fuzzyDup && nShared * 5L < na
+      }
+    val deduped = accepted
+      .map(d => (org.apache.commons.codec.digest.DigestUtils.md5Hex(d.text),
+        d.doc_id, d.text.split(" ", -1).length.toLong))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Boolean]) => {
+          // stage 2: first admitted content wins — min doc_id within the
+          // trigger, stored digest across triggers
+          if (state.exists) Iterator.empty
+          else {
+            var bestId = Long.MaxValue
+            var bestTok = 0L
+            it.foreach { case (_, id, nt) =>
+              if (id < bestId) { bestId = id; bestTok = nt }
+            }
+            state.update(true)
+            Iterator.single(ManifestIn(bestId, bestTok))
+          }
+        })
+    streamingManifestAppend(deduped, nShards, priors, OutputMode.Append)
   }
 
   /** LATE-DATA ACCOUNTING: every watermark in this suite silently drops

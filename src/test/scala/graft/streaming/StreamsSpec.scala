@@ -367,6 +367,77 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamingIncrementalPrep: full pipe3 pipeline parity on the real corpus, 1 and 2 triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val expect = graft.SparkEntry.queries("pipe3_incremental_prep")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("start_off"))).toSet
+    assert(expect.nonEmpty)
+    // store model + priors from the corpus, the same predicates pipe3 uses
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val gatedStore = graft.Tables.documents(spark, dir)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 3)
+    val storeDocs = gatedStore.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    val testTexts = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("text").collect()
+      .map(_.getString(0)).toSeq
+    val store = Streams.buildPrepStore(storeDocs, testTexts)
+    val hkeyCol = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val priors = gatedStore
+      .select(col("doc_id"), nWords.as("n_tokens"))
+      .withColumn("shard", pmod(hkeyCol, lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // stream input: the RAW batch slice (the pipeline gates it itself)
+    val batchDocs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text", "source", "n_chars").collect()
+      .map(r => Streams.PrepDoc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars"))).toIndexedSeq
+    // one trigger: bit-for-bit the batch twin's manifest
+    val s1 = MemoryStream[Streams.PrepDoc]
+    val q1 = Streams.streamingIncrementalPrep(s1.toDS(), store, priors = priors)
+      .writeStream.format("memory").queryName("prep1")
+      .outputMode("append").start()
+    try {
+      s1.addData(batchDocs: _*)
+      q1.processAllAvailable()
+      val got = spark.table("prep1").as[Streams.ManifestRow].collect()
+        .map(r => (r.doc_id, r.shard, r.pos, r.start_off)).toSet
+      assert(got === expect)
+    } finally q1.stop()
+    // two triggers: accepted set identical, per-shard offsets contiguous
+    // from the priors, final counters equal the one-trigger run's
+    val s2 = MemoryStream[Streams.PrepDoc]
+    val q2 = Streams.streamingIncrementalPrep(s2.toDS(), store, priors = priors)
+      .writeStream.format("memory").queryName("prep2")
+      .outputMode("append").start()
+    try {
+      val (a, b) = batchDocs.partition(_.doc_id % 2 == 0)
+      s2.addData(a: _*); q2.processAllAvailable()
+      s2.addData(b: _*); q2.processAllAvailable()
+      val got = spark.table("prep2").as[Streams.ManifestRow].collect()
+      assert(got.map(_.doc_id).toSet === expect.map(_._1))
+      got.groupBy(_.shard).foreach { case (shard, rs) =>
+        val (cnt0, _) = priors.getOrElse(shard, (0L, 0L))
+        assert(rs.map(_.pos).sorted.toSeq === (cnt0 until cnt0 + rs.length))
+      }
+      val expTotals = expect.toSeq.groupBy(_._2)
+        .view.mapValues(_.size).toMap
+      val gotTotals = got.groupBy(_.shard).view.mapValues(_.length).toMap
+      assert(gotTotals === expTotals)
+    } finally q2.stop()
+  }
+
   test("streamingManifestAppend: end-to-end parity with pipe3's manifest on the real corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
