@@ -260,7 +260,13 @@ import org.apache.spark.sql.functions._
   * storing codes at the VECTOR grain (one row per vector, 8 packed
   * codes, ADC = 8 codegen'd element_at lookups): the naive
   * row-per-(vector, subspace) ADC join carried 8× the rows and
-  * measured 44.8 s at 10×; pipe3 incremental prep 4.34→12.95 s —
+  * measured 44.8 s at 10× (round-11 re-measure with the TRAINED PQ
+  * codebook: 6.69→20.21 s — the added trainer rounds are themselves
+  * sub-linear because the md5-sampled training set caps at
+  * ⌈n/16384⌉-rate thinning, rate 3 at the 10× corpus); pipe4 pack-emit
+  * 5.27→15.09 s (2.9× at 10× — the token regroup-by-chunk_id is the
+  * linear term, everything upstream is pipe2's sub-linear manifest);
+  * pipe3 incremental prep 4.34→12.95 s —
   * sub-linear even though the PROBE grows batch and store together 10×
   * AND rebuilds the stand-in band index each run (production stores the
   * index, so the nightly cost is only the batch-sized slice: signatures
@@ -423,7 +429,7 @@ object ScaleProbe {
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
       "mix2_temperature", "pk4_shuffle", "pipe1_train_manifest", "pipe2_full_prep",
-      "pipe3_incremental_prep",
+      "pipe3_incremental_prep", "pipe4_pack_emit",
       "cur1_curriculum",
       "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb",
       "mm7_media_ann_topk")
