@@ -429,7 +429,7 @@ object ScaleProbe {
       "dc1_decontaminate", "pk1_pack_sequences", "pk2_pack_emit", "pk3_attention_spans",
       "dd10_paragraph_dedup", "t7_pii_redact", "mix1_domain_mix",
       "mix2_temperature", "pk4_shuffle", "pipe1_train_manifest", "pipe2_full_prep",
-      "pipe3_incremental_prep", "pipe4_pack_emit",
+      "pipe3_incremental_prep", "pipe4_pack_emit", "pipe5_incremental_chunks",
       "cur1_curriculum",
       "mm3_decode_features", "mm4_media_ann", "mm5_audio_frames", "mm6_resize_thumb",
       "mm7_media_ann_topk")

@@ -952,7 +952,14 @@ object TrainPrep {
     */
   private[graft] val pipe3MaxStoreBucket = 400L // shared with Streams' store-model builder
 
-  private def pipe3IncrementalPrep(s: SparkSession, d: String): DataFrame = {
+  private def pipe3IncrementalPrep(s: SparkSession, d: String): DataFrame =
+    pipe3ManifestFrame(s, d).orderBy("shard", "pos")
+
+  /** pipe3's accepted-batch manifest, unordered — shared by pipe3
+    * (presentation sort) and pipe5 (incremental chunk materialization
+    * over the same appended rows).
+    */
+  private def pipe3ManifestFrame(s: SparkSession, d: String): DataFrame = {
     val isBatch = col("doc_id") % 7 === 3
     val nWords = size(split(col("text"), " ")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
@@ -1051,12 +1058,15 @@ object TrainPrep {
         coalesce(sum(col("n_tokens"))
           .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("doc_id", "source", "n_tokens", "shard", "pos", "start_off")
-      .orderBy("shard", "pos")
   }
 
-  private val pipe3Sql =
-    s"""WITH
-       |d0 AS (SELECT doc_id, source, text, n_chars,
+  /** pipe3's CTE chain ending at `man(doc_id, source, n_tokens, shard,
+    * pos, start_off)` — shared by pipe3's and pipe5's oracles. Also in
+    * scope for consumers: `g` (the gated corpus) and the store side
+    * `g WHERE doc_id % 7 <> 3`.
+    */
+  private val pipe3SqlCtes =
+    s"""d0 AS (SELECT doc_id, source, text, n_chars,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |g AS (SELECT * FROM d0
@@ -1110,8 +1120,8 @@ object TrainPrep {
        |      AS hkey,
        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
        |      % 8 AS BIGINT) AS shard
-       |  FROM acc)
-       |SELECT sp.doc_id, sp.source, sp.n_tokens, sp.shard,
+       |  FROM acc),
+       |man AS (SELECT sp.doc_id, sp.source, sp.n_tokens, sp.shard,
        |  CAST(COALESCE(stm.cnt0, 0)
        |    + row_number() OVER (PARTITION BY sp.shard ORDER BY hkey, doc_id) - 1
        |    AS BIGINT) AS pos,
@@ -1120,8 +1130,164 @@ object TrainPrep {
        |        ORDER BY hkey, doc_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |    AS BIGINT) AS start_off
-       |FROM sp LEFT JOIN stm USING (shard)
-       |ORDER BY shard, pos""".stripMargin
+       |FROM sp LEFT JOIN stm USING (shard))""".stripMargin
+
+  private val pipe3Sql =
+    s"""WITH
+       |$pipe3SqlCtes
+       |SELECT doc_id, source, n_tokens, shard, pos, start_off
+       |FROM man ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pipe5_incremental_chunks — the incremental twin of pipe4, completing
+  // the nightly path to the layer the trainer READS: when pipe3 accepts
+  // tonight's batch, this emits exactly the per-shard packed chunks that
+  // batch touches — every newly fillable chunk PLUS the rewrite of each
+  // shard's OPEN boundary chunk (the partially-filled tail chunk whose
+  // content straddles stored and new tokens). In the append-only
+  // incremental world offsets are per-shard (pipe3's contract), so the
+  // chunk key is (shard, chunk_id) with chunk c covering shard-local
+  // positions [c·B, (c+1)·B); chunks strictly below each shard's open
+  // chunk are immutable — already materialized by prior runs — and are
+  // NEVER re-emitted.
+  //
+  // The boundary rewrite needs the stored tokens of the open chunk:
+  // those come from the last few STORED docs of the shard (spans
+  // crossing floor(tot0/B)·B — provably confined to the open chunk,
+  // since every stored token position < tot0 < open_start + B). The
+  // stored manifest is recomputed here the way pipe3 recomputes its
+  // band index — in production BOTH are reads of tables prior runs
+  // wrote, and the boundary-doc fetch is a per-shard tail lookup
+  // (start_off range scan), O(shards) docs total.
+  //
+  // Output: (shard, chunk_id, n_tokens, n_docs, chunk_md5, n_seqs,
+  // seq_starts_csv, is_full) — pk2's digest convention + pk3's span
+  // offsets at the SHARD-LOCAL grain, is_full marking chunks that will
+  // never be rewritten again (n_tokens = B). Shards with no accepted
+  // batch doc emit nothing — output is O(batch tokens / B) rows.
+  //
+  // Scale: the only token-grain shuffle is the regroup of BATCH +
+  // boundary tokens by (shard, chunk_id) — O(batch) rows, never the
+  // store; spans ride the narrow layout frame; the chunks⋈spans join
+  // reuses the aggregates' (shard, chunk_id) partitioning. Everything
+  // upstream is pipe3's O(batch·bucketDegree) plan. Measured
+  // (ScaleProbe, batch AND store grown together): 5.35 s → 13.68 s at
+  // 10× — 2.6×, sub-linear even though the probe re-derives the
+  // store-sized manifest each run (production reads it).
+  private def pipe5IncrementalChunks(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val hkey = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    // stored manifest (stands for reading the manifest table, see above)
+    val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    val smang = Tables.documents(s, d)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), nWords.as("n_tokens"))
+      .withColumn("hkey", hkey)
+      .withColumn("shard", pmod(col("hkey"), lit(8L)))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens"))
+          .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint()
+    val opens = smang.groupBy("shard")
+      .agg((expr(s"sum(n_tokens) div ${packBudget}L") * packBudget)
+        .as("open_start"))
+    val man = pipe3ManifestFrame(s, d)
+      .select("shard", "doc_id", "start_off", "n_tokens")
+      .localCheckpoint() // feeds touched-shards, tokens, and spans
+    val touched = man.select("shard").distinct()
+    val bnd = smang.join(broadcast(opens), "shard")
+      .filter(col("start_off") + col("n_tokens") > col("open_start"))
+      .join(broadcast(touched), Seq("shard"), "left_semi")
+      .select("shard", "doc_id", "start_off", "n_tokens")
+    val uni5 = bnd.unionByName(man)
+      .join(broadcast(opens), Seq("shard"), "left")
+      .withColumn("open_start", coalesce(col("open_start"), lit(0L)))
+      .localCheckpoint() // 2 consumers: token emission + span table
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val chunks = uni5.join(toks, "doc_id")
+      .select(col("shard"), col("doc_id"), col("start_off"), col("open_start"),
+        posexplode(col("toks")).as(Seq("j", "tok")))
+      .withColumn("pos", col("start_off") + col("j"))
+      .filter(col("pos") >= col("open_start"))
+      .withColumn("chunk_id", expr(s"pos div ${packBudget}L"))
+      .groupBy("shard", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        collect_set(col("doc_id")).as("doc_set"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ")).as("chunk_md5"))
+      .select(col("shard"), col("chunk_id"), col("n_tokens"),
+        size(col("doc_set")).cast("long").as("n_docs"), col("chunk_md5"))
+    val spans = uni5
+      .select(col("shard"), col("start_off"),
+        explode(sequence(
+          greatest(expr(s"start_off div ${packBudget}L"),
+            expr(s"open_start div ${packBudget}L")),
+          expr(s"(start_off + n_tokens - 1) div ${packBudget}L")))
+          .as("chunk_id"))
+      .select(col("shard"), col("chunk_id"),
+        (greatest(col("start_off"), col("chunk_id") * packBudget) -
+          col("chunk_id") * packBudget).as("rel"))
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_seqs"),
+        array_join(sort_array(collect_list(col("rel"))), ",").as("seq_starts_csv"))
+    chunks.join(spans, Seq("shard", "chunk_id"))
+      .withColumn("is_full", col("n_tokens") === packBudget)
+      .orderBy("shard", "chunk_id")
+  }
+
+  private val pipe5Sql =
+    s"""WITH
+       |$pipe3SqlCtes,
+       |smang AS (SELECT doc_id, n_tokens, CAST(hkey % 8 AS BIGINT) AS shard,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY hkey % 8
+       |      ORDER BY hkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM (SELECT doc_id, n_tokens,
+       |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+       |        AS hkey
+       |    FROM g WHERE doc_id % 7 <> 3)),
+       |opens AS (SELECT shard,
+       |    CAST(SUM(n_tokens) // $packBudget * $packBudget AS BIGINT) AS open_start
+       |  FROM smang GROUP BY 1),
+       |touched AS (SELECT DISTINCT shard FROM man),
+       |bnd AS (SELECT m.shard, m.doc_id, m.start_off, m.n_tokens
+       |  FROM smang m JOIN opens o USING (shard) JOIN touched t USING (shard)
+       |  WHERE m.start_off + m.n_tokens > o.open_start),
+       |uni5 AS (SELECT shard, doc_id, start_off, n_tokens FROM bnd
+       |  UNION ALL SELECT shard, doc_id, start_off, n_tokens FROM man),
+       |u5o AS (SELECT u.*, COALESCE(o.open_start, 0) AS open_start
+       |  FROM uni5 u LEFT JOIN opens o USING (shard)),
+       |mtx5 AS (SELECT u.shard, u.doc_id, u.start_off, u.open_start, u.n_tokens,
+       |    string_split(d.text, ' ') AS toks
+       |  FROM u5o u JOIN documents d USING (doc_id)),
+       |etok5 AS (SELECT shard, doc_id, start_off + u.i - 1 AS pos, toks[u.i] AS tok,
+       |    open_start
+       |  FROM mtx5, UNNEST(generate_series(1, CAST(n_tokens AS INT))) u(i)),
+       |chk5 AS (SELECT shard, pos // $packBudget AS chunk_id, COUNT(*) AS n_tokens,
+       |    COUNT(DISTINCT doc_id) AS n_docs,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+       |  FROM etok5 WHERE pos >= open_start GROUP BY 1, 2),
+       |sp5 AS (SELECT shard, CAST(u2.c AS BIGINT) AS chunk_id,
+       |    GREATEST(start_off, u2.c * $packBudget) - u2.c * $packBudget AS rel
+       |  FROM u5o, UNNEST(generate_series(
+       |    CAST(GREATEST(start_off // $packBudget, open_start // $packBudget) AS INT),
+       |    CAST((start_off + n_tokens - 1) // $packBudget AS INT))) u2(c)),
+       |spn5 AS (SELECT shard, chunk_id, COUNT(*) AS n_seqs,
+       |    string_agg(CAST(rel AS VARCHAR), ',' ORDER BY rel) AS seq_starts_csv
+       |  FROM sp5 GROUP BY 1, 2)
+       |SELECT c.shard, c.chunk_id, c.n_tokens, c.n_docs, c.chunk_md5,
+       |  s.n_seqs, s.seq_starts_csv, c.n_tokens = $packBudget AS is_full
+       |FROM chk5 c JOIN spn5 s USING (shard, chunk_id)
+       |ORDER BY shard, chunk_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // cur1_curriculum — curriculum-ordered training schedule: docs are
@@ -1224,6 +1390,7 @@ object TrainPrep {
     Q("pipe2_full_prep", pipe2FullPrep, Some(pipe2Sql)),
     Q("pipe3_incremental_prep", pipe3IncrementalPrep, Some(pipe3Sql)),
     Q("pipe4_pack_emit", pipe4PackEmit, Some(pipe4Sql)),
+    Q("pipe5_incremental_chunks", pipe5IncrementalChunks, Some(pipe5Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
     Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
