@@ -577,6 +577,121 @@ object Streams {
     streamingManifestAppend(deduped, nShards, priors, OutputMode.Append)
   }
 
+  /** Input/state/output records for [[streamingChunkAssembly]]. */
+  case class ChunkDocIn(doc_id: Long, text: String)
+  case class ChunkState(chunkIdx: Long, toks: Seq[String], docIds: Seq[Long],
+      rels: Seq[Long])
+  case class ChunkRow(shard: Long, chunk_id: Long, n_tokens: Long,
+      n_docs: Long, chunk_md5: String, n_seqs: Long, seq_starts_csv: String,
+      is_full: Boolean)
+
+  /** Streaming twin of pipe5's incremental chunk emission — the last
+    * batch-only member of the nightly family re-expressed with the state
+    * store as the OPEN CHUNK: per pk4 shard, state holds the
+    * partially-filled tail chunk (its token buffer ≤ B tokens, the doc
+    * ids contributing, and pk3's in-chunk doc-start offsets). Each
+    * trigger's accepted docs sort by (md5-hkey, doc_id) within their
+    * shard (the manifest order), append their tokens, and the operator
+    * emits every chunk that CLOSES (is_full=true, immutable from then
+    * on) plus the updated open-chunk snapshot (is_full=false) — exactly
+    * pipe5's row set, with the same digests. Emission is an upsert feed
+    * keyed by (shard, chunk_id): a later trigger's open-chunk row
+    * supersedes an earlier one (the open-chunk rewrite), everything
+    * is_full is emitted exactly once — the same latest-wins convention
+    * as streamingHeavyHitters' candidate feed, kept in Append mode so
+    * the operator chains behind [[streamingIncrementalPrep]]'s two
+    * Append-mode stateful stages (ingest-to-trainer-layer as ONE
+    * streaming query).
+    *
+    * `priors` seeds each shard's state with the stored open chunk
+    * ([[buildChunkPriors]] derives it from the store the way pipe5's
+    * boundary lookup does), so a stream started against an existing
+    * store REWRITES its open chunks correctly.
+    *
+    * Scale: state is ≤ B tokens + ≤ B offsets per shard — nShards
+    * buffers total, independent of history; per trigger, work is one
+    * groupByKey shuffle of the batch's (doc_id, text) rows and a linear
+    * walk of their tokens. StreamsSpec pins 1- and 2-trigger parity
+    * against pipe5's real-corpus output (latest-wins per chunk key).
+    */
+  def streamingChunkAssembly(docs: Dataset[ChunkDocIn], nShards: Long = 8L,
+      priors: Map[Long, ChunkState] = Map.empty): Dataset[ChunkRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val B = 512
+    docs
+      .map(d => (d.doc_id, d.text, termHash(s"${d.doc_id}:42")))
+      .groupByKey { case (_, _, hk) => java.lang.Math.floorMod(hk, nShards) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: Long, it: Iterator[(Long, String, Long)],
+         state: GroupState[ChunkState]) => {
+          var st = state.getOption
+            .orElse(priors.get(shard))
+            .getOrElse(ChunkState(0L, Vector.empty, Vector.empty, Vector.empty))
+          var chunkIdx = st.chunkIdx
+          val toks = st.toks.toBuffer
+          var docIds = st.docIds.toSet
+          val rels = st.rels.toBuffer
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChunkRow]
+          def closeChunk(full: Boolean): Unit = {
+            out += ChunkRow(shard, chunkIdx, toks.length.toLong,
+              docIds.size.toLong,
+              org.apache.commons.codec.digest.DigestUtils
+                .md5Hex(toks.mkString(" ")),
+              rels.length.toLong, rels.sorted.mkString(","), full)
+            if (full) { chunkIdx += 1; toks.clear(); docIds = Set.empty; rels.clear() }
+          }
+          it.toArray.sortBy { case (id, _, hk) => (hk, id) }
+            .foreach { case (id, text, _) =>
+              text.split(" ", -1).zipWithIndex.foreach { case (tok, i) =>
+                // pk3 span offset: recorded at the doc's first token
+                // (rel = buffer fill) and again at rel 0 whenever the
+                // doc continues into a freshly-opened chunk
+                if (i == 0 || toks.isEmpty) rels += toks.length.toLong
+                docIds += id
+                toks += tok
+                if (toks.length == B) closeChunk(full = true)
+              }
+            }
+          if (toks.nonEmpty) closeChunk(full = false)
+          state.update(ChunkState(chunkIdx, toks.toVector, docIds.toVector.sorted,
+            rels.toVector))
+          out.iterator
+        })
+  }
+
+  /** Derive [[streamingChunkAssembly]] priors from the stored corpus:
+    * per shard, docs in (md5-hkey, doc_id) order; the state is the open
+    * chunk's tail — its chunk index, the tokens past the last full-chunk
+    * boundary, the doc ids contributing them, and their pk3 span
+    * offsets (a doc crossing into the open chunk contributes rel 0).
+    */
+  def buildChunkPriors(storeDocs: Seq[(Long, String)], nShards: Long = 8L)
+      : Map[Long, ChunkState] = {
+    val B = 512L
+    storeDocs
+      .groupBy { case (id, _) =>
+        java.lang.Math.floorMod(termHash(s"$id:42"), nShards)
+      }
+      .map { case (shard, docs) =>
+        val ordered = docs.sortBy { case (id, _) => (termHash(s"$id:42"), id) }
+        var off = 0L
+        val spans = ordered.map { case (id, text) =>
+          val n = text.split(" ", -1).length.toLong
+          val sp = (id, off, off + n, text); off += n; sp
+        }
+        val openStart = off / B * B
+        val tail = spans.filter { case (_, _, e0, _) => e0 > openStart }
+        val toks = tail.flatMap { case (_, s0, _, text) =>
+          text.split(" ", -1).drop(math.max(0L, openStart - s0).toInt)
+        }
+        val rels = tail.map { case (_, s0, _, _) => math.max(s0 - openStart, 0L) }
+          .sorted
+        shard -> ChunkState(off / B, toks.toVector,
+          tail.map(_._1).toVector.sorted, rels.toVector)
+      }
+  }
+
   /** LATE-DATA ACCOUNTING: every watermark in this suite silently drops
     * rows that arrive behind it (tumbling/session aggregation,
     * stream-stream join, dropDuplicatesWithinWatermark) — correct for

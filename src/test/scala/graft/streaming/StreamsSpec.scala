@@ -438,6 +438,75 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamingChunkAssembly: pipe5 chunk parity on the real corpus, 1 and 2 triggers (latest-wins)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val expect = graft.SparkEntry.queries("pipe5_incremental_chunks")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"),
+          r.getAs[String]("chunk_md5"), r.getAs[Long]("n_seqs"),
+          r.getAs[String]("seq_starts_csv"), r.getAs[Boolean]("is_full"))))
+      .toMap
+    assert(expect.nonEmpty)
+    // priors: the stored open chunks (same gated store as pipe5's)
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val storeDocs = graft.Tables.documents(spark, dir)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 3)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    val priors = Streams.buildChunkPriors(storeDocs)
+    // stream input: pipe3's accepted batch docs WITH text, manifest order
+    val textOf = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val batch = graft.SparkEntry.queries("pipe3_incremental_prep")(spark, dir)
+      .collect()
+      .map(r => Streams.ChunkDocIn(r.getAs[Long]("doc_id"),
+        textOf(r.getAs[Long]("doc_id")))).toIndexedSeq
+    def latestWins(rows: Seq[Streams.ChunkRow]) =
+      rows.zipWithIndex
+        .groupBy { case (r, _) => (r.shard, r.chunk_id) }
+        .map { case (k, vs) =>
+          val r = vs.maxBy(_._2)._1
+          k -> ((r.n_tokens, r.n_docs, r.chunk_md5, r.n_seqs,
+            r.seq_starts_csv, r.is_full))
+        }
+    // one trigger: exact pipe5 parity
+    val s1 = MemoryStream[Streams.ChunkDocIn]
+    val q1 = Streams.streamingChunkAssembly(s1.toDS(), priors = priors)
+      .writeStream.format("memory").queryName("chunks1")
+      .outputMode("append").start()
+    try {
+      s1.addData(batch: _*)
+      q1.processAllAvailable()
+      val got = latestWins(
+        spark.table("chunks1").as[Streams.ChunkRow].collect().toSeq)
+      assert(got === expect)
+    } finally q1.stop()
+    // two triggers, split mid-stream: latest-wins rows still equal pipe5
+    // (the open-chunk row from trigger 1 is superseded by trigger 2)
+    val s2 = MemoryStream[Streams.ChunkDocIn]
+    val q2 = Streams.streamingChunkAssembly(s2.toDS(), priors = priors)
+      .writeStream.format("memory").queryName("chunks2")
+      .outputMode("append").start()
+    try {
+      val (a, b) = batch.splitAt(batch.length / 2)
+      s2.addData(a: _*); q2.processAllAvailable()
+      s2.addData(b: _*); q2.processAllAvailable()
+      val rows = spark.table("chunks2").as[Streams.ChunkRow].collect().toSeq
+      val got = latestWins(rows)
+      assert(got === expect)
+      // every is_full chunk was emitted exactly once across both triggers
+      val fullCounts = rows.filter(_.is_full)
+        .groupBy(r => (r.shard, r.chunk_id)).view.mapValues(_.size)
+      assert(fullCounts.forall(_._2 == 1))
+    } finally q2.stop()
+  }
+
   test("streamingManifestAppend: end-to-end parity with pipe3's manifest on the real corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
