@@ -530,6 +530,18 @@ object Streams {
       : Dataset[ManifestRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    streamingManifestAppend(
+      dedupKeepMin(gateDocs(docs, store))
+        .map(d => ManifestIn(d.doc_id, d.text.split(" ", -1).length.toLong)),
+      nShards, priors, OutputMode.Append)
+  }
+
+  /** Stages 1/3/4 of the streaming ingest — the stateless per-doc gates
+    * against the broadcast store model (see [[streamingIncrementalPrep]]).
+    */
+  private def gateDocs(docs: Dataset[PrepDoc], store: PrepStore)
+      : Dataset[PrepDoc] = {
+    val spark = docs.sparkSession
     val bStore = spark.sparkContext.broadcast(store)
     val accepted = docs
       .filter { d =>
@@ -554,28 +566,51 @@ object Streams {
         def nShared = sh.count(st.testShingles.contains).toLong
         !fuzzyDup && nShared * 5L < na
       }
-    val deduped = accepted
+    accepted
+  }
+
+  /** Stage 2 of the streaming ingest, shared by
+    * [[streamingIncrementalPrep]] (manifest path) and
+    * [[streamingIngestChunks]] (chunk path): content-keyed exact dedup
+    * in Append mode — first admitted content wins (min doc_id within the
+    * trigger, stored digest state across triggers).
+    */
+  private def dedupKeepMin(accepted: Dataset[PrepDoc]): Dataset[ChunkDocIn] = {
+    val spark = accepted.sparkSession
+    import spark.implicits._
+    accepted
       .map(d => (org.apache.commons.codec.digest.DigestUtils.md5Hex(d.text),
-        d.doc_id, d.text.split(" ", -1).length.toLong))
+        d.doc_id, d.text))
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, it: Iterator[(String, Long, Long)],
+        (_: String, it: Iterator[(String, Long, String)],
          state: GroupState[Boolean]) => {
-          // stage 2: first admitted content wins — min doc_id within the
-          // trigger, stored digest across triggers
           if (state.exists) Iterator.empty
           else {
             var bestId = Long.MaxValue
-            var bestTok = 0L
-            it.foreach { case (_, id, nt) =>
-              if (id < bestId) { bestId = id; bestTok = nt }
+            var bestText = ""
+            it.foreach { case (_, id, t) =>
+              if (id < bestId) { bestId = id; bestText = t }
             }
             state.update(true)
-            Iterator.single(ManifestIn(bestId, bestTok))
+            Iterator.single(ChunkDocIn(bestId, bestText))
           }
         })
-    streamingManifestAppend(deduped, nShards, priors, OutputMode.Append)
   }
+
+  /** The FULL streaming ingest-to-trainer-layer pipeline: pipe3's gates
+    * (stages 1–4, via [[streamingIncrementalPrep]]'s stateless gate +
+    * [[dedupKeepMin]]) chained DIRECTLY into [[streamingChunkAssembly]]
+    * — raw documents in, training chunks out, as one streaming query
+    * with two Append-mode stateful operators. The batch twin of this
+    * whole path is pipe3 ∘ pipe5; StreamsSpec pins chunk-level parity
+    * against pipe5's real-corpus output through the actual chain.
+    */
+  def streamingIngestChunks(docs: Dataset[PrepDoc], store: PrepStore,
+      nShards: Long = 8L,
+      chunkPriors: Map[Long, ChunkState] = Map.empty): Dataset[ChunkRow] =
+    streamingChunkAssembly(
+      dedupKeepMin(gateDocs(docs, store)), nShards, chunkPriors)
 
   /** Input/state/output records for [[streamingChunkAssembly]]. */
   case class ChunkDocIn(doc_id: Long, text: String)

@@ -507,6 +507,55 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamingIngestChunks: raw docs to training chunks through the full chain equals pipe5") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val expect = graft.SparkEntry.queries("pipe5_incremental_chunks")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"),
+          r.getAs[String]("chunk_md5"), r.getAs[Long]("n_seqs"),
+          r.getAs[String]("seq_starts_csv"), r.getAs[Boolean]("is_full"))))
+      .toMap
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val gatedStore = graft.Tables.documents(spark, dir)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 3)
+    val storeDocs = gatedStore.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    val testTexts = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("text").collect()
+      .map(_.getString(0)).toSeq
+    val store = Streams.buildPrepStore(storeDocs, testTexts)
+    val chunkPriors = Streams.buildChunkPriors(storeDocs)
+    // input: the RAW batch slice — the chain gates, dedups, and chunks it
+    val batchDocs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text", "source", "n_chars").collect()
+      .map(r => Streams.PrepDoc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars"))).toIndexedSeq
+    val s1 = MemoryStream[Streams.PrepDoc]
+    val q1 = Streams.streamingIngestChunks(s1.toDS(), store,
+        chunkPriors = chunkPriors)
+      .writeStream.format("memory").queryName("ingestchunks")
+      .outputMode("append").start()
+    try {
+      s1.addData(batchDocs: _*)
+      q1.processAllAvailable()
+      val rows = spark.table("ingestchunks").as[Streams.ChunkRow].collect().toSeq
+      val got = rows.zipWithIndex
+        .groupBy { case (r, _) => (r.shard, r.chunk_id) }
+        .map { case (k, vs) =>
+          val r = vs.maxBy(_._2)._1
+          k -> ((r.n_tokens, r.n_docs, r.chunk_md5, r.n_seqs,
+            r.seq_starts_csv, r.is_full))
+        }
+      assert(got === expect)
+    } finally q1.stop()
+  }
+
   test("streamingManifestAppend: end-to-end parity with pipe3's manifest on the real corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
