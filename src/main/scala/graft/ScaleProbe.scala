@@ -261,9 +261,10 @@ import org.apache.spark.sql.functions._
   * codes, ADC = 8 codegen'd element_at lookups): the naive
   * row-per-(vector, subspace) ADC join carried 8× the rows and
   * measured 44.8 s at 10× (round-11 re-measure with the TRAINED PQ
-  * codebook: 6.69→20.21 s — the added trainer rounds are themselves
-  * sub-linear because the md5-sampled training set caps at
-  * ⌈n/16384⌉-rate thinning, rate 3 at the 10× corpus); pipe4 pack-emit
+  * codebook: 6.69→20.21 s; NOTE the 10× probe's corpus side is 16000
+  * vectors — still ≤ the 16384 sample budget, so the trainer thinning
+  * stays inert here; the sampled path runs live in skew:sim14 at
+  * n=30k, rate 2); pipe4 pack-emit
   * 5.27→15.09 s (2.9× at 10× — the token regroup-by-chunk_id is the
   * linear term, everything upstream is pipe2's sub-linear manifest);
   * pipe3 incremental prep 4.34→12.95 s —
@@ -274,18 +275,18 @@ import org.apache.spark.sql.functions._
   * 8-scalar stored-aggregate read).
   *
   * Round-11 adversarial probes (measured, local[32], warm):
-  * - skew:sim14 (one-cell IVFPQ degeneracy, n=20k, batch 4k, corpus
-  *   16k, k=127, nprobe=17): a one-blob corpus defeats the coarse
+  * - skew:sim14 (one-cell IVFPQ degeneracy, n=30k, batch 6k, corpus
+  *   24k, k=155, nprobe=19): a one-blob corpus defeats the coarse
   *   quantizer — every vector assigns to ONE cell, so each query's ADC
-  *   scan touches the whole corpus (Q·N = 64M ADC rows vs ~17M
-  *   balanced). Measured: uniform 12.1–12.7 s, hot-1cell 7.8–8.2 s —
-  *   the degenerate case is ABSORBED (faster, even: the scan is 8
+  *   scan touches the whole corpus (Q·N = 144M ADC rows vs ~28M
+  *   balanced). Measured: uniform 29.2 s, hot-1cell 12.9 s — the
+  *   degenerate case is ABSORBED (faster, even: the scan is 8
   *   codegen'd element_at lookups per row and AQE's skew handling
   *   splits the hot cell join), so no guard is wired; the at-scale
   *   remedies if a production corpus ever concentrates (cell re-split
   *   or a recall-lossy per-cell scan cap) stay documented, not coded.
-  *   The trained-PQ path is exercised by both corpora (trainRate=2 at
-  *   n=20k — the sampled trainer runs live in this probe).
+  *   corpus 24000 > the 16384 sample budget ⇒ the SAMPLED trainer
+  *   (rate 2) runs live in both probe corpora.
   *
   * Round-10 adversarial probes (measured, local[32], warm):
   * - skew:pipe3 (the incremental-prep fan-out contract, n=10k docs):
@@ -659,7 +660,7 @@ object ScaleProbe {
     // per-cell scan cap (recall-lossy — not wired unless needed).
     if (args.contains("skew:sim14")) {
       val skewDir = "/tmp/sfprobe_skewsim14"
-      val n = 20000L
+      val n = 30000L // corpus 24000 > pqTrainBudget => the SAMPLED trainer runs live (rate 2)
       def corpus(hot: Boolean, path: String): Unit = {
         if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
           // hot: one tight blob (cosine ~1 pairwise) -> one IVF cell.

@@ -599,7 +599,7 @@ object Dedup {
     * probe corpus has 4.9k-member buckets → 695M candidate slots
     * uncapped vs 7.6M capped (measured).
     */
-  private val dd9MaxBucket = 400L
+  private[graft] val dd9MaxBucket = 400L // shared: pipe3's store-bucket guard reuses this cap
 
   private[operators] def dd9Candidates(eb: DataFrame): DataFrame = {
     val bands = eb.select(col("vec_id"),

@@ -1142,9 +1142,12 @@ object Similarity {
     // artifacts ride on md5, never xxhash64) at rate ⌈n/budget⌉ — the
     // same bounded-sample discipline FAISS's trainer uses
     // (max_points_per_centroid). Inert at gate scale (corpus 400/4000
-    // ≤ 16384 ⇒ rate 1, every vector trains); at 100 TB the trainer
-    // touches a fixed-size sample while encoding still covers the full
-    // corpus.
+    // ≤ 16384 ⇒ rate 1, every vector trains); the sampled path itself
+    // (rate 2) is exercised against the DuckDB oracle on a synthetic
+    // 30k-vector corpus (corpus side 24000 > budget) — bit-identical —
+    // and runs live in the skew:sim14 probe at n=30k. At 100 TB the
+    // trainer touches a fixed-size sample while encoding still covers
+    // the full corpus.
     val trainRate =
       math.max(1L, math.ceil(nCorpus.toDouble / pqTrainBudget).toLong)
     val trainH = conv(substring(md5(

@@ -85,7 +85,9 @@ object TrainPrep {
   // prefix-summed on the DRIVER — the same small-scalar exception as the
   // HWM read — and broadcast-joined back, so no single-partition window
   // job appears anywhere in the plan.
-  private val packBudget = 512L
+  // private[graft]: the streaming chunk twins (Streams) and Pipe5Spec
+  // must stay equal to the batch chunk budget
+  private[graft] val packBudget = 512L
 
   /** (doc_id, n_tokens, start_off) for every document — the packing
     * layout shared by pk1 (spans) and pk2 (chunk materialization).
@@ -835,7 +837,8 @@ object TrainPrep {
   // in production it is the manifest table pipe2 already wrote.
   private def pipe4PackEmit(s: SparkSession, d: String): DataFrame = {
     val man = pipe2ManifestFrame(s, d)
-      .select(col("doc_id"), col("n_tokens"), col("start_off"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("chunk_first"), col("chunk_last"))
       .localCheckpoint() // 2 consumers: token emission + span table
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -858,10 +861,10 @@ object TrainPrep {
       .select(col("chunk_id"), col("n_tokens"),
         size(col("doc_set")).cast("long").as("n_docs"), col("chunk_md5"))
     val spans = man
+      // chunk range comes from the manifest's own chunk_first/chunk_last
+      // (one authoritative formula — pipe2ManifestFrame's)
       .select(col("start_off"),
-        explode(sequence(
-          expr(s"start_off div $packBudget"),
-          expr(s"(start_off + n_tokens - 1) div $packBudget"))).as("chunk_id"))
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
       .select(col("chunk_id"),
         (greatest(col("start_off"), col("chunk_id") * packBudget) -
           col("chunk_id") * packBudget).as("rel"))
@@ -950,7 +953,7 @@ object TrainPrep {
     * candidate join (dd9's bucket-cap rationale; see the stage-3 guard
     * comment below). 400 = dd9MaxBucket, inert on clean stores.
     */
-  private[graft] val pipe3MaxStoreBucket = 400L // shared with Streams' store-model builder
+  private[graft] val pipe3MaxStoreBucket = Dedup.dd9MaxBucket // one cap constant engine-wide; shared with Streams' store-model builder
 
   private def pipe3IncrementalPrep(s: SparkSession, d: String): DataFrame =
     pipe3ManifestFrame(s, d).orderBy("shard", "pos")
@@ -1063,7 +1066,12 @@ object TrainPrep {
   /** pipe3's CTE chain ending at `man(doc_id, source, n_tokens, shard,
     * pos, start_off)` — shared by pipe3's and pipe5's oracles. Also in
     * scope for consumers: `g` (the gated corpus) and the store side
-    * `g WHERE doc_id % 7 <> 3`.
+    * `g WHERE doc_id % 7 <> 3`. NOTE: the chain interpolates
+    * `Dedup.lshCandSqlCtesOver` for its `hm`/`sig`/`bands` CTEs, but
+    * the generator's final `cand` CTE is DEAD here — `dirc` derives
+    * the candidate pairs directly from `bands` so the store-side
+    * bucket cap (`sbk`) can apply first; DuckDB never evaluates the
+    * unused CTE. pipe2's oracle still consumes `cand` for real.
     */
   private val pipe3SqlCtes =
     s"""d0 AS (SELECT doc_id, source, text, n_chars,

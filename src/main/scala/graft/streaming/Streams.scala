@@ -420,8 +420,18 @@ object Streams {
     * stance; [[termHash]] is pinned bit-identical to the engine's
     * conv(substring(md5(x),1,15),16,10)).
     */
-  private[graft] def shingleHashes(text: String): Array[Long] = {
-    val hs = shinglesOf(text).map(termHash)
+  private[graft] def shingleHashes(text: String): Array[Long] =
+    sortedDistinct(rawShingleHashes(text))
+
+  /** One md5 digest per shingle occurrence, unsorted/undeduped — the
+    * single hashing pass both the Jaccard fingerprint and the MinHash
+    * band keys derive from (the gate computes it once per doc).
+    */
+  private[graft] def rawShingleHashes(text: String): Array[Long] =
+    shinglesOf(text).map(termHash)
+
+  private def sortedDistinct(src: Array[Long]): Array[Long] = {
+    val hs = src.clone()
     java.util.Arrays.sort(hs)
     var n = 0
     val out = new Array[Long](hs.length)
@@ -439,9 +449,13 @@ object Streams {
     * the engine's xxhash64 compression (candidate keys, so either is
     * sound; strings keep the JVM twin engine-independent).
     */
-  private[graft] def bandKeysOf(text: String): Array[String] = {
+  private[graft] def bandKeysOf(text: String): Array[String] =
+    bandKeysFromHashes(rawShingleHashes(text))
+
+  /** [[bandKeysOf]] from an already-computed raw shingle-hash pass. */
+  private[graft] def bandKeysFromHashes(raw: Array[Long]): Array[String] = {
     import graft.operators.Dedup.{P, permA, permB, numHashes, rowsPerBand, numBands}
-    val hms = shinglesOf(text).map(s => termHash(s) % P)
+    val hms = raw.map(_ % P)
     if (hms.isEmpty) return Array.empty[String]
     val sig = Array.tabulate(numHashes) { i =>
       var m = Long.MaxValue
@@ -552,10 +566,11 @@ object Streams {
       }
       .filter { d =>
         val st = bStore.value
-        val sh = shingleHashes(d.text)
+        val raw = rawShingleHashes(d.text) // ONE md5 pass serves both gates
+        val sh = sortedDistinct(raw)
         val na = sh.length.toLong
         // stage 3: fuzzy gate — band-collision candidates, exact Jaccard
-        val fuzzyDup = bandKeysOf(d.text).iterator
+        val fuzzyDup = bandKeysFromHashes(raw).iterator
           .flatMap(k => st.bandIndex.getOrElse(k, Array.empty[Long]))
           .toArray.distinct.exists { oid =>
             val ob = st.storeShingles(oid)
@@ -653,7 +668,7 @@ object Streams {
       priors: Map[Long, ChunkState] = Map.empty): Dataset[ChunkRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val B = 512
+    val B = graft.operators.TrainPrep.packBudget.toInt
     docs
       .map(d => (d.doc_id, d.text, termHash(s"${d.doc_id}:42")))
       .groupByKey { case (_, _, hk) => java.lang.Math.floorMod(hk, nShards) }
@@ -703,7 +718,7 @@ object Streams {
     */
   def buildChunkPriors(storeDocs: Seq[(Long, String)], nShards: Long = 8L)
       : Map[Long, ChunkState] = {
-    val B = 512L
+    val B = graft.operators.TrainPrep.packBudget
     storeDocs
       .groupBy { case (id, _) =>
         java.lang.Math.floorMod(termHash(s"$id:42"), nShards)

@@ -14,7 +14,7 @@ class Pipe5Spec extends graft.SparkSpec {
 
   test("pipe5 chunks equal the full-rebuild chunks at/after each touched shard's open chunk") {
     val d = sf("sf0.001")
-    val B = 512L
+    val B = TrainPrep.packBudget
     val got = graft.SparkEntry.queries("pipe5_incremental_chunks")(spark, d)
       .collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk_id")) ->
@@ -46,6 +46,11 @@ class Pipe5Spec extends graft.SparkSpec {
 
     val expect = scala.collection.mutable.Map
       .empty[(Long, Long), (Long, Long, String, Long, String, Boolean)]
+    // store-side open chunk per shard, computed INDEPENDENTLY of the
+    // engine output (the immutability frontier the engine must respect)
+    val openByShard = scala.collection.mutable.Map.empty[Long, Long]
+    // does some emitted open-chunk rewrite actually carry stored tokens?
+    var storedTokenRewrite = false
     touched.foreach { shard =>
       // full rebuild: store docs by (hkey, doc_id), then batch docs by pos
       val storeSeq = storeDocs.filter(_._2 == shard).map(_._1)
@@ -60,6 +65,8 @@ class Pipe5Spec extends graft.SparkSpec {
       }
       val tot0 = storeSeq.map(id => textOf(id).split(" ", -1).length.toLong).sum
       val openChunk = tot0 / B
+      openByShard(shard) = openChunk
+      if (tot0 % B != 0) storedTokenRewrite = true // open chunk holds stored tokens
       // token stream restricted to chunks >= openChunk
       val toks = docs.iterator.flatMap(id =>
         textOf(id).split(" ", -1).iterator.map(t => (id, t))).toArray
@@ -84,10 +91,20 @@ class Pipe5Spec extends graft.SparkSpec {
     expect.foreach { case (k, v) =>
       assert(got(k) === v, s"chunk $k mismatch: got=${got(k)} want=$v")
     }
-    // immutability: nothing below any shard's open chunk, and at least
-    // one open-chunk rewrite actually carries stored tokens (n_docs on
-    // the first emitted chunk of some shard exceeds its batch docs there)
-    val openByShard = expect.keys.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
-    got.keys.foreach { case (s0, c0) => assert(c0 >= openByShard(s0)) }
+    // immutability vs the INDEPENDENTLY computed store frontier: nothing
+    // below any touched shard's open chunk, and every touched shard's
+    // emission starts exactly AT its open chunk (the rewrite happens)
+    got.keys.foreach { case (s0, c0) => assert(c0 >= openByShard(s0),
+      s"emitted chunk ($s0, $c0) below the immutable frontier ${openByShard(s0)}") }
+    touched.foreach { s0 =>
+      val emitted = got.keys.filter(_._1 == s0).map(_._2)
+      assert(emitted.nonEmpty && emitted.min == openByShard(s0),
+        s"shard $s0 must start emission at its open chunk ${openByShard(s0)}, got ${emitted.toSeq.sorted}")
+    }
+    // the corpus must actually exercise the stored-tail rewrite (a corpus
+    // where every shard's store ends on a chunk boundary would leave the
+    // boundary-doc path untested — fail loudly instead of silently)
+    assert(storedTokenRewrite,
+      "no shard's open chunk carries stored tokens — boundary path untested")
   }
 }
