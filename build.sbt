@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures the LAST lines of `sbt "runMain graft.Bench"` stdout
+// and json-parses the final line. sbt's own `[success] Total time: ...`
+// epilogue has been that final line every round (BENCH_r01..r11 all have
+// parsed:null even when the metric line fit the capture), so suppress it:
+// the program's own final stdout line becomes the last line of the run.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

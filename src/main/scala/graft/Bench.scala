@@ -126,5 +126,19 @@ object Bench {
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
     spark.stop()
+    // COMPACT metric line LAST — this is the line the driver parses.
+    // Eleven rounds of BENCH_rN.json have parsed:null for two stacked
+    // reasons: (1) the driver keeps only the last ~2000 chars of output
+    // and the 144-query line no longer fits inside that window; (2) the
+    // driver json-parses the FINAL line, which was always sbt's
+    // "[success] Total time" epilogue (suppressed via build.sbt
+    // showSuccess:=false). So: full per-query line above for human/tail
+    // readers, per-query medians + all passes in the sidecar, and this
+    // short (<300 char) summary as the program's very last stdout write,
+    // emitted after spark.stop() so no Spark shutdown logging can land
+    // after it on the merged stream the driver captures.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","per_query":"bench_queries.json"}""")
+    System.out.flush()
   }
 }

@@ -20,6 +20,31 @@ final case class Q(
     oracle: Option[String],
     headline: Boolean = false)
 
+/** DuckDB oracle-side physical hints (results unchanged). */
+object OracleHints {
+  /** Annotate every top-level CTE of an oracle's WITH chain with
+    * DuckDB's `AS MATERIALIZED` hint. DuckDB (1.0) INLINES un-hinted
+    * CTEs at every reference site, so a chain where CTE `x` feeds
+    * several downstream CTEs that themselves fan out re-executes the
+    * whole upstream plan once per reference, compounding
+    * multiplicatively down the chain. Measured at sf0.01: pipe2's
+    * oracle 146 s → 0.5 s, t18's unrolled 6-round BPE chain ~520 s →
+    * seconds, identical rows (the driver's 144-query compare could not
+    * finish inside its time budget in rounds 10–11 — CORRECTNESS_r10/
+    * r11 = `{}`). The hint is purely physical; recursive CTEs (`rr`)
+    * must stay un-hinted — DuckDB cannot materialize a self-referencing
+    * table. Matches the stripMargin convention of the oracle strings
+    * (CTE heads at column 0 or directly after `WITH `/`WITH RECURSIVE `,
+    * continuations indented), so subquery aliases are never touched.
+    */
+  def materializeCtes(sql: String, recursive: Set[String] = Set("rr")): String =
+    "(?m)^((?:WITH (?:RECURSIVE )?)?)([A-Za-z_][A-Za-z0-9_]*) AS \\(".r
+      .replaceAllIn(sql, m =>
+        if (recursive(m.group(2))) java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}${m.group(2)} AS MATERIALIZED ("))
+}
+
 object Registry {
   def all: Seq[Q] =
     operators.Relational.queries ++

@@ -20,6 +20,17 @@ import java.nio.file.{Files, Paths}
   *  - Queries dump on a small thread pool (GRAFT_VERIFY_PAR, default 4;
   *    Spark job scheduling is thread-safe, writes go to disjoint dirs),
   *    cutting wall time ~3× against any driver-side timeout.
+  *
+  * Exit-code contract: rc != 0 only for structural failures — 2 (query
+  * filter matched nothing), 3 (oracle JSON round-trip mismatch), 4
+  * (zero queries dumped). A run where SOME queries fail still exits 0
+  * deliberately: the driver's correctness signal is the per-query
+  * DuckDB compare over whatever was dumped, and a non-zero rc here
+  * risks the driver discarding the 140+ good dumps over one regression
+  * (the exact artifact-zeroing failure mode rounds 10–11 suffered).
+  * Anything consuming this tool directly must read
+  * `verify_manifest.json` ({selected, dumped, failed, oracle_keys}) and
+  * `verify_failures.json` — not the exit code — to detect partial runs.
   */
 object Verify {
   def main(args: Array[String]): Unit = {

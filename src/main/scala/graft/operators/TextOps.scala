@@ -470,12 +470,16 @@ c$r AS (SELECT doc_id,
     sb.toString.stripSuffix(",")
   }
 
-  private val t11Sql: String =
+  // MATERIALIZED: the unrolled k-round chain references each round's
+  // corpus CTE from several successors — DuckDB's default re-inlining
+  // made the oracle's cost compound per round (t18 measured ~520 s at
+  // sf0.01; hinted, seconds — see OracleHints.materializeCtes)
+  private val t11Sql: String = graft.OracleHints.materializeCtes(
     s"""$bpeSqlCtes,
        |m AS (${(1 to t11K).map(r =>
           s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, " +
             s"CAST(c AS BIGINT) AS pair_count FROM best$r").mkString(" UNION ALL ")})
-       |SELECT * FROM m ORDER BY merge_round""".stripMargin
+       |SELECT * FROM m ORDER BY merge_round""".stripMargin)
 
   // ---------------------------------------------------------------------
   // t18_bpe_encode — ENCODE with the trained merge table: the other half
@@ -504,14 +508,14 @@ c$r AS (SELECT doc_id,
       .orderBy("doc_id")
   }
 
-  private val t18Sql: String =
+  private val t18Sql: String = graft.OracleHints.materializeCtes(
     s"""$bpeSqlCtes,
        |b AS (SELECT doc_id, COUNT(*) AS n_before FROM c0 GROUP BY 1),
        |a AS (SELECT doc_id, COUNT(*) AS n_after FROM c$t11K GROUP BY 1)
        |SELECT b.doc_id, CAST(n_before AS BIGINT) AS n_before,
        |  CAST(n_after AS BIGINT) AS n_after,
        |  n_after * 1000000 // n_before AS compression_ppm
-       |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+       |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)
 
   // ---------------------------------------------------------------------
   // t12_bigram_lm — n-gram language-model fluency scoring (the KenLM-

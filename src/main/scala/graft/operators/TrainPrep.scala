@@ -727,6 +727,13 @@ object TrainPrep {
           .as("chunk_last"))
   }
 
+  /** See [[graft.OracleHints.materializeCtes]] — the pipe chains are the
+    * measured worst case of DuckDB's CTE re-inlining (pipe2: 146 s →
+    * 0.5 s at sf0.01, identical rows).
+    */
+  private def materializeCtes(sql: String): String =
+    graft.OracleHints.materializeCtes(sql)
+
   /** pipe2's CTE chain ending at `pk(doc_id, source, n_tokens, shard,
     * pos, start_off)` — shared by pipe2's and pipe4's oracles.
     */
@@ -800,13 +807,13 @@ object TrainPrep {
        |      AS start_off
        |  FROM sp)""".stripMargin
 
-  private val pipe2Sql =
+  private val pipe2Sql = materializeCtes(
     s"""WITH RECURSIVE
        |$pipe2SqlCtes
        |SELECT doc_id, source, n_tokens, shard, pos, start_off,
        |  start_off // $packBudget AS chunk_first,
        |  (start_off + greatest(n_tokens, 1) - 1) // $packBudget AS chunk_last
-       |FROM pk ORDER BY shard, pos""".stripMargin
+       |FROM pk ORDER BY shard, pos""".stripMargin)
 
   // ---------------------------------------------------------------------
   // pipe4_pack_emit — pipe2 carried through to what the trainer actually
@@ -874,7 +881,7 @@ object TrainPrep {
     chunks.join(spans, "chunk_id").orderBy("chunk_id")
   }
 
-  private val pipe4Sql =
+  private val pipe4Sql = materializeCtes(
     s"""WITH RECURSIVE
        |$pipe2SqlCtes,
        |mtx AS (SELECT pk.doc_id, pk.n_tokens, pk.start_off,
@@ -896,7 +903,7 @@ object TrainPrep {
        |  FROM sp2 GROUP BY 1)
        |SELECT c.chunk_id, c.n_tokens, c.n_docs, c.chunk_md5,
        |  s.n_seqs, s.seq_starts_csv
-       |FROM chk c JOIN spn s USING (chunk_id) ORDER BY chunk_id""".stripMargin
+       |FROM chk c JOIN spn s USING (chunk_id) ORDER BY chunk_id""".stripMargin)
 
   // ---------------------------------------------------------------------
   // pipe3_incremental_prep — the INCREMENTAL ingest twin of pipe2: where
@@ -1140,11 +1147,11 @@ object TrainPrep {
        |    AS BIGINT) AS start_off
        |FROM sp LEFT JOIN stm USING (shard))""".stripMargin
 
-  private val pipe3Sql =
+  private val pipe3Sql = materializeCtes(
     s"""WITH
        |$pipe3SqlCtes
        |SELECT doc_id, source, n_tokens, shard, pos, start_off
-       |FROM man ORDER BY shard, pos""".stripMargin
+       |FROM man ORDER BY shard, pos""".stripMargin)
 
   // ---------------------------------------------------------------------
   // pipe5_incremental_chunks — the incremental twin of pipe4, completing
@@ -1251,7 +1258,7 @@ object TrainPrep {
       .orderBy("shard", "chunk_id")
   }
 
-  private val pipe5Sql =
+  private val pipe5Sql = materializeCtes(
     s"""WITH
        |$pipe3SqlCtes,
        |smang AS (SELECT doc_id, n_tokens, CAST(hkey % 8 AS BIGINT) AS shard,
@@ -1295,7 +1302,7 @@ object TrainPrep {
        |SELECT c.shard, c.chunk_id, c.n_tokens, c.n_docs, c.chunk_md5,
        |  s.n_seqs, s.seq_starts_csv, c.n_tokens = $packBudget AS is_full
        |FROM chk5 c JOIN spn5 s USING (shard, chunk_id)
-       |ORDER BY shard, chunk_id""".stripMargin
+       |ORDER BY shard, chunk_id""".stripMargin)
 
   // ---------------------------------------------------------------------
   // cur1_curriculum — curriculum-ordered training schedule: docs are
