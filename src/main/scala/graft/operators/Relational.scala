@@ -847,16 +847,13 @@ object Relational {
   // it to a join+aggregate; .explain shows no per-row subquery). Every
   // other query uses the DataFrame API; this one proves the same plans
   // are reachable from SQL text.
-  private def q31SqlSurface(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("customer_v")
-    Tables.orders(s, d).createOrReplaceTempView("orders_v")
-    s.sql(
+  private def q31SqlSurface(s: SparkSession, d: String): DataFrame =
+    sqlOverViews(s, d)(
       """SELECT c_mktsegment, COUNT(*) AS n_heavy
         |FROM customer_v c
         |WHERE (SELECT COUNT(*) FROM orders_v o
         |       WHERE o.o_custkey = c.c_custkey) >= 15
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
-  }
 
   private val q31Sql =
     """SELECT c_mktsegment, COUNT(*) AS n_heavy
@@ -875,10 +872,8 @@ object Relational {
   // output hash-deterministic. Same plans as the DataFrame API, reached
   // from SQL text — the q31 contract extended to the subquery shapes a
   // BI tool actually emits.
-  private def q33SqlDecorrelate(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("customer_v")
-    Tables.orders(s, d).createOrReplaceTempView("orders_v")
-    s.sql(
+  private def q33SqlDecorrelate(s: SparkSession, d: String): DataFrame =
+    sqlOverViews(s, d)(
       """SELECT o.o_custkey, o.o_orderkey,
         |  SUM(CAST(round(o.o_totalprice*100,0) AS BIGINT)) OVER (
         |    PARTITION BY o.o_custkey
@@ -891,7 +886,6 @@ object Relational {
         |  AND o.o_custkey NOT IN (SELECT c.c_custkey FROM customer_v c
         |        WHERE c.c_acctbal < 0)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
-  }
 
   // DuckDB promotes SUM(BIGINT) to HUGEINT (int128); Spark emits int64.
   // The driver hashes the typed values, so the oracle casts the window
@@ -926,6 +920,24 @@ object Relational {
   //  - q36: uncorrelated scalar aggregate (positive-balance average as
   //    exact cents×count cross-multiplication — no float average) +
   //    correlated NOT EXISTS with an inner filter.
+  /** Guards the session-global temp-view names below: Verify's
+    * GRAFT_VERIFY_PAR thread pool runs query builders concurrently, and
+    * every SQL-surface builder registers the same `*_v` names. Today
+    * each registration carries identical content for a given sfDir, but
+    * registration + `s.sql` resolution under one lock makes that a
+    * non-assumption: Spark analyzes the plan eagerly inside `s.sql`
+    * (view names resolve to relations before the lock releases), so a
+    * later re-registration can never swap a different frame under an
+    * already-built plan.
+    */
+  private val viewLock = new Object
+
+  /** Register the `*_v` views and analyze one SQL text atomically —
+    * the only path the SQL-surface builders use (see [[viewLock]]).
+    */
+  private def sqlOverViews(s: SparkSession, d: String)(sqlText: String): DataFrame =
+    viewLock.synchronized { viewsFor(s, d); s.sql(sqlText) }
+
   private def viewsFor(s: SparkSession, d: String): Unit = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
@@ -953,8 +965,7 @@ object Relational {
        |  FROM $t GROUP BY l_partkey, l_suppkey)""".stripMargin
 
   private def q34TpchQ4(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders_v
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -974,8 +985,7 @@ object Relational {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   private def q35TpchQ21(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       """SELECT s_name, COUNT(*) AS numwait
         |FROM supplier_v JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
         |  JOIN orders_v ON o_orderkey = l1.l_orderkey
@@ -1011,8 +1021,7 @@ object Relational {
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
   private def q36TpchQ22(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       s"""WITH ab AS (SELECT CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS s,
          |    COUNT(*) AS c FROM customer_v WHERE c_acctbal > 0)
          |SELECT c_mktsegment, COUNT(*) AS numcust,
@@ -1049,8 +1058,7 @@ object Relational {
   //    left-semi join. The inner IN-list nests a second (uncorrelated)
   //    subquery, so the one query exercises nested decorrelation.
   private def q37TpchQ17(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       s"""SELECT CAST(SUM(${centsSql("l.l_extendedprice")}) AS BIGINT) AS cents_total,
          |  COUNT(*) AS n_rows
          |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
@@ -1072,8 +1080,7 @@ object Relational {
        |       FROM lineitem i WHERE i.l_partkey = l.l_partkey)""".stripMargin
 
   private def q38TpchQ20(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       """SELECT s.s_suppkey, s.s_name
         |FROM supplier_v s
         |WHERE EXISTS (
@@ -1102,8 +1109,7 @@ object Relational {
   // layers use to tell subtotal rows from data rows. One expand+agg plan
   // (Spark's Expand operator), same as rollup/cube — no extra shuffles.
   private def q39GroupingSets(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
@@ -1289,8 +1295,7 @@ object Relational {
        |FROM f""".stripMargin
 
   private def q45TpchQ15(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       s"""WITH rev AS (SELECT l_suppkey,
          |    CAST(SUM(${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")})) AS BIGINT)
          |      AS total_c
@@ -1389,8 +1394,7 @@ object Relational {
   //    excluded suppliers as a broadcast left-anti, count-distinct at
   //    the (brand,type,size) grain.
   private def q47TpchQ2(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       s"""WITH ${psCte("lineitem_v", "DIV")}
          |SELECT ${centsSql("s_acctbal")} AS acctbal_c, s_name, n_name,
          |  p_partkey, p_name, ps.cost_c AS supplycost_c
@@ -1524,8 +1528,7 @@ object Relational {
        |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin
 
   private def q50TpchQ9(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       s"""WITH ${psCte("lineitem_v", "DIV")},
          |f AS (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |    ${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")})
@@ -1563,8 +1566,7 @@ object Relational {
        |ORDER BY nation, o_year DESC""".stripMargin
 
   private def q51TpchQ11(s: SparkSession, d: String): DataFrame = {
-    viewsFor(s, d)
-    s.sql(
+    sqlOverViews(s, d)(
       s"""WITH ${psCte("lineitem_v", "DIV")},
          |scoped AS (SELECT ps_partkey, CAST(SUM(cost_c * qty) AS BIGINT) AS value_c
          |  FROM ps JOIN supplier_v ON s_suppkey = ps_suppkey

@@ -589,6 +589,23 @@ object Streams {
     * [[streamingIngestChunks]] (chunk path): content-keyed exact dedup
     * in Append mode — first admitted content wins (min doc_id within the
     * trigger, stored digest state across triggers).
+    *
+    * State-size contract: one boolean per ADMITTED content digest,
+    * NoTimeout — the state store IS dd1's stored digest table, so it
+    * grows with admitted-corpus history, not with trigger size (the
+    * same stance as [[streamingIndexMaintenance]]'s per-term stats, and
+    * deliberately unlike the bounded per-shard open-chunk state of
+    * [[streamingChunkAssembly]]). At gate scale that is fine; at 100 TB
+    * the digest set is a warehouse table (dd1's output) and this
+    * operator's state holds only the RETENTION WINDOW the dedup
+    * contract requires — either (a) a TTL via ProcessingTimeTimeout
+    * when the product contract is "dedup within N days" (the
+    * [[streamingNearDupGate]] pattern), or (b) the stored-table lookup
+    * moving into [[gateDocs]]'s broadcast/join side exactly like the
+    * fuzzy band index, with this operator deduping only within the
+    * stream's own history window. The choice is a product decision
+    * (forever-dedup needs the table; windowed dedup needs the TTL), so
+    * the gate-scale twin keeps the simplest correct form.
     */
   private def dedupKeepMin(accepted: Dataset[PrepDoc]): Dataset[ChunkDocIn] = {
     val spark = accepted.sparkSession
@@ -709,6 +726,25 @@ object Streams {
           out.iterator
         })
   }
+
+  /** Strict-append projection of [[streamingChunkAssembly]]: only
+    * CLOSED chunks (is_full = true), each emitted exactly once, never
+    * superseded. [[streamingChunkAssembly]]'s raw feed is an UPSERT
+    * keyed by (shard, chunk_id) — the open-chunk row is re-emitted each
+    * trigger it grows, so a consumer with plain Append-sink semantics
+    * (a file sink, a Kafka topic without compaction) double-counts the
+    * rewrites unless it implements the documented latest-wins merge.
+    * This variant is for exactly those consumers: the emitted set is a
+    * true append-only log (a chunk id appears at most once per shard,
+    * ever), at the cost of bounded staleness — each shard's open tail
+    * (< B tokens) is invisible until it fills. Trainers reading full
+    * packed chunks lose nothing; anything needing the open tail uses
+    * the upsert feed + merge ([[streamingIngestChunks]] / RawZone
+    * warehouseMerge).
+    */
+  def streamingFullChunksOnly(docs: Dataset[ChunkDocIn], nShards: Long = 8L,
+      priors: Map[Long, ChunkState] = Map.empty): Dataset[ChunkRow] =
+    streamingChunkAssembly(docs, nShards, priors).filter(_.is_full)
 
   /** Derive [[streamingChunkAssembly]] priors from the stored corpus:
     * per shard, docs in (md5-hkey, doc_id) order; the state is the open

@@ -572,6 +572,142 @@ class StreamsSpec extends SparkSpec {
     } finally q1.stop()
   }
 
+  test("streamingIngestChunks: kill mid-stream, resume from checkpoint, " +
+      "merged chunks equal the uninterrupted run") {
+    // The per-trigger parity tests above never exercise RECOVERY: the
+    // production contract is that a nightly ingest query can die between
+    // triggers and resume from its checkpoint with both stateful
+    // operators' state (dedup digests, manifest fold, open chunks)
+    // restored. Trigger 1 runs, the query is STOPPED, a new query
+    // restarts from the same checkpointLocation, trigger 2 arrives —
+    // the latest-wins union across both incarnations must equal pipe5's
+    // full output, and every is_full chunk must emit exactly once
+    // ACROSS the restart (a chunk closed before the kill may not
+    // re-emit after it).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val expect = graft.SparkEntry.queries("pipe5_incremental_chunks")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"),
+          r.getAs[String]("chunk_md5"), r.getAs[Long]("n_seqs"),
+          r.getAs[String]("seq_starts_csv"), r.getAs[Boolean]("is_full"))))
+      .toMap
+    assert(expect.nonEmpty)
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val gatedStore = graft.Tables.documents(spark, dir)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 3)
+    val storeDocs = gatedStore.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    val testTexts = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("text").collect()
+      .map(_.getString(0)).toSeq
+    val store = Streams.buildPrepStore(storeDocs, testTexts)
+    val chunkPriors = Streams.buildChunkPriors(storeDocs)
+    val batchDocs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text", "source", "n_chars").collect()
+      .map(r => Streams.PrepDoc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars"))).toIndexedSeq
+      // pipe5 packs each shard's batch docs in (md5-hkey, doc_id) order;
+      // assembly applies that sort WITHIN a trigger but packs triggers in
+      // arrival order, so the split must be a prefix of the pack order
+      // (same contract the other multi-trigger parity tests rely on)
+      .sortBy(d => (Streams.termHash(s"${d.doc_id}:42"), d.doc_id))
+    val (a, b) = batchDocs.splitAt(batchDocs.length / 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ick_ckpt").toString
+    // foreachBatch, not format("memory"): the memory sink forces a temp
+    // checkpoint (Spark refuses recovery through it), while foreachBatch
+    // is the checkpoint-recoverable sink production would use. Each
+    // incarnation drains into a driver-side buffer.
+    val emitted = scala.collection.mutable.ArrayBuffer[Streams.ChunkRow]()
+    // one source across both incarnations: the checkpoint's offsets are
+    // positions in THIS stream, so the restarted query resumes reading
+    // it exactly where incarnation 1 committed
+    val s = MemoryStream[Streams.PrepDoc]
+    def incarnation(batch: IndexedSeq[Streams.PrepDoc]): Seq[Streams.ChunkRow] = {
+      val before = emitted.size
+      val run = Streams.streamingIngestChunks(s.toDS(), store,
+          chunkPriors = chunkPriors)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.ChunkRow], _: Long) =>
+          emitted.synchronized { emitted ++= df.collect() }; ()
+        }
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        s.addData(batch: _*)
+        run.processAllAvailable()
+      } finally run.stop()
+      emitted.synchronized(emitted.drop(before).toSeq)
+    }
+    // incarnation 1: trigger 1 only, then STOP (the kill)
+    val rows1 = incarnation(a)
+    // incarnation 2: a NEW query over the same source + checkpoint —
+    // Spark restores both flatMapGroupsWithState stores from ckpt
+    // (committed batch 0 is not replayed; trigger 2 starts from the
+    // recovered state, not from empty)
+    val rows2 = incarnation(b)
+    // rows2 supersede rows1 per (shard, chunk_id): latest-wins merge
+    val merged = (rows1 ++ rows2).zipWithIndex
+      .groupBy { case (r, _) => (r.shard, r.chunk_id) }
+      .map { case (k, vs) =>
+        val r = vs.maxBy(_._2)._1
+        k -> ((r.n_tokens, r.n_docs, r.chunk_md5, r.n_seqs,
+          r.seq_starts_csv, r.is_full))
+      }
+    assert(merged === expect)
+    // exactly-once closed-chunk emission ACROSS the restart
+    val fullCounts = (rows1 ++ rows2).filter(_.is_full)
+      .groupBy(r => (r.shard, r.chunk_id)).view.mapValues(_.size)
+    assert(fullCounts.forall(_._2 == 1))
+  }
+
+  test("streamingFullChunksOnly: strict-append feed is the is_full subset, once each") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val expectFull = graft.SparkEntry.queries("pipe5_incremental_chunks")(spark, dir)
+      .filter(col("is_full"))
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk_id")) ->
+        r.getAs[String]("chunk_md5")).toMap
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val storeDocs = graft.Tables.documents(spark, dir)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 3)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    val priors = Streams.buildChunkPriors(storeDocs)
+    val textOf = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val batch = graft.SparkEntry.queries("pipe3_incremental_prep")(spark, dir)
+      .collect()
+      .map(r => Streams.ChunkDocIn(r.getAs[Long]("doc_id"),
+        textOf(r.getAs[Long]("doc_id")))).toIndexedSeq
+    val s1 = MemoryStream[Streams.ChunkDocIn]
+    val q1 = Streams.streamingFullChunksOnly(s1.toDS(), priors = priors)
+      .writeStream.format("memory").queryName("fullchunks")
+      .outputMode("append").start()
+    try {
+      val (x, y) = batch.splitAt(batch.length / 2)
+      s1.addData(x: _*); q1.processAllAvailable()
+      s1.addData(y: _*); q1.processAllAvailable()
+      val rows = spark.table("fullchunks").as[Streams.ChunkRow].collect().toSeq
+      // append-only: every key at most once, all is_full, set == pipe5's
+      // closed chunks (the open tails are invisible by design)
+      assert(rows.forall(_.is_full))
+      assert(rows.groupBy(r => (r.shard, r.chunk_id)).forall(_._2.size == 1))
+      assert(rows.map(r => (r.shard, r.chunk_id) -> r.chunk_md5).toMap
+        === expectFull)
+    } finally q1.stop()
+  }
+
   test("streamingManifestAppend: end-to-end parity with pipe3's manifest on the real corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
