@@ -342,6 +342,18 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   val Copies = 10
 
+  /** Versioned /tmp cache root for the synthetic skew corpora. The
+    * caches are keyed on file existence only, so if a corpus-generator
+    * expression changed in a later round, stale parquet from the OLD
+    * generator would silently measure the old corpus and the published
+    * probe numbers would mislead. Bump [[SkewGenVersion]] whenever any
+    * skew generator changes — the new path misses the cache and the
+    * corpus rebuilds from the current expression.
+    */
+  private val SkewGenVersion = 2
+  private def skewCache(name: String): String =
+    s"/tmp/sfprobe_$name-v$SkewGenVersion"
+
   private def replicate(df: DataFrame): DataFrame =
     df.withColumn("_c", explode(sequence(lit(0L), lit(Copies - 1L))))
 
@@ -445,7 +457,7 @@ object ScaleProbe {
     // warm): uniform 2.81 s, hot-1e5 2.11 s — the hot corpus is FASTER
     // (fewer distinct paragraphs survive the partial agg to shuffle).
     if (args.contains("skew:dd10")) {
-      val skewDir = "/tmp/sfprobe_skew"
+      val skewDir = skewCache("skew")
       val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
       def corpus(hot: Boolean, path: String): Unit = {
         if (!new java.io.File(s"$path/documents.parquet").exists()) {
@@ -485,7 +497,7 @@ object ScaleProbe {
     // phrases (zero duplication — measures the collapse's overhead when
     // it buys nothing).
     if (args.contains("skew:dd15")) {
-      val skewDir = "/tmp/sfprobe_skew15"
+      val skewDir = skewCache("skew15")
       def corpus(hot: Boolean, path: String): Unit = {
         if (!new java.io.File(s"$path/documents.parquet").exists()) {
           if (hot) {
@@ -533,7 +545,7 @@ object ScaleProbe {
     // the edge build capped (saneBaskets' ≤256 filter) vs uncapped, then
     // the shipped queries on both corpora.
     if (args.contains("skew:gr3")) {
-      val skewDir = "/tmp/sfprobe_skewgr"
+      val skewDir = skewCache("skewgr")
       if (!new java.io.File(s"$skewDir/uni/lineitem.parquet").exists()) {
         val base = Tables.lineitem(spark, src).select("l_orderkey", "l_partkey")
         base.write.mode("overwrite").parquet(s"$skewDir/uni/lineitem.parquet")
@@ -570,6 +582,140 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // ev5 growth adjudication (`runMain graft.ScaleProbe skew:ev5`),
+    // closing the r10/r11 verdicts' carried watch item: ev5's 10×
+    // super-linearity — is it the PLAN (a scale-killer) or the OUTPUT
+    // (inherent)? The interval join is already banded (1-hour cells →
+    // equi-join), so the probe separates the two by growing the corpus
+    // 10× two ways with identical input row counts:
+    //   dense   — 10 user/event-remapped copies in the SAME time span.
+    //             Errors are system-wide (the join is keyless), so 10×
+    //             sessions each see 10× errors: in-window PAIRS grow
+    //             ~100×. Any correct engine does ~100× work.
+    //   stretch — the same copies shifted into DISJOINT time bands
+    //             (copy c offset by c·span). Each session overlaps only
+    //             its own copy's errors: pairs grow ~10× (linear).
+    // Verdict is read off the stretch row: ~linear runtime at 10× input
+    // with ~10× pairs means the banded plan scales and dense's
+    // super-linearity is pair-count, not plan. MEASURED (this round,
+    // sf0.1 base, warm): 1× 2.26 s / 51.5k pairs; 10×-stretch 2.64 s /
+    // 515k pairs (1.17× time for 10× input AND output — the plan is
+    // nowhere near the bottleneck); 10×-dense 3.97 s / 5.15M pairs
+    // (1.76× time for 100× pairs — output growth absorbed by the
+    // map-side-combined distinct+count). The watch item CLOSES: growth
+    // rides output cardinality; there is no plan regression to fix.
+    if (args.contains("skew:ev5")) {
+      val skewDir = skewCache("skewev5")
+      if (!new java.io.File(s"$skewDir/dense/events.parquet").exists()) {
+        val base = Tables.events(spark, src)
+        val spanUs = base
+          .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))) +
+            3600000000L).as("s")).first().getLong(0)
+        def copies(stretch: Boolean): DataFrame = {
+          val c = base
+            .withColumn("_c", explode(sequence(lit(0L), lit(Copies - 1L))))
+            .withColumn("event_id", col("event_id") * 16L + col("_c"))
+            .withColumn("user_id", col("user_id") * 16L + col("_c"))
+          val shifted = if (stretch)
+            c.withColumn("ts",
+              timestamp_micros(unix_micros(col("ts")) + col("_c") * spanUs))
+          else c
+          shifted.drop("_c")
+        }
+        copies(stretch = false).write.mode("overwrite")
+          .parquet(s"$skewDir/dense/events.parquet")
+        copies(stretch = true).write.mode("overwrite")
+          .parquet(s"$skewDir/stretch/events.parquet")
+      }
+      for ((label, dir) <- Seq("1x-base" -> src,
+          "10x-dense" -> s"$skewDir/dense", "10x-stretch" -> s"$skewDir/stretch")) {
+        def run(): DataFrame = SparkEntry.queries("ev5_interval_join")(spark, dir)
+        run().write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val stats = run().agg(count(lit(1)).as("rows"), sum("n_errors").as("pairs"))
+          .first()
+        println(f"[probe] skew ev5 $label%-11s ${dt}%6.2f s  rows=${stats.getLong(0)}  pairs=${stats.getLong(1)}")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
+    // PRODUCTION-SHAPED pipe5 (`runMain graft.ScaleProbe prod:pipe5`),
+    // closing the r11 verdict's probe gap: the registry pipe5's 10×
+    // number (5.35→13.68 s, 2.6×) includes RE-DERIVING the store-sized
+    // manifest in-plan, which production never does — it reads the six
+    // store tables the previous nightly run materialized. This probe
+    // measures the incremental-only cost: materializeStore (untimed,
+    // stands for last night's run) writes the band index / signature
+    // table / fingerprints / cursors / manifest / open starts to
+    // parquet; pipe5FromStore is timed reading them. Corpora: 1× = the
+    // gate corpus; 10×-store = STORE docs replicated 10× (ids remapped
+    // ≡ 1 mod 70 so every copy stays store-side), batch and held-out
+    // rows UNCHANGED — so any growth in the timed number is store-scan
+    // or candidate-degree cost, not batch work. Copies keep identical
+    // text: store band buckets and batch×store candidate degree grow a
+    // full 10× (max bucket 3→30 at sf0.01, under the 400 cap) — a
+    // DIRTIER store than real growth would produce, so the measured
+    // slope is conservative. Output equality vs the registry pipe5 is
+    // asserted in-run at 1× (and pinned at sf0.001 by
+    // Pipe5FromStoreSpec). MEASURED (sf0.1 base, warm, this round):
+    // rederive-in-plan 1× 4.69 s; from-store 1× 3.66 s, 10×-store
+    // 5.76 s — 1.57× for 10× store growth even with the conservative
+    // full-10× candidate degree (the residual slope is the 10× band
+    // index + signature semi join feeding the verify, plus the
+    // 3-column manifest boundary scan), vs the registry probe's 2.6×
+    // with batch+store grown together. The production-shaped
+    // incremental cost is near-flat in store size, as the design
+    // claims. (The sf0.1 batch is near-dup-heavy by corpus design —
+    // pipe3 accepts 2 docs — so the timed number is dominated by the
+    // gate stages, which is exactly the per-nightly-run cost.)
+    if (args.contains("prod:pipe5")) {
+      import graft.operators.TrainPrep
+      val dirBase = skewCache("prodpipe5")
+      if (!new java.io.File(s"$dirBase/10x/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, src)
+        val copies = docs
+          .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 10 =!= 0)
+          .withColumn("_c", explode(sequence(lit(1L), lit(9L))))
+          .withColumn("doc_id", (col("doc_id") * 16L + col("_c")) * 70L + 1L)
+          .drop("_c")
+        docs.unionByName(copies).write.mode("overwrite")
+          .parquet(s"$dirBase/10x/documents.parquet")
+      }
+      // last night's run (untimed)
+      if (!new java.io.File(s"$dirBase/1x_store/store_opens.parquet").exists())
+        TrainPrep.materializeStore(spark, src, s"$dirBase/1x_store")
+      if (!new java.io.File(s"$dirBase/10x_store/store_opens.parquet").exists())
+        TrainPrep.materializeStore(spark, s"$dirBase/10x", s"$dirBase/10x_store")
+      // correctness: from-store output == the registry pipe5, bit-for-bit
+      val want = SparkEntry.queries("pipe5_incremental_chunks")(spark, src)
+        .collect().map(_.toSeq).toSeq
+      val got = TrainPrep.pipe5FromStore(spark, src, s"$dirBase/1x_store")
+        .collect().map(_.toSeq).toSeq
+      require(got == want,
+        s"pipe5FromStore diverged from pipe5: ${got.size} vs ${want.size} rows")
+      println(s"[probe] prod pipe5 parity OK (${want.size} rows)")
+      dropPersisted()
+      for ((label, d, st) <- Seq(
+          ("rederive-1x", src, ""),
+          ("fromstore-1x", src, s"$dirBase/1x_store"),
+          ("fromstore-10x-store", s"$dirBase/10x", s"$dirBase/10x_store"))) {
+        def run(): DataFrame =
+          if (st.isEmpty) SparkEntry.queries("pipe5_incremental_chunks")(spark, d)
+          else TrainPrep.pipe5FromStore(spark, d, st)
+        run().write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        println(f"[probe] prod pipe5 $label%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // adversarial t17 hub-word probe (`runMain graft.ScaleProbe
     // skew:t17`): one ultra-hot word interleaved at every other position
     // of every doc — the co-occurrence graph gets a hub node whose
@@ -579,7 +725,7 @@ object ScaleProbe {
     // combined on the hub key, so the hub costs one hot-but-combinable
     // key, not a quadratic. uniform twin: all-unique words, same shape.
     if (args.contains("skew:t17")) {
-      val skewDir = "/tmp/sfprobe_skewt17"
+      val skewDir = skewCache("skewt17")
       def corpus(hot: Boolean, path: String): Unit = {
         if (!new java.io.File(s"$path/documents.parquet").exists()) {
           // 24 words/doc; hot: even positions are THE hub word, odd
@@ -616,7 +762,7 @@ object ScaleProbe {
     // data defeats the clustering). uniform twin: same N spread across
     // directions so clusters stay balanced.
     if (args.contains("skew:dd16")) {
-      val skewDir = "/tmp/sfprobe_skewdd16"
+      val skewDir = skewCache("skewdd16")
       val n = 10000L
       def corpus(hot: Boolean, path: String): Unit = {
         if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
@@ -659,7 +805,7 @@ object ScaleProbe {
     // remedies if it blows up are nprobe-aware cell re-splitting or a
     // per-cell scan cap (recall-lossy — not wired unless needed).
     if (args.contains("skew:sim14")) {
-      val skewDir = "/tmp/sfprobe_skewsim14"
+      val skewDir = skewCache("skewsim14")
       val n = 30000L // corpus 24000 > pqTrainBudget => the SAMPLED trainer runs live (rate 2)
       def corpus(hot: Boolean, path: String): Unit = {
         if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
@@ -709,7 +855,7 @@ object ScaleProbe {
     //               unchanged (stage 4 decontamination still kills the
     //               skew batch).
     if (args.contains("skew:pipe3")) {
-      val skewDir = "/tmp/sfprobe_skewpipe3"
+      val skewDir = skewCache("skewpipe3")
       val n = 10000L
       // 40 distinct all-alpha words (digits would fail the quality
       // gate's alpha-ratio test)
@@ -776,7 +922,7 @@ object ScaleProbe {
     // The two exact variants cross-check (their p50+p90 checksums must
     // agree) so the fallback is pinned to the shipped semantics.
     if (args.contains("skew:q55")) {
-      val skewDir = "/tmp/sfprobe_skewq55"
+      val skewDir = skewCache("skewq55")
       val rows = 20000000L
       for ((label, groups) <- Seq("uniform-1009g" -> 1009L, "hot-1group" -> 1L)) {
         val path = s"$skewDir/${label.takeWhile(_ != '-')}"

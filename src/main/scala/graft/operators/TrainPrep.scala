@@ -1258,6 +1258,211 @@ object TrainPrep {
       .orderBy("shard", "chunk_id")
   }
 
+  // ---------------------------------------------------------------------
+  // PRODUCTION-SHAPED pipe3/pipe5 (probe + spec surface, not a registry
+  // entry — the registry's pipe3/pipe5 re-derive the store in-plan so
+  // the DuckDB oracle can replay everything from the raw tables). In
+  // production the store side is NOT re-derived per nightly run: the
+  // previous run left behind (a) the capped MinHash band index, (b) the
+  // per-doc shingle-hash signature table, (c) the held-out fingerprint
+  // universe, (d) the 8 per-shard (cnt, tot) append cursors, (e) the
+  // token-offset manifest, (f) the 8 open-chunk starts. materializeStore
+  // writes exactly those six tables to parquet; pipe3ManifestFromStore /
+  // pipe5FromStore run the same five stages + chunk materialization
+  // READING them, touching the raw store only for the O(shards)
+  // boundary docs' text. Output is bit-identical to the registry twins
+  // (Pipe5FromStoreSpec; the prod:pipe5 probe re-asserts it per run on
+  // the probe corpus). The probe (ScaleProbe prod:pipe5) grows the
+  // STORE 10× with the batch fixed to measure the incremental-only
+  // cost — the number the registry probe could not isolate because its
+  // plan re-derives the store-sized manifest each run.
+  private[graft] def materializeStore(s: SparkSession, d: String,
+      storeDir: String): Unit = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val hkey = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val gated = Tables.documents(s, d)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0)
+    val store = gated.filter(col("doc_id") % 7 =!= 3)
+    // (a) band index, store-bucket cap applied AT WRITE (pipe3 stage 3's
+    // guard — an over-full bucket never reaches any future nightly run)
+    val wBucket = Window.partitionBy("band", "key")
+    Dedup.bandFrameOf(store)
+      .select(col("doc_id"), col("band"), col("key"))
+      .withColumn("sb", count(lit(1)).over(wBucket))
+      .filter(col("sb") <= pipe3MaxStoreBucket)
+      .select("doc_id", "band", "key")
+      .write.mode("overwrite").parquet(s"$storeDir/store_bands.parquet")
+    // (b) per-doc sorted shingle-hash signatures (dd11's stored side)
+    Dedup.shingleRowsOf(store)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$storeDir/store_shingles.parquet")
+    // (c) held-out fingerprint universe
+    Dedup.shingleRowsOf(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+      .select(xxhash64(col("s")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/test_shingles.parquet")
+    // (d) per-shard append cursors
+    store.select(col("doc_id"), nWords.as("n_tokens"))
+      .withColumn("shard", pmod(hkey, lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"))
+      .write.mode("overwrite").parquet(s"$storeDir/store_totals.parquet")
+    // (e) token-offset manifest
+    val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    val smang = store
+      .select(col("doc_id"), nWords.as("n_tokens"))
+      .withColumn("hkey", hkey)
+      .withColumn("shard", pmod(col("hkey"), lit(8L)))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens"))
+          .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    smang.write.mode("overwrite").parquet(s"$storeDir/store_manifest.parquet")
+    // (f) open-chunk starts
+    smang.groupBy("shard")
+      .agg((expr(s"sum(n_tokens) div ${packBudget}L") * packBudget)
+        .as("open_start"))
+      .write.mode("overwrite").parquet(s"$storeDir/store_opens.parquet")
+  }
+
+  /** pipe3's five stages reading the materialized store: only the BATCH
+    * is gated, deduped, shingled and signed; the store contributes its
+    * parquet band index (candidate join), signature table (verify,
+    * candidate oids only via semi join), fingerprint universe
+    * (decontamination) and append cursors (8 broadcast rows). Per-run
+    * cost is O(batch · bucketDegree) with NO store-sized derivation in
+    * the plan.
+    */
+  private[graft] def pipe3ManifestFromStore(s: SparkSession, d: String,
+      storeDir: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    // stage 1 — quality gate, batch rows only
+    val batch = Tables.documents(s, d)
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0).filter(col("doc_id") % 7 === 3)
+    // stage 2 — within-batch exact dedup
+    val wTh = Window.partitionBy("th").orderBy("doc_id")
+    val bdd = batch
+      .withColumn("th", md5(col("text")))
+      .withColumn("rk", row_number().over(wTh))
+      .filter(col("rk") === 1).drop("th", "rk")
+    // stage 3 — fuzzy gate vs the STORED band index (the cap was applied
+    // at write time; batch-side signatures are the only MinHash work)
+    val sBand = s.read.parquet(s"$storeDir/store_bands.parquet")
+    val cand = Dedup.bandFrameOf(bdd)
+        .select(col("doc_id").as("nid"), col("band"), col("key"))
+      .join(sBand.select(col("doc_id").as("oid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("nid", "oid").distinct()
+      .localCheckpoint()
+    val hsB = Dedup.shingleRowsOf(bdd)
+      .join(cand.select(col("nid").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+    val hsS = s.read.parquet(s"$storeDir/store_shingles.parquet")
+      .join(cand.select(col("oid").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val dupNids = cand
+      .join(hsB.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
+      .join(hsS.select(col("doc_id").as("oid"), col("hs").as("hb"), col("n").as("nb")), "oid")
+      .withColumn("common",
+        graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
+      .filter(col("common") * 10L >= (col("na") + col("nb") - col("common")) * 8L)
+      .select(col("nid").as("doc_id")).distinct()
+    val fresh = bdd.join(dupNids, Seq("doc_id"), "left_anti")
+    // stage 4 — decontamination vs the stored fingerprint universe
+    val testSh = s.read.parquet(s"$storeDir/test_shingles.parquet")
+    val fsh = Dedup.shingleRowsOf(fresh)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+    val ctot = fsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val cshr = fsh.join(testSh, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val acc = fresh.select(col("doc_id"), col("source"), nWords.as("n_tokens"))
+      .join(ctot, "doc_id")
+      .join(cshr, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_shared"), lit(0L)) * 5L < col("n_shingles"))
+      .select("doc_id", "source", "n_tokens")
+    // stage 5 — append from the stored cursors
+    val hkey = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val stored = s.read.parquet(s"$storeDir/store_totals.parquet")
+    val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    acc.withColumn("hkey", hkey)
+      .withColumn("shard", pmod(col("hkey"), lit(8L)))
+      .join(broadcast(stored), Seq("shard"), "left")
+      .withColumn("pos",
+        coalesce(col("cnt0"), lit(0L)) + row_number().over(wSh).cast("long") - 1L)
+      .withColumn("start_off", coalesce(col("tot0"), lit(0L)) +
+        coalesce(sum(col("n_tokens"))
+          .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "source", "n_tokens", "shard", "pos", "start_off")
+  }
+
+  /** pipe5 reading the materialized store: the stored manifest is
+    * touched only by the boundary filter (a 3-int64-column scan — the
+    * one store-sized read left in the plan; a real table format prunes
+    * it to the tail row groups via per-shard max(start_off) stats) and
+    * the open starts are 8 stored rows. Everything else is
+    * batch-sized. Output = pipe5's, bit-for-bit.
+    */
+  private[graft] def pipe5FromStore(s: SparkSession, d: String,
+      storeDir: String): DataFrame = {
+    val smang = s.read.parquet(s"$storeDir/store_manifest.parquet")
+    val opens = s.read.parquet(s"$storeDir/store_opens.parquet")
+    val man = pipe3ManifestFromStore(s, d, storeDir)
+      .select("shard", "doc_id", "start_off", "n_tokens")
+      .localCheckpoint() // feeds touched-shards, tokens, and spans
+    val touched = man.select("shard").distinct()
+    val bnd = smang.join(broadcast(opens), "shard")
+      .filter(col("start_off") + col("n_tokens") > col("open_start"))
+      .join(broadcast(touched), Seq("shard"), "left_semi")
+      .select("shard", "doc_id", "start_off", "n_tokens")
+    val uni5 = bnd.unionByName(man)
+      .join(broadcast(opens), Seq("shard"), "left")
+      .withColumn("open_start", coalesce(col("open_start"), lit(0L)))
+      .localCheckpoint() // 2 consumers: token emission + span table
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val chunks = uni5.join(toks, "doc_id")
+      .select(col("shard"), col("doc_id"), col("start_off"), col("open_start"),
+        posexplode(col("toks")).as(Seq("j", "tok")))
+      .withColumn("pos", col("start_off") + col("j"))
+      .filter(col("pos") >= col("open_start"))
+      .withColumn("chunk_id", expr(s"pos div ${packBudget}L"))
+      .groupBy("shard", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        collect_set(col("doc_id")).as("doc_set"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ")).as("chunk_md5"))
+      .select(col("shard"), col("chunk_id"), col("n_tokens"),
+        size(col("doc_set")).cast("long").as("n_docs"), col("chunk_md5"))
+    val spans = uni5
+      .select(col("shard"), col("start_off"),
+        explode(sequence(
+          greatest(expr(s"start_off div ${packBudget}L"),
+            expr(s"open_start div ${packBudget}L")),
+          expr(s"(start_off + n_tokens - 1) div ${packBudget}L")))
+          .as("chunk_id"))
+      .select(col("shard"), col("chunk_id"),
+        (greatest(col("start_off"), col("chunk_id") * packBudget) -
+          col("chunk_id") * packBudget).as("rel"))
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_seqs"),
+        array_join(sort_array(collect_list(col("rel"))), ",").as("seq_starts_csv"))
+    chunks.join(spans, Seq("shard", "chunk_id"))
+      .withColumn("is_full", col("n_tokens") === packBudget)
+      .orderBy("shard", "chunk_id")
+  }
+
   private val pipe5Sql = materializeCtes(
     s"""WITH
        |$pipe3SqlCtes,
