@@ -279,7 +279,9 @@ import org.apache.spark.sql.functions._
   *   24k, k=155, nprobe=19): a one-blob corpus defeats the coarse
   *   quantizer — every vector assigns to ONE cell, so each query's ADC
   *   scan touches the whole corpus (Q·N = 144M ADC rows vs ~28M
-  *   balanced). Measured: uniform 29.2 s, hot-1cell 12.9 s — the
+  *   balanced). Measured: uniform 29.2 s, hot-1cell 12.9 s (re-run
+  *   round 12 with the pool-100 rerank: 23.9 s / 12.9 s — same
+  *   shape; the wider rerank is invisible next to the scan) — the
   *   degenerate case is ABSORBED (faster, even: the scan is 8
   *   codegen'd element_at lookups per row and AQE's skew handling
   *   splits the hot cell join), so no guard is wired; the at-scale
@@ -711,6 +713,51 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         run().write.format("noop").mode("overwrite").save()
         println(f"[probe] prod pipe5 $label%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
+    // sim14 recall/cost sweep (`runMain graft.ScaleProbe recall:sim14`),
+    // the r11 verdict's headroom ask: trained recall@3 was 0.643 vs
+    // sim9's IVF-only 0.650 with the floor at 0.60 — thin margin. Sweep
+    // the two PQ knobs (Lloyd rounds × rerank pool) against the exact
+    // batch-vs-index top-3 at sf0.01 and keep the knee. Results feed
+    // the sim14 scaladoc table and Sim14RecallSpec's floor.
+    if (args.contains("recall:sim14")) {
+      val d = "/root/testdata/sf0.01"
+      val dot = graft.functions.VectorFunctions.dotLong _
+      val e = graft.operators.Similarity.scaledVectors(spark, d).localCheckpoint()
+      val q = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      val c = e.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("nbr"), col("v").as("vb"), col("nrm").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+      val exact = q.crossJoin(c)
+        .withColumn("dot", dot(col("va"), col("vb")))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("qid", "nbr")
+      // truth set on the driver (300 pairs at sf0.01) — dropPersisted
+      // between variants would evict a checkpointed truth frame
+      val truth = exact.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      dropPersisted()
+      val nTruth = truth.size
+      for (iters <- Seq(2, 4); pool <- Seq(50, 100)) {
+        def run(): DataFrame = graft.operators.Similarity
+          .sim14Variant(spark, d, iters, pool).select("qid", "nbr")
+        run().write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val hit = run().collect()
+          .count(r => truth((r.getLong(0), r.getLong(1))))
+        println(f"[probe] sim14 iters=$iters pool=$pool%-4d recall@3 ${hit.toDouble / nTruth}%.3f ($hit/$nTruth)  $dt%5.2f s")
         dropPersisted()
       }
       spark.stop()

@@ -1070,10 +1070,10 @@ object Similarity {
   // map-side, probes its nprobe = max(6, ⌈1.5·√k⌉) nearest cells, and
   // ADC-scans ONLY those cells' codes via its per-query lookup table
   // (64-dot LUT per subspace — no full-width index vector is touched in
-  // the coarse pass); the top-50 coarse survivors per query are exact-
+  // the coarse pass); the top-100 coarse survivors per query are exact-
   // cosine reranked to the final top-3. Work per batch: O(batch·k) for
   // probing, O(Σ_q |probed cells|·m) LUT-joined code rows for the scan
-  // (the 1.6-TB-instead-of-100-TB trade), O(batch·50) full-vector
+  // (the 1.6-TB-instead-of-100-TB trade), O(batch·100) full-vector
   // fetches for rerank — the corpus is never rescanned or re-encoded.
   //
   // Determinism: the PQ codebook is TRAINED — pqIters rounds of
@@ -1084,11 +1084,32 @@ object Similarity {
   // engines hold bit-identical codebooks. Assignment/coarse/final ranks
   // all carry explicit integer tie-breaks; ADC sums are exact int64.
   // Recall@3 vs the batch-vs-index brute force is pinned by
-  // Sim14RecallSpec (trained codebook: measured vs the round-10
-  // untrained stand-in's 0.630).
+  // Sim14RecallSpec. Knob sweep (round 12, ScaleProbe recall:sim14,
+  // sf0.01, exact truth = batch-vs-index brute top-3; sim9's IVF-only
+  // recall on the same corpus is 0.650 — the ceiling the IVF cell
+  // restriction imposes on ANY downstream scoring):
+  //     iters=2 pool=50    0.643 (193/300)   5.53 s
+  //     iters=2 pool=100   0.650 (195/300)   5.54 s   <- shipped
+  //     iters=4 pool=50    0.647 (194/300)   4.81 s
+  //     iters=4 pool=100   0.650 (195/300)   5.50 s
+  // pool=100 reaches the IVF ceiling at either training depth for no
+  // measurable cost (the rerank is O(batch·pool) exact dots); extra
+  // Lloyd rounds buy nothing once the pool absorbs ADC ranking noise.
+  // Shipped point: (iters=2, pool=100) — the knee. (Round-10 untrained
+  // stand-in measured 0.630 at pool=50.)
   private val pqIters = 2
+  private val pqRerankPool = 100
   private val pqTrainBudget = 16384L
-  private def sim14AnnIvfpq(s: SparkSession, d: String): DataFrame = {
+  private def sim14AnnIvfpq(s: SparkSession, d: String): DataFrame =
+    sim14Variant(s, d, pqIters, pqRerankPool)
+
+  /** sim14 with the two recall knobs exposed — the shipped query is
+    * (pqIters=2, pool=50); ScaleProbe recall:sim14 sweeps iters ∈
+    * {2,4} × pool ∈ {50,100} to place the shipped point on the
+    * recall/cost curve (table in the scaladoc above).
+    */
+  private[graft] def sim14Variant(s: SparkSession, d: String,
+      iters: Int, rerankPool: Int): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     val m = 8; val sub = 8
     val isNew = col("vec_id") % 5 === 0
@@ -1161,7 +1182,7 @@ object Similarity {
     var cb = subvCorpus
       .join(broadcast(initIds), col("vec_id") === col("code"))
       .select(col("j"), col("code"), col("sv").as("cv"))
-    for (_ <- 1 to pqIters) {
+    for (_ <- 1 to iters) {
       // argmin by (d2, code) as a map-side-combinable min(struct) — the
       // (d2, code) pair is unique per (vec_id, j) group (codes are
       // distinct), so this is exactly the window rn=1 semantics without
@@ -1251,7 +1272,7 @@ object Similarity {
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("approx_dot").desc, col("nbr"))
     val coarse = adc.withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= 50).select("qid", "nbr")
+      .filter(col("crnk") <= rerankPool).select("qid", "nbr")
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
     coarse
@@ -1351,7 +1372,7 @@ object Similarity {
        |r AS (SELECT c.qid, c.nbr, a.nrm AS na, b.nrm AS nb,
        |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
        |  FROM coarse c JOIN e a ON a.vec_id = c.qid JOIN idx b ON b.vec_id = c.nbr
-       |  WHERE c.crnk <= 50),
+       |  WHERE c.crnk <= $pqRerankPool),
        |f AS (SELECT qid, nbr, $cosSql AS cos,
        |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
        |  FROM r)

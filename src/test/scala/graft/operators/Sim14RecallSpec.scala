@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * index neighbors — the exact truth is the batch×index brute-force
   * cosine top-3, computed inline (Sim9RecallSpec's harness). sim14
   * stacks TWO approximations (IVF cell restriction + 8-byte ADC coarse
-  * scoring before the top-50 exact rerank), so its recall is bounded
-  * above by sim9's IVF-only recall on the same no-gap worst-case corpus
-  * (sim9 measured 0.650 at sf0.01); the PQ coarse stage costs little on
-  * top because the top-50 rerank pool absorbs ADC ranking noise.
-  * Measured 0.643 at sf0.01 (193/300) with the round-11 TRAINED
-  * codebook (2 Lloyd rounds per subspace) — up from 0.630 (189/300)
-  * with the untrained lowest-64-ids stand-in, and only 0.007 below
-  * sim9's IVF-only recall (the trained PQ coarse stage is nearly
-  * free); floor pinned at ≥0.60.
+  * scoring before the exact rerank), so its recall is bounded above by
+  * sim9's IVF-only recall on the same no-gap worst-case corpus (sim9
+  * measured 0.650 at sf0.01). The round-12 knob sweep (ScaleProbe
+  * recall:sim14; table in the sim14 scaladoc) moved the shipped rerank
+  * pool 50 → 100: measured recall@3 is now 0.650 (195/300) at sf0.01 —
+  * the PQ coarse stage costs ZERO recall vs IVF-only, because the
+  * top-100 pool fully absorbs ADC ranking noise (pool=50 measured
+  * 0.643; the untrained round-10 codebook 0.630). Floor pinned at
+  * ≥0.62 — above the best pool=50 number, with slack for corpus
+  * regeneration.
   */
 class Sim14RecallSpec extends graft.SparkSpec {
 
@@ -41,7 +42,7 @@ class Sim14RecallSpec extends graft.SparkSpec {
     val nTruth = exact.count()
     assert(nTruth > 0L)
     val hit = exact.intersect(got).count()
-    assert(hit.toDouble / nTruth >= 0.60,
+    assert(hit.toDouble / nTruth >= 0.62,
       s"sim14 recall regressed: $hit / $nTruth")
   }
 }
