@@ -108,6 +108,72 @@ object Catalog {
     }
   }
 
+  /** Latest-wins keyed UPSERT — the warehouse operator an upsert FEED
+    * needs. pipe5 / streamingChunkAssembly re-emit each shard's open
+    * chunk every run with more tokens packed; [[mergeAppend]]'s
+    * first-write-wins contract would freeze the STALE open-chunk row,
+    * so the materialized chunk table (and any fact fed by an upsert
+    * stream) merges through this instead. Touched partitions are
+    * rewritten in ONE dynamic-overwrite write: survivors (existing rows
+    * whose key is absent from the batch) + the batch, repartitioned to
+    * one file per touched partition, so nightly runs never accumulate
+    * small files in the partitions they rewrite. Cost is O(touched
+    * partitions); untouched partitions keep their files byte-for-byte.
+    *
+    * Requires `partitionBy ⊆ keys` so a key can never move across
+    * partitions (pipe5's (shard, chunk_id) is stable by construction) —
+    * which also keeps the survivor scan partition-pruned. Within-batch
+    * key duplicates collapse to the struct-MAX row: feed one row per
+    * key per batch (pipe5's grain), or rely on a monotone column right
+    * after the keys (a growing open chunk's n_tokens) to make max =
+    * latest.
+    */
+  def upsert(spark: SparkSession, df: DataFrame, table: String,
+      keys: Seq[String], partitionBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "upsert needs a natural key")
+    require(partitionBy.nonEmpty && partitionBy.forall(keys.contains),
+      "upsert needs partition cols ⊆ keys — a key must not move across partitions")
+    val cols = df.columns.toSeq
+    val deduped = df
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(cols.map(col): _*)).as("_row"))
+      .select(col("_row.*"))
+      .select(cols.map(col): _*)
+    if (!spark.catalog.tableExists(table)) {
+      // same one-file-per-partition discipline as the rewrite path
+      append(deduped.repartition(partitionBy.map(col): _*), table, partitionBy)
+      return
+    }
+    val schema = spark.table(table).schema
+    val tableCols = spark.table(table).columns.toSeq
+    val touched = deduped.select(partitionBy.map(col): _*).distinct()
+      .collect().toSeq // bounded: one row per touched partition
+    if (touched.isEmpty) return
+    val tpred = touched.map(r => partitionBy.zipWithIndex.map {
+      case (c, i) => col(c) === lit(r.get(i)).cast(schema(c).dataType)
+    }.reduce(_ && _)).reduce(_ || _)
+    val survivors = spark.table(table).filter(tpred)
+      .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .select(tableCols.map(col): _*)
+    // localCheckpoint breaks lineage to the table being rewritten (the
+    // compactPartitions discipline); pinned data is touched-partition-
+    // sized, not table-sized
+    val pinned = survivors.unionByName(deduped.select(tableCols.map(col): _*))
+      .repartition(partitionBy.map(col): _*)
+      .localCheckpoint()
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try pinned.write.mode(SaveMode.Overwrite).insertInto(table)
+    finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      pinned.unpersist(blocking = false)
+    }
+  }
+
   /** K5 against the catalog: TRUNCATE + reload (the prod variant's
     * dim_media refresh policy, process_wistia_data.py:197-234) — the
     * table object, its schema, and its grants survive, unlike a
