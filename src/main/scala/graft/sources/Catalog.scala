@@ -108,6 +108,57 @@ object Catalog {
     }
   }
 
+  /** Schema-EVOLVING append — the reference's warehouse loads evolve
+    * table schemas as the upstream API grows fields (BigQuery
+    * `autodetect` loads tolerate field addition; the raw zone here is
+    * schema-on-read JSON for the same reason, RawZone.readJson). A plain
+    * catalog parquet table is fixed-schema, so the lifecycle breaks in
+    * BOTH directions the day the API adds a field: a batch carrying the
+    * new column fails the append, and after a manual ALTER an old-shaped
+    * replay batch fails by-name resolution. This closes both: new
+    * top-level batch columns are added to the table first (`ALTER TABLE
+    * ADD COLUMNS` — metadata-only; existing parquet files simply lack
+    * the column and read as NULL under by-name reconciliation, no file
+    * rewrite at any scale), and table columns absent from the batch are
+    * null-filled at the table's type. Field ADDITION only, matching the
+    * warehouse stance everywhere else in this file: a batch column whose
+    * type conflicts with the table's is a pipeline bug and throws loudly
+    * (silent casts would corrupt downstream exact-integer semantics),
+    * and partition columns can never be added after the fact.
+    */
+  def appendEvolving(spark: SparkSession, df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!spark.catalog.tableExists(table)) {
+      append(df, table, partitionBy)
+      return
+    }
+    def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val tableFields = spark.table(table).schema.map(f => norm(f.name) -> f).toMap
+    val conflicts = df.schema.flatMap { f =>
+      tableFields.get(norm(f.name)).collect {
+        case tf if tf.dataType != f.dataType =>
+          s"${f.name} (batch ${f.dataType.simpleString}, table ${tf.dataType.simpleString})"
+      }
+    }
+    require(conflicts.isEmpty,
+      s"appendEvolving: type conflicts, not field addition — ${conflicts.mkString("; ")}")
+    val added = df.schema.filter(f => !tableFields.contains(norm(f.name)))
+    require(!added.exists(f => partitionBy.exists(p => norm(p) == norm(f.name))),
+      "appendEvolving: cannot introduce a partition column on an existing table")
+    // added columns are nullable by construction — every pre-evolution
+    // row reads NULL for them (v1 ALTER also rejects NOT NULL here)
+    if (added.nonEmpty)
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS (${StructType(added.map(_.copy(nullable = true))).toDDL})")
+    val target = spark.table(table).schema // post-ALTER shape
+    val batchNames = df.schema.map(f => norm(f.name)).toSet
+    val aligned = df.select(target.map { f =>
+      if (batchNames.contains(norm(f.name))) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    append(aligned, table, partitionBy)
+  }
+
   /** Latest-wins keyed UPSERT — the warehouse operator an upsert FEED
     * needs. pipe5 / streamingChunkAssembly re-emit each shard's open
     * chunk every run with more tokens packed; [[mergeAppend]]'s

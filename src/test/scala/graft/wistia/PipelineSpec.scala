@@ -207,6 +207,46 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("Catalog.appendEvolving: field addition evolves the table; old shapes replay; conflicts throw") {
+    import spark.implicits._
+    val db = "evolve_test"
+    val dir = Files.createTempDirectory("cat_evolve").toString
+    graft.sources.Catalog.ensureDatabase(spark, db, Some(s"$dir/db"))
+    val t = s"$db.fact"
+    // v1 era: two nightly batches at the original shape
+    val v1 = Seq((1L, "2024-03-01", 10L), (2L, "2024-03-02", 20L))
+      .toDF("k", "date", "v")
+    graft.sources.Catalog.appendEvolving(spark, v1, t, partitionBy = Seq("date"))
+    // the API adds a field: v2 batch carries `score`
+    val v2 = Seq((3L, "2024-03-03", 30L, 0.5)).toDF("k", "date", "v", "score")
+    graft.sources.Catalog.appendEvolving(spark, v2, t, partitionBy = Seq("date"))
+    // table evolved: old rows read NULL (no file rewrite), new row typed
+    val rows = spark.table(t).orderBy("k")
+      .select("k", "v", "score").collect().toSeq
+    assert(rows.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))) ===
+      Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some(0.5))))
+    // an old-shaped replay batch (no `score`) still lands, null-filled —
+    // mixed producers during a rollout don't break the warehouse
+    graft.sources.Catalog.appendEvolving(spark,
+      Seq((4L, "2024-03-04", 40L)).toDF("k", "date", "v"),
+      t, partitionBy = Seq("date"))
+    assert(spark.table(t).filter(col("k") === 4L)
+      .select("score").head().isNullAt(0))
+    assert(spark.table(t).count() === 4L)
+    // partition pruning intact after evolution
+    val pruned = spark.table(t).filter(col("date") === "2024-03-03")
+    assert(pruned.inputFiles.forall(_.contains("date=2024-03-03")))
+    // type CHANGE is not evolution: loud failure, table untouched
+    val bad = Seq((5L, "2024-03-05", "not-a-long")).toDF("k", "date", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Catalog.appendEvolving(spark, bad, t, partitionBy = Seq("date"))
+    }
+    assert(e.getMessage.contains("type conflicts"))
+    assert(spark.table(t).count() === 4L)
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("Catalog.compactPartitions: fragmented partitions shrink, content and quiet partitions untouched") {
     import spark.implicits._
     val db = "compact_test"
