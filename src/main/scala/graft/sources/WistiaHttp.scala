@@ -30,15 +30,68 @@ object WistiaHttp {
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
 
-  /** One GET; Some(body) on 2xx, None otherwise. */
-  def get(url: String, token: String): Option[String] =
+  /** One exchange's observable outcome; None = IO error/timeout. */
+  private[sources] case class Exchange(status: Int, body: String,
+      retryAfterMs: Option[Long])
+
+  private def exchange(url: String, token: String): Option[Exchange] =
     try {
       val b = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofSeconds(60)).GET()
       if (token.nonEmpty) b.header("Authorization", s"Bearer $token")
       val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+      val ra = {
+        val v = resp.headers().firstValue("Retry-After")
+        if (v.isPresent) v.get.trim.toLongOption.map(_ * 1000L) else None
+      }
+      Some(Exchange(resp.statusCode(), resp.body(), ra))
     } catch { case _: Exception => None }
+
+  /** One GET; Some(body) on 2xx, None otherwise. */
+  def get(url: String, token: String): Option[String] =
+    exchange(url, token) match {
+      case Some(e) if e.status / 100 == 2 => Some(e.body)
+      case _ => None
+    }
+
+  /** GET with bounded backoff on TRANSIENT failures — 429 and 5xx
+    * (honoring a numeric `Retry-After`, capped at 60 s) and IO errors/
+    * timeouts; any other non-2xx is terminal (a bad request stays bad).
+    * Delay doubles per attempt from `baseDelayMs`, plus a DETERMINISTIC
+    * per-(url, attempt) jitter so a fleet of executors rate-limited in
+    * the same instant does not re-stampede the API in the same instant
+    * either. `maxAttempts = 1` is exactly [[get]] — the reference's
+    * stop-and-move-on stance (ingest_wistia_v1.py:255 leaves retry as a
+    * comment), kept as the default at every call site; retrying is the
+    * opt-in SCALE posture for fleet concurrency, where transient
+    * 429/503 is the common case, not the exception. `sleep` is
+    * injectable for deterministic tests.
+    */
+  def getRetrying(url: String, token: String, maxAttempts: Int,
+      baseDelayMs: Long = 500L,
+      sleep: Long => Unit = Thread.sleep): Option[String] = {
+    var attempt = 1
+    while (attempt <= maxAttempts) {
+      val ex = exchange(url, token)
+      ex match {
+        case Some(e) if e.status / 100 == 2 => return Some(e.body)
+        case Some(e) if e.status != 429 && e.status / 100 != 5 => return None
+        case _ => // 429 / 5xx / IO error: transient
+          if (attempt == maxAttempts) return None
+          val backoff = baseDelayMs << (attempt - 1)
+          val jitter = Math.floorMod(
+            scala.util.hashing.MurmurHash3.stringHash(s"$url#$attempt"),
+            (baseDelayMs / 2 + 1).toInt).toLong
+          val delay = ex.flatMap(_.retryAfterMs) match {
+            case Some(ra) => math.min(ra, 60000L)
+            case None => backoff + jitter
+          }
+          sleep(delay)
+          attempt += 1
+      }
+    }
+    None
+  }
 
   /** Does a JSON array body hold zero records? (whitespace-tolerant;
     * `[]` ends events pagination exactly like the reference's falsy
@@ -79,7 +132,8 @@ object WistiaHttp {
     * stop-on-error isolation).
     */
   def eventPages(baseUrl: String, token: String, mediaId: String,
-      perPage: Int, startDate: Option[String], endDate: Option[String]): Iterator[String] =
+      perPage: Int, startDate: Option[String], endDate: Option[String],
+      maxAttempts: Int = 1): Iterator[String] =
     new Iterator[String] {
       private var page = 1
       private var nextBody: Option[String] = None
@@ -91,7 +145,7 @@ object WistiaHttp {
           Some(s"page=$page"),
           startDate.map(d => s"start_date=${enc(d)}"),
           endDate.map(d => s"end_date=${enc(d)}")).flatten.mkString("&")
-        get(s"$baseUrl?$params", token) match {
+        getRetrying(s"$baseUrl?$params", token, maxAttempts) match {
           case Some(body) if !isEmptyArray(body) =>
             nextBody = Some(body); page += 1
           case _ => done = true // empty page or error: stop (reference :257,:286)
@@ -112,18 +166,21 @@ object WistiaHttp {
     * that media and continues, matching the reference's per-media
     * None-and-move-on isolation (no retry).
     */
-  def show(showUrlBase: String, token: String, mediaId: String): Option[String] =
-    get(s"${showUrlBase.stripSuffix("/")}/${enc(mediaId)}.json", token)
+  def show(showUrlBase: String, token: String, mediaId: String,
+      maxAttempts: Int = 1): Option[String] =
+    getRetrying(s"${showUrlBase.stripSuffix("/")}/${enc(mediaId)}.json", token,
+      maxAttempts)
 
   /** All media-list pages (driver-side; the list is small). Stops on
     * empty OR short page like the reference's List-endpoint loop.
     */
-  def mediaPages(baseUrl: String, token: String, perPage: Int): Seq[String] = {
+  def mediaPages(baseUrl: String, token: String, perPage: Int,
+      maxAttempts: Int = 1): Seq[String] = {
     val out = Seq.newBuilder[String]
     var page = 1
     var done = false
     while (!done) {
-      get(s"$baseUrl?per_page=$perPage&page=$page", token) match {
+      getRetrying(s"$baseUrl?per_page=$perPage&page=$page", token, maxAttempts) match {
         case Some(body) if !isEmptyArray(body) =>
           out += body
           if (arrayLen(body) < perPage) done = true else page += 1

@@ -61,7 +61,8 @@ class WistiaRawSource extends TableProvider
   * `ingest_wistia.py` HTTP boundary (S1–S3 live).
   */
 private[sources] case class ApiConf(path: String, apiUrl: String, token: String,
-    mediaIds: Seq[String], perPage: Int, endDate: Option[String]) {
+    mediaIds: Seq[String], perPage: Int, endDate: Option[String],
+    maxAttempts: Int = 1) {
   def isHttp: Boolean = apiUrl.nonEmpty
 }
 
@@ -73,7 +74,10 @@ private[sources] object ApiConf {
     mediaIds = Option(p.get("api.media_ids")).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
     perPage = p.getOrDefault("api.per_page", "100").toInt,
-    endDate = Option(p.get("api.end_date")))
+    endDate = Option(p.get("api.end_date")),
+    // 1 = the reference's stop-and-move-on (no retry); >1 opts into
+    // WistiaHttp.getRetrying's bounded backoff for fleet-scale reads
+    maxAttempts = p.getOrDefault("api.max_attempts", "1").toInt)
 }
 
 private[sources] class WistiaRawTable(schema: StructType, conf: ApiConf)
@@ -255,7 +259,8 @@ private[sources] case class WistiaHttpReaderFactory(required: StructType,
       private val parser = new JacksonParser(required, opts,
         allowArrayAsStructs = true, Seq.empty)
       private var pages: Iterator[String] = WistiaHttp.eventPages(
-        conf.apiUrl, conf.token, media, conf.perPage, startDate, conf.endDate)
+        conf.apiUrl, conf.token, media, conf.perPage, startDate, conf.endDate,
+        conf.maxAttempts)
       private var rows: Iterator[InternalRow] = Iterator.empty
       private var current: InternalRow = _
 
