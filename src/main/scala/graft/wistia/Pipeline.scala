@@ -78,6 +78,50 @@ object Pipeline {
       "fact_media_engagement" -> RawZone.warehouse(spark, wh.fact).count())
   }
 
+  /** [[runBatch]] with per-stage run history: each star write is timed
+    * and row-counted via [[graft.sources.RunLog.observedWrite]] (the
+    * count rides the write action — no post-write re-scan) and one row
+    * per stage lands in `<root>/run_log` — including the stages of a
+    * run that FAILS partway (status=failed logged before the error
+    * propagates), which is when a job log earns its keep. Returns rows
+    * written THIS run per stage (unlike [[runBatch]]'s total table
+    * counts — the log row is the per-run number, the table holds the
+    * running history).
+    */
+  def runBatchLogged(spark: SparkSession, rawRoot: String, wh: Warehouse,
+      targetHashedIds: Seq[String],
+      ingestionTs: java.sql.Timestamp,
+      scaleDivisor: Double = WatchTime.percentScaleDivisor): Map[String, Long] = {
+    import graft.sources.RunLog
+    val logPath = s"${wh.root}/run_log"
+    def required(entity: String, schema: org.apache.spark.sql.types.StructType) =
+      RawZone.readLatestRun(spark, rawRoot, entity, schema).getOrElse(
+        throw new IllegalStateException(s"no raw runs under $rawRoot/$entity"))
+    val rawMedia = required("media", Schemas.rawMedia)
+    val rawEvents = required("events", Schemas.rawEvent)
+    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+    val dimVisitor = Transforms.dimVisitor(rawEvents, ingestionTs)
+    val fact = Transforms.factMediaEngagement(
+      rawEvents,
+      dimMedia.select(col("media_id"), col("duration")),
+      ingestionTs, scaleDivisor)
+    val done = scala.collection.mutable.ArrayBuffer[RunLog.Entry]()
+    def stage(name: String, df: org.apache.spark.sql.DataFrame)(
+        w: org.apache.spark.sql.DataFrame => Unit): Unit =
+      try done += RunLog.observedWrite(df, ingestionTs, "runBatch", name)(w)
+      catch {
+        case f: RunLog.LoggedFailure =>
+          RunLog.append(spark, logPath, (done :+ f.entry).toSeq)
+          throw f.cause
+      }
+    stage("dim_media", dimMedia)(RawZone.warehouseAppend(_, wh.dimMedia))
+    stage("dim_visitor", dimVisitor)(RawZone.warehouseAppend(_, wh.dimVisitor))
+    stage("fact_media_engagement", fact)(
+      RawZone.warehouseAppend(_, wh.fact, partitionBy = Seq("date")))
+    RunLog.append(spark, logPath, done.toSeq)
+    done.map(e => e.stage -> e.rows).toMap
+  }
+
   /** Natural keys of the star tables (the fact grain is the reference's
     * own GROUP BY, process_wistia_data_v2.py:446-452; dims key on their
     * entity id). Used by [[runBatchIdempotent]] / the streaming merge sink.

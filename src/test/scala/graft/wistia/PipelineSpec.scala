@@ -72,6 +72,53 @@ class PipelineSpec extends SparkSpec {
     assert(counts2("dim_media") === 4L)
   }
 
+  test("runBatchLogged: per-stage run history rides the writes; failures are logged too") {
+    val dir = Files.createTempDirectory("pipeline_log").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5),
+      eventJson("e3", "v2", "xyz", "2024-03-02T09:00:00Z", 0.0)))
+    val written = Pipeline.runBatchLogged(spark, s"$dir/raw", wh,
+      targetHashedIds = Seq("abc", "xyz"), ingestionTs = ts0, scaleDivisor = 1.0)
+    // returns per-RUN rows (== table totals on a first run)
+    assert(written === Map(
+      "dim_media" -> 2L, "dim_visitor" -> 2L, "fact_media_engagement" -> 2L))
+    val log1 = graft.sources.RunLog.read(spark, s"${wh.root}/run_log")
+    assert(log1.count() === 3L)
+    assert(log1.filter(col("status") =!= "ok").count() === 0L)
+    // the observed counts equal what actually landed, stage by stage
+    assert(log1.select("stage", "rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === written)
+    assert(log1.filter(col("millis") < 0L).count() === 0L)
+    // second run appends 3 more history rows (T3-faithful writes)
+    Pipeline.runBatchLogged(spark, s"$dir/raw", wh, Seq("abc", "xyz"), ts0,
+      scaleDivisor = 1.0)
+    assert(graft.sources.RunLog.read(spark, s"${wh.root}/run_log").count() === 6L)
+
+    // failing run: the fact path is blocked by a regular FILE, so stage 3
+    // throws — the log must still carry dims=ok + fact=failed, and the
+    // original error must propagate
+    val dir2 = Files.createTempDirectory("pipeline_logfail").toString
+    val wh2 = Pipeline.Warehouse(s"$dir2/wh")
+    writeRaw(s"$dir2/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2)))
+    Files.createDirectories(java.nio.file.Paths.get(wh2.root))
+    Files.createFile(java.nio.file.Paths.get(wh2.fact))
+    intercept[Exception] {
+      Pipeline.runBatchLogged(spark, s"$dir2/raw", wh2, Seq("abc"), ts0,
+        scaleDivisor = 1.0)
+    }
+    val log2 = graft.sources.RunLog.read(spark, s"${wh2.root}/run_log")
+      .select("stage", "status", "rows").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(log2("dim_media") === (("ok", 1L))) // only "abc" targeted
+    assert(log2("dim_visitor") === (("ok", 1L)))
+    assert(log2("fact_media_engagement")._1 === "failed")
+    assert(log2("fact_media_engagement")._2 === -1L)
+  }
+
   test("runBatchCatalog: idempotent DDL bootstrap, appends by table name") {
     val dir = Files.createTempDirectory("pipeline_cat").toString
     val wh = Pipeline.CatalogWarehouse("wistia_test")
