@@ -1604,7 +1604,78 @@ object TrainPrep {
        |FROM g ORDER BY bucket_len""".stripMargin
   }
 
+  // pk6_rag_chunks — strided overlapping token windows WITHIN each doc:
+  // chunk k of a doc covers token positions [k·S, k·S + B) with B=64,
+  // S=48 (16-token overlap between neighbors) — the standard retrieval/
+  // embedding chunker for unstructured text, where overlap keeps a span
+  // that straddles a boundary intact in at least one chunk. Distinct
+  // from pk1/pk2 (cross-doc greedy packing into training contexts, no
+  // overlap) and dd10 (paragraph grain): this is the within-doc
+  // read-side layout an index builds over, emitted as
+  // (doc_id, chunk_id, n_tokens, is_full, chunk_md5).
+  //
+  // Membership is computed per TOKEN, never per pair: token p belongs
+  // to chunks k ∈ [max(0, (p−B+S) div S), min(K, p div S)] — at most
+  // ⌈B/S⌉ = 2 chunks — where K = (n_doc−B+S−1) div S caps the tail so
+  // a final window fully contained in its predecessor is not emitted.
+  // The clamp makes every division non-negative, so Spark's
+  // truncate-toward-zero `div` and DuckDB's floor `//` agree exactly.
+  //
+  // Scale: one narrow token-grain frame (posexplode), a 2-row-max
+  // explode of the membership range, and ONE (doc_id, chunk_id)
+  // shuffle whose groups are bounded at B tokens (collect_list is
+  // chunk-sized, never doc-sized). No windows, no skew (stride is
+  // fixed), fingerprints via md5 so the oracle replays bit-for-bit.
+  private val pk6Budget = 64L
+  private val pk6Stride = 48L
+  private def pk6RagChunks(s: SparkSession, d: String): DataFrame = {
+    val B = pk6Budget
+    val S = pk6Stride
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_doc", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n_doc"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("p", col("p").cast("long"))
+      .withColumn("k_cap",
+        greatest(lit(0L), expr(s"(n_doc - $B + $S - 1) div $S")))
+      .withColumn("k", explode(sequence(
+        greatest(lit(0L), expr(s"(p - $B + $S) div $S")),
+        least(col("k_cap"), expr(s"p div $S")))))
+      .groupBy(col("doc_id"), col("k").as("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_md5"))
+      .withColumn("is_full", col("n_tokens") === lit(B))
+      .select("doc_id", "chunk_id", "n_tokens", "is_full", "chunk_md5")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val pk6Sql = {
+    val B = 64L; val S = 48L
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_doc,
+       |    CAST(u.i - 1 AS BIGINT) AS p, toks[u.i] AS tok
+       |  FROM t, UNNEST(generate_series(1, len(toks))) u(i)
+       |  WHERE len(toks[u.i]) > 0),
+       |m AS (SELECT doc_id, p, tok,
+       |    UNNEST(generate_series(
+       |      greatest(0, (p - $B + $S) // $S),
+       |      least(greatest(0, (n_doc - $B + $S - 1) // $S), p // $S))) AS k
+       |  FROM e),
+       |g AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |    COUNT(*) AS n_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+       |  FROM m GROUP BY 1, 2)
+       |SELECT doc_id, chunk_id, n_tokens, n_tokens = $B AS is_full, chunk_md5
+       |FROM g ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("pk6_rag_chunks", pk6RagChunks, Some(pk6Sql)),
     Q("pk5_length_buckets", pk5LengthBuckets, Some(pk5Sql)),
     Q("pipe1_train_manifest", pipe1TrainManifest, Some(pipe1Sql)),
     Q("pipe2_full_prep", pipe2FullPrep, Some(pipe2Sql)),
