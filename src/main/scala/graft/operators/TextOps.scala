@@ -1019,7 +1019,67 @@ c$r AS (SELECT doc_id,
        |ORDER BY rank_ppm DESC, word LIMIT 30""".stripMargin
   }
 
+  // search4_chunk_bm25 — retrieval at the pk6 CHUNK grain: search1's
+  // exact-rational BM25 rescored over TrainPrep.pk6TokenChunks'
+  // overlapping 64-token windows, returning the top-20 chunks — the
+  // retrieval layer a RAG system actually queries (a whole-doc hit says
+  // "somewhere in 300 tokens"; the chunk hit IS the passage, and the
+  // 16-token overlap guarantees a straddling span scores intact in one
+  // of them). Same k1=6/5, b=3/4 folded rationals and capped rational
+  // idf as search1 — but over chunk dl ≤ 64, where the length
+  // normalization genuinely discriminates (every chunk dl is comparable,
+  // unlike doc lengths). df counts CHUNKS containing the term, the
+  // BM25 convention when the chunk is the retrieval unit.
+  //
+  // Scale: the membership frame is token-grain narrow ×≤2 (pk6's
+  // bound); tf is one map-side-combined (doc, chunk, term) shuffle
+  // restricted to the query terms in the scan stage; df/totals are
+  // broadcast scalars; final ranking a distributed TakeOrdered(20).
+  private def search4ChunkBm25(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "scan")
+    val toks = graft.operators.TrainPrep.pk6TokenChunks(s, d)
+    val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum("dl").as("tt"), count(lit(1)).as("n"))
+    val tf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy("doc_id", "k", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "tok")
+      .join(dl, Seq("doc_id", "k"))
+      .crossJoin(broadcast(totals))
+      .withColumn("avg", expr("tt div n"))
+      .withColumn("tfn_ppm",
+        expr("(22L * tf * avg * 1000000L) div (10L * tf * avg + 3L * avg + 9L * dl)"))
+      .withColumn("idf_ppm",
+        least(expr("((n - df) * 1000000L) div df"), lit(100000000L)))
+      .withColumn("s_ppm", expr("(tfn_ppm * idf_ppm) div 1000000L"))
+      .groupBy(col("doc_id"), col("k").as("chunk_id"))
+      .agg(sum("s_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"), col("chunk_id"))
+      .limit(20)
+  }
+
+  private val search4Sql = graft.OracleHints.materializeCtes(
+    s"""WITH ${graft.operators.TrainPrep.pk6ChunkCtes},
+      |dl AS (SELECT doc_id, k, COUNT(*) AS dl FROM m GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt, COUNT(*) AS n FROM dl),
+      |tf AS (SELECT doc_id, k, tok, COUNT(*) AS tf FROM m
+      |  WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+      |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |sc AS (SELECT tf.doc_id, tf.k,
+      |    (22 * tf.tf * (tt // n) * 1000000)
+      |      // (10 * tf.tf * (tt // n) + 3 * (tt // n) + 9 * dl.dl) AS tfn_ppm,
+      |    LEAST(((n - df) * 1000000) // df, 100000000) AS idf_ppm
+      |  FROM tf JOIN dft ON tf.tok = dft.tok
+      |    JOIN dl ON tf.doc_id = dl.doc_id AND tf.k = dl.k
+      |    CROSS JOIN tot)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |  CAST(SUM((tfn_ppm * idf_ppm) // 1000000) AS BIGINT) AS score_ppm,
+      |  COUNT(*) AS n_terms
+      |FROM sc GROUP BY 1, 2
+      |ORDER BY score_ppm DESC, doc_id, chunk_id LIMIT 20""".stripMargin)
+
   val queries: Seq[Q] = Seq(
+    Q("search4_chunk_bm25", search4ChunkBm25, Some(search4Sql)),
     Q("t18_bpe_encode", t18BpeEncode, Some(t18Sql)),
     Q("t17_textrank_keywords", t17TextrankKeywords, Some(t17Sql)),
     Q("t16_pmi_collocations", t16PmiCollocations, Some(t16Sql)),

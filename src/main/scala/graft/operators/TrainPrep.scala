@@ -1628,7 +1628,13 @@ object TrainPrep {
   // fixed), fingerprints via md5 so the oracle replays bit-for-bit.
   private val pk6Budget = 64L
   private val pk6Stride = 48L
-  private def pk6RagChunks(s: SparkSession, d: String): DataFrame = {
+
+  /** The chunker's token-grain membership frame — (doc_id, chunk k, p,
+    * tok), one row per (token, member chunk) — shared by [[pk6RagChunks]]
+    * (aggregates it to the chunk table) and the chunk-grain retrieval
+    * query in TextOps (search4 scores BM25 over the same layout).
+    */
+  private[operators] def pk6TokenChunks(s: SparkSession, d: String): DataFrame = {
     val B = pk6Budget
     val S = pk6Stride
     Tables.documents(s, d)
@@ -1643,6 +1649,12 @@ object TrainPrep {
       .withColumn("k", explode(sequence(
         greatest(lit(0L), expr(s"(p - $B + $S) div $S")),
         least(col("k_cap"), expr(s"p div $S")))))
+      .select("doc_id", "k", "p", "tok")
+  }
+
+  private def pk6RagChunks(s: SparkSession, d: String): DataFrame = {
+    val B = pk6Budget
+    pk6TokenChunks(s, d)
       .groupBy(col("doc_id"), col("k").as("chunk_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -1654,9 +1666,12 @@ object TrainPrep {
       .orderBy("doc_id", "chunk_id")
   }
 
-  private val pk6Sql = {
+  /** DuckDB CTE fragment for the same membership frame (t → e → m);
+    * shared by pk6's and search4's oracles.
+    */
+  private[operators] val pk6ChunkCtes = {
     val B = 64L; val S = 48L
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_doc,
        |    CAST(u.i - 1 AS BIGINT) AS p, toks[u.i] AS tok
        |  FROM t, UNNEST(generate_series(1, len(toks))) u(i)
@@ -1665,7 +1680,12 @@ object TrainPrep {
        |    UNNEST(generate_series(
        |      greatest(0, (p - $B + $S) // $S),
        |      least(greatest(0, (n_doc - $B + $S - 1) // $S), p // $S))) AS k
-       |  FROM e),
+       |  FROM e)""".stripMargin
+  }
+
+  private val pk6Sql = {
+    val B = 64L
+    s"""WITH $pk6ChunkCtes,
        |g AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
        |    COUNT(*) AS n_tokens,
        |    md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
