@@ -659,7 +659,12 @@ c$r AS (SELECT doc_id,
   // shuffle RESTRICTED to query terms (the isin pushes into the scan
   // stage); df and the corpus totals are broadcast 1-to-3-row frames;
   // dl joins on doc_id; final ranking is a distributed TakeOrdered(20).
-  private def search1Bm25(s: SparkSession, d: String): DataFrame = {
+  /** search1's per-doc BM25 scored frame (pre-ranking): doc_id,
+    * score_ppm, n_terms for docs matching any query term. Shared by
+    * search1 (top-20 list) and search5 (the lexical leg of the hybrid
+    * fusion).
+    */
+  private[operators] def bm25DocScores(s: SparkSession, d: String): DataFrame = {
     val qTerms = Seq("hash", "join", "scan")
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -679,12 +684,19 @@ c$r AS (SELECT doc_id,
       .withColumn("s_ppm", expr("(tfn_ppm * idf_ppm) div 1000000L"))
       .groupBy("doc_id")
       .agg(sum("s_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
-      .orderBy(col("score_ppm").desc, col("doc_id"))
-      .limit(20)
   }
 
-  private val search1Sql =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+  private def search1Bm25(s: SparkSession, d: String): DataFrame =
+    bm25DocScores(s, d)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(20)
+
+  /** search1's BM25 scoring CTE chain, ending in `lexsc` (doc_id,
+    * score_ppm, n_terms) — the SQL twin of [[bm25DocScores]], shared by
+    * the search1 and search5 oracles.
+    */
+  private[operators] val bm25ScoresSqlCtes =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
       |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt, COUNT(*) AS n FROM dl),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
@@ -696,11 +708,16 @@ c$r AS (SELECT doc_id,
       |    LEAST(((n - df) * 1000000) // df, 100000000) AS idf_ppm
       |  FROM tf JOIN dft ON tf.term = dft.term
       |    JOIN dl ON tf.doc_id = dl.doc_id
-      |    CROSS JOIN tot)
-      |SELECT doc_id,
+      |    CROSS JOIN tot),
+      |lexsc AS (SELECT doc_id,
       |  CAST(SUM((tfn_ppm * idf_ppm) // 1000000) AS BIGINT) AS score_ppm,
       |  COUNT(*) AS n_terms
-      |FROM sc GROUP BY doc_id
+      |FROM sc GROUP BY doc_id)""".stripMargin
+
+  private val search1Sql =
+    s"""WITH $bm25ScoresSqlCtes
+      |SELECT doc_id, score_ppm, n_terms
+      |FROM lexsc
       |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1078,7 +1095,86 @@ c$r AS (SELECT doc_id,
       |FROM sc GROUP BY 1, 2
       |ORDER BY score_ppm DESC, doc_id, chunk_id LIMIT 20""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // search5_hybrid_rrf — hybrid retrieval: the lexical BM25 ranking
+  // (search1's scored frame) fused with a semantic embedding ranking of
+  // the same query by RECIPROCAL RANK FUSION (Cormack et al.'s
+  // score-free fusion — the production hybrid-search default because it
+  // needs no score calibration between incommensurable scales). One
+  // user query with both forms: terms ("hash join scan") and an
+  // embedding (vec_id 0 stands for the embedded query text; doc_id ≡
+  // vec_id in this corpus). Each leg contributes 10⁶ div (60 + rank)
+  // — integer division of the classic 1/(k+r), k=60 — so a doc near
+  // the top of EITHER list outranks a doc mid-table in both, and a doc
+  // in both lists beats one in a single list at comparable rank.
+  // Docs absent from a leg contribute 0 from it (rank reported as 0).
+  //
+  // Scale: each leg is a top-20 — lexical via bm25DocScores (tf shuffle
+  // restricted to query terms) + distributed TakeOrdered(20); semantic
+  // here is the exact cosine scan (one broadcast query vector, map-side
+  // dot + TakeOrdered — O(N) for ONE query only at gate scale), and the
+  // fusion is list-shape-agnostic: at 100 TB the semantic leg IS
+  // sim14's IVFPQ probe output (same (doc, rank) shape), swapped in
+  // without touching the fusion. The fusion itself joins two ≤20-row
+  // frames — broadcast, trivially. row_number windows run over ≤20
+  // rows post-TakeOrdered (bounded, not a global sort).
+  private def search5HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val wcos = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id"))
+    val wlex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val e = Similarity.scaledVectors(s, d)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(col("v").as("va"), col("nrm").as("na"))
+    val sem = e.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("doc_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(qv))
+      .withColumn("dot", dot(col("va"), col("vb")))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .withColumn("srank", row_number().over(wcos).cast("long"))
+      .select("doc_id", "srank")
+    val lex = bm25DocScores(s, d)
+      .orderBy(col("score_ppm").desc, col("doc_id")).limit(20)
+      .withColumn("lrank", row_number().over(wlex).cast("long"))
+      .select("doc_id", "lrank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000L div (60L + lrank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60L + srank)"), lit(0L)))
+      .select(col("doc_id"), col("rrf_ppm"),
+        coalesce(col("lrank"), lit(0L)).as("lex_rank"),
+        coalesce(col("srank"), lit(0L)).as("sem_rank"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  private val search5Sql = graft.OracleHints.materializeCtes(
+    s"""WITH $bm25ScoresSqlCtes,
+      |${graft.operators.Similarity.scaledVectorsSqlCte},
+      |lexr AS (SELECT doc_id, lrank FROM (SELECT doc_id,
+      |    row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS lrank
+      |  FROM lexsc) WHERE lrank <= 20),
+      |qv AS (SELECT v AS va, nrm AS na FROM e WHERE vec_id = 0),
+      |semsc AS (SELECT e.vec_id AS doc_id, e.nrm AS nb, qv.na AS na,
+      |  CAST((SELECT SUM(e.v[i] * qv.va[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+      |  FROM e, qv WHERE e.vec_id <> 0),
+      |semr AS (SELECT doc_id, srank FROM (SELECT doc_id,
+      |    row_number() OVER (ORDER BY CAST(dot AS DOUBLE) /
+      |      (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, doc_id) AS srank
+      |  FROM semsc) WHERE srank <= 20)
+      |SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+      |  CAST(COALESCE(1000000 // (60 + lrank), 0)
+      |     + COALESCE(1000000 // (60 + srank), 0) AS BIGINT) AS rrf_ppm,
+      |  CAST(COALESCE(lrank, 0) AS BIGINT) AS lex_rank,
+      |  CAST(COALESCE(srank, 0) AS BIGINT) AS sem_rank
+      |FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id
+      |ORDER BY rrf_ppm DESC, doc_id LIMIT 15""".stripMargin)
+
   val queries: Seq[Q] = Seq(
+    Q("search5_hybrid_rrf", search5HybridRrf, Some(search5Sql)),
     Q("search4_chunk_bm25", search4ChunkBm25, Some(search4Sql)),
     Q("t18_bpe_encode", t18BpeEncode, Some(t18Sql)),
     Q("t17_textrank_keywords", t17TextrankKeywords, Some(t17Sql)),
