@@ -1379,7 +1379,152 @@ object Similarity {
        |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM f WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim15_filtered_ann — METADATA-FILTERED vector search: "nearest
+  // neighbors WHERE label = my label", the vector-DB filtered-search
+  // case every production retrieval system hits (tenant isolation,
+  // language routing, source filters). PRE-FILTER semantics: the
+  // predicate joins the candidate scan BEFORE any distance is computed
+  // — post-filtering an unfiltered top-k list loses recall whenever the
+  // filter is selective (the top-k may contain zero matching rows).
+  //
+  // Two scale mechanisms, both of which the oracle replays exactly:
+  //  1. The stored IVF index carries the label as a CO-KEY: candidates
+  //     join on (cell, label), so at 100 TB — where the index table is
+  //     partitioned by cell and bucketed/sorted by label — the
+  //     predicate is partition/bucket PRUNING in the scan, not a
+  //     post-scan filter. Zero distance work on non-matching vectors.
+  //  2. SELECTIVITY-ADAPTIVE PROBE WIDENING: probing nprobe cells of a
+  //     label-filtered index yields ~nprobe·cnt(label)/N candidates —
+  //     starvation when the label is rare. Widening to nprobe_eff =
+  //     min(k, nprobe · ⌈N/cnt(label)⌉) restores the unfiltered
+  //     expected candidate count (the FAISS/Qdrant guidance for
+  //     filtered search). At gate scale every label is ~10% so
+  //     nprobe_eff saturates at k — the probe degenerates to the exact
+  //     filtered scan, which IS correct behavior for a tiny filtered
+  //     set (Sim15FilterSpec pins bit-equality with filtered brute
+  //     force, plus that the UNWIDENED probe is a strict subset —
+  //     the knob is load-bearing). At N=10⁹/sel=10%: k≈31623,
+  //     nprobe=267, nprobe_eff=2670 — 8% of cells, still sublinear.
+  //
+  // k = ⌈√N⌉ cells / nprobe = max(6, ⌈1.5·√k⌉) are sim9's corpus-sized
+  // formulas from one COUNT (the HWM-class bounded scalar action); the
+  // label histogram is a ≤|labels|-row broadcast. Queries are vec_id <
+  // 10 (sim1's convention), predicate label = the query's own label,
+  // self excluded. Top-3 per query, exact-cosine reranked.
+  private[graft] def sim15Variant(s: SparkSession, d: String,
+      widened: Boolean): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    // one scan serves vectors + label (production stores them together)
+    val e = Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000000, 0).cast("long"))
+          .as("v"),
+        col("label").cast("long").as("lbl"))
+      .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
+      .localCheckpoint()
+    val n = e.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(k.toDouble)).toInt)
+    val cent = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // the stored index: (cell, label)-keyed — label is a first-class
+    // index key, not a payload column
+    val index = e.crossJoin(broadcast(cent))
+      .withColumn("cdot", dot(col("v"), col("vc")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("lbl"), col("cid").as("cell"))
+      .localCheckpoint()
+    val hist = e.groupBy("lbl").agg(count(lit(1)).as("cnt"))
+    val npeExpr =
+      if (widened) least(lit(k.toLong), lit(nprobe.toLong) * expr(s"(${n}L + cnt - 1L) div cnt"))
+      else lit(nprobe.toLong)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val probed = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"), col("lbl"))
+      .join(broadcast(hist), "lbl")
+      .withColumn("npe", npeExpr)
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot", dot(col("va"), col("vc")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= col("npe"))
+      .select(col("qid"), col("va"), col("na"), col("lbl"), col("cid").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    probed.join(index.select(col("vec_id").as("nbr"), col("v").as("vb"),
+        col("nrm").as("nb"), col("lbl"), col("cell")), Seq("cell", "lbl"))
+      .filter(col("nbr") =!= col("qid"))
+      .withColumn("dot", dot(col("va"), col("vb")))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("nbr"),
+        floor(col("cos") * 1000000).cast("long").as("cos_e6"),
+        col("lbl").as("label"))
+      .orderBy("qid", "rnk")
+  }
+
+  private def sim15FilteredAnn(s: SparkSession, d: String): DataFrame =
+    sim15Variant(s, d, widened = true)
+
+  private val sim15Sql =
+    s"""WITH el AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
+       |  CAST(list_sum(list_transform(
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)),
+       |    x -> x * x)) AS BIGINT) AS nrm,
+       |  CAST(label AS BIGINT) AS lbl
+       |FROM embeddings),
+       |par AS (SELECT COUNT(*) AS n,
+       |  CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k,
+       |  GREATEST(6, CAST(ceil(1.5 * sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT)) AS nprobe
+       |  FROM el),
+       |cent AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM el ORDER BY vec_id
+       |  LIMIT (SELECT k FROM par)),
+       |ap AS (SELECT el.vec_id, el.v, el.nrm, el.lbl, cent.cid, cent.nc,
+       |  CAST((SELECT SUM(el.v[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM el, cent),
+       |ar AS (SELECT vec_id, v, nrm, lbl, cid AS cell,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS arn
+       |  FROM ap),
+       |idx AS (SELECT vec_id, v, nrm, lbl, cell FROM ar WHERE arn = 1),
+       |hist AS (SELECT lbl, COUNT(*) AS cnt FROM el GROUP BY lbl),
+       |qh AS (SELECT el.vec_id AS qid, el.v AS va, el.nrm AS na, el.lbl,
+       |  LEAST(par.k, par.nprobe * ((par.n + hist.cnt - 1) // hist.cnt)) AS npe
+       |  FROM el JOIN hist ON el.lbl = hist.lbl CROSS JOIN par
+       |  WHERE el.vec_id < 10),
+       |qp AS (SELECT qh.qid, qh.va, qh.na, qh.lbl, qh.npe, cent.cid, cent.nc,
+       |  CAST((SELECT SUM(qh.va[i] * cent.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM qh, cent),
+       |qr AS (SELECT qid, va, na, lbl, npe, cid AS cell,
+       |  row_number() OVER (PARTITION BY qid ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS prn
+       |  FROM qp),
+       |pc AS (SELECT qid, va, na, lbl, cell FROM qr WHERE prn <= npe),
+       |p AS (SELECT pc.qid, idx.vec_id AS nbr, pc.na, idx.nrm AS nb, pc.lbl,
+       |  CAST((SELECT SUM(pc.va[i] * idx.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM pc JOIN idx ON pc.cell = idx.cell AND pc.lbl = idx.lbl
+       |    AND idx.vec_id <> pc.qid),
+       |c AS (SELECT qid, nbr, lbl, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM p)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6,
+       |  lbl AS label
+       |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("sim15_filtered_ann", sim15FilteredAnn, Some(sim15Sql)),
     Q("sim14_ann_ivfpq", sim14AnnIvfpq, Some(sim14Sql)),
     Q("sim13_mmr_ann", sim13MmrAnn, Some(sim13Sql)),
     Q("sim12_mmr_select", sim12MmrSelect, Some(sim12Sql)),
