@@ -596,7 +596,121 @@ object Multimodal {
       |  CAST(MAX(CASE WHEN k = 63 THEN b END) AS BIGINT) AS t_br_b
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm8_phash_neardup — perceptual-hash near-duplicate IMAGE detection,
+  // the visual-dedup stage of a multimodal training pipeline (re-encoded
+  // / lightly-edited copies that byte-level dedup can never see). The
+  // classic average-hash: mm6's REAL 8×8 thumbnail bytes are decoded
+  // back, per-cell gray = (r+g+b) div 3, hash bit k = gray_k ≥
+  // (Σgray div 64) — 64 bits packed as two 32-bit halves (h_lo, h_hi;
+  // bit 63 in one int64 would collide with the sign). Pairing is dd8's
+  // pigeonhole discipline: 8 bands of 8 bits — any pair with Hamming
+  // ≤ 7 agrees on ≥ 1 band, so the band join is LOSSLESS for the ≤ 6
+  // threshold — then exact Hamming via codegen'd bit_count(xor) on the
+  // halves. Band buckets above dd9MaxBucket (shared cap) are skipped:
+  // a degenerate corpus (all-flat images → one hash) is a per-bucket
+  // quadratic bomb, the same mode dd9/pipe3 guard; the oracle replays
+  // the identical cap so gate output is unaffected (max bucket ≈ 25 at
+  // sf0.01) and adversarial corpora stay bounded.
+  //
+  // Scale: hashing is map-only over real codec bytes (the 246-byte
+  // thumbnails, not the source images — hash at the thumbnail grain and
+  // the 100 TB source table is never re-read); the shuffle carries
+  // (band, code, 3 longs) per doc ×8 — fixed width, never pixels. The
+  // one self-join is band-bucketed and capped.
+  final case class ThumbHash(doc_id: Long, h_lo: Long, h_hi: Long)
+
+  /** 64-bit aHash recovered from the re-encoded thumbnail BYTES (the
+    * full decode→resize→encode→decode chain mm6 pins), as two unsigned
+    * 32-bit halves.
+    */
+  def thumbHashes(payloads: DataFrame): DataFrame = {
+    val enc = Encoders.product[ThumbHash]
+    resizeThumbs(payloads)
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val t = Codecs.decodeBmp(r.getAs[Array[Byte]](1))
+          val gray = t.pixels.map(p =>
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3)
+          val mean = gray.foldLeft(0L)(_ + _) / 64L
+          var lo = 0L; var hi = 0L
+          var k = 0
+          while (k < 64) {
+            if (gray(k) >= mean) {
+              if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+            }
+            k += 1
+          }
+          ThumbHash(r.getLong(0), lo, hi)
+        }
+      }(enc).toDF()
+  }
+
+  private def mm8PhashNeardup(s: SparkSession, d: String): DataFrame = {
+    // 3 longs/doc — the checkpoint stands for the stored hash table a
+    // production pipeline maintains per ingest (dd11's convention)
+    val h = thumbHashes(mediaPayloads(s, d)).localCheckpoint()
+    val bands = h.select(col("doc_id"), col("h_lo"), col("h_hi"),
+      posexplode(array(
+        (0 until 4).map(b => expr(s"shiftright(h_lo, ${8 * b}) & 255L")) ++
+          (0 until 4).map(b => expr(s"shiftright(h_hi, ${8 * b}) & 255L")): _*))
+        .as(Seq("band", "code")))
+    val keep = bands.groupBy("band", "code").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= Dedup.dd9MaxBucket).select("band", "code")
+    val bk = bands.join(keep, Seq("band", "code"))
+    val cand = bk.select(col("band"), col("code"), col("doc_id").as("doc_a"),
+        col("h_lo").as("lo_a"), col("h_hi").as("hi_a"))
+      .join(bk.select(col("band"), col("code"), col("doc_id").as("doc_b"),
+        col("h_lo").as("lo_b"), col("h_hi").as("hi_b")), Seq("band", "code"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
+    cand
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mm8Sql = graft.OracleHints.materializeCtes(
+    """WITH t AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+      |dw AS (SELECT doc_id, text, len, 12 + len % 9 AS w FROM t),
+      |dims AS (SELECT doc_id, text, len, w, GREATEST(8, (len + w - 1) // w) AS h FROM dw),
+      |tp AS (SELECT doc_id, u.k - 1 AS k,
+      |    ((((u.k - 1) // 8) * h // 8) * w + (((u.k - 1) % 8) * w // 8)) AS i
+      |  FROM dims, UNNEST(generate_series(1, 64)) u(k)),
+      |px AS (SELECT tp.doc_id, tp.k,
+      |    (ascii(substring(d.text, CAST(tp.i % d.len + 1 AS INT), 1))
+      |     + (tp.doc_id + 2*tp.i) % 256 + (7*tp.i) % 256) // 3 AS gray
+      |  FROM tp JOIN dims d ON d.doc_id = tp.doc_id),
+      |m AS (SELECT doc_id, CAST(SUM(gray) // 64 AS BIGINT) AS mean FROM px GROUP BY doc_id),
+      |hh AS (SELECT px.doc_id,
+      |    CAST(SUM(CASE WHEN gray >= mean AND k < 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS h_lo,
+      |    CAST(SUM(CASE WHEN gray >= mean AND k >= 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS h_hi
+      |  FROM px JOIN m ON px.doc_id = m.doc_id GROUP BY px.doc_id),
+      |bands AS (SELECT doc_id, h_lo, h_hi, u.b AS band,
+      |    CASE WHEN u.b < 4 THEN (h_lo >> (8 * CAST(u.b AS INT))) & 255
+      |         ELSE (h_hi >> (8 * CAST(u.b - 4 AS INT))) & 255 END AS code
+      |  FROM hh, UNNEST(generate_series(0, 7)) u(b)),
+      |keep AS (SELECT band, code FROM bands GROUP BY band, code
+      |         HAVING COUNT(*) <= 400),
+      |bk AS (SELECT bands.* FROM bands JOIN keep USING (band, code)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.h_lo AS lo_a, a.h_hi AS hi_a, b.h_lo AS lo_b, b.h_hi AS hi_b
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.code = b.code
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(CAST(xor(lo_a, lo_b) AS BIT))
+      |     + bit_count(CAST(xor(hi_a, hi_b) AS BIT)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(CAST(xor(lo_a, lo_b) AS BIT))
+      |    + bit_count(CAST(xor(hi_a, hi_b) AS BIT)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin)
+
   val queries: Seq[Q] = Seq(
+    Q("mm8_phash_neardup", mm8PhashNeardup, Some(mm8Sql)),
     Q("mm1_binary_meta", mm1BinaryMeta, Some(mm1Sql)),
     Q("mm2_chunk_sample", mm2ChunkSample, Some(mm2Sql)),
     Q("mm3_decode_features", mm3DecodeFeatures, Some(mm3Sql)),
