@@ -1052,7 +1052,12 @@ c$r AS (SELECT doc_id,
   // bound); tf is one map-side-combined (doc, chunk, term) shuffle
   // restricted to the query terms in the scan stage; df/totals are
   // broadcast scalars; final ranking a distributed TakeOrdered(20).
-  private def search4ChunkBm25(s: SparkSession, d: String): DataFrame = {
+  /** search4's per-chunk BM25 scored frame (pre-ranking): (doc_id, k,
+    * score_ppm, n_terms) for chunks matching any query term. Shared by
+    * search4 (top-20 list) and search6 (the lexical leg of the
+    * chunk-grain hybrid fusion).
+    */
+  private[operators] def chunkBm25Scores(s: SparkSession, d: String): DataFrame = {
     val qTerms = Seq("hash", "join", "scan")
     val toks = graft.operators.TrainPrep.pk6TokenChunks(s, d)
     val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
@@ -1069,11 +1074,15 @@ c$r AS (SELECT doc_id,
       .withColumn("idf_ppm",
         least(expr("((n - df) * 1000000L) div df"), lit(100000000L)))
       .withColumn("s_ppm", expr("(tfn_ppm * idf_ppm) div 1000000L"))
-      .groupBy(col("doc_id"), col("k").as("chunk_id"))
+      .groupBy(col("doc_id"), col("k"))
       .agg(sum("s_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
+  }
+
+  private def search4ChunkBm25(s: SparkSession, d: String): DataFrame =
+    chunkBm25Scores(s, d)
+      .withColumnRenamed("k", "chunk_id")
       .orderBy(col("score_ppm").desc, col("doc_id"), col("chunk_id"))
       .limit(20)
-  }
 
   private val search4Sql = graft.OracleHints.materializeCtes(
     s"""WITH ${graft.operators.TrainPrep.pk6ChunkCtes},
@@ -1173,7 +1182,135 @@ c$r AS (SELECT doc_id,
       |FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id
       |ORDER BY rrf_ppm DESC, doc_id LIMIT 15""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // search6_hybrid_chunks — the full RAG retrieval stack END-TO-END at
+  // the chunk grain, querying pipe6's stored index: the lexical leg is
+  // search4's chunk BM25 top-20; the semantic leg hashes the SAME query
+  // terms through t10's featurizer (query and corpus share one
+  // embedder, trained or not — here the hashing trick), scores the k
+  // broadcast centroids, probes nprobe = max(6, ⌈1.5·√k⌉) cells
+  // (sim9's corpus-sized formula), and exact-cosine reranks only the
+  // probed cells' chunks to a top-20; the two lists fuse by search5's
+  // exact-integer RRF. This is the composition a production RAG system
+  // runs per query — index scan bounded by the probe, both legs
+  // bounded top-20s, fusion a ≤20-row full-outer join.
+  //
+  // Scale: per-query work is O(k + probed-cells' chunks) against the
+  // stored index (pipe6Parts' checkpoints stand for the stored
+  // tables); nothing corpus-sized is rescanned. The rank windows run
+  // over ≤k / ≤20 rows (bounded). At 100 TB the semantic leg swaps to
+  // sim14's IVFPQ codes over the same cell layout without touching the
+  // fusion.
+  private def search6HybridChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = graft.operators.TrainPrep.pipe6Parts(s, d)
+    val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(parts.kCells.toDouble)).toInt)
+    val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val qw = Seq("hash", "join", "scan").toDF("tok")
+      .select(pmod(hm, lit(16L)).as("dim"),
+        when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("dim").agg(sum("sgn").as("qwt"))
+      .filter(col("qwt") =!= 0L)
+    val qn = qw.agg(sum(expr("qwt * qwt")).as("qnrm"))
+    val cdots = parts.centVec.join(broadcast(qw), "dim")
+      .groupBy("cdoc", "ck").agg(sum(expr("cw * qwt")).as("dot"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("cdoc"), col("ck"))
+    val probed = parts.cent.join(cdots, Seq("cdoc", "ck"), "left")
+      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+      .crossJoin(broadcast(qn))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("qnrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("cdoc").as("cell_doc"), col("ck").as("cell_k"))
+    val cand = parts.index.join(broadcast(probed), Seq("cell_doc", "cell_k"))
+      .select("doc_id", "k", "vnrm")
+    val rdots = parts.vecs.join(broadcast(qw), "dim")
+      .groupBy("doc_id", "k").agg(sum(expr("w * qwt")).as("dot"))
+    val wSem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id"), col("k"))
+    val sem = cand.join(rdots, Seq("doc_id", "k"), "left")
+      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+      .crossJoin(broadcast(qn))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("qnrm").cast("double")) * sqrt(col("vnrm").cast("double"))))
+      .orderBy(col("cos").desc, col("doc_id"), col("k")).limit(20)
+      .withColumn("srank", row_number().over(wSem).cast("long"))
+      .select(col("doc_id"), col("k"), col("srank"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_ppm").desc, col("doc_id"), col("k"))
+    val lex = chunkBm25Scores(s, d)
+      .orderBy(col("score_ppm").desc, col("doc_id"), col("k")).limit(20)
+      .withColumn("lrank", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("k"), col("lrank"))
+    lex.join(sem, Seq("doc_id", "k"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000L div (60L + lrank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60L + srank)"), lit(0L)))
+      .select(col("doc_id"), col("k").as("chunk_id"), col("rrf_ppm"),
+        coalesce(col("lrank"), lit(0L)).as("lex_rank"),
+        coalesce(col("srank"), lit(0L)).as("sem_rank"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"), col("chunk_id"))
+      .limit(15)
+  }
+
+  private val search6Sql = graft.OracleHints.materializeCtes(
+    s"""WITH ${graft.operators.TrainPrep.pipe6IndexCtes},
+      |qh AS (SELECT ('0x' || substring(md5(t.tok), 1, 15))::BIGINT AS hm
+      |  FROM (VALUES ('hash'), ('join'), ('scan')) t(tok)),
+      |qv2 AS (SELECT hm % 16 AS dim,
+      |  CASE WHEN (hm // 16) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM qh),
+      |qw AS (SELECT dim, CAST(SUM(sgn) AS BIGINT) AS qwt FROM qv2
+      |  GROUP BY 1 HAVING SUM(sgn) <> 0),
+      |qn AS (SELECT CAST(SUM(qwt * qwt) AS BIGINT) AS qnrm FROM qw),
+      |cdt AS (SELECT cv.cdoc, cv.ck, CAST(SUM(cv.cw * qw.qwt) AS BIGINT) AS dot
+      |  FROM cv JOIN qw USING (dim) GROUP BY 1, 2),
+      |prb AS (SELECT cdoc, ck FROM (SELECT cm.cdoc, cm.ck,
+      |    row_number() OVER (ORDER BY CAST(COALESCE(cdt.dot, 0) AS DOUBLE) /
+      |      (sqrt(CAST(qn.qnrm AS DOUBLE)) * sqrt(CAST(cm.cnrm AS DOUBLE))) DESC,
+      |      cm.cdoc, cm.ck) AS prn
+      |  FROM cm LEFT JOIN cdt ON cm.cdoc = cdt.cdoc AND cm.ck = cdt.ck CROSS JOIN qn)
+      |  WHERE prn <= (SELECT GREATEST(6,
+      |    CAST(ceil(1.5 * sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT)) FROM vn)),
+      |cnd AS (SELECT idx.doc_id, idx.k, idx.vnrm FROM idx
+      |  JOIN prb ON idx.cell_doc = prb.cdoc AND idx.cell_k = prb.ck),
+      |rdt AS (SELECT vw.doc_id, vw.k, CAST(SUM(vw.w * qw.qwt) AS BIGINT) AS dot
+      |  FROM vw JOIN qw USING (dim) GROUP BY 1, 2),
+      |semr AS (SELECT doc_id, k, srank FROM (SELECT cnd.doc_id, cnd.k,
+      |    row_number() OVER (ORDER BY CAST(COALESCE(rdt.dot, 0) AS DOUBLE) /
+      |      (sqrt(CAST(qn.qnrm AS DOUBLE)) * sqrt(CAST(cnd.vnrm AS DOUBLE))) DESC,
+      |      cnd.doc_id, cnd.k) AS srank
+      |  FROM cnd LEFT JOIN rdt ON cnd.doc_id = rdt.doc_id AND cnd.k = rdt.k
+      |    CROSS JOIN qn)
+      |  WHERE srank <= 20),
+      |ltot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt, COUNT(*) AS n FROM dlc),
+      |ltf AS (SELECT doc_id, k, tok, COUNT(*) AS tf FROM m
+      |  WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+      |ldft AS (SELECT tok, COUNT(*) AS df FROM ltf GROUP BY tok),
+      |lsc AS (SELECT ltf.doc_id, ltf.k,
+      |    (22 * ltf.tf * (tt // n) * 1000000)
+      |      // (10 * ltf.tf * (tt // n) + 3 * (tt // n) + 9 * dlc.dl) AS tfn_ppm,
+      |    LEAST(((n - df) * 1000000) // df, 100000000) AS idf_ppm
+      |  FROM ltf JOIN ldft ON ltf.tok = ldft.tok
+      |    JOIN dlc ON ltf.doc_id = dlc.doc_id AND ltf.k = dlc.k
+      |    CROSS JOIN ltot),
+      |lexc AS (SELECT doc_id, k, CAST(SUM((tfn_ppm * idf_ppm) // 1000000) AS BIGINT) AS score_ppm
+      |  FROM lsc GROUP BY 1, 2),
+      |lexr AS (SELECT doc_id, k, lrank FROM (SELECT doc_id, k,
+      |    row_number() OVER (ORDER BY score_ppm DESC, doc_id, k) AS lrank
+      |  FROM lexc) WHERE lrank <= 20)
+      |SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+      |  CAST(COALESCE(lexr.k, semr.k) AS BIGINT) AS chunk_id,
+      |  CAST(COALESCE(1000000 // (60 + lrank), 0)
+      |     + COALESCE(1000000 // (60 + srank), 0) AS BIGINT) AS rrf_ppm,
+      |  CAST(COALESCE(lrank, 0) AS BIGINT) AS lex_rank,
+      |  CAST(COALESCE(srank, 0) AS BIGINT) AS sem_rank
+      |FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id AND lexr.k = semr.k
+      |ORDER BY rrf_ppm DESC, doc_id, chunk_id LIMIT 15""".stripMargin)
+
   val queries: Seq[Q] = Seq(
+    Q("search6_hybrid_chunks", search6HybridChunks, Some(search6Sql)),
     Q("search5_hybrid_rrf", search5HybridRrf, Some(search5Sql)),
     Q("search4_chunk_bm25", search4ChunkBm25, Some(search4Sql)),
     Q("t18_bpe_encode", t18BpeEncode, Some(t18Sql)),

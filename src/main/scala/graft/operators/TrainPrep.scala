@@ -1694,7 +1694,128 @@ object TrainPrep {
        |FROM g ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // pipe6_rag_index — the RAG INDEX BUILD as one Catalyst plan: pk6's
+  // overlapping chunks → t10's hashing-trick chunk vectors (16-dim
+  // signed-count — the vocabulary-free, trained-embedder-free text →
+  // vector bridge) → IVF coarse cells over the chunk vectors (k=⌈√C⌉
+  // deterministic seed centroids, sim3's convention; cell key = the
+  // centroid chunk's (cell_doc, cell_k), no synthetic id) + the BM25
+  // chunk-length stat — one manifest row per embeddable chunk, the
+  // STORED retrieval index search6 queries. Chunks whose hashed dims
+  // all cancel (zero vector) are lexical-only and absent here — cosine
+  // against them is undefined and both engines exclude them identically
+  // (exact-integer norm test).
+  //
+  // Scale: vectors are sparse (≤16 longs/chunk) so the hot frames are
+  // fixed-width; centroid vectors/norms are a broadcast k×16 frame; the
+  // one C×k work item is the IVF assignment — the standard index-build
+  // cost, here a dim-equi-joined partial-product shuffle plus a
+  // crossJoin against the k-row broadcast for the zero-overlap floor
+  // (a pure dim-join DROPS chunk×centroid pairs with no shared dim;
+  // when every present dot is negative the true argmax IS such a
+  // zero pair, so the floor is correctness, not padding). Per-chunk
+  // argmax is one bounded window over k rows.
+  private[operators] final case class Pipe6Parts(
+      vecs: DataFrame, vnrm: DataFrame, cent: DataFrame,
+      centVec: DataFrame, index: DataFrame, kCells: Int)
+
+  /** Sparse hashed chunk vectors (doc_id, k, dim, w), w ≠ 0 — t10's
+    * featurizer applied at the pk6 chunk grain.
+    */
+  private[operators] def pipe6ChunkVectors(s: SparkSession, d: String): DataFrame = {
+    val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    pk6TokenChunks(s, d)
+      .select(col("doc_id"), col("k"), pmod(hm, lit(16L)).as("dim"),
+        when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "k", "dim")
+      .agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
+  /** The shared index frames: sparse vectors, chunk norms, centroid
+    * meta/vectors, and the (chunk → cell) assignment. Checkpoints stand
+    * for the stored tables a production index maintains per rebuild.
+    */
+  private[operators] def pipe6Parts(s: SparkSession, d: String): Pipe6Parts = {
+    val vecs = pipe6ChunkVectors(s, d).localCheckpoint()
+    val vnrm = vecs.groupBy("doc_id", "k")
+      .agg(sum(expr("w * w")).as("vnrm")).localCheckpoint()
+    val cc = vnrm.count()
+    val kc = math.ceil(math.sqrt(cc.toDouble)).toInt
+    val cent = vnrm.orderBy("doc_id", "k").limit(kc)
+      .select(col("doc_id").as("cdoc"), col("k").as("ck"), col("vnrm").as("cnrm"))
+    val centVec = cent.join(vecs,
+        cent("cdoc") === vecs("doc_id") && cent("ck") === vecs("k"))
+      .select(col("cdoc"), col("ck"), col("dim"), col("w").as("cw"))
+    val prods = vecs.join(broadcast(centVec), "dim")
+      .groupBy("doc_id", "k", "cdoc", "ck")
+      .agg(sum(expr("w * cw")).as("dot"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "k").orderBy(col("cos").desc, col("cdoc"), col("ck"))
+    val index = vnrm.crossJoin(broadcast(cent))
+      .join(prods, Seq("doc_id", "k", "cdoc", "ck"), "left")
+      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("vnrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("doc_id"), col("k"), col("vnrm"),
+        col("cdoc").as("cell_doc"), col("ck").as("cell_k"))
+      .localCheckpoint()
+    Pipe6Parts(vecs, vnrm, cent, centVec, index, kc)
+  }
+
+  private def pipe6RagIndex(s: SparkSession, d: String): DataFrame = {
+    val parts = pipe6Parts(s, d)
+    val dl = pk6TokenChunks(s, d).groupBy("doc_id", "k")
+      .agg(count(lit(1)).as("dl"))
+    parts.index.join(dl, Seq("doc_id", "k"))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        col("cell_doc"), col("cell_k"), col("vnrm"), col("dl"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Oracle CTE chain for the pipe6 index, ending in `idx` (doc_id, k,
+    * vnrm, cell_doc, cell_k) and `dlc` (doc_id, k, dl); builds on
+    * [[pk6ChunkCtes]]' token-chunk membership frame `m`. Shared with
+    * the search6 oracle in TextOps.
+    */
+  private[operators] val pipe6IndexCtes =
+    s"""$pk6ChunkCtes,
+       |v0 AS (SELECT doc_id, k, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hm FROM m),
+       |vv AS (SELECT doc_id, k, hm % 16 AS dim,
+       |    CASE WHEN (hm // 16) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM v0),
+       |vw AS (SELECT doc_id, k, dim, CAST(SUM(sgn) AS BIGINT) AS w FROM vv
+       |  GROUP BY 1, 2, 3 HAVING SUM(sgn) <> 0),
+       |vn AS (SELECT doc_id, k, CAST(SUM(w * w) AS BIGINT) AS vnrm FROM vw GROUP BY 1, 2),
+       |cm AS (SELECT doc_id AS cdoc, k AS ck, vnrm AS cnrm FROM vn ORDER BY doc_id, k
+       |  LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM vn)),
+       |cv AS (SELECT cm.cdoc, cm.ck, vw.dim, vw.w AS cw FROM cm
+       |  JOIN vw ON vw.doc_id = cm.cdoc AND vw.k = cm.ck),
+       |pr AS (SELECT vw.doc_id, vw.k, cv.cdoc, cv.ck, CAST(SUM(vw.w * cv.cw) AS BIGINT) AS dot
+       |  FROM vw JOIN cv USING (dim) GROUP BY 1, 2, 3, 4),
+       |asg0 AS (SELECT vn.doc_id, vn.k, vn.vnrm, cm.cdoc, cm.ck, cm.cnrm,
+       |    COALESCE(pr.dot, 0) AS dot
+       |  FROM vn CROSS JOIN cm LEFT JOIN pr ON pr.doc_id = vn.doc_id AND pr.k = vn.k
+       |    AND pr.cdoc = cm.cdoc AND pr.ck = cm.ck),
+       |asg AS (SELECT doc_id, k, vnrm, cdoc, ck,
+       |    row_number() OVER (PARTITION BY doc_id, k ORDER BY
+       |      CAST(dot AS DOUBLE) / (sqrt(CAST(vnrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC,
+       |      cdoc, ck) AS arn
+       |  FROM asg0),
+       |idx AS (SELECT doc_id, k, vnrm, cdoc AS cell_doc, ck AS cell_k FROM asg WHERE arn = 1),
+       |dlc AS (SELECT doc_id, k, COUNT(*) AS dl FROM m GROUP BY 1, 2)""".stripMargin
+
+  private val pipe6Sql = graft.OracleHints.materializeCtes(
+    s"""WITH $pipe6IndexCtes
+       |SELECT idx.doc_id, CAST(idx.k AS BIGINT) AS chunk_id,
+       |  cell_doc, CAST(cell_k AS BIGINT) AS cell_k, vnrm, dl
+       |FROM idx JOIN dlc ON idx.doc_id = dlc.doc_id AND idx.k = dlc.k
+       |ORDER BY idx.doc_id, chunk_id""".stripMargin)
+
   val queries: Seq[Q] = Seq(
+    Q("pipe6_rag_index", pipe6RagIndex, Some(pipe6Sql)),
     Q("pk6_rag_chunks", pk6RagChunks, Some(pk6Sql)),
     Q("pk5_length_buckets", pk5LengthBuckets, Some(pk5Sql)),
     Q("pipe1_train_manifest", pipe1TrainManifest, Some(pipe1Sql)),
