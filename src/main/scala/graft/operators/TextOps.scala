@@ -1206,33 +1206,32 @@ c$r AS (SELECT doc_id,
     val parts = graft.operators.TrainPrep.pipe6Parts(s, d)
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(parts.kCells.toDouble)).toInt)
     val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    val qw = Seq("hash", "join", "scan").toDF("tok")
+    // the query's dense hashed vector — one row, broadcast to both legs
+    val qv = Seq("hash", "join", "scan").toDF("tok")
       .select(pmod(hm, lit(16L)).as("dim"),
         when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))
-      .groupBy("dim").agg(sum("sgn").as("qwt"))
-      .filter(col("qwt") =!= 0L)
-    val qn = qw.agg(sum(expr("qwt * qwt")).as("qnrm"))
-    val cdots = parts.centVec.join(broadcast(qw), "dim")
-      .groupBy("cdoc", "ck").agg(sum(expr("cw * qwt")).as("dot"))
+      .groupBy()
+      .agg(sum(when(col("dim") === 0, col("sgn")).otherwise(0L)).as("d0"),
+        (1 until 16).map(i =>
+          sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"d$i")): _*)
+      .select(array((0 until 16).map(i => col(s"d$i")): _*).as("qv"))
+      .withColumn("qnrm", graft.functions.VectorFunctions.normSqLong(col("qv")))
     val wProbe = org.apache.spark.sql.expressions.Window
       .orderBy(col("cos").desc, col("cdoc"), col("ck"))
-    val probed = parts.cent.join(cdots, Seq("cdoc", "ck"), "left")
-      .withColumn("dot", coalesce(col("dot"), lit(0L)))
-      .crossJoin(broadcast(qn))
+    val probed = parts.cent.crossJoin(broadcast(qv))
+      .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("vc"), col("qv")))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("qnrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("cdoc").as("cell_doc"), col("ck").as("cell_k"))
     val cand = parts.index.join(broadcast(probed), Seq("cell_doc", "cell_k"))
-      .select("doc_id", "k", "vnrm")
-    val rdots = parts.vecs.join(broadcast(qw), "dim")
-      .groupBy("doc_id", "k").agg(sum(expr("w * qwt")).as("dot"))
+      .select("doc_id", "k")
     val wSem = org.apache.spark.sql.expressions.Window
       .orderBy(col("cos").desc, col("doc_id"), col("k"))
-    val sem = cand.join(rdots, Seq("doc_id", "k"), "left")
-      .withColumn("dot", coalesce(col("dot"), lit(0L)))
-      .crossJoin(broadcast(qn))
+    val sem = parts.vecs.join(cand, Seq("doc_id", "k"))
+      .crossJoin(broadcast(qv))
+      .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("qv")))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("qnrm").cast("double")) * sqrt(col("vnrm").cast("double"))))
       .orderBy(col("cos").desc, col("doc_id"), col("k")).limit(20)

@@ -1717,11 +1717,12 @@ object TrainPrep {
   // zero pair, so the floor is correctness, not padding). Per-chunk
   // argmax is one bounded window over k rows.
   private[operators] final case class Pipe6Parts(
-      vecs: DataFrame, vnrm: DataFrame, cent: DataFrame,
-      centVec: DataFrame, index: DataFrame, kCells: Int)
+      vecs: DataFrame, cent: DataFrame, index: DataFrame, kCells: Int)
 
   /** Sparse hashed chunk vectors (doc_id, k, dim, w), w ≠ 0 — t10's
-    * featurizer applied at the pk6 chunk grain.
+    * featurizer applied at the pk6 chunk grain (the layout the oracle
+    * replays; Pipe6RagSpec uses it as the independent twin of the dense
+    * frame below).
     */
   private[operators] def pipe6ChunkVectors(s: SparkSession, d: String): DataFrame = {
     val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
@@ -1733,37 +1734,57 @@ object TrainPrep {
       .filter(col("w") =!= 0L)
   }
 
-  /** The shared index frames: sparse vectors, chunk norms, centroid
-    * meta/vectors, and the (chunk → cell) assignment. Checkpoints stand
-    * for the stored tables a production index maintains per rebuild.
+  /** Dense hashed chunk vectors (doc_id, k, va[16], vnrm), zero vectors
+    * excluded — one map-side-combined (doc, k) shuffle straight from the
+    * token grain (16 conditional sums → fixed array), the layout the
+    * codegen'd DotLong assignment consumes.
+    */
+  private[operators] def pipe6DenseVectors(s: SparkSession, d: String): DataFrame = {
+    val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    pk6TokenChunks(s, d)
+      .select(col("doc_id"), col("k"), pmod(hm, lit(16L)).as("dim"),
+        when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "k")
+      .agg(sum(when(col("dim") === 0, col("sgn")).otherwise(0L)).as("d0"),
+        (1 until 16).map(i =>
+          sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"d$i")): _*)
+      .select(col("doc_id"), col("k"),
+        array((0 until 16).map(i => col(s"d$i")): _*).as("va"))
+      .withColumn("vnrm", graft.functions.VectorFunctions.normSqLong(col("va")))
+      .filter(col("vnrm") > 0L)
+  }
+
+  /** The shared index frames: dense vectors, centroid meta, and the
+    * (chunk → cell) assignment. Checkpoints stand for the stored tables
+    * a production index maintains per rebuild. The assignment is the
+    * C×k work item done the cheap way: codegen'd DotLong against the
+    * broadcast k×16 centroid frame, reduced MAP-SIDE by a combinable
+    * max(struct(cos, −cdoc, −ck)) argmax (cos desc, cdoc asc, ck asc —
+    * identical to the oracle's row_number order), so only C rows ever
+    * shuffle. The first cut shipped the sparse dim-join + per-pair
+    * partial-product shuffle + C×k window: 36.2 s at the 10× probe vs
+    * 9.5 s for this plan (search6 over it: 74.9 → 12.7 s), same bits.
+    * 10×/1× ratio ≈ 5 against a C·k work growth of 33× — sublinear
+    * because the dot never leaves whole-stage codegen.
     */
   private[operators] def pipe6Parts(s: SparkSession, d: String): Pipe6Parts = {
-    val vecs = pipe6ChunkVectors(s, d).localCheckpoint()
-    val vnrm = vecs.groupBy("doc_id", "k")
-      .agg(sum(expr("w * w")).as("vnrm")).localCheckpoint()
-    val cc = vnrm.count()
+    val vecs = pipe6DenseVectors(s, d).localCheckpoint()
+    val cc = vecs.count()
     val kc = math.ceil(math.sqrt(cc.toDouble)).toInt
-    val cent = vnrm.orderBy("doc_id", "k").limit(kc)
-      .select(col("doc_id").as("cdoc"), col("k").as("ck"), col("vnrm").as("cnrm"))
-    val centVec = cent.join(vecs,
-        cent("cdoc") === vecs("doc_id") && cent("ck") === vecs("k"))
-      .select(col("cdoc"), col("ck"), col("dim"), col("w").as("cw"))
-    val prods = vecs.join(broadcast(centVec), "dim")
-      .groupBy("doc_id", "k", "cdoc", "ck")
-      .agg(sum(expr("w * cw")).as("dot"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id", "k").orderBy(col("cos").desc, col("cdoc"), col("ck"))
-    val index = vnrm.crossJoin(broadcast(cent))
-      .join(prods, Seq("doc_id", "k", "cdoc", "ck"), "left")
-      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+    val cent = vecs.orderBy("doc_id", "k").limit(kc)
+      .select(col("doc_id").as("cdoc"), col("k").as("ck"),
+        col("va").as("vc"), col("vnrm").as("cnrm"))
+    val index = vecs.crossJoin(broadcast(cent))
+      .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("vc")))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("vnrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+      .groupBy("doc_id", "k", "vnrm")
+      .agg(max(struct(col("cos").as("c"),
+        (-col("cdoc")).as("ncd"), (-col("ck")).as("nck"))).as("m"))
       .select(col("doc_id"), col("k"), col("vnrm"),
-        col("cdoc").as("cell_doc"), col("ck").as("cell_k"))
+        (-col("m.ncd")).as("cell_doc"), (-col("m.nck")).as("cell_k"))
       .localCheckpoint()
-    Pipe6Parts(vecs, vnrm, cent, centVec, index, kc)
+    Pipe6Parts(vecs, cent, index, kc)
   }
 
   private def pipe6RagIndex(s: SparkSession, d: String): DataFrame = {

@@ -49,7 +49,9 @@ class Pipe6RagSpec extends graft.SparkSpec {
   test("search6 semantic probe recall@20 vs brute-force hashed cosine") {
     val d = sf("sf0.01")
     val parts = TrainPrep.pipe6Parts(spark, d)
-    // brute truth: exact cosine of the hashed query vector over ALL chunks
+    // brute truth: exact cosine of the hashed query vector over ALL
+    // chunks — built from the SPARSE twin (pipe6ChunkVectors), so the
+    // dense frame the query uses is cross-checked by independent code
     val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     import spark.implicits._
     val qw = Seq("hash", "join", "scan").toDF("tok")
@@ -58,9 +60,11 @@ class Pipe6RagSpec extends graft.SparkSpec {
       .groupBy("dim").agg(sum("sgn").as("qwt"))
       .filter(col("qwt") =!= 0L)
     val qn = qw.agg(sum(expr("qwt * qwt")).as("qnrm"))
-    val dots = parts.vecs.join(broadcast(qw), "dim")
+    val sparse = TrainPrep.pipe6ChunkVectors(spark, d).localCheckpoint()
+    val vnrm = sparse.groupBy("doc_id", "k").agg(sum(expr("w * w")).as("vnrm"))
+    val dots = sparse.join(broadcast(qw), "dim")
       .groupBy("doc_id", "k").agg(sum(expr("w * qwt")).as("dot"))
-    val truth = parts.vnrm.join(dots, Seq("doc_id", "k"), "left")
+    val truth = vnrm.join(dots, Seq("doc_id", "k"), "left")
       .withColumn("dot", coalesce(col("dot"), lit(0L)))
       .crossJoin(broadcast(qn))
       .withColumn("cos", col("dot").cast("double") /
