@@ -1716,7 +1716,7 @@ object TrainPrep {
   // when every present dot is negative the true argmax IS such a
   // zero pair, so the floor is correctness, not padding). Per-chunk
   // argmax is one bounded window over k rows.
-  private[operators] final case class Pipe6Parts(
+  private[graft] final case class Pipe6Parts(
       vecs: DataFrame, cent: DataFrame, index: DataFrame, kCells: Int)
 
   /** Sparse hashed chunk vectors (doc_id, k, dim, w), w ≠ 0 — t10's
@@ -1767,7 +1767,7 @@ object TrainPrep {
     * 10×/1× ratio ≈ 5 against a C·k work growth of 33× — sublinear
     * because the dot never leaves whole-stage codegen.
     */
-  private[operators] def pipe6Parts(s: SparkSession, d: String): Pipe6Parts = {
+  private[graft] def pipe6Parts(s: SparkSession, d: String): Pipe6Parts = {
     val vecs = pipe6DenseVectors(s, d).localCheckpoint()
     val cc = vecs.count()
     val kc = math.ceil(math.sqrt(cc.toDouble)).toInt

@@ -778,6 +778,85 @@ object Streams {
       }
   }
 
+  /** Input/output records for [[streamingIndexAssign]]. */
+  case class IndexDocIn(doc_id: Long, text: String)
+  case class IndexCentroid(cdoc: Long, ck: Long, vc: Array[Long], cnrm: Long)
+  case class IndexRow(doc_id: Long, chunk_id: Long, cell_doc: Long,
+      cell_k: Long, vnrm: Long, dl: Long)
+
+  /** Streaming maintenance of pipe6's RAG index — the ONLINE half of
+    * the production split: centroids are (re)trained OFFLINE (pipe6's
+    * build; sim10's Lloyd loop when learned), and each arriving doc's
+    * chunks are hashed and assigned to the FIXED stored centroid table.
+    * pk6's chunker is strictly per-doc (strided windows never cross
+    * documents), t10's featurizer is per-token, and the argmax runs
+    * against the broadcast k×16 table — so index maintenance is
+    * completely STATELESS: no state store, no shuffle, any trigger,
+    * linear in executor count. Emits pipe6RagIndex's exact row shape;
+    * with the stored centroids and the same docs the rows are
+    * bit-identical to the batch build (StreamingIndexSpec pins it,
+    * including the zero-vector lexical-only exclusion and the argmax
+    * tie-break). The JVM arithmetic mirrors the engine twins: termHash
+    * IS t10's md5-60-bit hash, position arithmetic runs over the RAW
+    * split array (empty tokens hold positions, contribute nothing),
+    * and cosine ties break (cos desc, cdoc asc, ck asc).
+    *
+    * The honest scale caveat (dd11/sim9's): a drifting corpus
+    * eventually needs centroid retraining — that is the offline path
+    * (pipe6 rebuild), after which this assigner reads the new table;
+    * the split is exactly FAISS's train-vs-add separation.
+    */
+  def streamingIndexAssign(docs: Dataset[IndexDocIn],
+      cents: Seq[IndexCentroid]): Dataset[IndexRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val B = 64; val S = 48
+    val bc = spark.sparkContext.broadcast(cents.toArray)
+    docs.flatMap { doc =>
+      val raw = doc.text.split(" ", -1)
+      val n = raw.length
+      val kCap = math.max(0L, (n.toLong - B + S - 1) / S)
+      (0L to kCap).iterator.flatMap { k =>
+        val lo = (k * S).toInt
+        val hi = math.min(n.toLong, k * S + B).toInt
+        val va = new Array[Long](16)
+        var dl = 0L
+        var i = lo
+        while (i < hi) {
+          val tok = raw(i)
+          if (tok.nonEmpty) {
+            val hm = termHash(tok)
+            va((hm % 16L).toInt) += (if ((hm >> 4) % 2L == 0L) 1L else -1L)
+            dl += 1L
+          }
+          i += 1
+        }
+        var vnrm = 0L
+        var j = 0
+        while (j < 16) { vnrm += va(j) * va(j); j += 1 }
+        if (vnrm == 0L) Iterator.empty
+        else {
+          var bestCos = Double.NegativeInfinity
+          var bestDoc = Long.MaxValue
+          var bestK = Long.MaxValue
+          bc.value.foreach { c =>
+            var dot = 0L
+            var m = 0
+            while (m < 16) { dot += va(m) * c.vc(m); m += 1 }
+            val cos = dot.toDouble /
+              (math.sqrt(vnrm.toDouble) * math.sqrt(c.cnrm.toDouble))
+            if (cos > bestCos ||
+              (cos == bestCos && (c.cdoc < bestDoc ||
+                (c.cdoc == bestDoc && c.ck < bestK)))) {
+              bestCos = cos; bestDoc = c.cdoc; bestK = c.ck
+            }
+          }
+          Iterator.single(IndexRow(doc.doc_id, k, bestDoc, bestK, vnrm, dl))
+        }
+      }
+    }
+  }
+
   /** LATE-DATA ACCOUNTING: every watermark in this suite silently drops
     * rows that arrive behind it (tumbling/session aggregation,
     * stream-stream join, dropDuplicatesWithinWatermark) — correct for
