@@ -491,6 +491,122 @@ object TrainPrep {
       |WHERE r.rk <= g.target_d ORDER BY source, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // mix3_dsir_importance — DSIR-shaped data selection by hashed n-gram
+  // importance weighting (Xie et al. 2023, "Data Selection for Language
+  // Models via Importance Resampling": estimate target-domain vs raw-pool
+  // feature distributions over hashed n-gram buckets, weight raw docs by
+  // the target/raw likelihood ratio, and keep the highest-importance
+  // slice). Feature space = unigrams + bigrams md5-hashed into B=128
+  // buckets (the paper's hashed n-gram generative model; md5 is the
+  // engine-portable hash every stored-artifact decision in this repo
+  // rides on). The target sample is the `src0` slice (the stand-in for
+  // a curated quality corpus, e.g. the paper's Wikipedia+books target).
+  //
+  // Exact-integer form (the determinism contract forbids the paper's
+  // log-likelihood sum — ln is transcendental and not bit-portable):
+  // bucket probabilities are Laplace-smoothed ppb integers
+  //   pt_b = (t_b + 1)·10⁹ div (T + B),  pc_b = (c_b + 1)·10⁹ div (C + B)
+  // the bucket weight is the ppm likelihood ratio w_b = pt_b·10⁶ div
+  // pc_b, and a doc's importance is the count-weighted MEAN bucket ratio
+  //   imp_ppm = (Σ_b n_db · w_b) div Σ_b n_db
+  // — a linear-space variant of the paper's mean log-ratio: same
+  // per-feature evidence, arithmetic instead of geometric pooling, every
+  // step exact int64 so any executor count ranks identically. Selection
+  // is the deterministic top-⌈R/5⌉ by (imp_ppm desc, doc_id) — the
+  // reproducibility stance of mix1/mix2 (the paper resamples with Gumbel
+  // noise; a seeded variant would ride an md5 key like pk4's shuffle).
+  //
+  // Scale: featurization is MAP-ONLY (one explode of the unigram+bigram
+  // array — no window, t12's bigram idiom); the per-doc bucket counts
+  // and the two distribution aggregates are map-side-combined shuffles
+  // bounded by (docs·B) and B rows; the B-row weight table broadcasts
+  // back; selection is orderBy+limit = Spark's distributed TakeOrdered
+  // (each partition forwards ≤ k rows — no corpus-wide window). At
+  // 100 TB the only int64-overflow risk is (c_b+1)·10⁹ at corpus counts
+  // ≥ ~9·10⁹ features — the weight table is B rows computed once, so
+  // production arithmetic would carry DECIMAL(38,0) there (exact in
+  // both engines) at zero plan cost; gate scale stays int64.
+  private val dsirB = 128L
+  private val dsirKeepDiv = 5L // keep the top fifth of the raw pool
+  private[graft] def dsirSelect(docs: DataFrame, targetSource: String): DataFrame = {
+    val a = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+      slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y))
+    val feats = docs
+      .select(col("doc_id"), col("source"), explode(concat(a, bigrams)).as("f"))
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
+          lit(dsirB)).as("b"))
+    val isTarget = col("source") === targetSource
+    val tb = feats.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tc"))
+    val ds = feats.filter(!isTarget)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val cb = ds.groupBy("b").agg(sum("n").as("cc"))
+    // scalar totals fold the B-row bucket tables, NOT the corpus-sized
+    // feature frame again (Catalyst does not dedup common subplans —
+    // a feats re-aggregation would be a third corpus scan)
+    val tt = tb.agg(sum("tc").as("tn"))
+    val ct = cb.agg(sum("cc").as("cn"))
+    val w = cb.join(tb, Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(ct))
+      .select(col("b"),
+        expr(s"((coalesce(tc, 0L) + 1L) * 1000000000L div (tn + $dsirB)) " +
+          s"* 1000000L div " +
+          s"greatest(1L, (cc + 1L) * 1000000000L div (cn + $dsirB))").as("w"))
+    val nRaw = docs.filter(!isTarget).count()
+    val k = ((nRaw + dsirKeepDiv - 1) / dsirKeepDiv).toInt
+    val scored = ds.join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_feats"), sum(col("n") * col("w")).as("sw"))
+      .withColumn("imp_ppm", expr("sw div n_feats"))
+      .orderBy(col("imp_ppm").desc, col("doc_id")).limit(k)
+    // rank window runs over the k survivors only (t9's pattern)
+    scored
+      .withColumn("sel_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("imp_ppm").desc, col("doc_id"))).cast("long"))
+      .select(col("sel_rank"), col("doc_id"), col("n_feats"), col("imp_ppm"))
+      .orderBy("sel_rank")
+  }
+
+  private def mix3DsirImportance(s: SparkSession, d: String): DataFrame =
+    dsirSelect(Tables.documents(s, d), "src0")
+
+  private val mix3Sql = graft.OracleHints.materializeCtes(
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |uni AS (SELECT doc_id, source, unnest(toks) AS f FROM t),
+       |bg AS (SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS f
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) u(i)),
+       |fe AS (SELECT doc_id, source,
+       |    ('0x' || substring(md5(f), 1, 15))::BIGINT % $dsirB AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
+       |tb AS (SELECT b, COUNT(*) AS tc FROM fe WHERE source = 'src0' GROUP BY 1),
+       |tt AS (SELECT COUNT(*) AS tn FROM fe WHERE source = 'src0'),
+       |ds AS (SELECT doc_id, b, COUNT(*) AS n
+       |  FROM fe WHERE source <> 'src0' GROUP BY 1, 2),
+       |cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cc FROM ds GROUP BY 1),
+       |ct AS (SELECT CAST(SUM(n) AS BIGINT) AS cn FROM ds),
+       |w AS (SELECT cb.b,
+       |    ((COALESCE(tb.tc, 0) + 1) * 1000000000 // (tt.tn + $dsirB))
+       |      * 1000000
+       |      // GREATEST(1, (cb.cc + 1) * 1000000000 // (ct.cn + $dsirB)) AS w
+       |  FROM cb LEFT JOIN tb USING (b) CROSS JOIN tt CROSS JOIN ct),
+       |kk AS (SELECT (COUNT(*) + ${dsirKeepDiv - 1}) // $dsirKeepDiv AS k
+       |  FROM documents WHERE source <> 'src0'),
+       |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+       |    CAST(SUM(n * w.w) AS BIGINT) AS s
+       |  FROM ds JOIN w USING (b) GROUP BY 1),
+       |sel AS (SELECT doc_id, n_feats, s // n_feats AS imp_ppm,
+       |    CAST(row_number() OVER (ORDER BY s // n_feats DESC, doc_id)
+       |      AS BIGINT) AS sel_rank
+       |  FROM sc QUALIFY sel_rank <= (SELECT k FROM kk))
+       |SELECT sel_rank, doc_id, n_feats, CAST(imp_ppm AS BIGINT) AS imp_ppm
+       |FROM sel ORDER BY sel_rank""".stripMargin)
+
+  // ---------------------------------------------------------------------
   // pk4_shuffle — deterministic global training-order shuffle + sharding
   // (the "seeded shuffle" every data loader needs reproducibly): each doc
   // gets a portable seeded hash key, lands in shard = key mod S, and
@@ -1845,6 +1961,7 @@ object TrainPrep {
     Q("pipe4_pack_emit", pipe4PackEmit, Some(pipe4Sql)),
     Q("pipe5_incremental_chunks", pipe5IncrementalChunks, Some(pipe5Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
+    Q("mix3_dsir_importance", mix3DsirImportance, Some(mix3Sql)),
     Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),
