@@ -809,6 +809,51 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // sim16 residual-vs-raw PQ sweep (`runMain graft.ScaleProbe
+    // recall:sim16`): residual encoding's value shows where the COARSE
+    // ADC ranking is load-bearing — at a small rerank pool. Measure
+    // raw-PQ (sim14's encoder) vs residual-PQ at pool ∈ {10, 100},
+    // iters=2, against the exact batch-vs-index top-3 at sf0.01.
+    // Results feed the sim16 scaladoc table and Sim16ResidualSpec.
+    if (args.contains("recall:sim16")) {
+      val d = "/root/testdata/sf0.01"
+      val dot = graft.functions.VectorFunctions.dotLong _
+      val e = graft.operators.Similarity.scaledVectors(spark, d).localCheckpoint()
+      val q = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      val c = e.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("nbr"), col("v").as("vb"), col("nrm").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+      val exact = q.crossJoin(c)
+        .withColumn("dot", dot(col("va"), col("vb")))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("qid", "nbr")
+      val truth = exact.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      dropPersisted()
+      val nTruth = truth.size
+      for (ci <- Seq(0, 2); res <- Seq(false, true); pool <- Seq(10, 100)) {
+        def run(): DataFrame = graft.operators.Similarity
+          .ivfpqVariant(spark, d, 2, pool, res, ci).select("qid", "nbr")
+        run().write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val hit = run().collect()
+          .count(r => truth((r.getLong(0), r.getLong(1))))
+        val tag = (if (ci > 0) "trained  " else "untrained") +
+          (if (res) " residual" else " raw     ")
+        println(f"[probe] sim16 $tag pool=$pool%-4d recall@3 ${hit.toDouble / nTruth}%.3f ($hit/$nTruth)  $dt%5.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // adversarial t17 hub-word probe (`runMain graft.ScaleProbe
     // skew:t17`): one ultra-hot word interleaved at every other position
     // of every doc — the co-occurrence graph gets a hub node whose

@@ -1104,12 +1104,42 @@ object Similarity {
     sim14Variant(s, d, pqIters, pqRerankPool)
 
   /** sim14 with the two recall knobs exposed — the shipped query is
-    * (pqIters=2, pool=50); ScaleProbe recall:sim14 sweeps iters ∈
+    * (pqIters=2, pool=100); ScaleProbe recall:sim14 sweeps iters ∈
     * {2,4} × pool ∈ {50,100} to place the shipped point on the
     * recall/cost curve (table in the scaladoc above).
     */
   private[graft] def sim14Variant(s: SparkSession, d: String,
-      iters: Int, rerankPool: Int): DataFrame = {
+      iters: Int, rerankPool: Int): DataFrame =
+    ivfpqVariant(s, d, iters, rerankPool, residual = false)
+
+  /** The shared IVFPQ serving stack behind sim14 (residual=false: PQ on
+    * raw vectors) and sim16 (residual=true: Jégou et al.'s IVFADC
+    * proper — codewords quantize r = v − c(cell), the vector's offset
+    * from its own coarse centroid, whose spread is strictly smaller
+    * than the corpus's, so the same 64-word-per-subspace budget spends
+    * its resolution where the vectors actually live). The ADC score
+    * restores the cell term EXACTLY:
+    *   approx_dot(q, v) = q·c(cell) + Σ_j LUT_j[cd_j]
+    * where q·c(cell) is the probe stage's own cdot — already computed
+    * for cell ranking, so residual ADC costs zero extra arithmetic per
+    * scanned code. The one new stored-side op is the residual subtract
+    * (zip_with, once per corpus vector at encode time — NOT the
+    * per-batch hot path, which stays the codegen'd element_at sum).
+    *
+    * coarseIters > 0 swaps the coarse quantizer from sim9's untrained
+    * lowest-ids-by-cosine convention to a TRAINED one: coarseIters Lloyd
+    * rounds of L2 k-means over the corpus (sim10's exact-integer
+    * discipline at k = ⌈√N⌉, init = the k lowest ids by rank), with
+    * assignment AND probing by the quantizer's own L2 metric — the FAISS
+    * coarse-quantizer convention residual encoding presumes: residuals
+    * are only small relative to a centroid that is actually the cell
+    * MEAN; vs an arbitrary corpus vector (near-orthogonal in high dim)
+    * they carry ~√2× the raw spread and residual ADC scores WORSE
+    * (measured — table at sim16 below).
+    */
+  private[graft] def ivfpqVariant(s: SparkSession, d: String,
+      iters: Int, rerankPool: Int, residual: Boolean,
+      coarseIters: Int = 0): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     val m = 8; val sub = 8
     val isNew = col("vec_id") % 5 === 0
@@ -1118,21 +1148,63 @@ object Similarity {
     val nCorpus = corpus.count()
     val kIvf = math.ceil(math.sqrt(nCorpus.toDouble)).toInt
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(kIvf.toDouble)).toInt)
-    val cent = corpus.orderBy("vec_id").limit(kIvf)
-      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    val cent =
+      if (coarseIters == 0)
+        corpus.orderBy("vec_id").limit(kIvf)
+          .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+      else {
+        // trained coarse quantizer: kmeansFit's loop at k=⌈√N⌉ over the
+        // corpus side (rank init; same exact-integer assign/mean rounds)
+        var cc = corpus.orderBy("vec_id").limit(kIvf)
+          .select(col("vec_id").as("cid"), col("v").as("vc")).localCheckpoint()
+        for (_ <- 1 to coarseIters) {
+          val wA = org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id").orderBy(col("cdist"), col("cid"))
+          val asg = corpus.select(col("vec_id"), col("v"))
+            .crossJoin(broadcast(cc.withColumn("nc",
+              graft.functions.VectorFunctions.normSqLong(col("vc")))))
+            .withColumn("cdist", col("nc") - lit(2L) * dot(col("v"), col("vc")))
+            .withColumn("rn", row_number().over(wA))
+            .filter(col("rn") === 1)
+            .select(col("cid"), col("v"))
+          cc = asg.select(col("cid"), posexplode(col("v")).as(Seq("d", "q")))
+            .groupBy("cid", "d").agg(sum("q").as("sq"), count(lit(1)).as("n"))
+            .withColumn("cv",
+              floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
+            .groupBy("cid")
+            .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("z"))
+            .select(col("cid"), transform(col("z"), p => p.getField("cv")).as("vc"))
+            .localCheckpoint()
+        }
+        cc.withColumn("nc",
+          graft.functions.VectorFunctions.normSqLong(col("vc")))
+      }
+    // coarse ranking metric: the quantizer's own — cosine for the
+    // untrained convention (sim9/sim14), reduced L2² for the trained one
+    def coarseOrd = if (coarseIters > 0) Seq(col("cdist").asc, col("cid").asc)
+      else Seq(col("ccos").desc, col("cid").asc)
     val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      .partitionBy("vec_id").orderBy(coarseOrd: _*)
     val assigned = corpus.crossJoin(broadcast(cent))
       .withColumn("cdot", dot(col("v"), col("vc")))
       .withColumn("ccos", col("cdot").cast("double") /
         (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("cdist", col("nc") - lit(2L) * col("cdot"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"),
+        col("vc"))
       .localCheckpoint() // the stored full-vector side (rerank fetches)
     def subCols(vcol: Column) = array((0 until m).map(j =>
       struct(lit(j).as("j"), slice(vcol, j * sub + 1, sub).as("sv"))): _*)
-    val subvCorpus = corpus
+    // what the PQ sees: the raw vector (sim14) or its residual vs the
+    // assigned coarse centroid (sim16 — exact int64 subtraction)
+    val encVec =
+      if (residual)
+        assigned.select(col("vec_id"),
+          zip_with(col("v"), col("vc"), (a, b) => a - b).as("v"))
+      else corpus.select(col("vec_id"), col("v"))
+    val subvCorpus = encVec
       .select(col("vec_id"), explode(subCols(col("v"))).as("x"))
       .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
       .localCheckpoint() // referenced 2 + 2·pqIters times (codes + training rounds)
@@ -1234,16 +1306,17 @@ object Similarity {
     // per-batch work starts here
     val batch = e.filter(isNew)
     val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+      .partitionBy("qid").orderBy(coarseOrd: _*)
     val probed = batch
       .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
       .crossJoin(broadcast(cent))
       .withColumn("cdot", dot(col("va"), col("vc")))
       .withColumn("ccos", col("cdot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("cdist", col("nc") - lit(2L) * col("cdot"))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("cid").as("cell"))
+      .select(col("qid"), col("cid").as("cell"), col("cdot"))
     // per-query LUT, one row per query: 8 arrays of 64 subspace dots,
     // positioned by cidx so ADC is pure element_at arithmetic
     val lutJ = batch
@@ -1268,7 +1341,8 @@ object Similarity {
       .reduce(_ + _)
     val adc = codes.join(probed, "cell")
       .join(lutQ, "qid")
-      .select(col("qid"), col("vec_id").as("nbr"), adcSum.as("approx_dot"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        (if (residual) adcSum + col("cdot") else adcSum).as("approx_dot"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("approx_dot").desc, col("nbr"))
     val coarse = adc.withColumn("crnk", row_number().over(wc))
@@ -1378,6 +1452,135 @@ object Similarity {
        |  FROM r)
        |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM f WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sim16_residual_pq — IVFADC proper (Jégou et al. 2011 §III: the
+  // architecture FAISS ships as IndexIVFPQ with by_residual=true):
+  // sim14's serving stack with its two simplifications removed —
+  //  1. the coarse quantizer is TRAINED: 2 Lloyd rounds of L2 k-means
+  //     over the corpus at k = ⌈√N⌉ (sim10's exact-integer discipline,
+  //     init = the k lowest ids by rank), assignment and probing by the
+  //     quantizer's own L2 metric;
+  //  2. the PQ encodes RESIDUALS r = v − c(cell) — the vector's offset
+  //     from its cell mean — and ADC restores the cell term exactly:
+  //     approx_dot(q, v) = q·c(cell) + Σ_j LUT_j[cd_j], the q·c term
+  //     being the probe stage's own cdot (zero extra arithmetic).
+  // Both halves are load-bearing, and the probe measured WHY each is
+  // (ScaleProbe recall:sim16, sf0.01, iters=2, exact truth = the
+  // batch-vs-index brute top-3):
+  //     untrained raw      pool=10  0.550   pool=100  0.650  (= sim14)
+  //     untrained residual pool=10  0.467   pool=100  0.650
+  //     trained   raw      pool=10  0.597   pool=100  0.753
+  //     trained   residual pool=10  0.617   pool=100  0.753
+  // Residual encoding vs an UNTRAINED centroid (an arbitrary corpus
+  // vector, near-orthogonal in 64-dim) carries ~√2× the raw spread and
+  // scores strictly worse (0.467 < 0.550) — the measured trap behind
+  // FAISS's coarse-training requirement. With the trained quantizer the
+  // residual fidelity ordering flips where the coarse ADC ranking is
+  // load-bearing (pool=10: 0.617 > 0.597), and training alone lifts the
+  // IVF recall CEILING from 0.650 to 0.753 (cells now retain true
+  // neighbors of mid-cluster queries). Shipped: trained + residual +
+  // pool=100 — recall@3 0.753, ≥0.70 pinned by Sim16ResidualSpec.
+  //
+  // Scale: coarse training adds 2 × (broadcast-crossJoin argmin + one
+  // map-side-combined (cid, d) shuffle) over the TRAINING corpus — the
+  // same bounded-sample story as the PQ trainer applies at 100 TB
+  // (FAISS trains both quantizers on the same fixed-size sample while
+  // encoding covers the full corpus); serving-path cost is bit-for-bit
+  // sim14's (the cdot add rides the existing probe column). Oracle
+  // replays coarse training, residual encode, and the cdot-restored ADC
+  // round-for-round; MATERIALIZED chain hints are physical-only.
+  private val pq16CoarseIters = 2
+  private val pq16Pool = 100
+  private def sim16ResidualPq(s: SparkSession, d: String): DataFrame =
+    ivfpqVariant(s, d, pqIters, pq16Pool, residual = true,
+      coarseIters = pq16CoarseIters)
+
+  /** One coarse Lloyd round of sim16's oracle: L2 argmin with lowest-cid
+    * ties, floor-of-double integer means — kmeansSqlCtes' iteration
+    * re-keyed to the `corp` side and the sim16 CTE names.
+    */
+  private def coarseIterSql(r: Int): String =
+    s"""ka$r AS (SELECT corp.vec_id, corp.v, c.cid,
+       |    CAST((SELECT SUM(c.vc[i] * c.vc[i] - 2 * corp.v[i] * c.vc[i])
+       |        FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dist
+       |  FROM corp, cent${r - 1} c),
+       |ks$r AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ka$r)
+       |  WHERE rn = 1),
+       |kp$r AS (SELECT cid, u.i AS d,
+       |    CAST(FLOOR(CAST(SUM(v[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM ks$r, UNNEST(generate_series(1, 64)) u(i) GROUP BY cid, u.i),
+       |cent$r AS (SELECT cid, list(cv ORDER BY d) AS vc
+       |  FROM kp$r GROUP BY cid),""".stripMargin
+
+  private val sim16Sql: String = graft.OracleHints.materializeCtes(
+    s"""WITH $scaledVectorsSqlCte,
+       |corp AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 5 <> 0),
+       |cent0 AS (SELECT vec_id AS cid, v AS vc FROM corp ORDER BY vec_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM corp)),
+       |${(1 to pq16CoarseIters).map(coarseIterSql).mkString("\n")}
+       |centf AS (SELECT cid, vc,
+       |    CAST(list_sum(list_transform(vc, x -> x * x)) AS BIGINT) AS nc
+       |  FROM cent$pq16CoarseIters),
+       |ap AS (SELECT corp.vec_id, corp.v, corp.nrm, c.cid, c.vc, c.nc,
+       |  CAST((SELECT SUM(corp.v[i] * c.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM corp, centf c),
+       |ar AS (SELECT vec_id, v, nrm, cid AS cell, vc,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY nc - 2 * cdot, cid) AS arn
+       |  FROM ap),
+       |idx AS (SELECT vec_id, v, nrm, cell, vc FROM ar WHERE arn = 1),
+       |rsub AS (SELECT idx.vec_id, idx.cell, u.j,
+       |    list_transform(generate_series(1, 8),
+       |      i -> idx.v[u.j * 8 + i] - idx.vc[u.j * 8 + i]) AS sv
+       |  FROM idx, UNNEST(generate_series(0, 7)) u(j)),
+       |subt AS (SELECT s.vec_id, s.j, s.sv FROM rsub s WHERE
+       |  ('0x' || substring(md5(CAST(s.vec_id AS VARCHAR) || ':pq'), 1, 15))::BIGINT
+       |  % GREATEST(1, CAST(ceil((SELECT COUNT(DISTINCT vec_id) FROM corp)
+       |      / $pqTrainBudget.0) AS BIGINT)) = 0),
+       |pq0 AS (SELECT j, vec_id AS code, sv AS cv FROM rsub
+       |  WHERE vec_id IN (SELECT vec_id FROM corp ORDER BY vec_id LIMIT 64)),
+       |${(1 to pqIters).map(r => pqIterSql(r)).mkString("\n")}
+       |pqc AS (SELECT j, code, cv,
+       |    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+       |  FROM pq$pqIters),
+       |codes AS (SELECT cd.vec_id, cd.j, cd.code, cd.cell FROM (
+       |  SELECT s.vec_id, s.cell, s.j, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |      c.cn - 2 * CAST((SELECT SUM(s.sv[i] * c.cv[i])
+       |        FROM UNNEST(generate_series(1, 8)) t(i)) AS BIGINT), c.code) AS rn
+       |  FROM rsub s JOIN pqc c ON c.j = s.j) cd WHERE cd.rn = 1),
+       |qp AS (SELECT e.vec_id AS qid, e.v AS va, e.nrm AS na, c.cid, c.nc,
+       |  CAST((SELECT SUM(e.v[i] * c.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM e, centf c WHERE e.vec_id % 5 = 0),
+       |qr AS (SELECT qid, cid AS cell, cdot,
+       |  row_number() OVER (PARTITION BY qid ORDER BY nc - 2 * cdot, cid) AS prn
+       |  FROM qp),
+       |pc AS (SELECT qid, cell, cdot FROM qr WHERE prn <= (SELECT
+       |  GREATEST(6, CAST(ceil(1.5 * sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT)) FROM corp)),
+       |subq AS (SELECT vec_id AS qid, u.j, v[u.j*8+1:u.j*8+8] AS sv
+       |  FROM e, UNNEST(generate_series(0, 7)) u(j) WHERE vec_id % 5 = 0),
+       |lut AS (SELECT s.qid, s.j, c.code,
+       |    CAST((SELECT SUM(s.sv[i] * c.cv[i])
+       |      FROM UNNEST(generate_series(1, 8)) t(i)) AS BIGINT) AS pdot
+       |  FROM subq s JOIN pqc c ON c.j = s.j),
+       |adc AS (SELECT l.qid, cd.vec_id AS nbr,
+       |    MAX(pc.cdot) + CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+       |  FROM codes cd JOIN pc ON pc.cell = cd.cell
+       |  JOIN lut l ON l.qid = pc.qid AND l.j = cd.j AND l.code = cd.code
+       |  GROUP BY 1, 2),
+       |coarse AS (SELECT qid, nbr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nbr) AS crnk
+       |  FROM adc),
+       |r AS (SELECT c.qid, c.nbr, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM coarse c JOIN e a ON a.vec_id = c.qid JOIN idx b ON b.vec_id = c.nbr
+       |  WHERE c.crnk <= $pq16Pool),
+       |f AS (SELECT qid, nbr, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM r)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM f WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)
 
   // ---------------------------------------------------------------------
   // sim15_filtered_ann — METADATA-FILTERED vector search: "nearest
@@ -1524,6 +1727,7 @@ object Similarity {
        |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("sim16_residual_pq", sim16ResidualPq, Some(sim16Sql)),
     Q("sim15_filtered_ann", sim15FilteredAnn, Some(sim15Sql)),
     Q("sim14_ann_ivfpq", sim14AnnIvfpq, Some(sim14Sql)),
     Q("sim13_mmr_ann", sim13MmrAnn, Some(sim13Sql)),
