@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned table SNAPSHOTS with an atomic latest-pointer — the
+  * reproducibility layer a training pipeline needs above the
+  * append/upsert warehouse: a trainer that records "read manifest v12"
+  * can re-read EXACTLY those bytes months later, a rebuild in progress
+  * is invisible until its pointer flip, and a crashed write leaves the
+  * previous version fully readable (write-audit-publish, the classic
+  * pre-table-format batch pattern; full per-row transactionality needs
+  * Iceberg/Delta, which the public-Spark-only rule keeps out of scope —
+  * this is the strongest isolation a plain-parquet lake offers).
+  *
+  * Layout under a table root:
+  *   <root>/_v=<N>/...parquet        one immutable directory per version
+  *   <root>/_latest.version          the commit pointer (decimal N)
+  *
+  * The underscore prefix keeps both invisible to any reader that lists
+  * `<root>` directly (Hadoop/Spark skip `_`-prefixed paths), so a
+  * snapshot root never half-reads as a bare parquet table.
+  *
+  * Commit protocol: data writes to `_v=<next>` FIRST, the pointer flips
+  * LAST via an atomic rename (FileContext OVERWRITE — atomic on
+  * local/HDFS; an object store without atomic rename would hold the
+  * pointer in a metastore/conditional-PUT instead, same protocol).
+  * Version numbers come from max(existing dirs, pointer) + 1, so an
+  * orphaned directory from a crashed write is never re-claimed — the
+  * next successful write simply shadows it.
+  *
+  * Scale: a snapshot read is exactly a parquet read of one directory
+  * (partition pruning, pushdown, and the whole scan stack apply
+  * unchanged); the pointer is one ~8-byte file read once per plan. The
+  * cost of versioning is storage — writers emit full versions — which
+  * is why this layer fits REBUILT artifacts (manifests, indexes, dim
+  * snapshots: small relative to the corpus, rebuilt nightly by
+  * pipe2/pipe6) rather than the append-only fact/chunk tables, whose
+  * incremental feeds stay on [[Catalog.upsert]]/[[RawZone]] and whose
+  * history IS the append log. [[vacuum]] bounds retained versions.
+  */
+object Snapshots {
+
+  private val Pointer = "_latest.version"
+  private val VPrefix = "_v="
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed latest version, or None before the first successful
+    * [[write]] (an orphaned `_v=` directory alone does NOT count).
+    */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root, Pointer)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        Some(s.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** All version directories present on disk (committed or orphaned). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val r = new Path(root)
+    if (!fs.exists(r)) Nil
+    else fs.listStatus(r).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(VPrefix))
+      .map(_.stripPrefix(VPrefix).toLong)
+      .sorted
+  }
+
+  /** Write `df` as the next version and flip the pointer. Returns the
+    * committed version number — callers record it next to the run
+    * ([[RunLog]]) so the exact input of a training run stays
+    * re-readable.
+    */
+  def write(df: DataFrame, root: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val next = (versions(spark, root) ++ latestVersion(spark, root))
+      .foldLeft(0L)(math.max) + 1L
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(s"$root/$VPrefix$next")
+    commitPointer(spark, root, next)
+    next
+  }
+
+  /** Flip the pointer to `version` — data first, pointer last. Exposed
+    * for rollback: re-pointing to a retained older version is a
+    * metadata-only revert.
+    */
+  def commitPointer(spark: SparkSession, root: String, version: Long): Unit = {
+    require(versions(spark, root).contains(version),
+      s"snapshot _v=$version does not exist under $root")
+    val fs = fsOf(spark, root)
+    val tmp = new Path(root, s"$Pointer.tmp")
+    val dst = new Path(root, Pointer)
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Read a pinned version, or the committed latest when None. */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    require(versions(spark, root).contains(v),
+      s"snapshot _v=$v does not exist under $root (vacuumed?)")
+    spark.read.parquet(s"$root/$VPrefix$v")
+  }
+
+  /** Retention: delete committed versions older than the newest `keep`,
+    * plus nothing else — orphans above the pointer are left for the
+    * next write to shadow (deleting a directory a concurrent writer
+    * owns is not this pass's call). Returns the versions deleted.
+    * Readers pinned to a vacuumed version fail loudly at [[read]]'s
+    * existence check — retention is the explicit trade against
+    * unbounded storage, sized so the training-lineage window (`keep`)
+    * survives.
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "vacuum must keep at least the committed latest")
+    val ptr = latestVersion(spark, root).getOrElse(return Nil)
+    val fs = fsOf(spark, root)
+    val committed = versions(spark, root).filter(_ <= ptr)
+    val drop = committed.dropRight(keep)
+    drop.foreach(v => fs.delete(new Path(root, s"$VPrefix$v"), true))
+    drop
+  }
+}
