@@ -68,6 +68,86 @@ object TrainPrep {
        |ORDER BY tot.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dc2_chunk_decontaminate — dc1 at the RAG CHUNK grain: the serving
+  // stack indexes pk6's overlapping chunks (pipe6), and a doc that
+  // survives doc-level decontamination can still carry ONE contaminated
+  // chunk (a quoted benchmark item inside an otherwise-clean document)
+  // that retrieval then hands to the model verbatim. So the check runs
+  // at the unit the index actually serves: a train chunk (doc_id%10≠0)
+  // is contaminated when ≥20% of its distinct word-3-gram shingles
+  // appear in the held-out split's fingerprint set (dc1's exact integer
+  // rule, n_shared·5 ≥ n_shingles). Chunks under 3 tokens have no
+  // shingles and no row — nothing to fingerprint, same stance as
+  // shingleRowsOf's ≥3 filter.
+  //
+  // Chunk shingles are 3-grams over the chunk's REASSEMBLED token
+  // sequence (pk6TokenChunks order) — boundary-straddling doc 3-grams
+  // belong to whichever chunk holds all three tokens, which the B−S=16
+  // token overlap keeps intact in at least one chunk for any straddle
+  // ≤ 16 — the overlap earning its storage twice (retrieval context +
+  // decontamination coverage).
+  //
+  // Scale: dc1's economics at the chunk grain — the fingerprint join is
+  // AQE-decided (broadcast while the eval set fits, shuffled-hash past
+  // it), shuffles are the (doc, chunk) regroup (groups ≤ B tokens) and
+  // two map-side-combined counts. Decision hash is xxhash64 (dc1's
+  // disclosed stance); the oracle joins exact strings.
+  private def dc2ChunkDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val chunks = pk6TokenChunks(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("doc_id"), col("k").as("chunk_id"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")).as("a"))
+      .filter(size(col("a")) >= 3)
+    val trainSh = chunks
+      .select(col("doc_id"), col("chunk_id"), col("a"),
+        explode(sequence(lit(0), size(col("a")) - 3)).as("i"))
+      .select(col("doc_id"), col("chunk_id"), xxhash64(concat_ws(" ",
+        element_at(col("a"), col("i") + 1),
+        element_at(col("a"), col("i") + 2),
+        element_at(col("a"), col("i") + 3))).as("h"))
+      .distinct()
+    val test = Dedup.shingleRows(s, d).filter(col("doc_id") % 10 === 0)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val tot = trainSh.groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val shared = trainSh.join(test, Seq("h"))
+      .groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("shared0"))
+    tot.join(shared, Seq("doc_id", "chunk_id"), "left")
+      .select(
+        col("doc_id"), col("chunk_id"), col("n_shingles"),
+        coalesce(col("shared0"), lit(0L)).as("n_shared"),
+        (coalesce(col("shared0"), lit(0L)) * 5L >= col("n_shingles"))
+          .as("contaminated"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // lazy: pk6ChunkCtes is defined later in the object — a strict val
+  // here reads it as null during object init
+  private lazy val dc2Sql =
+    s"""WITH $pk6ChunkCtes,
+       |ca AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |    list(tok ORDER BY p) AS a
+       |  FROM m WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+       |tsh AS (SELECT DISTINCT doc_id, chunk_id,
+       |    a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS sh3
+       |  FROM ca, UNNEST(generate_series(1, greatest(len(a) - 2, 0))) u(i)),
+       |tt AS (SELECT string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |test AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |  FROM tt, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) u(i)),
+       |tot AS (SELECT doc_id, chunk_id, COUNT(*) AS n_shingles
+       |  FROM tsh GROUP BY 1, 2),
+       |shr AS (SELECT doc_id, chunk_id, COUNT(*) AS n_shared
+       |  FROM tsh JOIN test ON test.s = tsh.sh3 GROUP BY 1, 2)
+       |SELECT tot.doc_id, tot.chunk_id, n_shingles,
+       |  CAST(COALESCE(shr.n_shared, 0) AS BIGINT) AS n_shared,
+       |  COALESCE(shr.n_shared, 0) * 5 >= n_shingles AS contaminated
+       |FROM tot LEFT JOIN shr ON shr.doc_id = tot.doc_id
+       |  AND shr.chunk_id = tot.chunk_id
+       |ORDER BY tot.doc_id, tot.chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // pk1_pack_sequences — sequence packing: concatenate the corpus in
   // doc_id order and split into fixed context windows of `packBudget`
   // tokens (the concat-and-chunk layout LLM pretraining uses). Each doc
@@ -1965,6 +2045,7 @@ object TrainPrep {
     Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),
+    Q("dc2_chunk_decontaminate", dc2ChunkDecontaminate, Some(dc2Sql)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Sql)),
     Q("pk2_pack_emit", pk2PackEmit, Some(pk2Sql)),
     Q("pk3_attention_spans", pk3AttentionSpans, Some(pk3Sql)),
