@@ -1490,6 +1490,8 @@ object Similarity {
   // sim14's (the cdot add rides the existing probe column). Oracle
   // replays coarse training, residual encode, and the cdot-restored ADC
   // round-for-round; MATERIALIZED chain hints are physical-only.
+  // 10× probe: 7.57 → 19.15 s (2.5× — the fixed-round trainers amortize;
+  // the ADC scan stays sim9-shaped).
   private val pq16CoarseIters = 2
   private val pq16Pool = 100
   private def sim16ResidualPq(s: SparkSession, d: String): DataFrame =

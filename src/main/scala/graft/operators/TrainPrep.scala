@@ -91,7 +91,9 @@ object TrainPrep {
   // AQE-decided (broadcast while the eval set fits, shuffled-hash past
   // it), shuffles are the (doc, chunk) regroup (groups ≤ B tokens) and
   // two map-side-combined counts. Decision hash is xxhash64 (dc1's
-  // disclosed stance); the oracle joins exact strings.
+  // disclosed stance); the oracle joins exact strings. 10× probe:
+  // 1.21 → 14.17 s — linear in corpus positions, as the token-grain
+  // regroup implies.
   private def dc2ChunkDecontaminate(s: SparkSession, d: String): DataFrame = {
     val chunks = pk6TokenChunks(s, d)
       .filter(col("doc_id") % 10 =!= 0)
@@ -606,6 +608,8 @@ object TrainPrep {
   // ≥ ~9·10⁹ features — the weight table is B rows computed once, so
   // production arithmetic would carry DECIMAL(38,0) there (exact in
   // both engines) at zero plan cost; gate scale stays int64.
+  // 10× probe: 4.44 → 18.49 s (the unigram+bigram feature explode feeds
+  // both distribution aggs; selection stays TakeOrdered-bounded).
   private val dsirB = 128L
   private val dsirKeepDiv = 5L // keep the top fifth of the raw pool
   private[graft] def dsirSelect(docs: DataFrame, targetSource: String): DataFrame = {
