@@ -974,6 +974,43 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // adversarial sim16 twin (`runMain graft.ScaleProbe skew:sim16`):
+    // same one-blob corpus, but sim16's coarse quantizer is TRAINED —
+    // Lloyd on a single tight blob collapses the k=155 rank-init
+    // centroids toward the blob mean, empty cells drop out, and the
+    // survivors' L2 assignment decides how much of the corpus every
+    // query's probe set scans. Measures whether training WORSENS the
+    // degeneracy (fewer surviving cells than the untrained lowest-ids
+    // convention) or absorbs it like sim14 did; also exercises the
+    // md5-sampled trainers (corpus 24000 > budget) on both paths.
+    if (args.contains("skew:sim16")) {
+      val skewDir = skewCache("skewsim14") // same corpora as skew:sim14
+      val n = 30000L
+      def corpus(hot: Boolean, path: String): Unit = {
+        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
+          val vec =
+            if (hot)
+              "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
+            else
+              "transform(sequence(0, 63), j -> CAST(CASE WHEN j = CAST(id % 64 AS INT) THEN 10.0 ELSE CAST((id * 7 + j) % 5 AS DOUBLE) * 0.1 END AS FLOAT))"
+          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding")
+            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+        }
+      }
+      corpus(hot = true, s"$skewDir/hot")
+      corpus(hot = false, s"$skewDir/uni")
+      for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-1cell" -> s"$skewDir/hot")) {
+        SparkEntry.queries("sim16_residual_pq")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries("sim16_residual_pq")(spark, dir).count()
+        println(f"[probe] skew sim16 $label%-9s n=$n rows=$rows%5d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // adversarial incremental-prep probe (`runMain graft.ScaleProbe
     // skew:pipe3`): pipe3's fuzzy gate joins batch×store band rows.
     // Round 11 wired dd9's bucket cap in front (store-side buckets

@@ -1491,7 +1491,14 @@ object Similarity {
   // replays coarse training, residual encode, and the cdot-restored ADC
   // round-for-round; MATERIALIZED chain hints are physical-only.
   // 10× probe: 7.57 → 19.15 s (2.5× — the fixed-round trainers amortize;
-  // the ADC scan stays sim9-shaped).
+  // the ADC scan stays sim9-shaped). skew:sim16 (one-blob corpus,
+  // n=30k, both md5-sampled trainers live): ABSORBED — hot-1cell 36.0 s
+  // vs 44.9 s uniform; Lloyd collapses the rank-init centroids toward
+  // the blob mean and empty cells drop out, so the surviving-cell
+  // frames downstream SHRINK rather than concentrating scan cost. The
+  // ~2× premium over sim14 at probe scale is the coarse trainer's two
+  // 24k×155 assignment rounds — offline, amortized cost in the FAISS
+  // train-vs-add split (streamingIndexAssign is the online half).
   private val pq16CoarseIters = 2
   private val pq16Pool = 100
   private def sim16ResidualPq(s: SparkSession, d: String): DataFrame =

@@ -55,6 +55,25 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("nightly pipe6 index rebuild publishes as a snapshot; pinned readers are isolated") {
+    // the intended consumer: pipe6's RAG index is REBUILT nightly (the
+    // FAISS train side); publishing each rebuild as a snapshot version
+    // lets search6/streamingIndexAssign readers pin the version they
+    // started with and lets a bad rebuild roll back by pointer flip
+    val root = java.nio.file.Files.createTempDirectory("snap").toString + "/rag"
+    val small = graft.Registry.queries("pipe6_rag_index")(spark, sf("sf0.001"))
+    val v1 = Snapshots.write(small, root)
+    val grown = graft.Registry.queries("pipe6_rag_index")(spark, sf("sf0.01"))
+    val v2 = Snapshots.write(grown, root)
+    assert(v2 === v1 + 1)
+    // latest follows the rebuild; the pinned v1 read is bit-equal to the
+    // original build, untouched by the rebuild's write
+    assert(Snapshots.read(spark, root).count() === grown.count())
+    val pinned = Snapshots.read(spark, root, Some(v1))
+    assert(pinned.exceptAll(small).count() === 0L)
+    assert(small.exceptAll(pinned).count() === 0L)
+  }
+
   test("partitioned snapshots read with partition pruning intact") {
     val root = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
     val df = (1 to 10).map(i => (i.toLong, i % 2)).toDF("id", "p")
