@@ -359,6 +359,26 @@ object ScaleProbe {
   private def replicate(df: DataFrame): DataFrame =
     df.withColumn("_c", explode(sequence(lit(0L), lit(Copies - 1L))))
 
+  /** skew:sim14/skew:sim16 shared embedding corpus — ONE builder so the
+    * two probes can never drift apart while claiming "same corpora"
+    * (they share the skewCache("skewsim14") directory; whichever runs
+    * first materializes for both). hot: one tight blob (cosine ~1
+    * pairwise) → one IVF cell / Lloyd collapse. uniform: the dominant
+    * dim rotates → 64 well-separated groups across the cells.
+    */
+  private def skewSimCorpus(spark: SparkSession, path: String,
+      hot: Boolean, n: Long): Unit = {
+    if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
+      val vec =
+        if (hot)
+          "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
+        else
+          "transform(sequence(0, 63), j -> CAST(CASE WHEN j = CAST(id % 64 AS INT) THEN 10.0 ELSE CAST((id * 7 + j) % 5 AS DOUBLE) * 0.1 END AS FLOAT))"
+      spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding")
+        .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = "/tmp/sfprobe"
@@ -946,22 +966,8 @@ object ScaleProbe {
     if (args.contains("skew:sim14")) {
       val skewDir = skewCache("skewsim14")
       val n = 30000L // corpus 24000 > pqTrainBudget => the SAMPLED trainer runs live (rate 2)
-      def corpus(hot: Boolean, path: String): Unit = {
-        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
-          // hot: one tight blob (cosine ~1 pairwise) -> one IVF cell.
-          // uniform: dominant dim rotates -> 64 well-separated groups
-          // spread across the 127 cells. (skew:dd16's constructions.)
-          val vec =
-            if (hot)
-              "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
-            else
-              "transform(sequence(0, 63), j -> CAST(CASE WHEN j = CAST(id % 64 AS INT) THEN 10.0 ELSE CAST((id * 7 + j) % 5 AS DOUBLE) * 0.1 END AS FLOAT))"
-          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding")
-            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
-        }
-      }
-      corpus(hot = true, s"$skewDir/hot")
-      corpus(hot = false, s"$skewDir/uni")
+      skewSimCorpus(spark, s"$skewDir/hot", hot = true, n)
+      skewSimCorpus(spark, s"$skewDir/uni", hot = false, n)
       for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-1cell" -> s"$skewDir/hot")) {
         SparkEntry.queries("sim14_ann_ivfpq")(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -986,19 +992,8 @@ object ScaleProbe {
     if (args.contains("skew:sim16")) {
       val skewDir = skewCache("skewsim14") // same corpora as skew:sim14
       val n = 30000L
-      def corpus(hot: Boolean, path: String): Unit = {
-        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
-          val vec =
-            if (hot)
-              "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
-            else
-              "transform(sequence(0, 63), j -> CAST(CASE WHEN j = CAST(id % 64 AS INT) THEN 10.0 ELSE CAST((id * 7 + j) % 5 AS DOUBLE) * 0.1 END AS FLOAT))"
-          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding")
-            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
-        }
-      }
-      corpus(hot = true, s"$skewDir/hot")
-      corpus(hot = false, s"$skewDir/uni")
+      skewSimCorpus(spark, s"$skewDir/hot", hot = true, n)
+      skewSimCorpus(spark, s"$skewDir/uni", hot = false, n)
       for ((label, dir) <- Seq("uniform" -> s"$skewDir/uni", "hot-1cell" -> s"$skewDir/hot")) {
         SparkEntry.queries("sim16_residual_pq")(spark, dir)
           .write.format("noop").mode("overwrite").save()

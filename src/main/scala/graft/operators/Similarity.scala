@@ -1148,19 +1148,32 @@ object Similarity {
     val nCorpus = corpus.count()
     val kIvf = math.ceil(math.sqrt(nCorpus.toDouble)).toInt
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(kIvf.toDouble)).toInt)
+    // both trainers (coarse Lloyd below, per-subspace PQ further down)
+    // thin their input by the same portable md5 discipline at rate
+    // ⌈n/budget⌉ — FAISS trains both quantizers on a bounded sample
+    // while ASSIGNMENT/ENCODING still covers the full corpus. Inert at
+    // gate scale (rate 1); live in skew:sim16 (corpus 24k > budget).
+    val trainRate =
+      math.max(1L, math.ceil(nCorpus.toDouble / pqTrainBudget).toLong)
+    val coarseTrainH = conv(substring(md5(
+      concat(col("vec_id").cast("string"), lit(":ivf"))), 1, 15), 16, 10)
+      .cast("long")
+    val coarseTrain =
+      if (trainRate == 1L) corpus
+      else corpus.filter(pmod(coarseTrainH, lit(trainRate)) === 0L)
     val cent =
       if (coarseIters == 0)
         corpus.orderBy("vec_id").limit(kIvf)
           .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
       else {
         // trained coarse quantizer: kmeansFit's loop at k=⌈√N⌉ over the
-        // corpus side (rank init; same exact-integer assign/mean rounds)
-        var cc = corpus.orderBy("vec_id").limit(kIvf)
+        // (sampled) corpus side (rank init; exact-integer assign/mean)
+        var cc = coarseTrain.orderBy("vec_id").limit(kIvf)
           .select(col("vec_id").as("cid"), col("v").as("vc")).localCheckpoint()
         for (_ <- 1 to coarseIters) {
           val wA = org.apache.spark.sql.expressions.Window
             .partitionBy("vec_id").orderBy(col("cdist"), col("cid"))
-          val asg = corpus.select(col("vec_id"), col("v"))
+          val asg = coarseTrain.select(col("vec_id"), col("v"))
             .crossJoin(broadcast(cc.withColumn("nc",
               graft.functions.VectorFunctions.normSqLong(col("vc")))))
             .withColumn("cdist", col("nc") - lit(2L) * dot(col("v"), col("vc")))
@@ -1192,8 +1205,10 @@ object Similarity {
       .withColumn("cdist", col("nc") - lit(2L) * col("cdot"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"),
-        col("vc"))
+      // vc rides the checkpoint only when the residual encode reads it —
+      // for sim14 it would double the stored full-vector side for nothing
+      .select(Seq(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell")) ++
+        (if (residual) Seq(col("vc")) else Nil): _*)
       .localCheckpoint() // the stored full-vector side (rerank fetches)
     def subCols(vcol: Column) = array((0 until m).map(j =>
       struct(lit(j).as("j"), slice(vcol, j * sub + 1, sub).as("sv"))): _*)
@@ -1241,8 +1256,6 @@ object Similarity {
     // and runs live in the skew:sim14 probe at n=30k. At 100 TB the
     // trainer touches a fixed-size sample while encoding still covers
     // the full corpus.
-    val trainRate =
-      math.max(1L, math.ceil(nCorpus.toDouble / pqTrainBudget).toLong)
     val trainH = conv(substring(md5(
       concat(col("vec_id").cast("string"), lit(":pq"))), 1, 15), 16, 10)
       .cast("long")
@@ -1492,13 +1505,17 @@ object Similarity {
   // round-for-round; MATERIALIZED chain hints are physical-only.
   // 10× probe: 7.57 → 19.15 s (2.5× — the fixed-round trainers amortize;
   // the ADC scan stays sim9-shaped). skew:sim16 (one-blob corpus,
-  // n=30k, both md5-sampled trainers live): ABSORBED — hot-1cell 36.0 s
-  // vs 44.9 s uniform; Lloyd collapses the rank-init centroids toward
-  // the blob mean and empty cells drop out, so the surviving-cell
-  // frames downstream SHRINK rather than concentrating scan cost. The
-  // ~2× premium over sim14 at probe scale is the coarse trainer's two
-  // 24k×155 assignment rounds — offline, amortized cost in the FAISS
-  // train-vs-add split (streamingIndexAssign is the online half).
+  // n=30k, BOTH md5-sampled trainers live at rate 2): hot-1cell 51.6 s
+  // vs 33.0 s uniform (1.56×, completes fine). The honest reading:
+  // Lloyd CORRECTLY clusters the blob — the corpus IS one cluster — so
+  // the surviving cells concentrate it and every query's probe set
+  // ADC-scans ~the whole corpus (Q·N ≈ 144M LUT lookups), the known
+  // IVF degeneracy on unclusterable data; sim14's untrained convention
+  // accidentally SPREADS the blob across its arbitrary-vector
+  // "centroids" (12.9 s) by giving up the very cell locality that makes
+  // IVF prune on real corpora. Remedies if a production corpus
+  // degenerates: nprobe-aware cell re-splitting or a per-cell scan cap
+  // (recall-lossy — not wired unless needed; skew:sim14's note).
   private val pq16CoarseIters = 2
   private val pq16Pool = 100
   private def sim16ResidualPq(s: SparkSession, d: String): DataFrame =
@@ -1510,10 +1527,10 @@ object Similarity {
     * re-keyed to the `corp` side and the sim16 CTE names.
     */
   private def coarseIterSql(r: Int): String =
-    s"""ka$r AS (SELECT corp.vec_id, corp.v, c.cid,
-       |    CAST((SELECT SUM(c.vc[i] * c.vc[i] - 2 * corp.v[i] * c.vc[i])
+    s"""ka$r AS (SELECT corpt.vec_id, corpt.v, c.cid,
+       |    CAST((SELECT SUM(c.vc[i] * c.vc[i] - 2 * corpt.v[i] * c.vc[i])
        |        FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dist
-       |  FROM corp, cent${r - 1} c),
+       |  FROM corpt, cent${r - 1} c),
        |ks$r AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER
        |    (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ka$r)
        |  WHERE rn = 1),
@@ -1526,7 +1543,11 @@ object Similarity {
   private val sim16Sql: String = graft.OracleHints.materializeCtes(
     s"""WITH $scaledVectorsSqlCte,
        |corp AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 5 <> 0),
-       |cent0 AS (SELECT vec_id AS cid, v AS vc FROM corp ORDER BY vec_id
+       |corpt AS (SELECT c.vec_id, c.v FROM corp c WHERE
+       |  ('0x' || substring(md5(CAST(c.vec_id AS VARCHAR) || ':ivf'), 1, 15))::BIGINT
+       |  % GREATEST(1, CAST(ceil((SELECT COUNT(DISTINCT vec_id) FROM corp)
+       |      / $pqTrainBudget.0) AS BIGINT)) = 0),
+       |cent0 AS (SELECT vec_id AS cid, v AS vc FROM corpt ORDER BY vec_id
        |  LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM corp)),
        |${(1 to pq16CoarseIters).map(coarseIterSql).mkString("\n")}
        |centf AS (SELECT cid, vc,

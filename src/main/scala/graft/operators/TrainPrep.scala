@@ -109,8 +109,20 @@ object TrainPrep {
         element_at(col("a"), col("i") + 2),
         element_at(col("a"), col("i") + 3))).as("h"))
       .distinct()
-    val test = Dedup.shingleRows(s, d).filter(col("doc_id") % 10 === 0)
-      .select(xxhash64(col("s")).as("h")).distinct()
+    // test-side fingerprints over the SAME token domain as the chunks:
+    // pk6TokenChunks drops empty tokens, so the held-out shingles must
+    // too — an asymmetric domain would miss a verbatim quote whose
+    // source text carries consecutive spaces (shingleRows keeps empties)
+    val testToks = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(filter(split(col("text"), " "), x => length(x) > 0).as("a"))
+      .filter(size(col("a")) >= 3)
+    val test = testToks
+      .select(col("a"), explode(sequence(lit(0), size(col("a")) - 3)).as("i"))
+      .select(xxhash64(concat_ws(" ",
+        element_at(col("a"), col("i") + 1),
+        element_at(col("a"), col("i") + 2),
+        element_at(col("a"), col("i") + 3))).as("h"))
+      .distinct()
     val tot = trainSh.groupBy("doc_id", "chunk_id")
       .agg(count(lit(1)).as("n_shingles"))
     val shared = trainSh.join(test, Seq("h"))
@@ -134,8 +146,8 @@ object TrainPrep {
        |tsh AS (SELECT DISTINCT doc_id, chunk_id,
        |    a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS sh3
        |  FROM ca, UNNEST(generate_series(1, greatest(len(a) - 2, 0))) u(i)),
-       |tt AS (SELECT string_split(text, ' ') AS toks FROM documents
-       |  WHERE doc_id % 10 = 0),
+       |tt AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+       |  FROM documents WHERE doc_id % 10 = 0),
        |test AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
        |  FROM tt, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) u(i)),
        |tot AS (SELECT doc_id, chunk_id, COUNT(*) AS n_shingles
@@ -630,9 +642,12 @@ object TrainPrep {
     val cb = ds.groupBy("b").agg(sum("n").as("cc"))
     // scalar totals fold the B-row bucket tables, NOT the corpus-sized
     // feature frame again (Catalyst does not dedup common subplans —
-    // a feats re-aggregation would be a third corpus scan)
-    val tt = tb.agg(sum("tc").as("tn"))
-    val ct = cb.agg(sum("cc").as("cn"))
+    // a feats re-aggregation would be a third corpus scan); coalesce
+    // because sum over an EMPTY bucket table is NULL, where the oracle's
+    // COUNT(*) is 0 — an absent targetSource must hit the Laplace floor,
+    // not null every weight
+    val tt = tb.agg(coalesce(sum("tc"), lit(0L)).as("tn"))
+    val ct = cb.agg(coalesce(sum("cc"), lit(0L)).as("cn"))
     val w = cb.join(tb, Seq("b"), "left")
       .crossJoin(broadcast(tt)).crossJoin(broadcast(ct))
       .select(col("b"),

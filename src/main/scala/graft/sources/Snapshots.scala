@@ -80,17 +80,47 @@ object Snapshots {
     * committed version number — callers record it next to the run
     * ([[RunLog]]) so the exact input of a training run stays
     * re-readable.
+    *
+    * Concurrent-writer safe: data stages under a UUID directory and the
+    * version number is CLAIMED by an atomic no-overwrite rename — two
+    * overlapping writers that both compute `next = N` race the rename,
+    * the loser gets FileAlreadyExists and retries at N+1, and no
+    * committed `_v=` directory is ever rewritten (a plain
+    * SaveMode.Overwrite of `_v=N` would first DELETE the winner's
+    * committed files under live readers). Both writers commit; the last
+    * pointer flip decides "latest", and both versions stay pinned-
+    * readable — the write-audit-publish contract under contention.
     */
   def write(df: DataFrame, root: String,
       partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val next = (versions(spark, root) ++ latestVersion(spark, root))
-      .foldLeft(0L)(math.max) + 1L
+    val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID}")
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .save(s"$root/$VPrefix$next")
-    commitPointer(spark, root, next)
-    next
+      .save(staging.toString)
+    val fc = FileContext.getFileContext(staging.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      val next = (versions(spark, root) ++ latestVersion(spark, root))
+        .foldLeft(0L)(math.max) + 1L
+      try {
+        // no-OVERWRITE rename: atomic claim, throws if _v=next exists
+        fc.rename(staging, new Path(root, s"$VPrefix$next"))
+        committed = next
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts >= 16) {
+            fsOf(spark, root).delete(staging, true)
+            throw new IllegalStateException(
+              s"snapshot version claim lost 16 races under $root", e)
+          }
+      }
+    }
+    commitPointer(spark, root, committed)
+    committed
   }
 
   /** Flip the pointer to `version` — data first, pointer last. Exposed

@@ -51,4 +51,21 @@ class Dc2ChunkSpec extends SparkSpec {
     assert(dc2((13L, 1L)) === true)
     assert(dc2((13L, 2L)) === false)
   }
+
+  test("dc2 shingle domains are symmetric under stray double spaces") {
+    // pk6 drops empty tokens on the chunk side; the held-out fingerprint
+    // side must shingle the same token domain, or a verbatim copy of a
+    // double-spaced held-out doc reads as clean
+    val tmp = java.nio.file.Files.createTempDirectory("dc2s").toString
+    val bench = (0 until 70).map(i => s"q$i").mkString("  ") // DOUBLE spaces
+    val copy = (0 until 70).map(i => s"q$i").mkString(" ") // clean re-spacing
+    spark.createDataFrame(Seq(
+      (0L, bench, "en", "src0", bench.length.toLong),
+      (11L, copy, "en", "src1", copy.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("dc2_chunk_decontaminate")(spark, tmp).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(4)), "verbatim copy must flag every chunk")
+  }
 }

@@ -44,6 +44,16 @@ class Mix3DsirSpec extends SparkSpec {
     assert(out.head.getLong(1) === 1L)
   }
 
+  test("mix3: an ABSENT target source still yields Laplace-floor scores, not nulls") {
+    // sum over an empty bucket table is NULL in Spark where the oracle
+    // counts 0 — the coalesce in dsirSelect is load-bearing
+    val rows = (1L to 5L).map(i => (i, junk, "src2"))
+    val out = TrainPrep.dsirSelect(docs(rows), "srcMissing").collect()
+    assert(out.length === 1)
+    assert(!out.head.isNullAt(3) && out.head.getLong(3) > 0L)
+    assert(out.head.getLong(1) === 1L)
+  }
+
   test("mix3: smoothing keeps junk-only corpora well-defined and ranked") {
     // no raw doc shares a single feature with the target: every bucket
     // weight falls back to the Laplace floor, scores stay positive, and
