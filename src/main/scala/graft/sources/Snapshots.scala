@@ -149,6 +149,40 @@ object Snapshots {
     spark.read.parquet(s"$root/$VPrefix$v")
   }
 
+  /** Keyed DIFF between two snapshot versions — the audit half of
+    * write-audit-publish: before flipping the pointer at a rebuilt
+    * artifact (or after, forensically), "what changed" is one
+    * full-outer join on the natural key: `added` (key only in `to`),
+    * `removed` (key only in `from`), `changed` (key in both, any
+    * non-key column differs under null-safe equality). Unchanged keys
+    * are filtered out, so the result is change-sized, not table-sized
+    * in rows (the join itself is the unavoidable two-version scan —
+    * partition pruning applies if the caller filters first).
+    * Both versions must share a schema and be unique per key (the
+    * keyed-table contract everywhere else in this package).
+    */
+  def diff(spark: SparkSession, root: String, from: Long, to: Long,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "diff needs a natural key")
+    val a = read(spark, root, Some(from))
+    val b = read(spark, root, Some(to))
+    require(a.schema == b.schema,
+      s"diff across schemas: _v=$from ${a.schema.simpleString} vs _v=$to ${b.schema.simpleString}")
+    val nonKey = a.columns.toSeq.filterNot(keys.contains)
+    def pack(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+
+        (if (nonKey.isEmpty) lit(0) else struct(nonKey.map(col): _*)).as(as): _*)
+    pack(a, "_from").join(pack(b, "_to"), keys, "full_outer")
+      .withColumn("change",
+        when(col("_from").isNull, lit("added"))
+          .when(col("_to").isNull, lit("removed"))
+          .when(!(col("_from") <=> col("_to")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Retention: delete committed versions older than the newest `keep`,
     * plus nothing else — orphans above the pointer are left for the
     * next write to shadow (deleting a directory a concurrent writer

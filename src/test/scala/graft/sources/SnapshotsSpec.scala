@@ -74,6 +74,17 @@ class SnapshotsSpec extends SparkSpec {
     assert(small.exceptAll(pinned).count() === 0L)
   }
 
+  test("diff between versions reports added/removed/changed and nothing else") {
+    val root = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
+    val v1 = Snapshots.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"), root)
+    val v2 = Snapshots.write(
+      Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("id", "tag"), root)
+    val d = Snapshots.diff(spark, root, v1, v2, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "removed", 2L -> "changed", 4L -> "added"))
+  }
+
   test("partitioned snapshots read with partition pruning intact") {
     val root = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
     val df = (1 to 10).map(i => (i.toLong, i % 2)).toDF("id", "p")
