@@ -1201,7 +1201,15 @@ c$r AS (SELECT doc_id,
   // over ≤k / ≤20 rows (bounded). At 100 TB the semantic leg swaps to
   // sim14's IVFPQ codes over the same cell layout without touching the
   // fusion.
-  private def search6HybridChunks(s: SparkSession, d: String): DataFrame = {
+  private def search6HybridChunks(s: SparkSession, d: String): DataFrame =
+    search6Fused(s, d)._1
+
+  /** search6's fused frame PLUS the index parts it probed — search7
+    * consumes both (the candidates and the vectors for pairwise MMR
+    * sims) without rebuilding the index twice.
+    */
+  private[operators] def search6Fused(s: SparkSession, d: String)
+      : (DataFrame, graft.operators.TrainPrep.Pipe6Parts) = {
     import s.implicits._
     val parts = graft.operators.TrainPrep.pipe6Parts(s, d)
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(parts.kCells.toDouble)).toInt)
@@ -1243,7 +1251,7 @@ c$r AS (SELECT doc_id,
       .orderBy(col("score_ppm").desc, col("doc_id"), col("k")).limit(20)
       .withColumn("lrank", row_number().over(wLex).cast("long"))
       .select(col("doc_id"), col("k"), col("lrank"))
-    lex.join(sem, Seq("doc_id", "k"), "full_outer")
+    val fused = lex.join(sem, Seq("doc_id", "k"), "full_outer")
       .withColumn("rrf_ppm",
         coalesce(expr("1000000L div (60L + lrank)"), lit(0L)) +
           coalesce(expr("1000000L div (60L + srank)"), lit(0L)))
@@ -1252,10 +1260,15 @@ c$r AS (SELECT doc_id,
         coalesce(col("srank"), lit(0L)).as("sem_rank"))
       .orderBy(col("rrf_ppm").desc, col("doc_id"), col("chunk_id"))
       .limit(15)
+    (fused, parts)
   }
 
-  private val search6Sql = graft.OracleHints.materializeCtes(
-    s"""WITH ${graft.operators.TrainPrep.pipe6IndexCtes},
+  /** search6's oracle chain (pipe6 index CTEs + both legs, ending at
+    * `lexr`/`semr`) and its final fused select — split so search7's
+    * oracle can reuse the whole retrieval stack as its candidate CTE.
+    */
+  private val search6Ctes =
+    s"""${graft.operators.TrainPrep.pipe6IndexCtes},
       |qh AS (SELECT ('0x' || substring(md5(t.tok), 1, 15))::BIGINT AS hm
       |  FROM (VALUES ('hash'), ('join'), ('scan')) t(tok)),
       |qv2 AS (SELECT hm % 16 AS dim,
@@ -1298,17 +1311,176 @@ c$r AS (SELECT doc_id,
       |  FROM lsc GROUP BY 1, 2),
       |lexr AS (SELECT doc_id, k, lrank FROM (SELECT doc_id, k,
       |    row_number() OVER (ORDER BY score_ppm DESC, doc_id, k) AS lrank
-      |  FROM lexc) WHERE lrank <= 20)
-      |SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+      |  FROM lexc) WHERE lrank <= 20)""".stripMargin
+
+  private val search6FusedSelect =
+    """SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
       |  CAST(COALESCE(lexr.k, semr.k) AS BIGINT) AS chunk_id,
       |  CAST(COALESCE(1000000 // (60 + lrank), 0)
       |     + COALESCE(1000000 // (60 + srank), 0) AS BIGINT) AS rrf_ppm,
       |  CAST(COALESCE(lrank, 0) AS BIGINT) AS lex_rank,
       |  CAST(COALESCE(srank, 0) AS BIGINT) AS sem_rank
       |FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id AND lexr.k = semr.k
-      |ORDER BY rrf_ppm DESC, doc_id, chunk_id LIMIT 15""".stripMargin)
+      |ORDER BY rrf_ppm DESC, doc_id, chunk_id LIMIT 15""".stripMargin
+
+  private val search6Sql = graft.OracleHints.materializeCtes(
+    s"""WITH $search6Ctes
+       |$search6FusedSelect""".stripMargin)
+
+  // ---------------------------------------------------------------------
+  // search7_rag_context — the serving-side END of the RAG stack: what a
+  // production system does between "retrieved top-k" and "call the
+  // model". Three stages composed: (1) search6's fused hybrid top-15
+  // candidates; (2) MMR DIVERSIFICATION over them (sim12's exact
+  // Carbonell–Goldstein greedy, λ=2/3 folded to 2·rel − maxsim) so the
+  // context window is not spent on near-duplicate chunks — relevance is
+  // the fused RRF score normalized to e6 (rel_n = rrf·10⁶ div max_rrf,
+  // same scale as the e6 pairwise cosines; lexical-only chunks with no
+  // hashed vector contribute sim 0 — no semantic-duplicate signal
+  // exists for them, both engines identically); (3) greedy CONTEXT
+  // PACKING of the picks in MMR order under a 256-token budget —
+  // cum_tokens is monotone, so "keep while ≤ budget" IS stop-at-first-
+  // overflow, and the emitted slots are the exact chunk sequence the
+  // prompt assembler would stuff.
+  //
+  // Scale: everything after search6 operates on ≤15 rows — the pairwise
+  // sim matrix is ≤15×15 dense-16 dots, each MMR round is one bounded
+  // argmax action (sim12's driver-iterates-ACTIONS discipline, K=8
+  // rounds), packing folds ≤8 driver scalars. Per-query serving cost is
+  // search6's probe cost + O(k²) tail work. Oracle replays fusion, all
+  // K rounds, and the running-sum cut.
+  private val s7K = 8
+  private val s7Ctx = 256L
+  private def search7RagContext(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val (fused, parts) = search6Fused(s, d)
+    val candKeys = fused.select(col("doc_id"), col("chunk_id").as("k"))
+    val dl = graft.operators.TrainPrep.pk6TokenChunks(s, d)
+      .join(candKeys, Seq("doc_id", "k"), "left_semi")
+      .groupBy(col("doc_id"), col("k").as("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val mx = fused.agg(max("rrf_ppm").as("mx"))
+    val cands = fused
+      .join(dl, Seq("doc_id", "chunk_id"))
+      .join(parts.vecs.withColumnRenamed("k", "chunk_id"),
+        Seq("doc_id", "chunk_id"), "left")
+      .crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("chunk_id"), col("rrf_ppm"), col("n_tokens"),
+        expr("rrf_ppm * 1000000L div mx").as("rel_n"), col("va"), col("vnrm"))
+      .localCheckpoint() // ≤15 rows, referenced every round
+    val pw = cands
+      .select(col("doc_id").as("ad"), col("chunk_id").as("ak"),
+        col("va").as("vva"), col("vnrm").as("na"))
+      .crossJoin(cands.select(col("doc_id").as("bd"), col("chunk_id").as("bk"),
+        col("va").as("vvb"), col("vnrm").as("nb")))
+      .filter(!(col("ad") === col("bd") && col("ak") === col("bk")))
+      .withColumn("sim_e6",
+        when(col("na").isNull || col("nb").isNull, 0L)
+          .otherwise(floor(dot(col("vva"), col("vvb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+            * 1000000).cast("long")))
+      .select("ad", "ak", "bd", "bk", "sim_e6")
+      .localCheckpoint()
+    var picks = Vector.empty[(Long, Long, Long, Long, Long)]
+    val rounds = math.min(s7K.toLong, cands.count()).toInt
+    for (_ <- 1 to rounds) {
+      val notPicked = picks.foldLeft(lit(true))((acc, p) =>
+        acc && !(col("doc_id") === p._1 && col("chunk_id") === p._2))
+      val base = cands.filter(notPicked)
+      val scored =
+        if (picks.isEmpty) base.withColumn("score", col("rel_n") * 2L)
+        else {
+          val selPred = picks
+            .map(p => col("bd") === lit(p._1) && col("bk") === lit(p._2))
+            .reduce(_ || _)
+          val ms = pw.filter(selPred)
+            .groupBy(col("ad").as("doc_id"), col("ak").as("chunk_id"))
+            .agg(max("sim_e6").as("maxsim"))
+          base.join(ms, Seq("doc_id", "chunk_id"), "left")
+            .withColumn("score",
+              col("rel_n") * 2L - coalesce(col("maxsim"), lit(0L)))
+        }
+      val top = scored
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+        .select("doc_id", "chunk_id", "rrf_ppm", "score", "n_tokens")
+        .limit(1).collect()(0)
+      picks :+= ((top.getLong(0), top.getLong(1), top.getLong(2),
+        top.getLong(3), top.getLong(4)))
+    }
+    import s.implicits._
+    var cum = 0L
+    val rows = picks.zipWithIndex.flatMap { case ((dId, ck, rrf, sc, nt), i) =>
+      cum += nt // monotone → the ≤-budget prefix IS stop-at-first-overflow
+      if (cum <= s7Ctx) Some((i + 1L, dId, ck, rrf, sc, nt, cum)) else None
+    }
+    rows.toDF("slot", "doc_id", "chunk_id", "rrf_ppm", "score",
+      "n_tokens", "cum_tokens").orderBy("slot")
+  }
+
+  /** Oracle: search6's full chain as the candidate CTE, pairwise e6
+    * cosines over the stored sparse vectors (vectorless → 0), K
+    * unrolled MMR rounds (sim13's sel-chain pattern on composite keys),
+    * running-sum cut at the context budget.
+    */
+  private def s7RoundSql(r: Int): String =
+    s"""x$r AS (SELECT c.*, COALESCE((SELECT MAX(pw.sim_e6) FROM pw
+       |    JOIN sel${r - 1} s2 ON pw.bd = s2.doc_id AND pw.bk = s2.chunk_id
+       |    WHERE pw.ad = c.doc_id AND pw.ak = c.chunk_id), 0) AS maxsim
+       |  FROM cd c WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s3
+       |    WHERE s3.doc_id = c.doc_id AND s3.chunk_id = c.chunk_id)),
+       |p$r AS (SELECT $r AS rank, doc_id, chunk_id, rrf_ppm,
+       |    2 * rel_n - maxsim AS score, n_tokens
+       |  FROM x$r ORDER BY 2 * rel_n - maxsim DESC, doc_id, chunk_id LIMIT 1),
+       |sel$r AS (SELECT doc_id, chunk_id FROM sel${r - 1}
+       |  UNION ALL SELECT doc_id, chunk_id FROM p$r),""".stripMargin
+
+  private val search7Sql = graft.OracleHints.materializeCtes(
+    s"""WITH $search6Ctes,
+       |cand0 AS ($search6FusedSelect),
+       |dl7 AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |    COUNT(*) AS n_tokens FROM m GROUP BY 1, 2),
+       |mr AS (SELECT MAX(rrf_ppm) AS mx FROM cand0),
+       |cd AS (SELECT c.doc_id, c.chunk_id, c.rrf_ppm, d.n_tokens,
+       |    c.rrf_ppm * 1000000 // mr.mx AS rel_n
+       |  FROM cand0 c JOIN dl7 d USING (doc_id, chunk_id) CROSS JOIN mr),
+       |pdot AS (SELECT va.doc_id AS ad, va.k AS ak, vb.doc_id AS bd,
+       |    vb.k AS bk, CAST(SUM(va.w * vb.w) AS BIGINT) AS dot
+       |  FROM vw va JOIN vw vb ON va.dim = vb.dim
+       |  WHERE EXISTS (SELECT 1 FROM cd
+       |      WHERE cd.doc_id = va.doc_id AND cd.chunk_id = va.k)
+       |    AND EXISTS (SELECT 1 FROM cd
+       |      WHERE cd.doc_id = vb.doc_id AND cd.chunk_id = vb.k)
+       |    AND NOT (va.doc_id = vb.doc_id AND va.k = vb.k)
+       |  GROUP BY 1, 2, 3, 4),
+       |pp AS (SELECT a.doc_id AS ad, a.chunk_id AS ak,
+       |    b.doc_id AS bd, b.chunk_id AS bk
+       |  FROM cd a, cd b
+       |  WHERE NOT (a.doc_id = b.doc_id AND a.chunk_id = b.chunk_id)),
+       |pw AS (SELECT p.ad, p.ak, p.bd, p.bk,
+       |    CASE WHEN na.vnrm IS NULL OR nb.vnrm IS NULL THEN 0
+       |      ELSE CAST(FLOOR(CAST(COALESCE(pd.dot, 0) AS DOUBLE) /
+       |        (sqrt(CAST(na.vnrm AS DOUBLE)) * sqrt(CAST(nb.vnrm AS DOUBLE)))
+       |        * 1000000) AS BIGINT) END AS sim_e6
+       |  FROM pp p
+       |  LEFT JOIN pdot pd ON pd.ad = p.ad AND pd.ak = p.ak
+       |    AND pd.bd = p.bd AND pd.bk = p.bk
+       |  LEFT JOIN idx na ON na.doc_id = p.ad AND na.k = p.ak
+       |  LEFT JOIN idx nb ON nb.doc_id = p.bd AND nb.k = p.bk),
+       |p1 AS (SELECT 1 AS rank, doc_id, chunk_id, rrf_ppm,
+       |    2 * rel_n AS score, n_tokens
+       |  FROM cd ORDER BY 2 * rel_n DESC, doc_id, chunk_id LIMIT 1),
+       |sel1 AS (SELECT doc_id, chunk_id FROM p1),
+       |${(2 to s7K).map(s7RoundSql).mkString("\n")}
+       |allp AS (${(1 to s7K).map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ")}),
+       |cum AS (SELECT rank, doc_id, chunk_id, rrf_ppm, score, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY rank) AS cum_tokens FROM allp)
+       |SELECT CAST(rank AS BIGINT) AS slot, doc_id, chunk_id, rrf_ppm,
+       |  CAST(score AS BIGINT) AS score, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM cum WHERE cum_tokens <= $s7Ctx ORDER BY slot""".stripMargin)
 
   val queries: Seq[Q] = Seq(
+    Q("search7_rag_context", search7RagContext, Some(search7Sql)),
     Q("search6_hybrid_chunks", search6HybridChunks, Some(search6Sql)),
     Q("search5_hybrid_rrf", search5HybridRrf, Some(search5Sql)),
     Q("search4_chunk_bm25", search4ChunkBm25, Some(search4Sql)),
