@@ -1348,7 +1348,9 @@ c$r AS (SELECT doc_id,
   // argmax action (sim12's driver-iterates-ACTIONS discipline, K=8
   // rounds), packing folds ≤8 driver scalars. Per-query serving cost is
   // search6's probe cost + O(k²) tail work. Oracle replays fusion, all
-  // K rounds, and the running-sum cut.
+  // K rounds, and the running-sum cut. 10× probe: 6.44 → 20.88 s —
+  // entirely search6's in-plan index build (production reads the stored
+  // pipe6 table); the post-retrieval tail is corpus-size-independent.
   private val s7K = 8
   private val s7Ctx = 256L
   private def search7RagContext(s: SparkSession, d: String): DataFrame = {

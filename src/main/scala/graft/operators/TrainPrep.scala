@@ -624,17 +624,25 @@ object TrainPrep {
   // both distribution aggs; selection stays TakeOrdered-bounded).
   private val dsirB = 128L
   private val dsirKeepDiv = 5L // keep the top fifth of the raw pool
-  private[graft] def dsirSelect(docs: DataFrame, targetSource: String): DataFrame = {
+
+  /** mix3/mix4's shared featurizer: md5-hashed unigram+bigram buckets,
+    * one (doc_id, source, b) row per feature occurrence — map-only.
+    */
+  private def dsirFeatures(docs: DataFrame): DataFrame = {
     val a = split(col("text"), " ")
     val bigrams = zip_with(
       slice(a, lit(1), greatest(size(a) - 1, lit(0))),
       slice(a, lit(2), greatest(size(a) - 1, lit(0))),
       (x, y) => concat(x, lit(" "), y))
-    val feats = docs
+    docs
       .select(col("doc_id"), col("source"), explode(concat(a, bigrams)).as("f"))
       .select(col("doc_id"), col("source"),
         pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
           lit(dsirB)).as("b"))
+  }
+
+  private[graft] def dsirSelect(docs: DataFrame, targetSource: String): DataFrame = {
+    val feats = dsirFeatures(docs)
     val isTarget = col("source") === targetSource
     val tb = feats.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tc"))
     val ds = feats.filter(!isTarget)
@@ -704,6 +712,70 @@ object TrainPrep {
        |  FROM sc QUALIFY sel_rank <= (SELECT k FROM kk))
        |SELECT sel_rank, doc_id, n_feats, CAST(imp_ppm AS BIGINT) AS imp_ppm
        |FROM sel ORDER BY sel_rank""".stripMargin)
+
+  // ---------------------------------------------------------------------
+  // mix4_incremental_dsir — incremental maintenance of mix3's DSIR
+  // weight table (the batch-vs-stored-state convention of dd11/sim9/
+  // search3/t14/pipe3, now on the curation-stats side): tonight's batch
+  // (doc_id % 7 = 3, pipe3's split) folds into the STORED bucket stats
+  // without re-featurizing the stored corpus — bucket counts are sums
+  // over disjoint doc sets, so stored + batch ≡ full rebuild
+  // bit-for-bit (t14's argument). That equivalence IS what the gate
+  // checks: Spark computes the MERGE of two split stats frames, the
+  // oracle computes the REBUILD over the full corpus, and the compare
+  // pins their equality. Output is the maintained weight table itself
+  // (b, tc, cc, w) — the B-row broadcast artifact every nightly mix3
+  // selection consumes, weights in dsirSelect's exact arithmetic.
+  //
+  // Scale: O(batch features) map work + a B-row outer join; the stored
+  // stats frame stands for the stored table (at 100 TB it IS a B-row
+  // table read back, never re-derived — dd11's convention).
+  private def mix4IncrementalDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isTarget = col("source") === "src0"
+    def stats(part: DataFrame) = dsirFeatures(part)
+      .groupBy("b")
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("tc"),
+        sum(when(!isTarget, 1L).otherwise(0L)).as("cc"))
+    val stored = stats(docs.filter(col("doc_id") % 7 =!= 3))
+      .select(col("b"), col("tc").as("tc0"), col("cc").as("cc0"))
+    val batch = stats(docs.filter(col("doc_id") % 7 === 3))
+      .select(col("b"), col("tc").as("tc1"), col("cc").as("cc1"))
+    val merged = stored.join(batch, Seq("b"), "full_outer")
+      .select(col("b"),
+        (coalesce(col("tc0"), lit(0L)) + coalesce(col("tc1"), lit(0L))).as("tc"),
+        (coalesce(col("cc0"), lit(0L)) + coalesce(col("cc1"), lit(0L))).as("cc"))
+    val tot = merged.agg(coalesce(sum("tc"), lit(0L)).as("tn"),
+      coalesce(sum("cc"), lit(0L)).as("cn"))
+    merged.crossJoin(broadcast(tot))
+      .select(col("b"), col("tc"), col("cc"),
+        expr(s"((tc + 1L) * 1000000000L div (tn + $dsirB)) * 1000000L div " +
+          s"greatest(1L, (cc + 1L) * 1000000000L div (cn + $dsirB))").as("w"))
+      .orderBy("b")
+  }
+
+  /** Oracle = the full REBUILD (no split, no merge) — hash equality with
+    * the Spark-side merge is the incremental-maintenance theorem.
+    */
+  private val mix4Sql =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |uni AS (SELECT doc_id, source, unnest(toks) AS f FROM t),
+       |bg AS (SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS f
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) u(i)),
+       |fe AS (SELECT doc_id, source,
+       |    ('0x' || substring(md5(f), 1, 15))::BIGINT % $dsirB AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
+       |st AS (SELECT b,
+       |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+       |    CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cc
+       |  FROM fe GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tn,
+       |    CAST(SUM(cc) AS BIGINT) AS cn FROM st)
+       |SELECT b, tc, cc,
+       |  CAST(((tc + 1) * 1000000000 // (tn + $dsirB)) * 1000000
+       |    // GREATEST(1, (cc + 1) * 1000000000 // (cn + $dsirB)) AS BIGINT) AS w
+       |FROM st CROSS JOIN tot ORDER BY b""".stripMargin
 
   // ---------------------------------------------------------------------
   // pk4_shuffle — deterministic global training-order shuffle + sharding
@@ -2061,6 +2133,7 @@ object TrainPrep {
     Q("pipe5_incremental_chunks", pipe5IncrementalChunks, Some(pipe5Sql)),
     Q("mix2_temperature", mix2Temperature, Some(mix2Sql)),
     Q("mix3_dsir_importance", mix3DsirImportance, Some(mix3Sql)),
+    Q("mix4_incremental_dsir", mix4IncrementalDsir, Some(mix4Sql)),
     Q("cur1_curriculum", cur1Curriculum, Some(cur1Sql)),
     Q("pk4_shuffle", pk4Shuffle, Some(pk4Sql)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Sql)),

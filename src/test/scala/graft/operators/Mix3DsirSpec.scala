@@ -54,6 +54,47 @@ class Mix3DsirSpec extends SparkSpec {
     assert(out.head.getLong(1) === 1L)
   }
 
+  test("mix4: the stored+batch merge equals a JVM rebuild, batch-only buckets included") {
+    // doc 3 (3 % 7 = 3) is tonight's batch and carries vocabulary the
+    // stored docs never saw — its buckets must appear in the merged
+    // table with exact counts and Laplace-floor-consistent weights
+    val rows = Seq(
+      (1L, "alpha beta alpha", "src0"), // stored target
+      (2L, "beta gamma", "src1"), // stored raw
+      (3L, "zeta zeta eta", "src1")) // batch raw, unseen vocab
+    val tmp = java.nio.file.Files.createTempDirectory("mix4").toString
+    docs(rows).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.Registry.queries("mix4_incremental_dsir")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // JVM twin: same md5-60-bit bucket hash, full-corpus recount
+    def bucket(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 128L
+    }
+    def feats(text: String): Seq[String] = {
+      val t = text.split(" ").toSeq
+      t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val all = rows.flatMap { case (_, text, src) =>
+      feats(text).map(f => (bucket(f), src == "src0"))
+    }
+    val tn = all.count(_._2).toLong
+    val cn = all.size.toLong - tn
+    val expected = all.groupBy(_._1).map { case (b, fs) =>
+      val tc = fs.count(_._2).toLong
+      val cc = fs.size.toLong - tc
+      val w = ((tc + 1) * 1000000000L / (tn + 128)) * 1000000L /
+        math.max(1L, (cc + 1) * 1000000000L / (cn + 128))
+      b -> ((tc, cc, w))
+    }
+    assert(got === expected)
+    // the batch-only vocab's buckets really are new vs the stored docs
+    val storedB = rows.take(2).flatMap(r => feats(r._2)).map(bucket).toSet
+    assert(feats(rows(2)._2).map(bucket).exists(b => !storedB(b)))
+  }
+
   test("mix3: smoothing keeps junk-only corpora well-defined and ranked") {
     // no raw doc shares a single feature with the target: every bucket
     // weight falls back to the Laplace floor, scores stay positive, and
