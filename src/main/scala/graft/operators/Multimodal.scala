@@ -709,7 +709,100 @@ object Multimodal {
       |    + bit_count(CAST(xor(hi_a, hi_b) AS BIT)) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // mm9_video_keyframes — keyframe selection on a DECODED frame stream,
+  // the video twin of mm5's audio framing: each doc synthesizes an
+  // 8-frame "video" (one real 8×8 BMP per frame — scene content is
+  // constant within a scene and shifts at deterministic cuts, cut at
+  // frame f iff (doc_id + f) % 3 = 0), every frame round-trips the REAL
+  // codec (encodeBmp → decodeBmp), and the keyframe rule runs on the
+  // DECODED pixels: inter-frame L1 distance over all channels,
+  // keyframe iff frame 0 or l1_diff ≥ 1000 — the shot-boundary
+  // detection a video ingest pipeline runs before sampling frames for
+  // captioning/embedding. Because scene content is exactly constant
+  // within a scene, within-scene diffs are EXACTLY 0 and cut diffs are
+  // provably ≥ 64·(50+91+13) = 9856 (per-channel deltas mod 256 are at
+  // least min(Δ, 256−Δ) per pixel), so the keyframe set is crisp.
+  //
+  // The oracle replays the GENERATOR arithmetic + diff + threshold and
+  // never touches a codec — an oracle match therefore also proves
+  // decode∘encode is the identity on every frame (the codec round-trip
+  // is load-bearing, not decorative). Scale: map-only per doc (8
+  // fixed-size frames synthesized, decoded, and diffed inside one
+  // mapPartitions pass); only fixed-width (doc, frame, diff, flag)
+  // rows ever shuffle — the mm5/mm6 discipline.
+  final case class VideoFrame(
+      doc_id: Long, frame_id: Long, l1_diff: Long, is_keyframe: Boolean)
+
+  private val vidFrames = 8
+  private val vidCutThreshold = 1000L
+
+  private def mm9VideoKeyframes(s: SparkSession, d: String): DataFrame = {
+    val enc = Encoders.product[VideoFrame]
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          var scene = 0L
+          var prev: Array[Int] = null
+          (0 until vidFrames).iterator.map { f =>
+            if (f > 0 && (id + f) % 3 == 0) scene += 1
+            val sc = scene
+            val bytes = Codecs.encodeBmp(8, 8, (x, y) => {
+              val i = y.toLong * 8 + x
+              (((id * 7 + sc * 50 + i) % 256).toInt,
+                ((sc * 91 + 3 * i) % 256).toInt,
+                ((id + sc * 13 + 5 * i) % 256).toInt)
+            })
+            val pix = Codecs.decodeBmp(bytes).pixels
+            val diff =
+              if (prev == null) 0L
+              else {
+                var acc = 0L; var i = 0
+                while (i < pix.length) {
+                  val a = pix(i); val b = prev(i)
+                  acc += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)) +
+                    math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)) +
+                    math.abs((a & 0xff) - (b & 0xff))
+                  i += 1
+                }
+                acc
+              }
+            prev = pix
+            VideoFrame(id, f.toLong, diff,
+              f == 0 || diff >= vidCutThreshold)
+          }
+        }
+      }(enc).toDF()
+      .orderBy("doc_id", "frame_id")
+  }
+
+  private val mm9Sql =
+    s"""WITH fr AS (SELECT doc_id, u.f FROM documents,
+       |    UNNEST(generate_series(0, ${vidFrames - 1})) u(f)),
+       |sc AS (SELECT doc_id, f,
+       |    CAST(SUM(CASE WHEN f > 0 AND (doc_id + f) % 3 = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT) AS s
+       |  FROM fr),
+       |px AS (SELECT doc_id, f, u.i,
+       |    (doc_id * 7 + s * 50 + u.i) % 256 AS r,
+       |    (s * 91 + 3 * u.i) % 256 AS g,
+       |    (doc_id + s * 13 + 5 * u.i) % 256 AS b
+       |  FROM sc, UNNEST(generate_series(0, 63)) u(i)),
+       |df AS (SELECT a.doc_id, a.f,
+       |    CAST(SUM(ABS(a.r - p.r) + ABS(a.g - p.g) + ABS(a.b - p.b)) AS BIGINT)
+       |      AS l1_diff
+       |  FROM px a JOIN px p ON p.doc_id = a.doc_id AND p.f = a.f - 1
+       |    AND p.i = a.i
+       |  GROUP BY 1, 2)
+       |SELECT fr.doc_id, CAST(fr.f AS BIGINT) AS frame_id,
+       |  COALESCE(df.l1_diff, 0) AS l1_diff,
+       |  (fr.f = 0 OR df.l1_diff >= $vidCutThreshold) AS is_keyframe
+       |FROM fr LEFT JOIN df ON df.doc_id = fr.doc_id AND df.f = fr.f
+       |ORDER BY fr.doc_id, frame_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("mm9_video_keyframes", mm9VideoKeyframes, Some(mm9Sql)),
     Q("mm8_phash_neardup", mm8PhashNeardup, Some(mm8Sql)),
     Q("mm1_binary_meta", mm1BinaryMeta, Some(mm1Sql)),
     Q("mm2_chunk_sample", mm2ChunkSample, Some(mm2Sql)),
