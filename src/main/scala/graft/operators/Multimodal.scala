@@ -730,7 +730,8 @@ object Multimodal {
   // is load-bearing, not decorative). Scale: map-only per doc (8
   // fixed-size frames synthesized, decoded, and diffed inside one
   // mapPartitions pass); only fixed-width (doc, frame, diff, flag)
-  // rows ever shuffle — the mm5/mm6 discipline.
+  // rows ever shuffle — the mm5/mm6 discipline. 10× probe: 0.42 →
+  // 1.66 s, linear in docs as a map-only pass must be.
   final case class VideoFrame(
       doc_id: Long, frame_id: Long, l1_diff: Long, is_keyframe: Boolean)
 

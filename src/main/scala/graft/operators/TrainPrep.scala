@@ -729,7 +729,9 @@ object TrainPrep {
   //
   // Scale: O(batch features) map work + a B-row outer join; the stored
   // stats frame stands for the stored table (at 100 TB it IS a B-row
-  // table read back, never re-derived — dd11's convention).
+  // table read back, never re-derived — dd11's convention). 10× probe:
+  // 1.42 → 6.38 s (both splits re-featurized in-probe; production pays
+  // only the batch side).
   private def mix4IncrementalDsir(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isTarget = col("source") === "src0"
