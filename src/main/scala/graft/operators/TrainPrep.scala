@@ -641,7 +641,12 @@ object TrainPrep {
           lit(dsirB)).as("b"))
   }
 
-  private[graft] def dsirSelect(docs: DataFrame, targetSource: String): DataFrame = {
+  /** Every raw doc's importance score (doc_id, n_feats, imp_ppm) —
+    * dsirSelect's scoring stage without the top-k cut, exposed so the
+    * streaming gate's per-doc JVM twin has a batch frame to pin
+    * bit-parity against.
+    */
+  private[graft] def dsirScoreAll(docs: DataFrame, targetSource: String): DataFrame = {
     val feats = dsirFeatures(docs)
     val isTarget = col("source") === targetSource
     val tb = feats.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tc"))
@@ -662,12 +667,17 @@ object TrainPrep {
         expr(s"((coalesce(tc, 0L) + 1L) * 1000000000L div (tn + $dsirB)) " +
           s"* 1000000L div " +
           s"greatest(1L, (cc + 1L) * 1000000000L div (cn + $dsirB))").as("w"))
-    val nRaw = docs.filter(!isTarget).count()
-    val k = ((nRaw + dsirKeepDiv - 1) / dsirKeepDiv).toInt
-    val scored = ds.join(broadcast(w), Seq("b"))
+    ds.join(broadcast(w), Seq("b"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_feats"), sum(col("n") * col("w")).as("sw"))
       .withColumn("imp_ppm", expr("sw div n_feats"))
+      .select("doc_id", "n_feats", "imp_ppm")
+  }
+
+  private[graft] def dsirSelect(docs: DataFrame, targetSource: String): DataFrame = {
+    val nRaw = docs.filter(col("source") =!= targetSource).count()
+    val k = ((nRaw + dsirKeepDiv - 1) / dsirKeepDiv).toInt
+    val scored = dsirScoreAll(docs, targetSource)
       .orderBy(col("imp_ppm").desc, col("doc_id")).limit(k)
     // rank window runs over the k survivors only (t9's pattern)
     scored

@@ -857,6 +857,64 @@ object Streams {
     }
   }
 
+  /** Input/output records for [[streamingDsirGate]]. */
+  case class DsirDocIn(doc_id: Long, text: String)
+  case class DsirScore(doc_id: Long, n_feats: Long, imp_ppm: Long, keep: Boolean)
+
+  /** mix3's ONLINE quality gate — the streaming half of the DSIR split,
+    * exactly streamingIndexAssign's train-vs-serve separation: the
+    * bucket weight table is maintained OFFLINE (mix4's nightly
+    * stored+batch merge), and each arriving doc scores against the
+    * BROADCAST B-row table — stateless, no state store, no shuffle, any
+    * trigger, linear in executors. `weights` is mix4's (b → w) map;
+    * `tn`/`cn` are the stored feature totals, needed because a new doc
+    * can hash into a bucket the stored corpus never populated — its
+    * weight is then the same Laplace floor the batch arithmetic
+    * produces for tc=0/cc=0, computed here with identical integer
+    * divisions. `thresholdPpm` is the admission cut (production: the
+    * minimum selected score of the last nightly mix3 run — the gate
+    * admits docs that would have made that selection).
+    *
+    * The JVM featurizer IS dsirFeatures' arithmetic: split on single
+    * spaces keeping empties (Spark's split semantics), unigrams +
+    * space-joined bigrams, termHash (t10's md5-60-bit) mod B. Score =
+    * (Σ_b n_b·w_b) div Σ_b n_b — bit-parity with
+    * [[graft.operators.TrainPrep.dsirScoreAll]] on the same weight
+    * table is pinned by StreamingDsirSpec, unseen-bucket floor
+    * included.
+    */
+  def streamingDsirGate(docs: Dataset[DsirDocIn], weights: Map[Long, Long],
+      tn: Long, cn: Long, thresholdPpm: Long): Dataset[DsirScore] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val B = 128L
+    // the Laplace-floor weight of a bucket the stored corpus never saw
+    // (tc = 0, cc = 0) — dsirScoreAll's exact expression at zero counts
+    val floorW = (1000000000L / (tn + B)) * 1000000L /
+      math.max(1L, 1000000000L / (cn + B))
+    val bc = spark.sparkContext.broadcast(weights)
+    docs.map { doc =>
+      val raw = doc.text.split(" ", -1)
+      val counts = new java.util.HashMap[Long, Long]()
+      def add(f: String): Unit = {
+        // termHash is 60-bit (15 hex chars) — always positive, so % is
+        // exactly dsirFeatures' pmod
+        counts.merge(termHash(f) % B, 1L, _ + _)
+      }
+      raw.foreach(add)
+      var i = 0
+      while (i < raw.length - 1) { add(raw(i) + " " + raw(i + 1)); i += 1 }
+      var nf = 0L
+      var sw = 0L
+      counts.forEach { (b, n) =>
+        nf += n
+        sw += n * bc.value.getOrElse(b, floorW)
+      }
+      val imp = if (nf == 0L) 0L else sw / nf
+      DsirScore(doc.doc_id, nf, imp, imp >= thresholdPpm)
+    }
+  }
+
   /** LATE-DATA ACCOUNTING: every watermark in this suite silently drops
     * rows that arrive behind it (tumbling/session aggregation,
     * stream-stream join, dropDuplicatesWithinWatermark) — correct for
