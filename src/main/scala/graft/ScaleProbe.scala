@@ -471,7 +471,8 @@ object ScaleProbe {
       "pk6_rag_chunks", "search4_chunk_bm25", "search5_hybrid_rrf",
       "sim15_filtered_ann", "pipe6_rag_index", "search6_hybrid_chunks",
       "mix3_dsir_importance", "dc2_chunk_decontaminate", "sim16_residual_pq",
-      "search7_rag_context", "mix4_incremental_dsir", "mm9_video_keyframes")
+      "search7_rag_context", "mix4_incremental_dsir", "mm9_video_keyframes",
+      "mine1_hard_negatives")
     // adversarial dd10 skew probe (`runMain graft.ScaleProbe skew:dd10`):
     // 100k-doc corpus where EVERY doc opens with the same 16-word
     // boilerplate paragraph (one paragraph duplicated 1e5×) vs a

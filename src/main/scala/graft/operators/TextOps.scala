@@ -1481,7 +1481,117 @@ c$r AS (SELECT doc_id,
        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
        |FROM cum WHERE cum_tokens <= $s7Ctx ORDER BY slot""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // mine1_hard_negatives — DPR-style hard-negative mining (Karpukhin et
+  // al. 2020: the negatives that teach a retriever are the LEXICALLY
+  // CONFUSABLE but semantically far documents — random negatives are
+  // trivially separable). For each query doc (a thin doc_id % 100 slice)
+  // take its top-3 salient terms (t8's exact tf·10⁶ div df ranking),
+  // score every other doc by lexical overlap Σ tf·(10⁶ div df) on those
+  // terms, keep the top-20 per query, and flag as hard negatives those
+  // whose embedding cosine vs the query is below 0.5 — high-BM25-shaped
+  // overlap, low semantic similarity, exactly the training triples a
+  // contrastive retriever consumes (sim11's range join mines the
+  // positives; this mines the negatives).
+  //
+  // Scale: the candidate join is PRUNED to the query docs' ≤3q terms
+  // before any tf row moves (search1's term-pruning discipline); the
+  // per-query top-20 is a window over each query's candidate rows only;
+  // the cosine pass touches 20 rows per query. All integer arithmetic:
+  // lex_ppm exact, cos_e6 the standard floor-of-single-division.
+  private def mine1HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val isQ = col("doc_id") % 100 === 0
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // referenced by qterms + the candidate side
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
+    val qterms = tf.filter(isQ).join(dfr, "term")
+      .withColumn("score_ppm", expr("tf * 1000000L div df"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id").as("qid"), col("term"), col("df"))
+    // per-query top-20 via the bounded TopKPairs aggregate (q10's): at
+    // most 20 pairs per query leave each map task, identical output to
+    // the row_number window (101.6 → 79.2 s at the 10× probe). The
+    // residual 10× growth (2.4 → 79 s) is candidate CARDINALITY, not a
+    // plan defect: the synthetic corpus's ~60-word vocabulary makes
+    // every doc every query's candidate (q × N pairs through the
+    // term join — ev5's output-driven-growth adjudication applies). On
+    // a real corpus the tf·idf-salient query terms are rare by
+    // construction (high score_ppm ⇒ low df), so the term-pruned join
+    // emits ~q·df(salient) pairs; a df cap on query terms (stop-word
+    // guard) is the production knob if a corpus degenerates, withheld
+    // here because it would vacate the gate corpus's output.
+    val cand = qterms
+      .join(tf.select(col("doc_id").as("cand_id"), col("term"), col("tf")),
+        Seq("term"))
+      .filter(col("cand_id") =!= col("qid"))
+      .groupBy("qid", "cand_id")
+      .agg(sum(expr("tf * (1000000L div df)")).as("lex_ppm"))
+      .groupBy("qid")
+      // TopKPairs keys on double; lex_ppm ≤ ~10⁹ « 2⁵³ so the cast
+      // round-trips exactly and the DESC order is the integer order
+      .agg(graft.functions.VectorFunctions.topK(
+        col("lex_ppm").cast("double"), col("cand_id"), 20).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("i", "t")))
+      .select(col("qid"), col("t.payload").as("cand_id"),
+        col("t.key").cast("long").as("lex_ppm"),
+        (col("i") + 1).cast("long").as("lex_rank"))
+    val e = graft.operators.Similarity.scaledVectors(s, d)
+    cand
+      .join(e.select(col("vec_id").as("qid"), col("v").as("va"),
+        col("nrm").as("na")), "qid")
+      .join(e.select(col("vec_id").as("cand_id"), col("v").as("vb"),
+        col("nrm").as("nb")), "cand_id")
+      .withColumn("cos_e6",
+        floor(dot(col("va"), col("vb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+          * 1000000).cast("long"))
+      .select(col("qid"), col("lex_rank"), col("cand_id"), col("lex_ppm"),
+        col("cos_e6"), (col("cos_e6") < 500000L).as("is_hard"))
+      .orderBy("qid", "lex_rank")
+  }
+
+  private val mine1Sql = graft.OracleHints.materializeCtes(
+    s"""WITH ${graft.operators.Similarity.scaledVectorsSqlCte},
+       |wds AS (SELECT doc_id, u.term FROM
+       |    (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |    UNNEST(toks) AS u(term)
+       |  WHERE u.term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wds GROUP BY 1, 2),
+       |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT doc_id AS qid, term, df FROM (
+       |    SELECT tf.doc_id, tf.term, dfr.df,
+       |      row_number() OVER (PARTITION BY tf.doc_id
+       |        ORDER BY tf.tf * 1000000 // dfr.df DESC, tf.term) AS rnk
+       |    FROM tf JOIN dfr USING (term) WHERE tf.doc_id % 100 = 0)
+       |  WHERE rnk <= 3),
+       |cnd AS (SELECT qid, cand_id, lex_ppm,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY lex_ppm DESC, cand_id) AS BIGINT) AS lex_rank
+       |  FROM (SELECT qt.qid, c.doc_id AS cand_id,
+       |      CAST(SUM(c.tf * (1000000 // qt.df)) AS BIGINT) AS lex_ppm
+       |    FROM qt JOIN tf c USING (term) WHERE c.doc_id <> qt.qid
+       |    GROUP BY 1, 2)),
+       |sc AS (SELECT cnd.qid, cnd.lex_rank, cnd.cand_id, cnd.lex_ppm,
+       |    CAST(FLOOR(CAST((SELECT SUM(a.v[i] * b.v[i])
+       |        FROM UNNEST(generate_series(1, 64)) t(i)) AS DOUBLE) /
+       |      (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+       |      * 1000000) AS BIGINT) AS cos_e6
+       |  FROM cnd JOIN e a ON a.vec_id = cnd.qid
+       |    JOIN e b ON b.vec_id = cnd.cand_id
+       |  WHERE cnd.lex_rank <= 20)
+       |SELECT qid, lex_rank, cand_id, lex_ppm, cos_e6,
+       |  cos_e6 < 500000 AS is_hard
+       |FROM sc ORDER BY qid, lex_rank""".stripMargin)
+
   val queries: Seq[Q] = Seq(
+    Q("mine1_hard_negatives", mine1HardNegatives, Some(mine1Sql)),
     Q("search7_rag_context", search7RagContext, Some(search7Sql)),
     Q("search6_hybrid_chunks", search6HybridChunks, Some(search6Sql)),
     Q("search5_hybrid_rrf", search5HybridRrf, Some(search5Sql)),
