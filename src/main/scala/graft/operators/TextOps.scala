@@ -1348,14 +1348,20 @@ c$r AS (SELECT doc_id,
   // argmax action (sim12's driver-iterates-ACTIONS discipline, K=8
   // rounds), packing folds ≤8 driver scalars. Per-query serving cost is
   // search6's probe cost + O(k²) tail work. Oracle replays fusion, all
-  // K rounds, and the running-sum cut. 10× probe: 6.44 → 20.88 s —
+  // K rounds, and the running-sum cut. 10× probe: ~7 → 19.3 s —
   // entirely search6's in-plan index build (production reads the stored
-  // pipe6 table); the post-retrieval tail is corpus-size-independent.
+  // pipe6 table); the post-retrieval tail is corpus-size-independent
+  // (the fused frame localCheckpoints so the retrieval stack runs once,
+  // not once per downstream reference).
   private val s7K = 8
   private val s7Ctx = 256L
   private def search7RagContext(s: SparkSession, d: String): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
-    val (fused, parts) = search6Fused(s, d)
+    val (fused0, parts) = search6Fused(s, d)
+    // ≤15 rows, but its LINEAGE is the whole retrieval stack (BM25 leg's
+    // corpus scan included) and Catalyst does not dedup common subplans —
+    // three downstream references would re-run search6 three times
+    val fused = fused0.localCheckpoint()
     val candKeys = fused.select(col("doc_id"), col("chunk_id").as("k"))
     val dl = graft.operators.TrainPrep.pk6TokenChunks(s, d)
       .join(candKeys, Seq("doc_id", "k"), "left_semi")
@@ -1439,12 +1445,12 @@ c$r AS (SELECT doc_id,
   private val search7Sql = graft.OracleHints.materializeCtes(
     s"""WITH $search6Ctes,
        |cand0 AS ($search6FusedSelect),
-       |dl7 AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-       |    COUNT(*) AS n_tokens FROM m GROUP BY 1, 2),
        |mr AS (SELECT MAX(rrf_ppm) AS mx FROM cand0),
-       |cd AS (SELECT c.doc_id, c.chunk_id, c.rrf_ppm, d.n_tokens,
+       |cd AS (SELECT c.doc_id, c.chunk_id, c.rrf_ppm,
+       |    CAST(d.dl AS BIGINT) AS n_tokens,
        |    c.rrf_ppm * 1000000 // mr.mx AS rel_n
-       |  FROM cand0 c JOIN dl7 d USING (doc_id, chunk_id) CROSS JOIN mr),
+       |  FROM cand0 c JOIN dlc d ON d.doc_id = c.doc_id
+       |    AND CAST(d.k AS BIGINT) = c.chunk_id CROSS JOIN mr),
        |pdot AS (SELECT va.doc_id AS ad, va.k AS ak, vb.doc_id AS bd,
        |    vb.k AS bk, CAST(SUM(va.w * vb.w) AS BIGINT) AS dot
        |  FROM vw va JOIN vw vb ON va.dim = vb.dim
@@ -1542,18 +1548,23 @@ c$r AS (SELECT doc_id,
       .select(col("qid"), col("t.payload").as("cand_id"),
         col("t.key").cast("long").as("lex_ppm"),
         (col("i") + 1).cast("long").as("lex_rank"))
+    // LEFT joins: a candidate (or query) without an embedding row keeps
+    // its lex_rank — ranks stay dense — with NULL cos_e6 and
+    // is_hard = false: UNJUDGEABLE is not HARD (feeding an unverified
+    // negative to a contrastive trainer risks a false negative)
     val e = graft.operators.Similarity.scaledVectors(s, d)
     cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("va"),
-        col("nrm").as("na")), "qid")
+        col("nrm").as("na")), Seq("qid"), "left")
       .join(e.select(col("vec_id").as("cand_id"), col("v").as("vb"),
-        col("nrm").as("nb")), "cand_id")
+        col("nrm").as("nb")), Seq("cand_id"), "left")
       .withColumn("cos_e6",
         floor(dot(col("va"), col("vb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
           * 1000000).cast("long"))
       .select(col("qid"), col("lex_rank"), col("cand_id"), col("lex_ppm"),
-        col("cos_e6"), (col("cos_e6") < 500000L).as("is_hard"))
+        col("cos_e6"),
+        coalesce(col("cos_e6") < 500000L, lit(false)).as("is_hard"))
       .orderBy("qid", "lex_rank")
   }
 
@@ -1583,11 +1594,11 @@ c$r AS (SELECT doc_id,
        |        FROM UNNEST(generate_series(1, 64)) t(i)) AS DOUBLE) /
        |      (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
        |      * 1000000) AS BIGINT) AS cos_e6
-       |  FROM cnd JOIN e a ON a.vec_id = cnd.qid
-       |    JOIN e b ON b.vec_id = cnd.cand_id
+       |  FROM cnd LEFT JOIN e a ON a.vec_id = cnd.qid
+       |    LEFT JOIN e b ON b.vec_id = cnd.cand_id
        |  WHERE cnd.lex_rank <= 20)
        |SELECT qid, lex_rank, cand_id, lex_ppm, cos_e6,
-       |  cos_e6 < 500000 AS is_hard
+       |  COALESCE(cos_e6 < 500000, false) AS is_hard
        |FROM sc ORDER BY qid, lex_rank""".stripMargin)
 
   val queries: Seq[Q] = Seq(

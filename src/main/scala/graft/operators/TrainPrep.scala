@@ -622,7 +622,9 @@ object TrainPrep {
   // both engines) at zero plan cost; gate scale stays int64.
   // 10× probe: 4.44 → 18.49 s (the unigram+bigram feature explode feeds
   // both distribution aggs; selection stays TakeOrdered-bounded).
-  private val dsirB = 128L
+  // private[graft]: streamingDsirGate's JVM twin hashes mod the SAME
+  // constant — a local copy there would silently diverge if this changed
+  private[graft] val dsirB = 128L
   private val dsirKeepDiv = 5L // keep the top fifth of the raw pool
 
   /** mix3/mix4's shared featurizer: md5-hashed unigram+bigram buckets,
@@ -768,8 +770,11 @@ object TrainPrep {
 
   /** Oracle = the full REBUILD (no split, no merge) — hash equality with
     * the Spark-side merge is the incremental-maintenance theorem.
+    * MATERIALIZED: `st` fans out to `tot` and the final select, and
+    * un-hinted DuckDB would re-run the corpus featurization per
+    * reference (the OracleHints inlining trap).
     */
-  private val mix4Sql =
+  private val mix4Sql = graft.OracleHints.materializeCtes(
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
        |  FROM documents),
        |uni AS (SELECT doc_id, source, unnest(toks) AS f FROM t),
@@ -787,7 +792,7 @@ object TrainPrep {
        |SELECT b, tc, cc,
        |  CAST(((tc + 1) * 1000000000 // (tn + $dsirB)) * 1000000
        |    // GREATEST(1, (cc + 1) * 1000000000 // (cn + $dsirB)) AS BIGINT) AS w
-       |FROM st CROSS JOIN tot ORDER BY b""".stripMargin
+       |FROM st CROSS JOIN tot ORDER BY b""".stripMargin)
 
   // ---------------------------------------------------------------------
   // pk4_shuffle — deterministic global training-order shuffle + sharding

@@ -165,6 +165,8 @@ object Snapshots {
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "diff needs a natural key")
+    require(!keys.exists(Set("change", "_from", "_to")),
+      "diff reserves the column names change/_from/_to")
     val a = read(spark, root, Some(from))
     val b = read(spark, root, Some(to))
     require(a.schema == b.schema,
@@ -173,14 +175,21 @@ object Snapshots {
     def pack(df: DataFrame, as: String) = df.select(
       keys.map(col) :+
         (if (nonKey.isEmpty) lit(0) else struct(nonKey.map(col): _*)).as(as): _*)
-    pack(a, "_from").join(pack(b, "_to"), keys, "full_outer")
+    // null-safe key equality: a NULL-keyed row present identically in
+    // both versions is UNCHANGED, not a removed+added pair (a plain
+    // equi-join never matches NULL = NULL)
+    val l = pack(a, "_from").as("l")
+    val r = pack(b, "_to").as("r")
+    val cond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    l.join(r, cond, "full_outer")
       .withColumn("change",
-        when(col("_from").isNull, lit("added"))
-          .when(col("_to").isNull, lit("removed"))
-          .when(!(col("_from") <=> col("_to")), lit("changed"))
+        when(col("l._from").isNull, lit("added"))
+          .when(col("r._to").isNull, lit("removed"))
+          .when(!(col("l._from") <=> col("r._to")), lit("changed"))
           .otherwise(lit("unchanged")))
       .filter(col("change") =!= "unchanged")
-      .select(keys.map(col) :+ col("change"): _*)
+      .select(keys.map(k =>
+        coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) :+ col("change"): _*)
   }
 
   /** Retention: delete committed versions older than the newest `keep`,

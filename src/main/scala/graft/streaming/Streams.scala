@@ -887,7 +887,7 @@ object Streams {
       tn: Long, cn: Long, thresholdPpm: Long): Dataset[DsirScore] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val B = 128L
+    val B = graft.operators.TrainPrep.dsirB // the batch featurizer's bucket count
     // the Laplace-floor weight of a bucket the stored corpus never saw
     // (tc = 0, cc = 0) — dsirScoreAll's exact expression at zero counts
     val floorW = (1000000000L / (tn + B)) * 1000000L /

@@ -41,6 +41,30 @@ class Mine1Spec extends SparkSpec {
     assert(byCand(2L)._3 === false) // paraphrase: near → kept out
   }
 
+  test("a candidate without an embedding keeps its rank, unjudgeable != hard") {
+    val tmp = java.nio.file.Files.createTempDirectory("mine1e").toString
+    val shared = "apple banana cherry"
+    Seq(
+      (0L, s"$shared date", "en", "src0", 1L),
+      (1L, s"$shared elder", "en", "src1", 1L), // NO embedding row
+      (2L, s"$shared fig", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def vec(head: Float*) =
+      (head ++ Seq.fill(64 - head.size)(0.0f)).toArray
+    Seq((0L, vec(1.0f), 0L), (2L, vec(0.0f, 1.0f), 0L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("mine1_hard_negatives")(spark, tmp)
+      .collect().sortBy(_.getLong(1))
+    // both candidates survive with dense ranks despite the coverage hole
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    val byCand = out.map(r =>
+      r.getLong(2) -> ((r.isNullAt(4), r.getBoolean(5)))).toMap
+    assert(byCand(1L) === ((true, false))) // no vector: null cos, NOT hard
+    assert(byCand(2L) === ((false, true))) // orthogonal: judged hard
+  }
+
   test("gate-corpus structure: dense per-query ranks, monotone lex scores") {
     val out = Registry.queries("mine1_hard_negatives")(spark, sf("sf0.001"))
       .collect()
