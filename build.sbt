@@ -18,6 +18,12 @@ run / fork := true
 // the program's own final stdout line becomes the last line of the run.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Forked-run stdout normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix is exactly why the driver's JSON
+// parse of the final metric line failed through r12 even once showSuccess
+// was off. StdoutOutput passes the child's stdout through verbatim, so the
+// program's compact one-line JSON is the literal last line of the capture.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -673,7 +673,7 @@ object Multimodal {
   }
 
   private val mm8Sql = graft.OracleHints.materializeCtes(
-    """WITH t AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+    s"""WITH t AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len FROM documents),
       |dw AS (SELECT doc_id, text, len, 12 + len % 9 AS w FROM t),
       |dims AS (SELECT doc_id, text, len, w, GREATEST(8, (len + w - 1) // w) AS h FROM dw),
       |tp AS (SELECT doc_id, u.k - 1 AS k,
@@ -695,7 +695,7 @@ object Multimodal {
       |         ELSE (h_hi >> (8 * CAST(u.b - 4 AS INT))) & 255 END AS code
       |  FROM hh, UNNEST(generate_series(0, 7)) u(b)),
       |keep AS (SELECT band, code FROM bands GROUP BY band, code
-      |         HAVING COUNT(*) <= 400),
+      |         HAVING COUNT(*) <= ${Dedup.dd9MaxBucket}),
       |bk AS (SELECT bands.* FROM bands JOIN keep USING (band, code)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.h_lo AS lo_a, a.h_hi AS hi_a, b.h_lo AS lo_b, b.h_hi AS hi_b

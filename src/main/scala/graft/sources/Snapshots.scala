@@ -102,22 +102,35 @@ object Snapshots {
       spark.sparkContext.hadoopConfiguration)
     var committed = -1L
     var attempts = 0
-    while (committed < 0) {
-      val next = (versions(spark, root) ++ latestVersion(spark, root))
-        .foldLeft(0L)(math.max) + 1L
-      try {
-        // no-OVERWRITE rename: atomic claim, throws if _v=next exists
-        fc.rename(staging, new Path(root, s"$VPrefix$next"))
-        committed = next
-      } catch {
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          attempts += 1
-          if (attempts >= 16) {
-            fsOf(spark, root).delete(staging, true)
-            throw new IllegalStateException(
-              s"snapshot version claim lost 16 races under $root", e)
-          }
+    try {
+      while (committed < 0) {
+        val next = (versions(spark, root) ++ latestVersion(spark, root))
+          .foldLeft(0L)(math.max) + 1L
+        try {
+          // no-OVERWRITE rename: atomic claim, throws if _v=next exists
+          fc.rename(staging, new Path(root, s"$VPrefix$next"))
+          committed = next
+        } catch {
+          // FileContext's no-overwrite rename is exists-check + rename on
+          // local FS and several stores, so a lost race can surface as a
+          // generic IOException (rename returning failure) rather than
+          // FileAlreadyExists. Treat it as a lost race ONLY if _v=next now
+          // exists (someone really claimed it); otherwise it is a genuine
+          // IO failure and must propagate, not spin to attempt 16.
+          case e: java.io.IOException
+              if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                fsOf(spark, root).exists(new Path(root, s"$VPrefix$next")) =>
+            attempts += 1
+            if (attempts >= 16)
+              throw new IllegalStateException(
+                s"snapshot version claim lost 16 races under $root", e)
+        }
       }
+    } finally {
+      // any non-committed exit (claim exhaustion, genuine IO failure,
+      // pointer-flip crash below never reaches here uncommitted) must not
+      // leak the staging directory
+      if (committed < 0) fsOf(spark, root).delete(staging, true)
     }
     commitPointer(spark, root, committed)
     committed
@@ -131,7 +144,11 @@ object Snapshots {
     require(versions(spark, root).contains(version),
       s"snapshot _v=$version does not exist under $root")
     val fs = fsOf(spark, root)
-    val tmp = new Path(root, s"$Pointer.tmp")
+    // unique staging name per committer: a FIXED tmp path lets concurrent
+    // writer B overwrite the staged content before writer A's rename, so
+    // A's flip would publish B's version and B's rename then fails on the
+    // missing tmp — each committer must flip only bytes it staged itself
+    val tmp = new Path(root, s"$Pointer.tmp.${java.util.UUID.randomUUID}")
     val dst = new Path(root, Pointer)
     val out = fs.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
