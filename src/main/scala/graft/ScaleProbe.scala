@@ -743,6 +743,86 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // PRODUCTION-SHAPED RAG serving (`runMain graft.ScaleProbe
+    // prod:search6`), closing the r12 verdict's serving-side gap: the
+    // registry search6/search7 REBUILD pipe6's index in-plan every run
+    // (the oracle must replay everything from raw tables), so their
+    // bench numbers charge each query an index build production pays
+    // once per rebuild. Here the store publishes first through
+    // Snapshots (untimed — that cost is pipe6's, already probed), then
+    // the from-store twins are timed PER QUERY against the pinned
+    // version: probe the k stored cells, exact-rerank the probed
+    // chunks, scan the query terms' postings (tok-sorted parquet,
+    // row-group pruned), fuse, and for search7 the ≤15-row MMR+pack
+    // tail. Corpora: 1× = the gate corpus; 10× = docs replicated 10×
+    // with remapped ids (C and the cell count √C both grow, a real
+    // index-growth shape). Parity vs the registry twins is asserted
+    // in-run at 1× (and pinned at sf0.001 by RagStoreSpec). MEASURED
+    // (sf0.1 base, warm, this round): s6 rederive 2.54 s vs from-store
+    // 1.14 s at 1×, 1.08 s at 10× store — FLAT; s7 rederive 5.13 s vs
+    // from-store 3.05 s at 1×, 3.10 s at 10× — flat, the residual being
+    // the K=8 bounded MMR argmax actions, corpus-independent.
+    if (args.contains("prod:search6")) {
+      import graft.operators.{TextOps, TrainPrep}
+      val dirBase = skewCache("prodsearch6")
+      if (!new java.io.File(s"$dirBase/10x/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, src)
+        docs.unionByName(docs
+            .withColumn("_c", explode(sequence(lit(1L), lit(9L))))
+            .withColumn("doc_id", col("doc_id") * 16L + col("_c"))
+            .drop("_c"))
+          .write.mode("overwrite").parquet(s"$dirBase/10x/documents.parquet")
+      }
+      // last rebuild (untimed): publish both stores once, reuse across runs
+      def ensureStore(d: String, root: String): Unit =
+        if (graft.sources.Snapshots.latestVersion(spark, root).isEmpty) {
+          TrainPrep.publishRagStore(spark, d, root)
+          dropPersisted()
+        }
+      ensureStore(src, s"$dirBase/1x_store")
+      ensureStore(s"$dirBase/10x", s"$dirBase/10x_store")
+      // correctness: from-store serving == the registry twins, bit-for-bit
+      val want6 = SparkEntry.queries("search6_hybrid_chunks")(spark, src)
+        .collect().map(_.toSeq).toSeq
+      dropPersisted()
+      val got6 = TextOps.search6FromStore(spark, s"$dirBase/1x_store")
+        .collect().map(_.toSeq).toSeq
+      require(got6 == want6,
+        s"search6FromStore diverged from search6: $got6 vs $want6")
+      println(s"[probe] prod search6 parity OK (${want6.size} rows)")
+      val want7 = SparkEntry.queries("search7_rag_context")(spark, src)
+        .collect().map(_.toSeq).toSeq
+      dropPersisted()
+      val got7 = TextOps.search7FromStore(spark, s"$dirBase/1x_store")
+        .collect().map(_.toSeq).toSeq
+      require(got7 == want7,
+        s"search7FromStore diverged from search7: $got7 vs $want7")
+      println(s"[probe] prod search7 parity OK (${want7.size} rows)")
+      dropPersisted()
+      val runners: Seq[(String, () => DataFrame)] = Seq(
+        "s6-rederive-1x" ->
+          (() => SparkEntry.queries("search6_hybrid_chunks")(spark, src)),
+        "s6-fromstore-1x" ->
+          (() => TextOps.search6FromStore(spark, s"$dirBase/1x_store")),
+        "s6-fromstore-10x" ->
+          (() => TextOps.search6FromStore(spark, s"$dirBase/10x_store")),
+        "s7-rederive-1x" ->
+          (() => SparkEntry.queries("search7_rag_context")(spark, src)),
+        "s7-fromstore-1x" ->
+          (() => TextOps.search7FromStore(spark, s"$dirBase/1x_store")),
+        "s7-fromstore-10x" ->
+          (() => TextOps.search7FromStore(spark, s"$dirBase/10x_store")))
+      for ((label, run) <- runners) {
+        run().write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        println(f"[probe] prod search6 $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // Catalog.upsert scale probe (`runMain graft.ScaleProbe prod:upsert`):
     // the nightly chunk-table merge must be O(touched partitions), not
     // O(table) — the survivor scan is partition-pruned to the batch's

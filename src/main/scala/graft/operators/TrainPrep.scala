@@ -2091,6 +2091,65 @@ object TrainPrep {
     Pipe6Parts(vecs, cent, index, kc)
   }
 
+  /** Publish pipe6's RAG index through [[graft.sources.Snapshots]] as ONE
+    * atomic multi-table version — the lifecycle the registry plan's
+    * localCheckpoints stand in for. Six tables, one pointer flip:
+    *
+    *   vecs      (doc_id, k, va[16], vnrm)      dense hashed chunk vectors
+    *   cent      (cdoc, ck, vc[16], cnrm)       the k=⌈√C⌉ coarse cells
+    *   index     (doc_id, k, vnrm, cell_doc, cell_k)  chunk → cell
+    *   postings  (tok, doc_id, k, tf, dl)       inverted index, dl DENORMALIZED
+    *   chunklens (doc_id, k, dl)                every chunk incl. zero-vector
+    *   stats     (tt, n)                        corpus totals, 1 row
+    *
+    * dl rides each posting row (the classic posting-list layout: length
+    * norm next to the hit) so the serving-side BM25 leg is a tok-pruned
+    * scan + two broadcasts — NO store-sized join per query. postings are
+    * repartitioned+sorted by tok so parquet row-group min/max stats prune
+    * the query-term scan. A trainer/server records the returned version
+    * (one [[graft.sources.RunLog]] row, `stage=publish_v<N>`) and pins it —
+    * [[graft.operators.TextOps.search6FromStore]] reproduces its results
+    * bit-for-bit after any number of rebuilds (RagStoreSpec).
+    */
+  private[graft] def publishRagStore(s: SparkSession, d: String,
+      root: String, runLogPath: Option[String] = None,
+      runTs: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
+    val parts = pipe6Parts(s, d)
+    val toks = pk6TokenChunks(s, d).localCheckpoint() // feeds dl + postings
+    val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
+      .localCheckpoint() // 3 consumers: postings join, chunklens, stats
+    val postings = toks.groupBy("tok", "doc_id", "k")
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id", "k"))
+      .select("tok", "doc_id", "k", "tf", "dl")
+      .repartition(col("tok")).sortWithinPartitions("tok")
+    val stats = dl.agg(sum("dl").as("tt"), count(lit(1)).as("n"))
+    val obs = org.apache.spark.sql.Observation(
+      s"ragstore_${java.util.UUID.randomUUID}")
+    val t0 = System.nanoTime()
+    def entry(stage: String, rows: Long, status: String, err: String) =
+      graft.sources.RunLog.Entry(runTs, "rag_index", stage, rows,
+        (System.nanoTime() - t0) / 1000000L, status, err)
+    try {
+      val v = graft.sources.Snapshots.writeTables(Seq(
+        "vecs" -> parts.vecs,
+        "cent" -> parts.cent,
+        "index" -> parts.index.observe(obs, count(lit(1)).as("rows")),
+        "postings" -> postings,
+        "chunklens" -> dl,
+        "stats" -> stats), root)
+      runLogPath.foreach(p => graft.sources.RunLog.append(s, p,
+        Seq(entry(s"publish_v$v", obs.get("rows").asInstanceOf[Long], "ok", ""))))
+      v
+    } catch {
+      case e: Throwable =>
+        runLogPath.foreach(p => graft.sources.RunLog.append(s, p,
+          Seq(entry("publish", -1L, "failed",
+            Option(e.toString).getOrElse("").take(500)))))
+        throw e
+    }
+  }
+
   private def pipe6RagIndex(s: SparkSession, d: String): DataFrame = {
     val parts = pipe6Parts(s, d)
     val dl = pk6TokenChunks(s, d).groupBy("doc_id", "k")

@@ -98,6 +98,41 @@ object Snapshots {
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(staging.toString)
+    claimAndCommit(spark, root, staging)
+  }
+
+  /** Multi-table atomic snapshot: every table stages under ONE staging
+    * directory (`_v=<N>/<name>/` after the claim) and a single version
+    * claim + pointer flip covers them all — a reader pinned to version N
+    * sees a mutually consistent set (the index build's vectors, cells,
+    * postings and stats are one artifact; per-table versions could flip
+    * out of sync under a crashed or concurrent rebuild). Read back with
+    * [[readTable]]; [[read]] is for single-table roots only.
+    */
+  def writeTables(tables: Seq[(String, DataFrame)], root: String): Long = {
+    require(tables.nonEmpty, "writeTables needs at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "writeTables table names must be unique")
+    require(tables.forall { case (n, _) => n.nonEmpty && !n.startsWith("_") },
+      "table names must be non-empty and not _-prefixed")
+    val spark = tables.head._2.sparkSession
+    val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID}")
+    try
+      tables.foreach { case (name, df) =>
+        df.write.mode(SaveMode.Overwrite).format("parquet")
+          .save(new Path(staging, name).toString)
+      }
+    catch { case e: Throwable =>
+      fsOf(spark, root).delete(staging, true); throw e
+    }
+    claimAndCommit(spark, root, staging)
+  }
+
+  /** Claim the next version number for a fully-staged directory and flip
+    * the pointer — the shared tail of [[write]] and [[writeTables]].
+    */
+  private def claimAndCommit(spark: SparkSession, root: String,
+      staging: Path): Long = {
     val fc = FileContext.getFileContext(staging.toUri,
       spark.sparkContext.hadoopConfiguration)
     var committed = -1L
@@ -158,12 +193,21 @@ object Snapshots {
 
   /** Read a pinned version, or the committed latest when None. */
   def read(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame =
+    spark.read.parquet(resolve(spark, root, version))
+
+  /** Read one table of a [[writeTables]] snapshot (pinned or latest). */
+  def readTable(spark: SparkSession, root: String, table: String,
+      version: Option[Long] = None): DataFrame =
+    spark.read.parquet(s"${resolve(spark, root, version)}/$table")
+
+  private def resolve(spark: SparkSession, root: String,
+      version: Option[Long]): String = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     require(versions(spark, root).contains(v),
       s"snapshot _v=$v does not exist under $root (vacuumed?)")
-    spark.read.parquet(s"$root/$VPrefix$v")
+    s"$root/$VPrefix$v"
   }
 
   /** Keyed DIFF between two snapshot versions — the audit half of
@@ -179,13 +223,22 @@ object Snapshots {
     * keyed-table contract everywhere else in this package).
     */
   def diff(spark: SparkSession, root: String, from: Long, to: Long,
+      keys: Seq[String]): DataFrame =
+    diffFrames(read(spark, root, Some(from)), read(spark, root, Some(to)),
+      from, to, keys)
+
+  /** [[diff]] over one table of a [[writeTables]] snapshot. */
+  def diffTable(spark: SparkSession, root: String, table: String,
+      from: Long, to: Long, keys: Seq[String]): DataFrame =
+    diffFrames(readTable(spark, root, table, Some(from)),
+      readTable(spark, root, table, Some(to)), from, to, keys)
+
+  private def diffFrames(a: DataFrame, b: DataFrame, from: Long, to: Long,
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "diff needs a natural key")
     require(!keys.exists(Set("change", "_from", "_to")),
       "diff reserves the column names change/_from/_to")
-    val a = read(spark, root, Some(from))
-    val b = read(spark, root, Some(to))
     require(a.schema == b.schema,
       s"diff across schemas: _v=$from ${a.schema.simpleString} vs _v=$to ${b.schema.simpleString}")
     val nonKey = a.columns.toSeq.filterNot(keys.contains)

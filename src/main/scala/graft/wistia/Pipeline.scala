@@ -279,4 +279,85 @@ object Pipeline {
       "dim_media" -> RawZone.warehouse(spark, wh.dimMedia).count(),
       "fact_media_engagement" -> RawZone.warehouse(spark, wh.fact).count())
   }
+
+  /** [[runIncremental]] with per-stage run history — [[runBatchLogged]]'s
+    * observed-write discipline on the §3.2 lifecycle: the dim refresh and
+    * the per-event fact append each land one row in `<root>/run_log`
+    * (rows counted ON the write action, no re-scan), and a stage that
+    * fails still logs status=failed (with the stages already done)
+    * before the error propagates. Returns rows written this run per
+    * stage.
+    */
+  def runIncrementalLogged(spark: SparkSession, rawRoot: String,
+      wh: Warehouse, targetHashedIds: Seq[String],
+      ingestionTs: java.sql.Timestamp): Map[String, Long] = {
+    import graft.sources.RunLog
+    val logPath = s"${wh.root}/run_log"
+    val since = effectiveSince(spark, wh)
+    val rawMedia = RawZone.readLatestRun(spark, rawRoot, "media", Schemas.rawMedia)
+      .getOrElse(throw new IllegalStateException(s"no raw runs under $rawRoot/media"))
+    val rawEvents = Transforms.incrementalSince(
+      RawZone.readJson(spark, rawRoot, "events", Schemas.rawEvent), since)
+    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+    val fact = Transforms.perEventFact(
+      rawEvents, dimMedia.select(col("media_id"), col("duration")), ingestionTs)
+    val done = scala.collection.mutable.ArrayBuffer[RunLog.Entry]()
+    def stage(name: String, df: org.apache.spark.sql.DataFrame)(
+        w: org.apache.spark.sql.DataFrame => Unit): Unit =
+      try done += RunLog.observedWrite(df, ingestionTs, "runIncremental", name)(w)
+      catch {
+        case f: RunLog.LoggedFailure =>
+          RunLog.append(spark, logPath, (done :+ f.entry).toSeq)
+          throw f.cause
+      }
+    stage("dim_media", dimMedia)(RawZone.warehouseOverwrite(_, wh.dimMedia))
+    stage("fact_media_engagement", fact)(
+      RawZone.warehouseAppend(_, wh.fact, partitionBy = Seq("date")))
+    RunLog.append(spark, logPath, done.toSeq)
+    done.map(e => e.stage -> e.rows).toMap
+  }
+
+  /** [[runStreaming]] with per-TRIGGER run history: every foreachBatch
+    * activation logs one `fact_trigger_<batchId>` row (rows counted on
+    * the batch's own write action), and a trigger whose sink write
+    * throws logs status=failed BEFORE the error fails the stream — so
+    * the run log tells which trigger died and how many triggers
+    * committed, the exact forensics a checkpoint restart needs. The
+    * micro-batch pattern makes "one Entry per trigger per stage" the
+    * streaming twin of [[runBatchLogged]]'s one-per-stage.
+    */
+  def runStreamingLogged(spark: SparkSession, rawRoot: String, wh: Warehouse,
+      targetHashedIds: Seq[String],
+      ingestionTs: java.sql.Timestamp,
+      checkpoint: String,
+      idempotent: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.RunLog
+    val logPath = s"${wh.root}/run_log"
+    val rawMedia = RawZone.readLatestRun(spark, rawRoot, "media", Schemas.rawMedia)
+      .getOrElse(throw new IllegalStateException(s"no raw runs under $rawRoot/media"))
+    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+    val durations = dimMedia.select(col("media_id"), col("duration"))
+    val eventStream = spark.readStream
+      .schema(Schemas.rawEvent.add(RawZone.RunColumn, "string"))
+      .json(s"$rawRoot/events")
+    val eventKey = Seq("media_id", "visitor_id", "date", "event_timestamp")
+    graft.streaming.Streams.availableNowSink(
+      Transforms.perEventFact(eventStream, durations, ingestionTs), checkpoint) {
+      (batch, batchId) =>
+        val entry =
+          try RunLog.observedWrite(batch, ingestionTs, "runStreaming",
+            s"fact_trigger_$batchId") { b =>
+            if (idempotent)
+              RawZone.warehouseMerge(b.sparkSession, b, wh.fact, eventKey,
+                partitionBy = Seq("date"))
+            else RawZone.warehouseAppend(b, wh.fact, partitionBy = Seq("date"))
+          }
+          catch {
+            case f: RunLog.LoggedFailure =>
+              RunLog.append(spark, logPath, Seq(f.entry))
+              throw f.cause
+          }
+        RunLog.append(spark, logPath, Seq(entry))
+    }.start()
+  }
 }

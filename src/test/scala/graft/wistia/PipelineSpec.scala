@@ -413,4 +413,98 @@ class PipelineSpec extends SparkSpec {
     val fact = RawZone.warehouse(spark, wh.fact)
     assert(fact.filter(col("play_count").isNotNull).count() === 0L)
   }
+
+  test("runIncrementalLogged: per-stage run history on the §3.2 lifecycle incl. a failed stage") {
+    val dir = Files.createTempDirectory("pipeline_inclog").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5)))
+    val written = Pipeline.runIncrementalLogged(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0)
+    assert(written === Map("dim_media" -> 2L, "fact_media_engagement" -> 2L))
+    val log1 = graft.sources.RunLog.read(spark, s"${wh.root}/run_log")
+    assert(log1.filter(col("pipeline") === "runIncremental").count() === 2L)
+    assert(log1.filter(col("status") =!= "ok").count() === 0L)
+    assert(log1.select("stage", "rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === written)
+
+    // second activation logs per-RUN rows: only the new event counts
+    writeRaw(s"$dir/raw", "20250502_000000", Seq(
+      eventJson("e3", "v2", "abc", "2024-03-01T10:00:25Z", 0.6)))
+    val w2 = Pipeline.runIncrementalLogged(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0)
+    assert(w2("fact_media_engagement") === 1L)
+    assert(graft.sources.RunLog.read(spark, s"${wh.root}/run_log")
+      .count() === 4L)
+
+    // failing run: fact path blocked by a regular FILE — the log carries
+    // dim=ok + fact=failed before the original error propagates
+    val dir2 = Files.createTempDirectory("pipeline_inclogfail").toString
+    val wh2 = Pipeline.Warehouse(s"$dir2/wh")
+    writeRaw(s"$dir2/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2)))
+    Files.createDirectories(java.nio.file.Paths.get(wh2.root))
+    Files.createFile(java.nio.file.Paths.get(wh2.fact))
+    intercept[Exception] {
+      Pipeline.runIncrementalLogged(spark, s"$dir2/raw", wh2, Seq("abc"), ts0)
+    }
+    val log2 = graft.sources.RunLog.read(spark, s"${wh2.root}/run_log")
+      .select("stage", "status", "rows").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(log2("dim_media") === (("ok", 1L)))
+    assert(log2("fact_media_engagement")._1 === "failed")
+    assert(log2("fact_media_engagement")._2 === -1L)
+  }
+
+  test("runStreamingLogged: one run-log row per trigger incl. a failed trigger") {
+    val dir = Files.createTempDirectory("pipeline_strlog").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5)))
+    val q1 = Pipeline.runStreamingLogged(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, s"$dir/ckpt")
+    q1.awaitTermination(60000)
+    assert(RawZone.warehouse(spark, wh.fact).count() === 2)
+    val log1 = graft.sources.RunLog.read(spark, s"${wh.root}/run_log")
+      .filter(col("pipeline") === "runStreaming").collect()
+    assert(log1.length === 1)
+    assert(log1(0).getAs[String]("stage").startsWith("fact_trigger_"))
+    assert(log1(0).getAs[String]("status") === "ok")
+    assert(log1(0).getAs[Long]("rows") === 2L)
+
+    // second activation = a new trigger, a new log row with the new
+    // batch's own count
+    writeRaw(s"$dir/raw", "20250502_000000", Seq(
+      eventJson("e3", "v2", "abc", "2024-03-01T11:00:00Z", 0.6)))
+    val q2 = Pipeline.runStreamingLogged(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, s"$dir/ckpt")
+    q2.awaitTermination(60000)
+    val log2 = graft.sources.RunLog.read(spark, s"${wh.root}/run_log")
+      .filter(col("pipeline") === "runStreaming")
+      .orderBy("stage").collect()
+    assert(log2.length === 2)
+    assert(log2.map(_.getAs[Long]("rows")).toSeq === Seq(2L, 1L))
+
+    // failed trigger: block the fact path — the stream dies AND the
+    // failed trigger is in the log (status=failed, rows=-1), which is
+    // exactly the forensic a checkpoint restart needs
+    val dir2 = Files.createTempDirectory("pipeline_strlogfail").toString
+    val wh2 = Pipeline.Warehouse(s"$dir2/wh")
+    writeRaw(s"$dir2/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2)))
+    Files.createDirectories(java.nio.file.Paths.get(wh2.root))
+    Files.createFile(java.nio.file.Paths.get(wh2.fact))
+    val q3 = Pipeline.runStreamingLogged(spark, s"$dir2/raw", wh2,
+      Seq("abc"), ts0, s"$dir2/ckpt")
+    intercept[Exception] { q3.awaitTermination(60000); q3.stop() }
+    val log3 = graft.sources.RunLog.read(spark, s"${wh2.root}/run_log").collect()
+    assert(log3.length === 1)
+    assert(log3(0).getAs[String]("status") === "failed")
+    assert(log3(0).getAs[Long]("rows") === -1L)
+    assert(log3(0).getAs[String]("stage") === "fact_trigger_0")
+  }
 }
