@@ -670,6 +670,69 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // mine1 degenerate-vocabulary adversarial probe (`runMain
+    // graft.ScaleProbe skew:mine1`), building the guard the r12 verdict
+    // asked for: mine1's candidate join is pruned to each query's 3
+    // salient terms, which on a real corpus are rare (high tf·idf ⇒ low
+    // df) — but a DEGENERATE corpus whose whole vocabulary is
+    // near-stop-words makes even the salient terms df≈N/3, and the join
+    // emits q × N pairs (the quadratic the r12 verdict flagged). The
+    // synthetic corpus makes that exact shape: every doc = 1 RARE word
+    // (df=10, the true salient term) + 20 words from a 60-word shared
+    // vocab (df≈N/3, near-stop-words that still win top-3 ranks 2–3).
+    // mine1Capped(dfCap) drops query terms with df > cap after salience
+    // selection: rare terms survive, the stop-words never fan out, and
+    // the join degree is bounded by q·3·dfCap independent of N. The
+    // registry query stays uncapped (oracle-gated; the cap would vacate
+    // the gate corpus's output) — this probe measures the knob where it
+    // earns its keep, the pipe3 hot-store pattern. MEASURED (warm, this
+    // round, n=10k/100k, dfCap=1000): uncapped 4.86 s at 1× → 274.1 s at
+    // 10× docs (the q×N quadratic — ~56× time for 10× input; candidate
+    // pairs grow ~100×); capped 2.05 s at 1× → 2.30 s at 10× —
+    // near-FLAT, a 119× speedup at 10× on identical inputs (output 900
+    // vs 9000 rows: 10× queries × the 9 rare-term co-block candidates).
+    if (args.contains("skew:mine1")) {
+      import graft.operators.TextOps
+      val skewDir = skewCache("skewmine1")
+      def mkCorpus(dir: String, n: Long): Unit =
+        if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+          spark.range(n).selectExpr(
+            "id AS doc_id",
+            """concat_ws(' ',
+              |  concat('r', CAST(id div 10 AS STRING)),
+              |  concat_ws(' ', transform(sequence(0, 19),
+              |    j -> concat('w', CAST((id*31 + j*7) % 60 AS STRING))))
+              |) AS text""".stripMargin,
+            "'xx' AS lang", "'probe' AS source", "21L AS n_chars")
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          spark.range(n).selectExpr("id AS vec_id",
+            "transform(sequence(0, 63), j -> CAST(CASE WHEN j = CAST(id % 64 AS INT) THEN 10.0 ELSE 0.1 END AS FLOAT)) AS embedding",
+            "CAST(id % 4 AS INT) AS label")
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        }
+      mkCorpus(s"$skewDir/1x", 10000L)
+      mkCorpus(s"$skewDir/10x", 100000L)
+      for ((label, dir, cap) <- Seq(
+          ("uncapped-1x", s"$skewDir/1x", None),
+          ("capped-1x", s"$skewDir/1x", Some(1000L)),
+          ("uncapped-10x", s"$skewDir/10x", None),
+          ("capped-10x", s"$skewDir/10x", Some(1000L)))) {
+        def run(): DataFrame = cap match {
+          case Some(c) => TextOps.mine1Capped(spark, dir, c)
+          case None => SparkEntry.queries("mine1_hard_negatives")(spark, dir)
+        }
+        run().write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rows = run().count()
+        println(f"[probe] skew mine1 $label%-13s ${dt}%6.2f s  rows=$rows")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // PRODUCTION-SHAPED pipe5 (`runMain graft.ScaleProbe prod:pipe5`),
     // closing the r11 verdict's probe gap: the registry pipe5's 10×
     // number (5.35→13.68 s, 2.6×) includes RE-DERIVING the store-sized

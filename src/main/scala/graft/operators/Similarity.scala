@@ -1137,13 +1137,34 @@ object Similarity {
     * they carry ~√2× the raw spread and residual ADC scores WORSE
     * (measured — table at sim16 below).
     */
+  /** `filteredByLabel` composes sim15's filtered-search semantics over
+    * this stack (sim17): the stored code table carries the vector's
+    * label as a CO-KEY next to the cell — candidates join on
+    * (cell, label), so the predicate prunes BEFORE any ADC arithmetic
+    * (at 100 TB: partition/bucket pruning in the code-table scan) — and
+    * the probe widens per query to nprobe_eff = min(k, nprobe·⌈N/cnt⌉)
+    * from the corpus-side label histogram (sim15's
+    * selectivity-adaptive rule; `filterWiden = false` exposes the
+    * unwidened probe, which Sim17FilterSpec pins as strictly starving).
+    * Output gains the `label` column. This is the production vector-DB
+    * configuration: pre-filter + trained-residual IVFPQ.
+    */
   private[graft] def ivfpqVariant(s: SparkSession, d: String,
       iters: Int, rerankPool: Int, residual: Boolean,
-      coarseIters: Int = 0): DataFrame = {
+      coarseIters: Int = 0, filteredByLabel: Boolean = false,
+      filterWiden: Boolean = true): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     val m = 8; val sub = 8
     val isNew = col("vec_id") % 5 === 0
-    val e = scaledVectors(s, d).localCheckpoint()
+    val e = (if (filteredByLabel)
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1000000, 0).cast("long")).as("v"),
+            col("label").cast("long").as("lbl"))
+          .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
+      else scaledVectors(s, d)).localCheckpoint()
     val corpus = e.filter(!isNew)
     val nCorpus = corpus.count()
     val kIvf = math.ceil(math.sqrt(nCorpus.toDouble)).toInt
@@ -1208,7 +1229,8 @@ object Similarity {
       // vc rides the checkpoint only when the residual encode reads it —
       // for sim14 it would double the stored full-vector side for nothing
       .select(Seq(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell")) ++
-        (if (residual) Seq(col("vc")) else Nil): _*)
+        (if (residual) Seq(col("vc")) else Nil) ++
+        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
       .localCheckpoint() // the stored full-vector side (rerank fetches)
     def subCols(vcol: Column) = array((0 until m).map(j =>
       struct(lit(j).as("j"), slice(vcol, j * sub + 1, sub).as("sv"))): _*)
@@ -1314,22 +1336,37 @@ object Similarity {
         .as("z"))
       .select(col("vec_id"),
         transform(col("z"), p => p.getField("ci")).as("cd"))
-      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .join(assigned.select(Seq(col("vec_id"), col("cell")) ++
+        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*), "vec_id")
       .localCheckpoint()
     // per-batch work starts here
     val batch = e.filter(isNew)
+    val npeExpr =
+      if (!filteredByLabel || !filterWiden) lit(nprobe.toLong)
+      else least(lit(kIvf.toLong),
+        lit(nprobe.toLong) * expr(s"(${nCorpus}L + cnt - 1L) div cnt"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(coarseOrd: _*)
-    val probed = batch
-      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val probed0 = batch
+      .select(Seq(col("vec_id").as("qid"), col("v").as("va"),
+        col("nrm").as("na")) ++
+        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
+    val probed = (if (filteredByLabel) {
+        // per-query probe budget from the corpus-side label histogram (a
+        // ≤|labels|-row broadcast) — sim15's widening rule over THIS
+        // index's cell count
+        val hist = corpus.groupBy("lbl").agg(count(lit(1)).as("cnt"))
+        probed0.join(broadcast(hist), "lbl").withColumn("npe", npeExpr)
+      } else probed0.withColumn("npe", npeExpr))
       .crossJoin(broadcast(cent))
       .withColumn("cdot", dot(col("va"), col("vc")))
       .withColumn("ccos", col("cdot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
       .withColumn("cdist", col("nc") - lit(2L) * col("cdot"))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("cid").as("cell"), col("cdot"))
+      .filter(col("prn") <= col("npe"))
+      .select(Seq(col("qid"), col("cid").as("cell"), col("cdot")) ++
+        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
     // per-query LUT, one row per query: 8 arrays of 64 subspace dots,
     // positioned by cidx so ADC is pure element_at arithmetic
     val lutJ = batch
@@ -1352,14 +1389,20 @@ object Similarity {
         element_at(col(s"l$j"),
           element_at(col("cd"), j + 1).cast("int") + 1))
       .reduce(_ + _)
-    val adc = codes.join(probed, "cell")
+    // filtered: the (cell, lbl) equi-join IS the predicate — a
+    // non-matching code never reaches the ADC arithmetic
+    val adc = codes.join(probed,
+        if (filteredByLabel) Seq("cell", "lbl") else Seq("cell"))
       .join(lutQ, "qid")
-      .select(col("qid"), col("vec_id").as("nbr"),
-        (if (residual) adcSum + col("cdot") else adcSum).as("approx_dot"))
+      .select(Seq(col("qid"), col("vec_id").as("nbr"),
+        (if (residual) adcSum + col("cdot") else adcSum).as("approx_dot")) ++
+        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("approx_dot").desc, col("nbr"))
     val coarse = adc.withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= rerankPool).select("qid", "nbr")
+      .filter(col("crnk") <= rerankPool)
+      .select(Seq(col("qid"), col("nbr")) ++
+        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
     coarse
@@ -1372,8 +1415,9 @@ object Similarity {
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= 3)
-      .select(col("qid"), col("rnk"),
-        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6"))
+      .select(Seq(col("qid"), col("rnk"),
+        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6")) ++
+        (if (filteredByLabel) Seq(col("lbl").as("label")) else Nil): _*)
       .orderBy("qid", "rnk")
   }
 
@@ -1756,7 +1800,122 @@ object Similarity {
        |  lbl AS label
        |FROM c WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim17_filtered_residual — sim15's metadata-filtered search composed
+  // over sim16's trained-residual IVFPQ index: "nearest neighbors WHERE
+  // label = my label" served from the production-grade index — the exact
+  // configuration a production vector DB ships (FAISS IndexIVFPQ with
+  // by_residual + an IDSelector/pre-filter; Qdrant/Milvus filtered HNSW's
+  // IVF analogue). Three mechanisms composed, all oracle-replayed:
+  //  1. the stored code table carries the label as a CO-KEY next to the
+  //     cell — candidates join on (cell, label), so the predicate prunes
+  //     BEFORE any ADC arithmetic (pre-filter semantics; at 100 TB the
+  //     code table is partitioned by cell and bucketed by label, making
+  //     this partition/bucket pruning in the scan);
+  //  2. selectivity-adaptive probe widening, nprobe_eff =
+  //     min(k, nprobe·⌈N/cnt(label)⌉) from the corpus-side label
+  //     histogram (sim15's rule) — a rare label probes more cells so the
+  //     filtered candidate pool stays at the unfiltered design point;
+  //  3. sim16's trained coarse quantizer + residual codes + cdot-restored
+  //     ADC, unchanged — the filter composes into the joins without
+  //     touching the quantization arithmetic.
+  // At gate scale (500 vectors, 10 labels ⇒ cnt≈40) the widening
+  // saturates to all k cells AND the per-label candidate count sits
+  // under the rerank pool (40 < 100), so the whole stack must reproduce
+  // EXACT filtered brute force bit-for-bit — which Sim17FilterSpec pins,
+  // along with the unwidened probe strictly starving (the knob is
+  // load-bearing). At N=10⁹/10 labels: k≈31623, nprobe=267,
+  // nprobe_eff≈2670 — 8% of cells, still sublinear, with the label
+  // co-key discarding ~90% of probed codes before the ADC.
+  private def sim17FilteredResidual(s: SparkSession, d: String): DataFrame =
+    ivfpqVariant(s, d, pqIters, pq16Pool, residual = true,
+      coarseIters = pq16CoarseIters, filteredByLabel = true)
+
+  private val sim17Sql: String = graft.OracleHints.materializeCtes(
+    s"""WITH $scaledVectorsSqlCte,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+       |corp AS (SELECT e.vec_id, e.v, e.nrm, lab.lbl FROM e
+       |  JOIN lab ON lab.vec_id = e.vec_id WHERE e.vec_id % 5 <> 0),
+       |corpt AS (SELECT c.vec_id, c.v FROM corp c WHERE
+       |  ('0x' || substring(md5(CAST(c.vec_id AS VARCHAR) || ':ivf'), 1, 15))::BIGINT
+       |  % GREATEST(1, CAST(ceil((SELECT COUNT(DISTINCT vec_id) FROM corp)
+       |      / $pqTrainBudget.0) AS BIGINT)) = 0),
+       |cent0 AS (SELECT vec_id AS cid, v AS vc FROM corpt ORDER BY vec_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM corp)),
+       |${(1 to pq16CoarseIters).map(coarseIterSql).mkString("\n")}
+       |centf AS (SELECT cid, vc,
+       |    CAST(list_sum(list_transform(vc, x -> x * x)) AS BIGINT) AS nc
+       |  FROM cent$pq16CoarseIters),
+       |par AS (SELECT COUNT(*) AS n, CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k,
+       |  GREATEST(6, CAST(ceil(1.5 * sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT)) AS nprobe
+       |  FROM corp),
+       |hist AS (SELECT lbl, COUNT(*) AS cnt FROM corp GROUP BY lbl),
+       |ap AS (SELECT corp.vec_id, corp.v, corp.nrm, corp.lbl, c.cid, c.vc, c.nc,
+       |  CAST((SELECT SUM(corp.v[i] * c.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM corp, centf c),
+       |ar AS (SELECT vec_id, v, nrm, lbl, cid AS cell, vc,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY nc - 2 * cdot, cid) AS arn
+       |  FROM ap),
+       |idx AS (SELECT vec_id, v, nrm, lbl, cell, vc FROM ar WHERE arn = 1),
+       |rsub AS (SELECT idx.vec_id, idx.cell, idx.lbl, u.j,
+       |    list_transform(generate_series(1, 8),
+       |      i -> idx.v[u.j * 8 + i] - idx.vc[u.j * 8 + i]) AS sv
+       |  FROM idx, UNNEST(generate_series(0, 7)) u(j)),
+       |subt AS (SELECT s.vec_id, s.j, s.sv FROM rsub s WHERE
+       |  ('0x' || substring(md5(CAST(s.vec_id AS VARCHAR) || ':pq'), 1, 15))::BIGINT
+       |  % GREATEST(1, CAST(ceil((SELECT COUNT(DISTINCT vec_id) FROM corp)
+       |      / $pqTrainBudget.0) AS BIGINT)) = 0),
+       |pq0 AS (SELECT j, vec_id AS code, sv AS cv FROM rsub
+       |  WHERE vec_id IN (SELECT vec_id FROM corp ORDER BY vec_id LIMIT 64)),
+       |${(1 to pqIters).map(r => pqIterSql(r)).mkString("\n")}
+       |pqc AS (SELECT j, code, cv,
+       |    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+       |  FROM pq$pqIters),
+       |codes AS (SELECT cd.vec_id, cd.j, cd.code, cd.cell, cd.lbl FROM (
+       |  SELECT s.vec_id, s.cell, s.lbl, s.j, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |      c.cn - 2 * CAST((SELECT SUM(s.sv[i] * c.cv[i])
+       |        FROM UNNEST(generate_series(1, 8)) t(i)) AS BIGINT), c.code) AS rn
+       |  FROM rsub s JOIN pqc c ON c.j = s.j) cd WHERE cd.rn = 1),
+       |qh AS (SELECT e.vec_id AS qid, e.v AS va, e.nrm AS na, lab.lbl,
+       |  LEAST(par.k, par.nprobe * ((par.n + hist.cnt - 1) // hist.cnt)) AS npe
+       |  FROM e JOIN lab ON lab.vec_id = e.vec_id
+       |  JOIN hist ON hist.lbl = lab.lbl CROSS JOIN par
+       |  WHERE e.vec_id % 5 = 0),
+       |qp AS (SELECT qh.qid, qh.va, qh.na, qh.lbl, qh.npe, c.cid, c.nc,
+       |  CAST((SELECT SUM(qh.va[i] * c.vc[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS cdot
+       |  FROM qh, centf c),
+       |qr AS (SELECT qid, lbl, npe, cid AS cell, cdot,
+       |  row_number() OVER (PARTITION BY qid ORDER BY nc - 2 * cdot, cid) AS prn
+       |  FROM qp),
+       |pc AS (SELECT qid, lbl, cell, cdot FROM qr WHERE prn <= npe),
+       |subq AS (SELECT vec_id AS qid, u.j, v[u.j*8+1:u.j*8+8] AS sv
+       |  FROM e, UNNEST(generate_series(0, 7)) u(j) WHERE vec_id % 5 = 0),
+       |lut AS (SELECT s.qid, s.j, c.code,
+       |    CAST((SELECT SUM(s.sv[i] * c.cv[i])
+       |      FROM UNNEST(generate_series(1, 8)) t(i)) AS BIGINT) AS pdot
+       |  FROM subq s JOIN pqc c ON c.j = s.j),
+       |adc AS (SELECT l.qid, cd.vec_id AS nbr, cd.lbl,
+       |    MAX(pc.cdot) + CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+       |  FROM codes cd JOIN pc ON pc.cell = cd.cell AND pc.lbl = cd.lbl
+       |  JOIN lut l ON l.qid = pc.qid AND l.j = cd.j AND l.code = cd.code
+       |  GROUP BY 1, 2, 3),
+       |coarse AS (SELECT qid, nbr, lbl,
+       |    row_number() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nbr) AS crnk
+       |  FROM adc),
+       |r AS (SELECT c.qid, c.nbr, c.lbl, a.nrm AS na, b.nrm AS nb,
+       |  CAST((SELECT SUM(a.v[i] * b.v[i]) FROM UNNEST(generate_series(1, 64)) t(i)) AS BIGINT) AS dot
+       |  FROM coarse c JOIN e a ON a.vec_id = c.qid JOIN idx b ON b.vec_id = c.nbr
+       |  WHERE c.crnk <= $pq16Pool),
+       |f AS (SELECT qid, nbr, lbl, $cosSql AS cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $cosSql DESC, nbr) AS rnk
+       |  FROM r)
+       |SELECT qid, rnk, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6,
+       |  lbl AS label
+       |FROM f WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)
+
   val queries: Seq[Q] = Seq(
+    Q("sim17_filtered_residual", sim17FilteredResidual, Some(sim17Sql)),
     Q("sim16_residual_pq", sim16ResidualPq, Some(sim16Sql)),
     Q("sim15_filtered_ann", sim15FilteredAnn, Some(sim15Sql)),
     Q("sim14_ann_ivfpq", sim14AnnIvfpq, Some(sim14Sql)),

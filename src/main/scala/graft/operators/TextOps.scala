@@ -1610,7 +1610,30 @@ c$r AS (SELECT doc_id,
   // per-query top-20 is a window over each query's candidate rows only;
   // the cosine pass touches 20 rows per query. All integer arithmetic:
   // lex_ppm exact, cos_e6 the standard floor-of-single-division.
-  private def mine1HardNegatives(s: SparkSession, d: String): DataFrame = {
+  private def mine1HardNegatives(s: SparkSession, d: String): DataFrame =
+    mine1Core(s, d, dfCap = None)
+
+  /** mine1 with the production STOP-WORD GUARD built: query terms whose
+    * df exceeds `dfCap` are dropped AFTER salience selection, BEFORE the
+    * candidate join — so a degenerate corpus (vocabulary so small that
+    * even the tf·idf-salient terms are near-stop-words) cannot drive the
+    * term join to q × N pairs; the join degree is bounded by q·3·dfCap
+    * regardless of corpus shape. On a healthy corpus a loose cap is a
+    * NO-OP (salient ⇒ rare ⇒ df ≪ cap; Mine1CapSpec pins bit-equality
+    * with the uncapped registry query on the gate corpus, and the
+    * skew:mine1 probe shows where the knob earns its keep: on a
+    * degenerate-vocabulary corpus uncapped grows 4.86 → 274.1 s for 10×
+    * docs — the q×N quadratic — while capped stays 2.05 → 2.30 s,
+    * near-flat: at 10× the cap is a 119× speedup on identical inputs,
+    * trading only the near-stop-word candidates away). The registry
+    * query stays UNCAPPED: the cap would vacate the tiny gate corpus's
+    * output, and the oracle gates the uncapped semantics.
+    */
+  private[graft] def mine1Capped(s: SparkSession, d: String,
+      dfCap: Long): DataFrame = mine1Core(s, d, Some(dfCap))
+
+  private def mine1Core(s: SparkSession, d: String,
+      dfCap: Option[Long]): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     val isQ = col("doc_id") % 100 === 0
     val tf = Tables.documents(s, d)
@@ -1621,11 +1644,15 @@ c$r AS (SELECT doc_id,
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
-    val qterms = tf.filter(isQ).join(dfr, "term")
+    val qterms0 = tf.filter(isQ).join(dfr, "term")
       .withColumn("score_ppm", expr("tf * 1000000L div df"))
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= 3)
       .select(col("doc_id").as("qid"), col("term"), col("df"))
+    // the stop-word guard: applied AFTER top-3 selection so a capped run
+    // never substitutes a lower-salience term — it only refuses to fan
+    // out on a near-stop-word (the df-capped DPR convention)
+    val qterms = dfCap.fold(qterms0)(c => qterms0.filter(col("df") <= c))
     // per-query top-20 via the bounded TopKPairs aggregate (q10's): at
     // most 20 pairs per query leave each map task, identical output to
     // the row_number window (101.6 → 79.2 s at the 10× probe). The
@@ -1635,9 +1662,8 @@ c$r AS (SELECT doc_id,
     // term join — ev5's output-driven-growth adjudication applies). On
     // a real corpus the tf·idf-salient query terms are rare by
     // construction (high score_ppm ⇒ low df), so the term-pruned join
-    // emits ~q·df(salient) pairs; a df cap on query terms (stop-word
-    // guard) is the production knob if a corpus degenerates, withheld
-    // here because it would vacate the gate corpus's output.
+    // emits ~q·df(salient) pairs; [[mine1Capped]] is the production
+    // knob for a corpus that degenerates (skew:mine1 measures it).
     val cand = qterms
       .join(tf.select(col("doc_id").as("cand_id"), col("term"), col("tf")),
         Seq("term"))
