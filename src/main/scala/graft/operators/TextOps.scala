@@ -1329,9 +1329,22 @@ c$r AS (SELECT doc_id,
     * index build a production query never pays is gone from the plan.
     */
   private[graft] def search6FromStore(s: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame =
-    search6FusedCore(s, ragPartsFromStore(s, root, version),
-      chunkBm25ScoresFromStore(s, root, version))
+      version: Option[Long] = None): DataFrame = {
+    val pinned = Some(resolveRagVersion(s, root, version))
+    search6FusedCore(s, ragPartsFromStore(s, root, pinned),
+      chunkBm25ScoresFromStore(s, root, pinned))
+  }
+
+  /** Resolve the served version ONCE per query: the tables of one
+    * serving plan must come from one snapshot — resolving latest per
+    * readTable would let a concurrent publish flip the pointer mid-
+    * construction and mix two versions, the exact inconsistency the
+    * multi-table snapshot exists to prevent.
+    */
+  private def resolveRagVersion(s: SparkSession, root: String,
+      version: Option[Long]): Long =
+    version.orElse(graft.sources.Snapshots.latestVersion(s, root)).getOrElse(
+      throw new IllegalStateException(s"no committed RAG store under $root"))
 
   /** search6's oracle chain (pipe6 index CTEs + both legs, ending at
     * `lexr`/`semr`) and its final fused select — split so search7's
@@ -1446,11 +1459,12 @@ c$r AS (SELECT doc_id,
     */
   private[graft] def search7FromStore(s: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
-    val parts = ragPartsFromStore(s, root, version)
+    val pinned = Some(resolveRagVersion(s, root, version))
+    val parts = ragPartsFromStore(s, root, pinned)
     val fused = search6FusedCore(s, parts,
-      chunkBm25ScoresFromStore(s, root, version))
+      chunkBm25ScoresFromStore(s, root, pinned))
     search7Core(s, fused, parts, ck =>
-      graft.sources.Snapshots.readTable(s, root, "chunklens", version)
+      graft.sources.Snapshots.readTable(s, root, "chunklens", pinned)
         .join(ck, Seq("doc_id", "k"), "left_semi")
         .select(col("doc_id"), col("k").as("chunk_id"),
           col("dl").as("n_tokens")))
