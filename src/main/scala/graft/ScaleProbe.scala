@@ -274,6 +274,21 @@ import org.apache.spark.sql.functions._
   * for the batch, candidate joins bounded by bucket degree, and the
   * 8-scalar stored-aggregate read).
   *
+  * Round-13 probes (measured, local[32], warm):
+  * - prod:search6 (the RAG SERVING side of the from-store convention):
+  *   stores published through Snapshots (untimed — a rebuild cost, not
+  *   a query cost), per-query serving timed against the pinned version.
+  *   search6 rederive-in-plan 2.54 s vs from-store 1.14 s at 1× and
+  *   1.08 s at 10× STORE growth — FLAT; search7 5.13 s vs 3.05 s at 1×,
+  *   3.10 s at 10× — flat, the residual being the K=8 bounded MMR
+  *   argmax actions. Parity with the registry twins asserted in-run.
+  * - skew:mine1 (the degenerate-vocabulary q×N quadratic the r12
+  *   verdict flagged): every doc = 1 rare word (df=10) + 20 words from
+  *   a 60-word shared vocab. Uncapped 4.86 s at n=10k → 274.1 s at
+  *   n=100k (the quadratic); mine1Capped(1000) 2.05 → 2.30 s,
+  *   near-FLAT — a 119× speedup at 10× on identical inputs, gate-corpus
+  *   output untouched by a loose cap (Mine1CapSpec).
+  *
   * Round-11 adversarial probes (measured, local[32], warm):
   * - skew:sim14 (one-cell IVFPQ degeneracy, n=30k, batch 6k, corpus
   *   24k, k=155, nprobe=19): a one-blob corpus defeats the coarse
@@ -900,6 +915,47 @@ object ScaleProbe {
     // table benefits from the warmer JVM; the survivor scan's
     // partition pruning means the 10× history is never read). A merge
     // that rewrote or rescanned the table would be 10×.
+    // Catalog.purgeKeys scale probe (`runMain graft.ScaleProbe
+    // prod:purge`): a takedown request deletes a FIXED key list from a
+    // 1× (64 partitions × 20k rows) and a 10× (640 partitions — a longer
+    // history) table. The rewrite is O(touched partitions) like upsert;
+    // the one table-sized stage is the touched-partition DISCOVERY scan
+    // (keys arrive by entity, not by partition), which reads only the
+    // key + partition columns — a 2-int64 columnar pass. Expect near-
+    // flat: the discovery scan's 10× growth is pennies next to the
+    // fixed 2-partition rewrite. MEASURED (warm, this round): 1× 2.42 s,
+    // 10× 4.23 s for 10× history (1.75×) — the discovery scan's linear
+    // term and the 10× partition metadata are visible but sub-linear; a
+    // purge that rewrote or rescanned the table at full width would be
+    // 10×.
+    if (args.contains("prod:purge")) {
+      import graft.sources.Catalog
+      val db = "probe_purge"
+      val loc = java.nio.file.Files.createTempDirectory("probe_purge").toString
+      Catalog.ensureDatabase(spark, db, Some(loc))
+      for ((label, parts) <- Seq(("1x", 64L), ("10x", 640L))) {
+        val t = s"$db.t_$label"
+        val base = spark.range(parts * 20000L).select(
+          (col("id") % parts).as("p"), col("id").as("k"),
+          (col("id") * 7L).as("v"))
+        Catalog.append(base.repartition(col("p")), t, Seq("p"))
+        // fixed takedown list both scales: 500 keys inside partitions 0/1
+        def doomed = spark.range(500L)
+          .select((col("id") * parts + (col("id") % 2L)).as("k"))
+        // warm-up purge on a disjoint list (partitions 2/3) so the timed
+        // run measures a steady-state JVM, not codegen compilation
+        Catalog.purgeKeys(spark, t,
+          spark.range(10L).select((col("id") * parts + 2L).as("k")), Seq("p"))
+        val t0 = System.nanoTime()
+        val n = Catalog.purgeKeys(spark, t, doomed, Seq("p"))
+        println(f"[probe] purge $label%-4s (${parts} parts) ${(System.nanoTime() - t0) / 1e9}%6.2f s  deleted=$n")
+        require(n == 500L, s"expected 500 deleted, got $n")
+        require(spark.table(t).count() == parts * 20000L - 510L)
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     if (args.contains("prod:upsert")) {
       import graft.sources.Catalog
       val db = "probe_upsert"

@@ -1719,7 +1719,133 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q57_dq_audit — the data-quality EXPECTATION SUITE a warehouse runs
+  // before promoting a load (the Great-Expectations/dbt-test layer, as
+  // one declarative plan): per-table row-local invariants (nulls in key
+  // columns, domain ranges, derived-column consistency), uniqueness of
+  // natural keys, and cross-table referential integrity — one row per
+  // expectation with the violation count, the CHECKED denominator (the
+  // real per-table row counts, so the oracle hash pins live computation,
+  // not a sea of zeros), and the pass verdict.
+  //
+  // Scale: all row-local checks of a table share ONE scan (conditional
+  // sums + the count-minus-count-distinct uniqueness form in a single
+  // agg — Catalyst plans the distinct via expand, still one pass);
+  // referential checks are anti-join counts (AQE broadcasts the key side
+  // when it fits); each 1-row agg localCheckpoints so reshaping it into
+  // expectation rows and reusing its denominator never rescans the
+  // table. The audit output is O(#expectations) rows regardless of
+  // corpus size.
+  private def q57DqAudit(s: SparkSession, d: String): DataFrame = {
+    def zcount(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def reshape(agg1: DataFrame, tbl: String,
+        checks: Seq[(String, String)]): DataFrame =
+      agg1.select(explode(array(checks.map { case (name, vcol) =>
+        struct(lit(tbl).as("tbl"), lit(name).as("chk"),
+          col(vcol).cast("long").as("violations"),
+          col("n").cast("long").as("checked"))
+      }: _*)).as("r")).select("r.*")
+    val liAgg = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      zcount(col("l_orderkey").isNull).as("null_orderkey"),
+      zcount(col("l_quantity") <= 0.0).as("nonpos_qty"),
+      zcount(col("l_discount") < 0.0 || col("l_discount") > 1.0).as("disc_range"),
+      (count(lit(1)) - count_distinct(
+        struct(col("l_orderkey"), col("l_linenumber")))).as("dup_line"))
+      .localCheckpoint() // 1 row; reused for the reshape + orphan denominators
+    val ordAgg = Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      zcount(col("o_totalprice") <= 0.0).as("nonpos_total"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkey"))
+      .localCheckpoint()
+    val custAgg = Tables.customer(s, d).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count_distinct(col("c_custkey"))).as("dup_custkey"))
+      .localCheckpoint()
+    val docAgg = Tables.documents(s, d).agg(
+      count(lit(1)).as("n"),
+      zcount(col("text").isNull || length(col("text")) === 0).as("empty_text"),
+      zcount(coalesce(length(col("text")).cast("long"), lit(-1L)) =!=
+        col("n_chars")).as("nchars_mismatch"))
+      .localCheckpoint()
+    val embAgg = Tables.embeddings(s, d).agg(
+      count(lit(1)).as("n"),
+      zcount(size(col("embedding")) =!= 64).as("bad_dim"))
+      .localCheckpoint()
+    def orphan(child: DataFrame, childKey: String, parent: DataFrame,
+        parentKey: String, denom: DataFrame, tbl: String, name: String) =
+      child.join(parent, col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).cast("long").as("violations"))
+        .crossJoin(denom.select(col("n").cast("long").as("checked")))
+        .select(lit(tbl).as("tbl"), lit(name).as("chk"),
+          col("violations"), col("checked"))
+    val rows = Seq(
+      reshape(liAgg, "lineitem", Seq(
+        "null_orderkey" -> "null_orderkey",
+        "nonpositive_quantity" -> "nonpos_qty",
+        "discount_range" -> "disc_range",
+        "dup_linenumber" -> "dup_line")),
+      orphan(Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", liAgg, "lineitem", "orphan_orderkey"),
+      reshape(ordAgg, "orders", Seq(
+        "nonpositive_totalprice" -> "nonpos_total",
+        "dup_orderkey" -> "dup_orderkey")),
+      orphan(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", ordAgg, "orders", "orphan_custkey"),
+      reshape(custAgg, "customer", Seq("dup_custkey" -> "dup_custkey")),
+      reshape(docAgg, "documents", Seq(
+        "empty_text" -> "empty_text",
+        "nchars_mismatch" -> "nchars_mismatch")),
+      reshape(embAgg, "embeddings", Seq("bad_dim" -> "bad_dim")))
+    rows.reduce(_ unionByName _)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("tbl", "chk")
+  }
+
+  private val q57Sql =
+    """WITH lin AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_qty,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+      |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_line
+      |  FROM lineitem),
+      |ord AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_total,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey
+      |  FROM orders),
+      |cust AS (SELECT COUNT(*) AS n,
+      |    COUNT(*) - COUNT(DISTINCT c_custkey) AS dup_custkey FROM customer),
+      |doc AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN text IS NULL OR strlen(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+      |    CAST(SUM(CASE WHEN COALESCE(CAST(strlen(text) AS BIGINT), -1) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS nchars_mismatch
+      |  FROM documents),
+      |emb AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS bad_dim
+      |  FROM embeddings),
+      |oli AS (SELECT COUNT(*) AS v FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |oor AS (SELECT COUNT(*) AS v FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |u AS (
+      |  SELECT 'lineitem' AS tbl, 'null_orderkey' AS chk, null_orderkey AS violations, n AS checked FROM lin
+      |  UNION ALL SELECT 'lineitem', 'nonpositive_quantity', nonpos_qty, n FROM lin
+      |  UNION ALL SELECT 'lineitem', 'discount_range', disc_range, n FROM lin
+      |  UNION ALL SELECT 'lineitem', 'dup_linenumber', dup_line, n FROM lin
+      |  UNION ALL SELECT 'lineitem', 'orphan_orderkey', oli.v, lin.n FROM oli, lin
+      |  UNION ALL SELECT 'orders', 'nonpositive_totalprice', nonpos_total, n FROM ord
+      |  UNION ALL SELECT 'orders', 'dup_orderkey', dup_orderkey, n FROM ord
+      |  UNION ALL SELECT 'orders', 'orphan_custkey', oor.v, ord.n FROM oor, ord
+      |  UNION ALL SELECT 'customer', 'dup_custkey', dup_custkey, n FROM cust
+      |  UNION ALL SELECT 'documents', 'empty_text', empty_text, n FROM doc
+      |  UNION ALL SELECT 'documents', 'nchars_mismatch', nchars_mismatch, n FROM doc
+      |  UNION ALL SELECT 'embeddings', 'bad_dim', bad_dim, n FROM emb)
+      |SELECT tbl, chk, CAST(violations AS BIGINT) AS violations,
+      |  CAST(checked AS BIGINT) AS checked, violations = 0 AS pass
+      |FROM u ORDER BY tbl, chk""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q57_dq_audit", q57DqAudit, Some(q57Sql)),
     Q("q54_incremental_agg", q54IncrementalAgg, Some(q54Sql)),
     Q("q47_tpch_q2", q47TpchQ2, Some(q47Sql)),
     Q("q48_tpch_q7", q48TpchQ7, Some(q48Sql)),

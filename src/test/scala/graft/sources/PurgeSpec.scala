@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+/** Catalog.purgeKeys — the right-to-be-forgotten delete: rows matching a
+  * request-sized key list are physically removed by rewriting ONLY the
+  * partitions that contain them; untouched partitions keep their exact
+  * files, and a partition whose every row was doomed is dropped (dynamic
+  * overwrite alone would silently keep it — the classic purge hole).
+  */
+class PurgeSpec extends graft.SparkSpec {
+
+  private def files(loc: String, p: Long): Set[String] = {
+    val d = new java.io.File(s"$loc/p=$p")
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+  }
+
+  test("purgeKeys deletes only matching rows, rewrites only touched partitions, drops emptied ones") {
+    val db = "purge_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_purge").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.docs"
+    // 4 partitions × 100 rows; doc_id does NOT determine the partition
+    // (the realistic takedown shape: keys arrive by entity, partitions
+    // are by shard)
+    val base = spark.range(400L).select(
+      (col("id") % 4L).as("p"), col("id").as("doc_id"),
+      (col("id") * 7L).as("payload"))
+    Catalog.append(base.repartition(col("p")), t, Seq("p"))
+    val tableLoc = s"$loc/docs"
+
+    val before1 = files(tableLoc, 1L) // will be untouched
+    assert(before1.nonEmpty)
+
+    // purge list: 3 docs in partition 0, plus EVERY doc of partition 2
+    // (the all-doomed partition), plus one id not in the table at all
+    import spark.implicits._
+    val doomed = (Seq(0L, 4L, 8L) ++ (0L until 400L).filter(_ % 4L == 2L)
+      :+ 9999L).toDF("doc_id")
+    val deleted = Catalog.purgeKeys(spark, t, doomed, Seq("p"))
+    assert(deleted === 3L + 100L) // the absent id deletes nothing
+
+    // content: exactly the survivors remain
+    val remaining = spark.table(t)
+    assert(remaining.count() === 400L - 103L)
+    assert(remaining.join(doomed, Seq("doc_id"), "left_semi").count() === 0L)
+    // survivors keep their exact payloads
+    assert(remaining.filter(col("doc_id") === 12L)
+      .select("payload").first().getLong(0) === 84L)
+
+    // the all-doomed partition is GONE (dropped, not silently retained)
+    assert(remaining.filter(col("p") === 2L).count() === 0L)
+    assert(files(tableLoc, 2L).isEmpty)
+
+    // untouched partition 1 kept its exact files (no rewrite ran there)
+    assert(files(tableLoc, 1L) === before1)
+
+    // idempotent: purging the same list again deletes nothing and
+    // changes nothing
+    assert(Catalog.purgeKeys(spark, t, doomed, Seq("p")) === 0L)
+    assert(spark.table(t).count() === 297L)
+  }
+}
