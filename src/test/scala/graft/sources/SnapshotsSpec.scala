@@ -85,6 +85,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(d === Map(1L -> "removed", 2L -> "changed", 4L -> "added"))
   }
 
+  test("writeTables: one claim covers all tables; a failed table write leaks nothing") {
+    val root = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
+    val v1 = Snapshots.writeTables(Seq(
+      "a" -> Seq((1L, "x")).toDF("id", "tag"),
+      "b" -> Seq((10L, 100L)).toDF("k", "v")), root)
+    assert(Snapshots.latestVersion(spark, root) === Some(v1))
+    assert(Snapshots.readTable(spark, root, "a", Some(v1)).count() === 1L)
+    assert(Snapshots.readTable(spark, root, "b").count() === 1L)
+    // a staged write that THROWS mid-table (the second table's plan
+    // fails at execution) must commit nothing: no new version, pointer
+    // unchanged, no staging directory left behind
+    intercept[Exception] {
+      Snapshots.writeTables(Seq(
+        "a" -> Seq((2L, "y")).toDF("id", "tag"),
+        "b" -> spark.range(1).selectExpr("assert_true(id > 10) AS boom")), root)
+    }
+    assert(Snapshots.latestVersion(spark, root) === Some(v1))
+    assert(Snapshots.versions(spark, root) === Seq(v1))
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("_staging"))
+    assert(leftovers.isEmpty, s"staging leaked: ${leftovers.mkString(",")}")
+    // the v1 tables are untouched by the failed attempt
+    assert(Snapshots.readTable(spark, root, "a").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "x")))
+  }
+
   test("partitioned snapshots read with partition pruning intact") {
     val root = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
     val df = (1 to 10).map(i => (i.toLong, i % 2)).toDF("id", "p")
