@@ -1938,10 +1938,17 @@ object TrainPrep {
     * (aggregates it to the chunk table) and the chunk-grain retrieval
     * query in TextOps (search4 scores BM25 over the same layout).
     */
-  private[operators] def pk6TokenChunks(s: SparkSession, d: String): DataFrame = {
+  private[operators] def pk6TokenChunks(s: SparkSession, d: String): DataFrame =
+    pk6TokenChunksOf(Tables.documents(s, d))
+
+  /** [[pk6TokenChunks]] over an explicit documents frame (doc_id, text,
+    * …) — the form [[Takedown]]-style flows use to chunk the CURRENT
+    * state of a maintained catalog table instead of a corpus directory.
+    */
+  private[graft] def pk6TokenChunksOf(docs: DataFrame): DataFrame = {
     val B = pk6Budget
     val S = pk6Stride
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_doc", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("n_doc"),
@@ -2043,9 +2050,12 @@ object TrainPrep {
     * token grain (16 conditional sums → fixed array), the layout the
     * codegen'd DotLong assignment consumes.
     */
-  private[operators] def pipe6DenseVectors(s: SparkSession, d: String): DataFrame = {
+  private[operators] def pipe6DenseVectors(s: SparkSession, d: String): DataFrame =
+    pipe6DenseVectorsOf(pk6TokenChunks(s, d))
+
+  private def pipe6DenseVectorsOf(toks: DataFrame): DataFrame = {
     val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    pk6TokenChunks(s, d)
+    toks
       .select(col("doc_id"), col("k"), pmod(hm, lit(16L)).as("dim"),
         when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))
       .groupBy("doc_id", "k")
@@ -2071,8 +2081,11 @@ object TrainPrep {
     * 10×/1× ratio ≈ 5 against a C·k work growth of 33× — sublinear
     * because the dot never leaves whole-stage codegen.
     */
-  private[graft] def pipe6Parts(s: SparkSession, d: String): Pipe6Parts = {
-    val vecs = pipe6DenseVectors(s, d).localCheckpoint()
+  private[graft] def pipe6Parts(s: SparkSession, d: String): Pipe6Parts =
+    pipe6PartsOf(pipe6DenseVectors(s, d))
+
+  private def pipe6PartsOf(denseVecs: DataFrame): Pipe6Parts = {
+    val vecs = denseVecs.localCheckpoint()
     val cc = vecs.count()
     val kc = math.ceil(math.sqrt(cc.toDouble)).toInt
     val cent = vecs.orderBy("doc_id", "k").limit(kc)
@@ -2113,9 +2126,19 @@ object TrainPrep {
     */
   private[graft] def publishRagStore(s: SparkSession, d: String,
       root: String, runLogPath: Option[String] = None,
+      runTs: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long =
+    publishRagStoreFrom(s, Tables.documents(s, d), root, runLogPath, runTs)
+
+  /** [[publishRagStore]] over an explicit documents frame — the form a
+    * maintained warehouse uses (publish FROM the catalog table's current
+    * state, e.g. right after [[graft.sources.Catalog.purgeKeys]] in a
+    * takedown — graft.sources.Takedown composes exactly that).
+    */
+  private[graft] def publishRagStoreFrom(s: SparkSession, docs: DataFrame,
+      root: String, runLogPath: Option[String] = None,
       runTs: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
-    val parts = pipe6Parts(s, d)
-    val toks = pk6TokenChunks(s, d).localCheckpoint() // feeds dl + postings
+    val toks = pk6TokenChunksOf(docs).localCheckpoint() // feeds vecs + dl + postings
+    val parts = pipe6PartsOf(pipe6DenseVectorsOf(toks))
     val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
       .localCheckpoint() // 3 consumers: postings join, chunklens, stats
     val postings = toks.groupBy("tok", "doc_id", "k")

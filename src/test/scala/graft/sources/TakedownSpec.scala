@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+/** Takedown.execute — the composed compliance flow through the REAL
+  * layers: purge the documents catalog table, republish the RAG index
+  * from its purged state, log both steps, and return the diff-backed
+  * audit. Drives the sf0.001 corpus end-to-end.
+  */
+class TakedownSpec extends graft.SparkSpec {
+
+  test("takedown: purge → republish → run log → diff audit, end-to-end") {
+    val db = "takedown_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.documents"
+    val ragRoot = java.nio.file.Files
+      .createTempDirectory("graft_takedown_rag").toString + "/rag"
+    val runLog = java.nio.file.Files
+      .createTempDirectory("graft_takedown_log").toString + "/runlog.parquet"
+    val ts = java.sql.Timestamp.valueOf("2026-08-15 12:00:00")
+
+    // the maintained documents table: the gate corpus, partitioned by a
+    // shard column (keys arrive by doc_id — the realistic mismatch)
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+    Catalog.append(docs.repartition(col("shard")), t, Seq("shard"))
+    val nDocs = spark.table(t).count()
+
+    // initial index publish from the table's state (v1)
+    val v1 = graft.operators.TrainPrep.publishRagStoreFrom(
+      spark, spark.table(t), ragRoot, Some(runLog), ts)
+    val doomed = spark.table(t).agg(min("doc_id")).first().getLong(0)
+    val doomedChunks = Snapshots.readTable(spark, ragRoot, "chunklens", Some(v1))
+      .filter(col("doc_id") === doomed).count()
+    assert(doomedChunks > 0L)
+
+    val r = Takedown.execute(spark, Seq(doomed), t, Seq("shard"),
+      ragRoot, runLog, ts)
+    assert(r.deletedRows === 1L)
+    assert(r.ragVersionBefore === Some(v1))
+    assert(r.ragVersionAfter === v1 + 1)
+    assert(r.chunksRemoved === doomedChunks)
+
+    // source of truth: the doc is physically gone, nothing else is
+    assert(spark.table(t).filter(col("doc_id") === doomed).count() === 0L)
+    assert(spark.table(t).count() === nDocs - 1L)
+    // serving: the latest index no longer contains the doc in ANY table
+    for (tbl <- Seq("chunklens", "index", "vecs", "postings"))
+      assert(Snapshots.readTable(spark, ragRoot, tbl)
+        .filter(col("doc_id") === doomed).count() === 0L, tbl)
+    // lineage: the pre-takedown version still answers pinned readers
+    // until retention erases it (vacuum is policy, not takedown)
+    assert(Snapshots.readTable(spark, ragRoot, "chunklens", Some(v1))
+      .filter(col("doc_id") === doomed).count() === doomedChunks)
+    assert(Snapshots.vacuum(spark, ragRoot, keep = 1) === Seq(v1))
+    intercept[Exception] {
+      Snapshots.readTable(spark, ragRoot, "chunklens", Some(v1)).count()
+    }
+    // job history: one purge row with the deleted count + two publish rows
+    val log = RunLog.read(spark, runLog).collect()
+    assert(log.count(r0 => r0.getAs[String]("pipeline") == "takedown"
+      && r0.getAs[String]("stage") == s"purge_$t"
+      && r0.getAs[Long]("rows") == 1L
+      && r0.getAs[String]("status") == "ok") === 1)
+    assert(log.count(_.getAs[String]("pipeline") == "rag_index") === 2)
+  }
+}
