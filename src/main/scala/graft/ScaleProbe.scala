@@ -844,10 +844,15 @@ object ScaleProbe {
       import graft.operators.{TextOps, TrainPrep}
       val dirBase = skewCache("prodsearch6")
       if (!new java.io.File(s"$dirBase/10x/documents.parquet").exists()) {
+        // collision-FREE remap: sf0.1 doc_ids are dense 0..4999, so the
+        // first-cut `doc_id * 16 + c` landed ~2800 copies back inside the
+        // original id range and the keyed index merged two docs' chunks
+        // under one doc_id. Copy c gets its own disjoint 10k-wide band
+        // above every original id.
         val docs = Tables.documents(spark, src)
         docs.unionByName(docs
             .withColumn("_c", explode(sequence(lit(1L), lit(9L))))
-            .withColumn("doc_id", col("doc_id") * 16L + col("_c"))
+            .withColumn("doc_id", col("doc_id") + col("_c") * 10000L + 5000L)
             .drop("_c"))
           .write.mode("overwrite").parquet(s"$dirBase/10x/documents.parquet")
       }

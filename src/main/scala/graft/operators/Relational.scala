@@ -1771,7 +1771,10 @@ object Relational {
       .localCheckpoint()
     val embAgg = Tables.embeddings(s, d).agg(
       count(lit(1)).as("n"),
-      zcount(size(col("embedding")) =!= 64).as("bad_dim"))
+      // NULL embedding ⇒ violation: coalesce explicitly on BOTH engines
+      // (Spark size(NULL) is -1-or-NULL depending on legacy conf; DuckDB
+      // len(NULL) is NULL — unpinned, a null row would diverge)
+      zcount(coalesce(size(col("embedding")), lit(-1)) =!= 64).as("bad_dim"))
       .localCheckpoint()
     def orphan(child: DataFrame, childKey: String, parent: DataFrame,
         parentKey: String, denom: DataFrame, tbl: String, name: String) =
@@ -1821,7 +1824,7 @@ object Relational {
       |    CAST(SUM(CASE WHEN COALESCE(CAST(strlen(text) AS BIGINT), -1) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS nchars_mismatch
       |  FROM documents),
       |emb AS (SELECT COUNT(*) AS n,
-      |    CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS bad_dim
+      |    CAST(SUM(CASE WHEN COALESCE(len(embedding), -1) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS bad_dim
       |  FROM embeddings),
       |oli AS (SELECT COUNT(*) AS v FROM lineitem l
       |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),

@@ -34,6 +34,20 @@ object Similarity {
           .as("v"))
       .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
 
+  /** [[scaledVectors]] PLUS the label column in one scan (production
+    * stores them together — the label is an index co-key, not a payload
+    * lookup). One loader shared by every filtered-search operator
+    * (sim15, sim17) so the micro-scaling formula has exactly one copy.
+    */
+  private def labeledVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000000, 0).cast("long"))
+          .as("v"),
+        col("label").cast("long").as("lbl"))
+      .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
+
   /** DuckDB CTE equivalent of [[scaledVectors]] (named `e`). */
   val scaledVectorsSqlCte: String =
     """e AS (SELECT vec_id,
@@ -1156,14 +1170,7 @@ object Similarity {
     val dot = graft.functions.VectorFunctions.dotLong _
     val m = 8; val sub = 8
     val isNew = col("vec_id") % 5 === 0
-    val e = (if (filteredByLabel)
-        Tables.embeddings(s, d)
-          .select(
-            col("vec_id"),
-            transform(col("embedding"),
-              x => round(x.cast("double") * 1000000, 0).cast("long")).as("v"),
-            col("label").cast("long").as("lbl"))
-          .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
+    val e = (if (filteredByLabel) labeledVectors(s, d)
       else scaledVectors(s, d)).localCheckpoint()
     val corpus = e.filter(!isNew)
     val nCorpus = corpus.count()
@@ -1692,15 +1699,7 @@ object Similarity {
   private[graft] def sim15Variant(s: SparkSession, d: String,
       widened: Boolean): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
-    // one scan serves vectors + label (production stores them together)
-    val e = Tables.embeddings(s, d)
-      .select(
-        col("vec_id"),
-        transform(col("embedding"), x => round(x.cast("double") * 1000000, 0).cast("long"))
-          .as("v"),
-        col("label").cast("long").as("lbl"))
-      .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
-      .localCheckpoint()
+    val e = labeledVectors(s, d).localCheckpoint()
     val n = e.count()
     val k = math.ceil(math.sqrt(n.toDouble)).toInt
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(k.toDouble)).toInt)

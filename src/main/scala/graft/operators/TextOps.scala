@@ -15,6 +15,14 @@ import graft.{Q, Tables}
   */
 object TextOps {
 
+  /** The benchmark query's terms — ONE constant for every leg of every
+    * retrieval query (search1/4/5/6/7 lexical scoring, search6's hashed
+    * query vector, the from-store serving twins). The from-store twins'
+    * bit-parity contract with the registry plans depends on the terms
+    * never diverging between copies, so there are no copies.
+    */
+  private val queryTerms = Seq("hash", "join", "scan")
+
   /** Occurrences of `needle` in `hay` as an exact long:
     * (len(hay) - len(replace(hay, needle, ''))) / len(needle).
     * Literal-string StringReplace, not regexp_replace — no regex engine
@@ -665,7 +673,7 @@ c$r AS (SELECT doc_id,
     * fusion).
     */
   private[operators] def bm25DocScores(s: SparkSession, d: String): DataFrame = {
-    val qTerms = Seq("hash", "join", "scan")
+    val qTerms = queryTerms
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -1058,7 +1066,7 @@ c$r AS (SELECT doc_id,
     * chunk-grain hybrid fusion).
     */
   private[operators] def chunkBm25Scores(s: SparkSession, d: String): DataFrame = {
-    val qTerms = Seq("hash", "join", "scan")
+    val qTerms = queryTerms
     val toks = graft.operators.TrainPrep.pk6TokenChunks(s, d)
     val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
     val totals = dl.agg(sum("dl").as("tt"), count(lit(1)).as("n"))
@@ -1228,7 +1236,7 @@ c$r AS (SELECT doc_id,
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(parts.kCells.toDouble)).toInt)
     val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     // the query's dense hashed vector — one row, broadcast to both legs
-    val qv = Seq("hash", "join", "scan").toDF("tok")
+    val qv = queryTerms.toDF("tok")
       .select(pmod(hm, lit(16L)).as("dim"),
         when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))
       .groupBy()
@@ -1298,7 +1306,7 @@ c$r AS (SELECT doc_id,
     */
   private def chunkBm25ScoresFromStore(s: SparkSession, root: String,
       version: Option[Long]): DataFrame = {
-    val qTerms = Seq("hash", "join", "scan")
+    val qTerms = queryTerms
     val S = graft.sources.Snapshots
     val tf = S.readTable(s, root, "postings", version)
       .filter(col("tok").isin(qTerms: _*))

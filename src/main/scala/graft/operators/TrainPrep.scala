@@ -2170,7 +2170,12 @@ object TrainPrep {
           Seq(entry("publish", -1L, "failed",
             Option(e.toString).getOrElse("").take(500)))))
         throw e
-    }
+    } finally
+      // the build's checkpoint blocks (toks is token-grain — the largest
+      // frame here) must not accumulate across nightly publishes or
+      // repeated takedowns in a long-lived session
+      Seq(toks, dl, parts.vecs, parts.index)
+        .foreach(_.unpersist(blocking = false))
   }
 
   private def pipe6RagIndex(s: SparkSession, d: String): DataFrame = {

@@ -278,8 +278,12 @@ object Catalog {
       .select(partitionBy.map(col): _*).distinct()
       .collect().toSeq // bounded: one row per touched partition
     if (touched.isEmpty) return 0L
+    // null-SAFE equality: a doomed row in the NULL partition
+    // (__HIVE_DEFAULT_PARTITION__) must be found by the rewrite — a
+    // plain === never matches null and the row would silently survive
+    // the purge
     val tpred = touched.map(r => partitionBy.zipWithIndex.map {
-      case (c, i) => col(c) === lit(r.get(i)).cast(schema(c).dataType)
+      case (c, i) => col(c) <=> lit(r.get(i)).cast(schema(c).dataType)
     }.reduce(_ && _)).reduce(_ || _)
     val part = spark.table(table).filter(tpred)
     val doomed = part.join(keys, keyCols, "left_semi").count()
@@ -305,8 +309,17 @@ object Catalog {
         }
       }
       emptied.foreach { r =>
-        val spec = partitionBy.zipWithIndex
-          .map { case (c, i) => s"$c = '${r.get(i)}'" }.mkString(", ")
+        // partition values render as quoted SQL literals: escape embedded
+        // quotes (an unescaped "o'brien" would abort the purge AFTER the
+        // survivor rewrite), and a NULL value names the Hive default
+        // partition explicitly
+        val spec = partitionBy.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          val lit0 =
+            if (v == null) "'__HIVE_DEFAULT_PARTITION__'"
+            else s"'${v.toString.replace("'", "''")}'"
+          s"$c = $lit0"
+        }.mkString(", ")
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
       }
     } finally survivors.unpersist(blocking = false)

@@ -185,10 +185,17 @@ object Snapshots {
     // missing tmp — each committer must flip only bytes it staged itself
     val tmp = new Path(root, s"$Pointer.tmp.${java.util.UUID.randomUUID}")
     val dst = new Path(root, Pointer)
-    val out = fs.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, dst, Options.Rename.OVERWRITE)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, Options.Rename.OVERWRITE)
+    } catch {
+      // the unique tmp name means nobody else ever overwrites or renames
+      // it — a failed flip must clean up its own staging or it leaks
+      // forever ([[vacuum]] sweeps the crash-without-cleanup residue)
+      case e: Throwable => fs.delete(tmp, false); throw e
+    }
   }
 
   /** Read a pinned version, or the committed latest when None. */
@@ -278,6 +285,16 @@ object Snapshots {
     val committed = versions(spark, root).filter(_ <= ptr)
     val drop = committed.dropRight(keep)
     drop.foreach(v => fs.delete(new Path(root, s"$VPrefix$v"), true))
+    // sweep pointer-staging residue from committers that CRASHED between
+    // create and rename (a failed flip cleans up after itself; a killed
+    // JVM cannot). The 1-hour grace window protects an in-flight
+    // committer — deleting a live tmp would fail its rename.
+    val cutoff = System.currentTimeMillis() - 3600000L
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isFile
+        && st.getPath.getName.startsWith(s"$Pointer.tmp.")
+        && st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
     drop
   }
 }

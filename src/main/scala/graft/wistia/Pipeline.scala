@@ -318,13 +318,20 @@ object Pipeline {
   }
 
   /** [[runStreaming]] with per-TRIGGER run history: every foreachBatch
-    * activation logs one `fact_trigger_<batchId>` row (rows counted on
-    * the batch's own write action), and a trigger whose sink write
-    * throws logs status=failed BEFORE the error fails the stream — so
-    * the run log tells which trigger died and how many triggers
-    * committed, the exact forensics a checkpoint restart needs. The
+    * activation logs one `fact_trigger_<batchId>` row, and a trigger
+    * whose sink write throws logs status=failed BEFORE the error fails
+    * the stream — so the run log tells which trigger died and how many
+    * triggers ran, the exact forensics a checkpoint restart needs. The
     * micro-batch pattern makes "one Entry per trigger per stage" the
     * streaming twin of [[runBatchLogged]]'s one-per-stage.
+    *
+    * `rows` semantics: the trigger's BATCH size — the rows the trigger
+    * processed, observed on the sink's input. For the plain append sink
+    * that equals rows landed; under `idempotent = true` a replayed
+    * trigger may MERGE fewer rows than it processed (the merge dedups
+    * against what already landed), so the log row is input accounting,
+    * not a landed-row count — summing `rows` over an at-least-once
+    * replay history intentionally counts the replay.
     */
   def runStreamingLogged(spark: SparkSession, rawRoot: String, wh: Warehouse,
       targetHashedIds: Seq[String],

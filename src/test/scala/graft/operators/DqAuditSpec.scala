@@ -36,9 +36,12 @@ class DqAuditSpec extends graft.SparkSpec {
     // documents: 1 empty text, 1 n_chars mismatch
     Seq((1L, "hello", 5L), (2L, "", 0L), (3L, "abc", 7L))
       .toDF("doc_id", "text", "n_chars").write.parquet(s"$dir/documents.parquet")
-    // embeddings: 1 bad dimension
-    spark.range(3L).selectExpr("id AS vec_id",
-      "transform(sequence(1, CASE WHEN id = 2 THEN 8 ELSE 64 END), x -> CAST(0.1 AS FLOAT)) AS embedding")
+    // embeddings: 1 bad dimension + 1 NULL embedding (also a violation —
+    // the coalesce(-1) pin on both engines)
+    spark.range(4L).selectExpr("id AS vec_id",
+      """CASE WHEN id = 3 THEN NULL ELSE
+        |  transform(sequence(1, CASE WHEN id = 2 THEN 8 ELSE 64 END),
+        |    x -> CAST(0.1 AS FLOAT)) END AS embedding""".stripMargin)
       .write.parquet(s"$dir/embeddings.parquet")
 
     val got = graft.SparkEntry.queries("q57_dq_audit")(spark, dir)
@@ -58,7 +61,7 @@ class DqAuditSpec extends graft.SparkSpec {
       ("customer", "dup_custkey") -> ((1L, 3L, false)),
       ("documents", "empty_text") -> ((1L, 3L, false)),
       ("documents", "nchars_mismatch") -> ((1L, 3L, false)),
-      ("embeddings", "bad_dim") -> ((1L, 3L, false)))
+      ("embeddings", "bad_dim") -> ((2L, 4L, false)))
     assert(got === want)
   }
 }

@@ -61,4 +61,33 @@ class PurgeSpec extends graft.SparkSpec {
     assert(Catalog.purgeKeys(spark, t, doomed, Seq("p")) === 0L)
     assert(spark.table(t).count() === 297L)
   }
+
+  test("purgeKeys handles NULL and quote-bearing partition values") {
+    val db = "purge_edge"
+    val loc = java.nio.file.Files.createTempDirectory("graft_purge_e").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.docs"
+    import spark.implicits._
+    // string partition col with a NULL partition
+    // (__HIVE_DEFAULT_PARTITION__) and a value containing a quote
+    val base = Seq(
+      (Option("web"), 1L), (Option("web"), 2L),
+      (Option("o'brien"), 3L), (Option("o'brien"), 4L),
+      (None: Option[String], 5L), (None: Option[String], 6L))
+      .toDF("src", "doc_id")
+    Catalog.append(base.repartition(col("src")), t, Seq("src"))
+    // doom: one row in the null partition (a plain === would silently
+    // keep it) and EVERY row of the quoted partition (its DROP spec
+    // must escape the quote)
+    val deleted = Catalog.purgeKeys(spark, t,
+      Seq(3L, 4L, 5L).toDF("doc_id"), Seq("src"))
+    assert(deleted === 3L)
+    val left = spark.table(t).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(left === Seq(1L, 2L, 6L))
+    // the all-doomed quoted partition is gone; the null partition kept
+    // its surviving row
+    assert(spark.table(t).filter(col("src") === "o'brien").count() === 0L)
+    assert(spark.table(t).filter(col("src").isNull).count() === 1L)
+  }
 }
