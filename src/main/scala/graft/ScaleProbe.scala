@@ -278,10 +278,12 @@ import org.apache.spark.sql.functions._
   * - prod:search6 (the RAG SERVING side of the from-store convention):
   *   stores published through Snapshots (untimed — a rebuild cost, not
   *   a query cost), per-query serving timed against the pinned version.
-  *   search6 rederive-in-plan 2.54 s vs from-store 1.14 s at 1× and
-  *   1.08 s at 10× STORE growth — FLAT; search7 5.13 s vs 3.05 s at 1×,
-  *   3.10 s at 10× — flat, the residual being the K=8 bounded MMR
-  *   argmax actions. Parity with the registry twins asserted in-run.
+  *   search6 rederive-in-plan 3.66 s vs from-store 1.14 s at 1× and
+  *   1.33 s at 10× STORE growth — near-FLAT; search7 6.02 s vs 3.20 s
+  *   at 1×, 4.82 s at 10× — sublinear, the floor being the K=8 bounded
+  *   MMR argmax actions. Parity with the registry twins asserted
+  *   in-run (numbers from the collision-free 10× corpus after the
+  *   review-pass remap fix).
   * - skew:mine1 (the degenerate-vocabulary q×N quadratic the r12
   *   verdict flagged): every doc = 1 rare word (df=10) + 20 words from
   *   a 60-word shared vocab. Uncapped 4.86 s at n=10k → 274.1 s at
@@ -836,10 +838,11 @@ object ScaleProbe {
     // with remapped ids (C and the cell count √C both grow, a real
     // index-growth shape). Parity vs the registry twins is asserted
     // in-run at 1× (and pinned at sf0.001 by RagStoreSpec). MEASURED
-    // (sf0.1 base, warm, this round): s6 rederive 2.54 s vs from-store
-    // 1.14 s at 1×, 1.08 s at 10× store — FLAT; s7 rederive 5.13 s vs
-    // from-store 3.05 s at 1×, 3.10 s at 10× — flat, the residual being
-    // the K=8 bounded MMR argmax actions, corpus-independent.
+    // (sf0.1 base, warm, this round, collision-free 10× corpus): s6
+    // rederive 3.66 s vs from-store 1.14 s at 1×, 1.33 s at 10× store —
+    // near-FLAT; s7 rederive 6.02 s vs from-store 3.20 s at 1×, 4.82 s
+    // at 10× — sublinear, the floor being the K=8 bounded MMR argmax
+    // actions plus the candidates' store-sized chunklens lookup.
     if (args.contains("prod:search6")) {
       import graft.operators.{TextOps, TrainPrep}
       val dirBase = skewCache("prodsearch6")

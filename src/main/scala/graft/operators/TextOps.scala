@@ -1331,10 +1331,11 @@ c$r AS (SELECT doc_id,
     * reproducible serving; None follows the committed latest.
     * Bit-identical to the registry search6 (RagStoreSpec; re-asserted at
     * 1× by the prod:search6 probe). MEASURED (sf0.1 base, warm,
-    * prod:search6): registry rebuild-in-plan 2.54 s vs from-store 1.14 s
-    * per query at 1× — and 1.08 s at 10× STORE growth, FLAT: the serving
-    * cost is the probe + two bounded top-20s over pruned scans, and the
-    * index build a production query never pays is gone from the plan.
+    * prod:search6 on the collision-free 10× corpus): registry
+    * rebuild-in-plan 3.66 s vs from-store 1.14 s per query at 1× — and
+    * 1.33 s at 10× STORE growth, near-FLAT: the serving cost is the
+    * probe + two bounded top-20s over pruned scans, and the index build
+    * a production query never pays is gone from the plan.
     */
   private[graft] def search6FromStore(s: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
@@ -1459,11 +1460,12 @@ c$r AS (SELECT doc_id,
     * candidates + the stored chunklens table (semi-joined to the ≤15
     * candidate keys — a pruned point lookup, the corpus never read) into
     * the same MMR + packing tail. Bit-identical to the registry search7
-    * (RagStoreSpec). MEASURED (sf0.1 base, warm, prod:search6): registry
-    * rebuild-in-plan 5.13 s vs from-store 3.05 s at 1×, 3.10 s at 10×
-    * STORE growth — flat; the remaining cost is the K=8 bounded MMR
-    * argmax actions (driver round trips on ≤15 rows), corpus-independent
-    * by construction.
+    * (RagStoreSpec). MEASURED (sf0.1 base, warm, prod:search6 on the
+    * collision-free 10× corpus): registry rebuild-in-plan 6.02 s vs
+    * from-store 3.20 s at 1×, 4.82 s at 10× STORE growth — sublinear;
+    * the floor is the K=8 bounded MMR argmax actions (driver round trips
+    * on ≤15 rows), corpus-independent by construction, plus the
+    * candidates' chunklens lookup whose scan grows with the store.
     */
   private[graft] def search7FromStore(s: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
