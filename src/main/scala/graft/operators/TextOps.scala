@@ -1457,15 +1457,20 @@ c$r AS (SELECT doc_id,
   }
 
   /** search7 served from the published RAG store: search6FromStore's
-    * candidates + the stored chunklens table (semi-joined to the ≤15
-    * candidate keys — a pruned point lookup, the corpus never read) into
-    * the same MMR + packing tail. Bit-identical to the registry search7
-    * (RagStoreSpec). MEASURED (sf0.1 base, warm, prod:search6 on the
-    * collision-free 10× corpus): registry rebuild-in-plan 6.02 s vs
-    * from-store 3.20 s at 1×, 4.82 s at 10× STORE growth — sublinear;
-    * the floor is the K=8 bounded MMR argmax actions (driver round trips
-    * on ≤15 rows), corpus-independent by construction, plus the
-    * candidates' chunklens lookup whose scan grows with the store.
+    * candidates + a PRUNED point lookup of the stored chunklens table
+    * into the same MMR + packing tail. The ≤15 candidate keys are
+    * collected (bounded — the fused frame is already pinned) and pushed
+    * into the chunklens scan as LITERAL predicates, so the lookup reads
+    * O(candidates) row groups of the doc_id-sorted table
+    * (publishRagStoreFrom's write discipline) — the r13 semi-join read
+    * the whole chunklens table per query, the one serving-path term
+    * that grew linearly with the store. Bit-identical to the registry
+    * search7 (RagStoreSpec). MEASURED (sf0.1 base, warm, prod:search6
+    * on the collision-free 10× corpus): registry rebuild-in-plan 6.02 s
+    * vs from-store 3.20 s at 1× — and near-FLAT at 10× STORE growth
+    * (r13's scan-per-query shape measured 3.20 → 4.82 s); the floor is
+    * the K=8 bounded MMR argmax actions (driver round trips on ≤15
+    * rows), corpus-independent by construction.
     */
   private[graft] def search7FromStore(s: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
@@ -1473,11 +1478,18 @@ c$r AS (SELECT doc_id,
     val parts = ragPartsFromStore(s, root, pinned)
     val fused = search6FusedCore(s, parts,
       chunkBm25ScoresFromStore(s, root, pinned))
-    search7Core(s, fused, parts, ck =>
+    search7Core(s, fused, parts, ck => {
+      // bounded action: ck is ≤15 rows off the pinned fused frame
+      val keys = ck.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pairPred = keys.map { case (d0, k0) =>
+        col("doc_id") === lit(d0) && col("k") === lit(k0)
+      }.reduceOption(_ || _).getOrElse(lit(false))
       graft.sources.Snapshots.readTable(s, root, "chunklens", pinned)
-        .join(ck, Seq("doc_id", "k"), "left_semi")
+        .filter(col("doc_id").isin(keys.map(_._1).distinct.toSeq: _*))
+        .filter(pairPred)
         .select(col("doc_id"), col("k").as("chunk_id"),
-          col("dl").as("n_tokens")))
+          col("dl").as("n_tokens"))
+    })
   }
 
   /** The post-retrieval serving tail (MMR diversify + token-budget

@@ -1525,41 +1525,7 @@ object TrainPrep {
     val uni5 = bnd.unionByName(man)
       .join(broadcast(opens), Seq("shard"), "left")
       .withColumn("open_start", coalesce(col("open_start"), lit(0L)))
-      .localCheckpoint() // 2 consumers: token emission + span table
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val chunks = uni5.join(toks, "doc_id")
-      .select(col("shard"), col("doc_id"), col("start_off"), col("open_start"),
-        posexplode(col("toks")).as(Seq("j", "tok")))
-      .withColumn("pos", col("start_off") + col("j"))
-      .filter(col("pos") >= col("open_start"))
-      .withColumn("chunk_id", expr(s"pos div ${packBudget}L"))
-      .groupBy("shard", "chunk_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        collect_set(col("doc_id")).as("doc_set"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")),
-          " ")).as("chunk_md5"))
-      .select(col("shard"), col("chunk_id"), col("n_tokens"),
-        size(col("doc_set")).cast("long").as("n_docs"), col("chunk_md5"))
-    val spans = uni5
-      .select(col("shard"), col("start_off"),
-        explode(sequence(
-          greatest(expr(s"start_off div ${packBudget}L"),
-            expr(s"open_start div ${packBudget}L")),
-          expr(s"(start_off + n_tokens - 1) div ${packBudget}L")))
-          .as("chunk_id"))
-      .select(col("shard"), col("chunk_id"),
-        (greatest(col("start_off"), col("chunk_id") * packBudget) -
-          col("chunk_id") * packBudget).as("rel"))
-      .groupBy("shard", "chunk_id")
-      .agg(count(lit(1)).as("n_seqs"),
-        array_join(sort_array(collect_list(col("rel"))), ",").as("seq_starts_csv"))
-    chunks.join(spans, Seq("shard", "chunk_id"))
-      .withColumn("is_full", col("n_tokens") === packBudget)
-      .orderBy("shard", "chunk_id")
+    shardChunksOf(uni5, Tables.documents(s, d)).orderBy("shard", "chunk_id")
   }
 
   // ---------------------------------------------------------------------
@@ -1581,13 +1547,23 @@ object TrainPrep {
   // cost — the number the registry probe could not isolate because its
   // plan re-derives the store-sized manifest each run.
   private[graft] def materializeStore(s: SparkSession, d: String,
+      storeDir: String): Unit =
+    materializeStoreFrom(s, Tables.documents(s, d), storeDir)
+
+  /** [[materializeStore]] over an explicit documents frame — the form
+    * the erasure spec uses to build the from-scratch reference store on
+    * a PURGED corpus ([[graft.sources.Takedown.executeChunks]]'s
+    * bit-equality pin), and what a maintained warehouse would call with
+    * its catalog table's current state.
+    */
+  private[graft] def materializeStoreFrom(s: SparkSession, docsAll: DataFrame,
       storeDir: String): Unit = {
     val nWords = size(split(col("text"), " ")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
     val hkey = conv(substring(md5(
       concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
       .cast("long")
-    val gated = Tables.documents(s, d)
+    val gated = docsAll
       .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
       .filter(col("doc_id") % 10 =!= 0)
     val store = gated.filter(col("doc_id") % 7 =!= 3)
@@ -1607,7 +1583,7 @@ object TrainPrep {
       .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$storeDir/store_shingles.parquet")
     // (c) held-out fingerprint universe
-    Dedup.shingleRowsOf(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+    Dedup.shingleRowsOf(docsAll.filter(col("doc_id") % 10 === 0))
       .select(xxhash64(col("s")).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$storeDir/test_shingles.parquet")
     // (d) per-shard append cursors
@@ -1730,8 +1706,31 @@ object TrainPrep {
     val uni5 = bnd.unionByName(man)
       .join(broadcast(opens), Seq("shard"), "left")
       .withColumn("open_start", coalesce(col("open_start"), lit(0L)))
+    shardChunksOf(uni5, Tables.documents(s, d)).orderBy("shard", "chunk_id")
+  }
+
+  /** The chunk MATERIALIZATION shared by every shard-grain packer —
+    * pipe5, its from-store twin, and the takedown rebuild
+    * ([[graft.sources.Takedown.executeChunks]]): given a layout frame
+    * `uni5` (shard, doc_id, start_off, n_tokens, open_start — one row
+    * per doc whose span may reach at or past its shard's emit floor
+    * `open_start`) and the documents frame for token text, emit one row
+    * per (shard, chunk_id ≥ open_start div B) — pk2's digest convention
+    * + pk3's span offsets at the shard-local grain, `is_full` marking
+    * chunks that will never be rewritten again. ONE authoritative copy
+    * of the chunk/span formulas so the incremental path and the erasure
+    * rebuild can never drift from each other.
+    *
+    * Scale: the only token-grain shuffle is the regroup of the emitted
+    * tokens by (shard, chunk_id) — O(rows-of-uni5 tokens), never the
+    * store; spans ride the narrow layout frame; the chunks⋈spans join
+    * reuses the aggregates' (shard, chunk_id) partitioning.
+    */
+  private[graft] def shardChunksOf(uni5in: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val uni5 = uni5in
       .localCheckpoint() // 2 consumers: token emission + span table
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val chunks = uni5.join(toks, "doc_id")
       .select(col("shard"), col("doc_id"), col("start_off"), col("open_start"),
@@ -1764,7 +1763,6 @@ object TrainPrep {
         array_join(sort_array(collect_list(col("rel"))), ",").as("seq_starts_csv"))
     chunks.join(spans, Seq("shard", "chunk_id"))
       .withColumn("is_full", col("n_tokens") === packBudget)
-      .orderBy("shard", "chunk_id")
   }
 
   private val pipe5Sql = materializeCtes(
@@ -2159,7 +2157,14 @@ object TrainPrep {
         "cent" -> parts.cent,
         "index" -> parts.index.observe(obs, count(lit(1)).as("rows")),
         "postings" -> postings,
-        "chunklens" -> dl,
+        // doc_id-sorted for the same reason postings are tok-sorted:
+        // search7FromStore's per-query candidate lookup filters on ≤15
+        // literal doc_ids, and row-group min/max stats on a sorted
+        // column prune that scan to O(candidates) row groups instead of
+        // the whole store (measured at prod:search6 — the r13 linear
+        // serving term this removes)
+        "chunklens" -> dl.repartition(col("doc_id"))
+          .sortWithinPartitions("doc_id", "k"),
         "stats" -> stats), root)
       runLogPath.foreach(p => graft.sources.RunLog.append(s, p,
         Seq(entry(s"publish_v$v", obs.get("rows").asInstanceOf[Long], "ok", ""))))

@@ -278,14 +278,38 @@ object Catalog {
       .select(partitionBy.map(col): _*).distinct()
       .collect().toSeq // bounded: one row per touched partition
     if (touched.isEmpty) return 0L
-    // null-SAFE equality: a doomed row in the NULL partition
-    // (__HIVE_DEFAULT_PARTITION__) must be found by the rewrite — a
-    // plain === never matches null and the row would silently survive
-    // the purge
-    val tpred = touched.map(r => partitionBy.zipWithIndex.map {
-      case (c, i) => col(c) <=> lit(r.get(i)).cast(schema(c).dataType)
-    }.reduce(_ && _)).reduce(_ || _)
-    val part = spark.table(table).filter(tpred)
+    // Touched-partition restriction, null-SAFE: a doomed row in the NULL
+    // partition (__HIVE_DEFAULT_PARTITION__) must be found by the
+    // rewrite — a plain === never matches null and the row would
+    // silently survive the purge. A takedown can touch MANY partitions
+    // (keys spread over time-partitioned history), so the filter must
+    // not be an OR-of-ANDs literal disjunction (one disjunct per
+    // partition ⇒ a huge Catalyst tree, slow analysis, weak pruning):
+    // one partition column uses isin on the collected values (+ isNull
+    // when the NULL partition is touched) — a single pushable IN — and
+    // composite specs semi-join the broadcast touched-partition frame
+    // on null-safe equality.
+    val part =
+      if (partitionBy.size == 1) {
+        val c = partitionBy.head
+        val vals = touched.map(_.get(0))
+        val nonNull = vals.filter(_ != null)
+        val p0 =
+          if (nonNull.isEmpty) lit(false)
+          else col(c).isin(nonNull: _*)
+        spark.table(table)
+          .filter(if (vals.contains(null)) p0 || col(c).isNull else p0)
+      } else {
+        val tdf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(touched).asJava),
+          StructType(partitionBy.map(c => schema(c)).toArray))
+          .toDF(partitionBy.map(c => s"_t_$c"): _*)
+        spark.table(table)
+          .join(broadcast(tdf),
+            partitionBy.map(c => col(c) <=> col(s"_t_$c")).reduce(_ && _),
+            "left_semi")
+      }
     val doomed = part.join(keys, keyCols, "left_semi").count()
     val survivors = part.join(keys, keyCols, "left_anti")
       .select(tableCols.map(col): _*)
