@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   * What this deliberately does NOT do: vacuum old snapshot versions
   * (they still contain the content; retention policy decides when
   * [[Snapshots.vacuum]] erases them — a takedown SLA would call it with
-  * keep=1 immediately) and packed TRAINING chunks (pk1/pipe5 chunks mix
-  * documents, so erasure there is a rebuild of the affected shards via
-  * the pipe5 path, not a row delete — the same rebuild-and-flip
-  * principle at the chunk grain).
+  * keep=1 immediately) and packed TRAINING chunks — pk1/pipe5 chunks
+  * mix documents, so erasure there is a rebuild of the affected shard
+  * suffixes via the pipe5 path, not a row delete: that is
+  * [[executeChunks]], run alongside this flow when the warehouse
+  * maintains a packed chunk table.
   *
   * Scale: step 1 is purgeKeys' O(touched-partitions) rewrite behind one
   * column-pruned discovery scan; step 2 is pipe6's audited index build
@@ -83,5 +84,197 @@ object Takedown {
       case None => 0L // first publish: nothing to diff against
     }
     Result(deleted, before, after, removed)
+  }
+
+  /** What the chunk-grain flow returns: manifest rows erased from the
+    * pack layout, shards whose chunk suffix was rebuilt, chunk rows
+    * re-emitted (upserted), and trailing chunk rows deleted because the
+    * shard shrank past them.
+    */
+  case class ChunksResult(manifestRowsPurged: Long, shardsTouched: Long,
+      chunksRewritten: Long, chunksDeleted: Long)
+
+  /** Erasure at the PACKED-TRAINING-CHUNK grain — the half [[execute]]
+    * names out of scope: pipe5's chunks concatenate adjacent documents,
+    * so after [[Catalog.purgeKeys]] removes a doc from the corpus its
+    * tokens still sit inside the trainer-read chunk table and the pack
+    * layout still reserves its span. The only correct delete is the
+    * rebuild-and-flip principle at the chunk grain, and this composes it
+    * from the engine's own layers:
+    *
+    *  1. GEOMETRY — from the stored pack manifest (`store_manifest`),
+    *     find each purged doc's (shard, start_off). Within a shard,
+    *     every chunk strictly below the FIRST purged offset is
+    *     bit-identical to a from-scratch pack of the purged corpus
+    *     (nothing before it shifts — manifest order is (hkey, doc_id)
+    *     and survivors keep their relative order), so the rebuild
+    *     region is the per-shard suffix from
+    *     `emit_start = (min purged start_off div B)·B` on.
+    *  2. REBUILD — survivors of touched shards take
+    *     `new_start = start_off − (purged tokens ordered before them)`
+    *     (an O(survivors·purged-per-shard) broadcast join against the
+    *     request-sized purge list — no full-shard window), and docs
+    *     whose span reaches the region re-emit through
+    *     [[graft.operators.TrainPrep.shardChunksOf]] — the SAME
+    *     materialization pipe5 runs nightly, so the rebuilt suffix is
+    *     bit-equal to a from-scratch pack by construction
+    *     (TakedownChunksSpec pins it against an actual from-scratch
+    *     rebuild).
+    *  3. TRIM + UPSERT — the shard now ends earlier: chunk ids past
+    *     `(tot0 − purged_tokens − 1) div B` are DELETED from the chunk
+    *     table via [[Catalog.purgeKeys]] (keyed (shard, chunk_id) —
+    *     latest-wins upsert alone can never retire a vanished key),
+    *     then the re-emitted chunks land through [[Catalog.upsert]].
+    *     Both touch only the affected shard partitions; untouched
+    *     shards keep their files byte-for-byte.
+    *  4. STORE REWRITE — the six nightly-prep store tables are brought
+    *     to the purged state so the NEXT pipe3/pipe5 run packs against
+    *     truth: manifest rows drop the purged docs and survivors carry
+    *     the shifted offsets; totals and open-chunk starts recompute
+    *     from the new manifest; the MinHash band index and shingle
+    *     signatures drop the purged docs' rows (their hashes must not
+    *     keep deduplicating future batches against erased content).
+    *     Caveats, stated honestly: (a) the held-out fingerprint
+    *     universe (`test_shingles`) stores bare hashes with no doc
+    *     attribution — erasing a held-out doc means re-deriving that
+    *     table from the purged corpus, out of this flow's scope; (b) a
+    *     band BUCKET that was dropped at original write for exceeding
+    *     the store cap stays dropped even if the purge shrank it below
+    *     the cap — the cap is a performance guard, and its rows were
+    *     never stored to restore.
+    *  5. One [[RunLog]] row per step (failed steps log BEFORE the error
+    *     propagates), so the erasure is answerable from job history.
+    *
+    * Concurrency contract — same as [[execute]]: NO concurrent writers
+    * on `chunksTable` or the store directory while this runs; the
+    * trim + upsert are two dynamic overwrites of the same partitions
+    * and a racing nightly run would interleave them.
+    *
+    * Scale: everything after the manifest scan is survivor-of-touched-
+    * shard- or request-sized; the manifest scan itself is the same
+    * 3-int64-column pass pipe5FromStore already pays (a real table
+    * format prunes it by shard). The store rewrite pins and rewrites
+    * the layout tables wholesale here because the probe store is a flat
+    * directory — in production those are shard-partitioned catalog
+    * tables and step 4 is the same touched-partition dynamic overwrite
+    * as step 3.
+    */
+  def executeChunks(spark: SparkSession, docIds: Seq[Long],
+      docsTable: String, storeDir: String, chunksTable: String,
+      runLogPath: String, runTs: java.sql.Timestamp): ChunksResult = {
+    require(docIds.nonEmpty, "a takedown needs at least one doc id")
+    import spark.implicits._
+    val B = graft.operators.TrainPrep.packBudget
+    val t0 = System.nanoTime()
+    def log(stage: String, rows: Long, status: String, err: String): Unit =
+      RunLog.append(spark, runLogPath, Seq(RunLog.Entry(runTs,
+        "takedown_chunks", stage, rows,
+        (System.nanoTime() - t0) / 1000000L, status,
+        Option(err).getOrElse("").take(500))))
+    def step[T](stage: String)(body: => (T, Long)): T =
+      try { val (v, rows) = body; log(stage, rows, "ok", ""); v }
+      catch { case e: Throwable => log(stage, -1L, "failed", e.toString); throw e }
+
+    val idsDf = docIds.toDF("doc_id").distinct().localCheckpoint()
+    try {
+      val sman = spark.read.parquet(s"$storeDir/store_manifest.parquet")
+      // the purge list's manifest rows — request-sized, pinned: they
+      // drive the geometry, the shift join, and the store rewrite
+      val purged = sman.join(idsDf, Seq("doc_id"), "left_semi").localCheckpoint()
+      val nPurged = purged.count()
+      if (nPurged == 0L) { // never packed ⇒ nothing to erase at this grain
+        log("noop", 0L, "ok", "")
+        purged.unpersist(blocking = false)
+        return ChunksResult(0L, 0L, 0L, 0L)
+      }
+      // 1. per-shard geometry: first shifted offset + purged token mass
+      val cuts = purged.groupBy("shard")
+        .agg(min("start_off").as("cut"), sum("n_tokens").as("ptoks"))
+        .withColumn("emit_start", expr(s"(cut div ${B}L) * ${B}L"))
+        .localCheckpoint() // O(shards)
+      val touched = cuts.select("shard")
+      val nShards = cuts.count()
+      // 2. shifted survivor layout of the touched shards
+      val sSurv = sman.join(broadcast(touched), Seq("shard"), "left_semi")
+        .join(idsDf, Seq("doc_id"), "left_anti")
+      val p = purged.select(col("shard"), col("hkey").as("phk"),
+        col("doc_id").as("pdoc"), col("n_tokens").as("pnt"))
+      val shifts = sSurv.join(broadcast(p), Seq("shard"))
+        .filter(col("phk") < col("hkey") ||
+          (col("phk") === col("hkey") && col("pdoc") < col("doc_id")))
+        .groupBy("shard", "doc_id").agg(sum("pnt").as("shift"))
+      val shifted = sSurv.join(shifts, Seq("shard", "doc_id"), "left")
+        .withColumn("new_start",
+          col("start_off") - coalesce(col("shift"), lit(0L)))
+        .localCheckpoint() // consumed by the rebuild AND the store rewrite
+      val rebuilt = step(s"rebuild_$chunksTable") {
+        val uni = shifted
+          .join(broadcast(cuts.select("shard", "emit_start")), Seq("shard"))
+          .filter(col("new_start") + col("n_tokens") > col("emit_start"))
+          .select(col("shard"), col("doc_id"),
+            col("new_start").as("start_off"), col("n_tokens"),
+            col("emit_start").as("open_start"))
+        val r = graft.operators.TrainPrep
+          .shardChunksOf(uni, spark.table(docsTable)).localCheckpoint()
+        (r, r.count())
+      }
+      // 3a. trim: chunk ids past each shard's new end
+      val deleted = step(s"trim_$chunksTable") {
+        val tots = spark.read.parquet(s"$storeDir/store_totals.parquet")
+        val newLast = cuts.join(tots, Seq("shard"))
+          .withColumn("new_last", expr(
+            s"CASE WHEN tot0 - ptoks <= 0 THEN -1 ELSE (tot0 - ptoks - 1) div ${B}L END"))
+          .select("shard", "new_last")
+        val doomedKeys = spark.table(chunksTable)
+          .join(broadcast(newLast), Seq("shard"))
+          .filter(col("chunk_id") > col("new_last"))
+          .select("shard", "chunk_id")
+        val n = Catalog.purgeKeys(spark, chunksTable, doomedKeys, Seq("shard"))
+        (n, n)
+      }
+      // 3b. upsert the rebuilt suffix (only when the region re-emitted
+      // anything — a fully-emptied shard has nothing to write)
+      step(s"upsert_$chunksTable") {
+        val n = rebuilt.count()
+        if (n > 0L)
+          Catalog.upsert(spark, rebuilt, chunksTable,
+            keys = Seq("shard", "chunk_id"), partitionBy = Seq("shard"))
+        ((), n)
+      }
+      // 4. store rewrite: manifest (shifted survivors), totals, opens,
+      // band index, shingle signatures
+      step("store_rewrite") {
+        val manCols = sman.columns.toSeq
+        val newMan = sman.join(broadcast(touched), Seq("shard"), "left_anti")
+          .unionByName(shifted
+            .withColumn("start_off", col("new_start"))
+            .select(manCols.map(col): _*))
+          .select(manCols.map(col): _*)
+          .localCheckpoint() // breaks lineage to the file being replaced
+        newMan.write.mode("overwrite")
+          .parquet(s"$storeDir/store_manifest.parquet")
+        newMan.groupBy("shard")
+          .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"))
+          .write.mode("overwrite").parquet(s"$storeDir/store_totals.parquet")
+        newMan.groupBy("shard")
+          .agg((expr(s"sum(n_tokens) div ${B}L") * B).as("open_start"))
+          .write.mode("overwrite").parquet(s"$storeDir/store_opens.parquet")
+        for (t <- Seq("store_bands", "store_shingles")) {
+          val kept = spark.read.parquet(s"$storeDir/$t.parquet")
+            .join(idsDf, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          kept.write.mode("overwrite").parquet(s"$storeDir/$t.parquet")
+          kept.unpersist(blocking = false)
+        }
+        val out = ((), nPurged)
+        newMan.unpersist(blocking = false)
+        out
+      }
+      val nRebuilt = rebuilt.count()
+      // a long-lived orchestrator must not accumulate checkpoint blocks
+      // across takedowns
+      Seq(rebuilt, purged, cuts, shifted).foreach(_.unpersist(blocking = false))
+      ChunksResult(nPurged, nShards, nRebuilt, deleted)
+    } finally idsDf.unpersist(blocking = false)
   }
 }
