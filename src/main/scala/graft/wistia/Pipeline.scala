@@ -317,6 +317,122 @@ object Pipeline {
     done.map(e => e.stage -> e.rows).toMap
   }
 
+  /** The staged-batch DQ EXPECTATION SUITE the promotion gate runs —
+    * q57's audit posture (one row per expectation: table, check,
+    * violation count, checked denominator, pass) applied to THIS batch's
+    * staged frames before anything lands. Only expectations a real batch
+    * can violate are audited: the transforms already enforce the rest by
+    * construction (fact nulls are filtered at F2, dim_visitor dedups at
+    * A10 — auditing those would be a sea of structurally-guaranteed
+    * zeros). Checks:
+    *   dim_media.dup_media_id       — upstream sent the same media twice
+    *   dim_media.negative_duration  — corrupt duration payload
+    *   fact.percent_range           — percent_viewed outside [0, 1]
+    *   fact.orphan_media            — engagement for an untargeted/
+    *                                  unknown media (RI vs the staged dim)
+    * One scan per audited frame (conditional sums + count-minus-distinct
+    * in a single agg; q57's discipline); the orphan check is one
+    * anti-join count with the dim side broadcast. Callers pass PINNED
+    * frames — the audit actions and the subsequent writes must not
+    * recompute the transform lineage.
+    */
+  def batchExpectations(dimMedia: org.apache.spark.sql.DataFrame,
+      fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dmAgg = dimMedia.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count_distinct(col("media_id"))).as("dup_media_id"),
+      sum(when(col("duration") < 0.0, 1L).otherwise(0L)).as("negative_duration"))
+    val fAgg = fact.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("percent_viewed") < 0.0 || col("percent_viewed") > 1.0, 1L)
+        .otherwise(0L)).as("percent_range"))
+    def reshape(agg1: org.apache.spark.sql.DataFrame, tbl: String,
+        checks: Seq[String]) =
+      agg1.select(explode(array(checks.map(name =>
+        struct(lit(tbl).as("tbl"), lit(name).as("chk"),
+          col(name).cast("long").as("violations"),
+          col("n").cast("long").as("checked"))): _*)).as("r")).select("r.*")
+    val orphan = fact
+      .join(broadcast(dimMedia.select("media_id")), Seq("media_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+      .crossJoin(fAgg.select(col("n").cast("long").as("checked")))
+      .select(lit("fact").as("tbl"), lit("orphan_media").as("chk"),
+        col("violations"), col("checked"))
+    reshape(dmAgg, "dim_media", Seq("dup_media_id", "negative_duration"))
+      .unionByName(reshape(fAgg, "fact", Seq("percent_range")))
+      .unionByName(orphan)
+      .withColumn("pass", col("violations") === 0L)
+  }
+
+  /** [[runBatchLogged]] behind a PROMOTION GATE — the dbt-test/
+    * Great-Expectations posture the r13 audit asked for: the DQ
+    * expectation suite runs against the STAGED batch BEFORE any
+    * warehouse write, and a violating batch never lands. A failed gate
+    * appends ONE run-log row (stage `dq_gate`, status=failed, rows = the
+    * total violation count, error naming every failing expectation) and
+    * throws; a clean gate logs `dq_gate` ok and proceeds through exactly
+    * [[runBatchLogged]]'s observed-write stages (PipelineSpec pins that
+    * a clean gated run's warehouse bytes equal an ungated run's).
+    *
+    * Cost: the staged frames are pinned once (localCheckpoint — batch-
+    * sized) so the audit actions and the writes share one computation of
+    * the transforms; the audit itself is one scan per audited frame +
+    * a broadcast anti-join (O(#expectations) result rows at any scale).
+    */
+  def runBatchGated(spark: SparkSession, rawRoot: String, wh: Warehouse,
+      targetHashedIds: Seq[String],
+      ingestionTs: java.sql.Timestamp,
+      scaleDivisor: Double = WatchTime.percentScaleDivisor): Map[String, Long] = {
+    import graft.sources.RunLog
+    val logPath = s"${wh.root}/run_log"
+    def required(entity: String, schema: org.apache.spark.sql.types.StructType) =
+      RawZone.readLatestRun(spark, rawRoot, entity, schema).getOrElse(
+        throw new IllegalStateException(s"no raw runs under $rawRoot/$entity"))
+    val rawMedia = required("media", Schemas.rawMedia)
+    val rawEvents = required("events", Schemas.rawEvent)
+    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+      .localCheckpoint()
+    val dimVisitor = Transforms.dimVisitor(rawEvents, ingestionTs)
+    val fact = Transforms.factMediaEngagement(
+      rawEvents,
+      dimMedia.select(col("media_id"), col("duration")),
+      ingestionTs, scaleDivisor).localCheckpoint()
+    try {
+      val t0 = System.nanoTime()
+      val audit = batchExpectations(dimMedia, fact)
+        .collect() // bounded: one row per expectation
+      val bad = audit.filter(r => r.getAs[Long]("violations") > 0L)
+      if (bad.nonEmpty) {
+        val msg = bad.map(r => s"${r.getAs[String]("tbl")}.${r.getAs[String]("chk")}" +
+          s"=${r.getAs[Long]("violations")}").mkString(", ")
+        RunLog.append(spark, logPath, Seq(RunLog.Entry(ingestionTs,
+          "runBatchGated", "dq_gate", bad.map(_.getAs[Long]("violations")).sum,
+          (System.nanoTime() - t0) / 1000000L, "failed",
+          s"expectations failed: $msg".take(500))))
+        throw new IllegalStateException(
+          s"dq_gate: batch rejected, nothing written — $msg")
+      }
+      val done = scala.collection.mutable.ArrayBuffer[RunLog.Entry]()
+      done += RunLog.Entry(ingestionTs, "runBatchGated", "dq_gate",
+        audit.length.toLong, (System.nanoTime() - t0) / 1000000L, "ok", "")
+      def stage(name: String, df: org.apache.spark.sql.DataFrame)(
+          w: org.apache.spark.sql.DataFrame => Unit): Unit =
+        try done += RunLog.observedWrite(df, ingestionTs, "runBatchGated", name)(w)
+        catch {
+          case f: RunLog.LoggedFailure =>
+            RunLog.append(spark, logPath, (done :+ f.entry).toSeq)
+            throw f.cause
+        }
+      stage("dim_media", dimMedia)(RawZone.warehouseAppend(_, wh.dimMedia))
+      stage("dim_visitor", dimVisitor)(RawZone.warehouseAppend(_, wh.dimVisitor))
+      stage("fact_media_engagement", fact)(
+        RawZone.warehouseAppend(_, wh.fact, partitionBy = Seq("date")))
+      RunLog.append(spark, logPath, done.toSeq)
+      done.map(e => e.stage -> e.rows).toMap
+    } finally
+      Seq(dimMedia, fact).foreach(_.unpersist(blocking = false))
+  }
+
   /** [[runStreaming]] with per-TRIGGER run history: every foreachBatch
     * activation logs one `fact_trigger_<batchId>` row, and a trigger
     * whose sink write throws logs status=failed BEFORE the error fails

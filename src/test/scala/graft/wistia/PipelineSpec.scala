@@ -507,4 +507,78 @@ class PipelineSpec extends SparkSpec {
     assert(log3(0).getAs[Long]("rows") === -1L)
     assert(log3(0).getAs[String]("stage") === "fact_trigger_0")
   }
+
+  test("runBatchGated: each planted violation kind blocks the load and is named in the run log") {
+    import graft.sources.RunLog
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    val dupMedia = mediaJson :+ mediaJson.head // "abc" twice
+    val negMedia = mediaJson.map(_.replace("\"duration\": 50.0", "\"duration\": -50.0"))
+    // (label, media payload, events, expected failing expectation)
+    val cases = Seq(
+      ("dup", dupMedia,
+        Seq(eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2)),
+        "dim_media.dup_media_id=1"),
+      ("negdur", negMedia,
+        Seq(eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2)),
+        "dim_media.negative_duration=1"),
+      ("pct", mediaJson,
+        Seq(eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 1.5)),
+        "fact.percent_range=1"),
+      ("orphan", mediaJson,
+        Seq(eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+          eventJson("e2", "v2", "ghost", "2024-03-01T10:00:00Z", 0.3)),
+        "fact.orphan_media=1"))
+    for ((label, media, events, want) <- cases) {
+      import spark.implicits._
+      val dir = Files.createTempDirectory(s"pipeline_gate_$label").toString
+      val wh = Pipeline.Warehouse(s"$dir/wh")
+      RawZone.writeRun(spark.read.schema(Schemas.rawMedia)
+        .json(media.toDS), s"$dir/raw", "media", "20250501_000000")
+      RawZone.writeRun(spark.read.schema(Schemas.rawEvent)
+        .json(events.toDS), s"$dir/raw", "events", "20250501_000000")
+      val e = intercept[IllegalStateException] {
+        Pipeline.runBatchGated(spark, s"$dir/raw", wh,
+          Seq("abc", "xyz"), ts0, scaleDivisor = 1.0)
+      }
+      assert(e.getMessage.contains(want), label)
+      // NOTHING landed — no star table exists, only the gate's log row
+      for (p <- Seq(wh.dimMedia, wh.dimVisitor, wh.fact))
+        assert(!Files.exists(java.nio.file.Paths.get(p)), s"$label: $p")
+      val log = RunLog.read(spark, s"${wh.root}/run_log").collect()
+      assert(log.length === 1, label)
+      assert(log(0).getAs[String]("stage") === "dq_gate", label)
+      assert(log(0).getAs[String]("status") === "failed", label)
+      assert(log(0).getAs[String]("error").contains(want), label)
+    }
+  }
+
+  test("runBatchGated: a clean batch lands identically to runBatchLogged") {
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    val events = Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5),
+      eventJson("e3", "v2", "xyz", "2024-03-02T09:00:00Z", 0.0))
+    val dirG = Files.createTempDirectory("pipeline_gate_ok").toString
+    val dirU = Files.createTempDirectory("pipeline_gate_ref").toString
+    writeRaw(s"$dirG/raw", "20250501_000000", events)
+    writeRaw(s"$dirU/raw", "20250501_000000", events)
+    val whG = Pipeline.Warehouse(s"$dirG/wh")
+    val whU = Pipeline.Warehouse(s"$dirU/wh")
+    val gated = Pipeline.runBatchGated(spark, s"$dirG/raw", whG,
+      Seq("abc", "xyz"), ts0, scaleDivisor = 1.0)
+    val ungated = Pipeline.runBatchLogged(spark, s"$dirU/raw", whU,
+      Seq("abc", "xyz"), ts0, scaleDivisor = 1.0)
+    assert(gated - "dq_gate" === ungated)
+    assert(gated("dq_gate") === 4L) // all four expectations checked
+    for ((g, u) <- Seq(whG.dimMedia -> whU.dimMedia,
+        whG.dimVisitor -> whU.dimVisitor, whG.fact -> whU.fact))
+      assert(RawZone.warehouse(spark, g).collect().map(_.toSeq).toSet
+        === RawZone.warehouse(spark, u).collect().map(_.toSeq).toSet, g)
+    val log = graft.sources.RunLog.read(spark, s"${whG.root}/run_log")
+      .filter(col("pipeline") === "runBatchGated").collect()
+    assert(log.length === 4)
+    assert(log.count(r => r.getAs[String]("stage") == "dq_gate"
+      && r.getAs[String]("status") == "ok") === 1)
+    assert(log.forall(_.getAs[String]("status") == "ok"))
+  }
 }
