@@ -838,11 +838,13 @@ object ScaleProbe {
     // with remapped ids (C and the cell count √C both grow, a real
     // index-growth shape). Parity vs the registry twins is asserted
     // in-run at 1× (and pinned at sf0.001 by RagStoreSpec). MEASURED
-    // (sf0.1 base, warm, this round, collision-free 10× corpus): s6
-    // rederive 3.66 s vs from-store 1.14 s at 1×, 1.33 s at 10× store —
-    // near-FLAT; s7 rederive 6.02 s vs from-store 3.20 s at 1×, 4.82 s
-    // at 10× — sublinear, the floor being the K=8 bounded MMR argmax
-    // actions plus the candidates' store-sized chunklens lookup.
+    // (sf0.1 base, warm, r14 capture, collision-free 10× corpus): s6
+    // rederive 2.22 s vs from-store 0.85 s at 1×, 1.11 s at 10× store —
+    // near-FLAT; s7 rederive 4.70 s vs from-store 2.27 s at 1×, 2.79 s
+    // at 10× — near-flat too since r14's doc_id-sorted chunklens +
+    // literal-predicate candidate lookup removed the per-query
+    // store-sized scan (the r13 shape measured 3.20 → 4.82 s); the
+    // remaining floor is the K=8 bounded MMR argmax actions.
     if (args.contains("prod:search6")) {
       import graft.operators.{TextOps, TrainPrep}
       val dirBase = skewCache("prodsearch6")
@@ -1084,6 +1086,46 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // sample-thinned BPE trainer probe (`runMain graft.ScaleProbe
+    // sample:bpe`): t11's k=6 count→argmax→rewrite rounds are O(k·corpus)
+    // — the slowest text family in the r13 bench. The production knob is
+    // bpeTrainSampled: train the merge table on a 1-in-rate md5 sample,
+    // encode the full corpus with the fixed table (no counting). This
+    // measures, on the 10× documents corpus: full-corpus training vs
+    // rate=10 sampled training (cost + merge-table agreement — frequency
+    // ARGMAX should be sample-stable even though the counts shrink), and
+    // the fixed-table encode over the full corpus.
+    if (args.contains("sample:bpe")) {
+      def time[T](label: String)(body: => T): T = {
+        val t0 = System.nanoTime(); val v = body
+        println(f"[probe] sample:bpe $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        v
+      }
+      val full = time("train-full-10x") {
+        graft.operators.TextOps.bpeTrainSampled(spark, out, 1L)
+      }
+      dropPersisted()
+      println(s"[probe] sample:bpe full    = $full")
+      var last: Seq[(Long, String, String, Long)] = full
+      for (rate <- Seq(2L, 10L)) {
+        val sampled = time(s"train-rate$rate-10x") {
+          graft.operators.TextOps.bpeTrainSampled(spark, out, rate)
+        }
+        dropPersisted()
+        val agree = full.map(m => (m._2, m._3))
+          .zip(sampled.map(m => (m._2, m._3))).count { case (a, b) => a == b }
+        println(s"[probe] sample:bpe rate=$rate merge agreement $agree/${full.size}")
+        println(s"[probe] sample:bpe rate=$rate = $sampled")
+        last = sampled
+      }
+      time("encode-fixed-10x") {
+        graft.operators.TextOps.bpeEncodeWithMerges(spark, out, last.map(m => (m._2, m._3)))
+          .write.format("noop").mode("overwrite").save()
+      }
+      dropPersisted()
+      spark.stop()
+      return
+    }
     // adversarial t17 hub-word probe (`runMain graft.ScaleProbe
     // skew:t17`): one ultra-hot word interleaved at every other position
     // of every doc — the co-occurrence graph gets a hub node whose
@@ -1210,6 +1252,78 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries("sim16_residual_pq")(spark, dir).count()
         println(f"[probe] skew sim16 $label%-9s n=$n rows=$rows%5d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
+    // adversarial sim17 probe (`runMain graft.ScaleProbe skew:sim17`):
+    // sim14/sim16's one-blob degeneracy COMPOSED with the label
+    // dimension sim17 adds — one tight blob (every vector assigns to one
+    // trained cell) plus a STARVED label (1-in-300 vectors carry label
+    // 1). For a starved-label query the selectivity widening saturates
+    // nprobe_eff to ALL k cells, so the filtered search degenerates to
+    // an exact scan of that label's codes — which is exactly why it
+    // stays CHEAP: the (cell, lbl) co-key join bounds the ADC at the
+    // label's corpus count (~N/300), so "probe everything" costs
+    // O(starved label), not O(N). The common-label side pays the known
+    // one-cell quadratic (skew:sim14's finding, label-pruned). Pins:
+    // starved-label output bit-equal to exact filtered brute force at
+    // BOTH scales (the starved candidate pool sits under the rerank
+    // pool, so approximation can't leak into the result), wall time
+    // measured at 1× and 10×.
+    if (args.contains("skew:sim17")) {
+      val skewDir = skewCache("skewsim17")
+      def corpus(path: String, n: Long): Unit =
+        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
+          val vec = "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
+          // label 1 ≈ 1-in-300, split so it exists on BOTH sides of
+          // sim17's query/corpus partition (vec_id % 5): id ≡ 10 (mod
+          // 600) rows are label-1 QUERIES, id ≡ 7 (mod 600) rows are
+          // label-1 CORPUS (50 each at 10× — under the rerank pool, so
+          // the widened path must reproduce exact filtered brute force)
+          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding",
+            "CAST(CASE WHEN id % 600 = 7 OR id % 600 = 10 THEN 1 ELSE 0 END AS INT) AS label")
+            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+        }
+      for ((label, n) <- Seq("1x" -> 3000L, "10x" -> 30000L)) {
+        val dir = s"$skewDir/$label"
+        corpus(dir, n)
+        def run(): DataFrame =
+          SparkEntry.queries("sim17_filtered_residual")(spark, dir)
+        run().write.format("noop").mode("overwrite").save() // warm
+        dropPersisted()
+        val t0 = System.nanoTime()
+        val rows = run().count()
+        println(f"[probe] skew sim17 $label%-4s n=$n rows=$rows%5d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dropPersisted()
+        // starved-label parity vs exact filtered brute force
+        val lab = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("label").cast("long").as("lbl"))
+        val e = graft.operators.Similarity.scaledVectors(spark, dir)
+          .join(lab, "vec_id").filter(col("lbl") === 1L).localCheckpoint()
+        val q = e.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+        val c = e.filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id").as("nbr"), col("v").as("vb"), col("nrm").as("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+        val want = q.crossJoin(c)
+          .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("vb")))
+          .withColumn("cos", col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("rnk"), col("nbr"),
+            floor(col("cos") * 1000000).cast("long").as("cos_e6"),
+            lit(1L).as("label"))
+          .collect().map(_.toSeq).toSet
+        val got = run().filter(col("label") === 1L)
+          .select("qid", "rnk", "nbr", "cos_e6", "label")
+          .collect().map(_.toSeq).toSet
+        require(got == want,
+          s"sim17 starved-label output diverged from filtered brute force at $label")
+        println(s"[probe] skew sim17 $label starved-label parity OK (${want.size} rows)")
         dropPersisted()
       }
       spark.stop()

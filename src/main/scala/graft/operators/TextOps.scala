@@ -386,18 +386,59 @@ object TextOps {
     * per-doc encode statistics of the latter.
     */
   private def bpeLoop(s: SparkSession, d: String)
-      : (Seq[(Long, String, String, Long)], DataFrame) = {
+      : (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeLoopOf(Tables.documents(s, d))
+
+  /** One greedy merge REWRITE round over an exploded (doc_id, pos, tok)
+    * corpus: merge every leftmost-non-overlapping (a, b) occurrence.
+    * Occurrences are marked INLINE on the full frame (no filtered
+    * self-join back on (doc_id, pos) — that join re-shuffled the corpus
+    * on a different key every round): grp = pos − running candidate
+    * count isolates runs exactly like the filtered pos − row_number
+    * form, and min-over-(doc, grp) only reads candidate rows via the
+    * when(). All windows cluster by doc_id, so the whole round is one
+    * doc_id exchange (reused from the checkpointed corpus). Shared by
+    * the TRAINER loop (which recounts between rounds) and
+    * [[bpeEncodeWithMerges]] (which replays a fixed merge table — no
+    * counting, exactly this rewrite per merge).
+    */
+  private def bpeMergeRound(corpus: DataFrame, a: String,
+      b: String): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    var corpus = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col").as("tok"))
-      .localCheckpoint()
+    val withNext = corpus.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+    val cand = col("tok") === a && col("nxt") === b
+    withNext
+      .withColumn("cand", cand)
+      .withColumn("grp",
+        when(col("cand"), col("pos") -
+          sum(when(col("cand"), 1L).otherwise(0L)).over(wDoc)))
+      .withColumn("minp", min(when(col("cand"), col("pos")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "grp")))
+      .withColumn("m", col("cand") && (col("pos") - col("minp")) % 2 === 0)
+      .withColumn("pm", lag(col("m"), 1).over(wDoc))
+      .filter(col("pm").isNull || !col("pm")) // drop consumed rhs
+      .withColumn("tok2",
+        when(col("m"), lit(a + " " + b)).otherwise(col("tok")))
+      .withColumn("pos2", row_number().over(wDoc).cast("long") - 1L)
+      .select(col("doc_id"), col("pos2").as("pos"), col("tok2").as("tok"))
+      .localCheckpoint() // dd7/t11 loop discipline: no per-round lineage growth
+  }
+
+  private def bpeExplode(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), posexplode(split(col("text"), " ")))
+    .select(col("doc_id"), col("pos").cast("long").as("pos"),
+      col("col").as("tok"))
+
+  private def bpeLoopOf(docs: DataFrame)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var corpus = bpeExplode(docs).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 1
     var done = false
     while (r <= t11K && !done) {
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
       val withNext = corpus.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
       val best = withNext.filter(col("nxt").isNotNull)
         .groupBy(col("tok").as("lhs"), col("nxt").as("rhs"))
@@ -408,35 +449,70 @@ object TextOps {
         val a = best(0).getString(0)
         val b = best(0).getString(1)
         merges += ((r.toLong, a, b, best(0).getLong(2)))
-        // leftmost-non-overlapping occurrences: even offsets within each
-        // run of consecutive candidate positions. Marked INLINE on the
-        // full frame (no filtered self-join back on (doc_id, pos) — that
-        // join re-shuffled the corpus on a different key every round):
-        // grp = pos − running candidate count isolates runs exactly like
-        // the filtered pos − row_number form, and min-over-(doc, grp)
-        // only reads candidate rows via the when(). All windows cluster
-        // by doc_id, so the whole round is one doc_id exchange (reused
-        // from the checkpointed corpus) plus the pair-count shuffle.
-        val cand = col("tok") === a && col("nxt") === b
-        corpus = withNext
-          .withColumn("cand", cand)
-          .withColumn("grp",
-            when(col("cand"), col("pos") -
-              sum(when(col("cand"), 1L).otherwise(0L)).over(wDoc)))
-          .withColumn("minp", min(when(col("cand"), col("pos")))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "grp")))
-          .withColumn("m", col("cand") && (col("pos") - col("minp")) % 2 === 0)
-          .withColumn("pm", lag(col("m"), 1).over(wDoc))
-          .filter(col("pm").isNull || !col("pm")) // drop consumed rhs
-          .withColumn("tok2",
-            when(col("m"), lit(a + " " + b)).otherwise(col("tok")))
-          .withColumn("pos2", row_number().over(wDoc).cast("long") - 1L)
-          .select(col("doc_id"), col("pos2").as("pos"), col("tok2").as("tok"))
-          .localCheckpoint()
+        corpus = bpeMergeRound(corpus, a, b)
         r += 1
       }
     }
     (merges.toSeq, corpus)
+  }
+
+  /** SAMPLE-THINNED BPE training — the 100 TB trainer path (sim14/
+    * sim16's discipline applied to the tokenizer): the k count→argmax→
+    * rewrite rounds run over a corpus thinned by the PORTABLE md5 hash
+    * at 1-in-`rate` docs (md5, never xxhash64 — the merge table is a
+    * stored artifact, so the sampling decision must be oracle-
+    * replayable), while ENCODE ([[bpeEncodeWithMerges]], t18's other
+    * half) still covers the full corpus exactly. Deterministic: same
+    * corpus + same rate ⇒ the same merge table, bit-for-bit
+    * (T11SampledSpec), and rate=1 IS the registry t11 trainer. The
+    * registry t11/t18 queries stay full-corpus and oracle-gated; this
+    * is the production knob for the O(k·corpus) training cost the r13
+    * audit flagged (t11/t18 were the slowest text family).
+    *
+    * MEASURED (sample:bpe probe, sf0.1 10× corpus = 600k docs, warm):
+    * full train 17.6 s; rate=2 7.2 s (2.4×) with 5/6 (lhs, rhs) merges
+    * agreeing; rate=10 4.1 s (4.3×) with 0/6. The split is not noise —
+    * it is the honest sizing rule for this knob: the synthetic corpus's
+    * pair frequencies are near-FLAT (full top-6 counts 3570..3410, an
+    * argmax margin of 1–2%), so the sample must keep its frequency
+    * noise (~1/√(sampled pair count): ~1.6% at rate 2, ~5% at rate 10)
+    * UNDER the margin or near-ties reorder. Zipfian natural text
+    * separates early merges by far wider margins, which is why FAISS-
+    * style bounded-sample training is standard there — but the rate is
+    * a contract with the corpus's margin, not a free 10×, and the probe
+    * measures exactly where this corpus breaks it.
+    */
+  private[graft] def bpeTrainSampled(s: SparkSession, d: String,
+      rate: Long): Seq[(Long, String, String, Long)] = {
+    require(rate >= 1L, "sample rate must be >= 1")
+    val h = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":bpe"))), 1, 15), 16, 10)
+      .cast("long")
+    bpeLoopOf(Tables.documents(s, d)
+      .filter(if (rate == 1L) lit(true) else pmod(h, lit(rate)) === 0L))._1
+  }
+
+  /** ENCODE with a GIVEN merge table (the deployed-tokenizer path t18
+    * folds into its loop): replay the merges in training order over the
+    * FULL corpus — k fixed rewrite rounds, NO pair counting or argmax
+    * collect — and report t18's per-doc statistics. With the merge
+    * table from the full-corpus trainer this is bit-identical to t18
+    * (T11SampledSpec pins the factoring); with [[bpeTrainSampled]]'s
+    * table it is the production configuration: train on the sample,
+    * encode everything.
+    */
+  private[graft] def bpeEncodeWithMerges(s: SparkSession, d: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val after = merges.foldLeft(bpeExplode(docs).localCheckpoint()) {
+      case (c, (a, b)) => bpeMergeRound(c, a, b)
+    }.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_before"))
+      .join(after, Seq("doc_id"))
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        expr("n_after * 1000000L div n_before").as("compression_ppm"))
+      .orderBy("doc_id")
   }
 
   private def t11BpeMerges(s: SparkSession, d: String): DataFrame = {
@@ -1331,11 +1407,11 @@ c$r AS (SELECT doc_id,
     * reproducible serving; None follows the committed latest.
     * Bit-identical to the registry search6 (RagStoreSpec; re-asserted at
     * 1× by the prod:search6 probe). MEASURED (sf0.1 base, warm,
-    * prod:search6 on the collision-free 10× corpus): registry
-    * rebuild-in-plan 3.66 s vs from-store 1.14 s per query at 1× — and
-    * 1.33 s at 10× STORE growth, near-FLAT: the serving cost is the
-    * probe + two bounded top-20s over pruned scans, and the index build
-    * a production query never pays is gone from the plan.
+    * prod:search6 on the collision-free 10× corpus, r14 capture):
+    * registry rebuild-in-plan 2.22 s vs from-store 0.85 s per query at
+    * 1× — and 1.11 s at 10× STORE growth, near-FLAT: the serving cost
+    * is the probe + two bounded top-20s over pruned scans, and the
+    * index build a production query never pays is gone from the plan.
     */
   private[graft] def search6FromStore(s: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
@@ -1466,11 +1542,12 @@ c$r AS (SELECT doc_id,
     * the whole chunklens table per query, the one serving-path term
     * that grew linearly with the store. Bit-identical to the registry
     * search7 (RagStoreSpec). MEASURED (sf0.1 base, warm, prod:search6
-    * on the collision-free 10× corpus): registry rebuild-in-plan 6.02 s
-    * vs from-store 3.20 s at 1× — and near-FLAT at 10× STORE growth
-    * (r13's scan-per-query shape measured 3.20 → 4.82 s); the floor is
-    * the K=8 bounded MMR argmax actions (driver round trips on ≤15
-    * rows), corpus-independent by construction.
+    * on the collision-free 10× corpus, r14 capture): registry
+    * rebuild-in-plan 4.70 s vs from-store 2.27 s at 1× and 2.79 s at
+    * 10× STORE growth — near-FLAT (the r13 scan-per-query shape
+    * measured 3.20 → 4.82 s on the same harness); the floor is the K=8
+    * bounded MMR argmax actions (driver round trips on ≤15 rows),
+    * corpus-independent by construction.
     */
   private[graft] def search7FromStore(s: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
