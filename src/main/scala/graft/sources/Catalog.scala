@@ -250,6 +250,17 @@ object Catalog {
     * via [[Snapshots]] and the old versions age out under `vacuum` —
     * RagStoreSpec demonstrates exactly that delete-and-republish, with
     * `diffTable` naming the purged doc's chunks as the audit trail.
+    *
+    * CONCURRENCY CONTRACT (same as [[upsert]] and [[compactPartitions]],
+    * restated because takedowns tend to get wired into schedules next to
+    * nightly loads): NO concurrent writers on the same table. The
+    * survivor rewrite is a pin-then-dynamic-overwrite of the touched
+    * partitions — rows another writer lands between the pin and the
+    * overwrite are silently replaced, and a purge racing an `upsert` of
+    * the same partitions interleaves two overwrites. Serialize both
+    * through one orchestrator slot; full snapshot isolation needs a
+    * table format (Iceberg/Delta), out of scope by the public-Spark-only
+    * rule.
     */
   def purgeKeys(spark: SparkSession, table: String,
       keysDf: DataFrame, partitionBy: Seq[String]): Long = {

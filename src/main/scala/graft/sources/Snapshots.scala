@@ -174,28 +174,41 @@ object Snapshots {
   /** Flip the pointer to `version` — data first, pointer last. Exposed
     * for rollback: re-pointing to a retained older version is a
     * metadata-only revert.
+    *
+    * The stage-then-rename is retried ONCE on an IO failure: the one
+    * benign way a committer's staged tmp can vanish under it is
+    * [[vacuum]]'s crash-residue sweep firing on a stalled/clock-skewed
+    * committer (the tmp is re-staged fresh on retry, so the flip still
+    * publishes only bytes this committer wrote); a second consecutive
+    * failure is a genuine store problem and propagates.
     */
   def commitPointer(spark: SparkSession, root: String, version: Long): Unit = {
     require(versions(spark, root).contains(version),
       s"snapshot _v=$version does not exist under $root")
     val fs = fsOf(spark, root)
-    // unique staging name per committer: a FIXED tmp path lets concurrent
-    // writer B overwrite the staged content before writer A's rename, so
-    // A's flip would publish B's version and B's rename then fails on the
-    // missing tmp — each committer must flip only bytes it staged itself
-    val tmp = new Path(root, s"$Pointer.tmp.${java.util.UUID.randomUUID}")
-    val dst = new Path(root, Pointer)
-    try {
-      val out = fs.create(tmp, true)
-      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-      FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, dst, Options.Rename.OVERWRITE)
-    } catch {
-      // the unique tmp name means nobody else ever overwrites or renames
-      // it — a failed flip must clean up its own staging or it leaks
-      // forever ([[vacuum]] sweeps the crash-without-cleanup residue)
-      case e: Throwable => fs.delete(tmp, false); throw e
+    def flipOnce(): Unit = {
+      // unique staging name per committer: a FIXED tmp path lets
+      // concurrent writer B overwrite the staged content before writer
+      // A's rename, so A's flip would publish B's version and B's rename
+      // then fails on the missing tmp — each committer must flip only
+      // bytes it staged itself
+      val tmp = new Path(root, s"$Pointer.tmp.${java.util.UUID.randomUUID}")
+      val dst = new Path(root, Pointer)
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+        FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, dst, Options.Rename.OVERWRITE)
+      } catch {
+        // the unique tmp name means nobody else ever overwrites or
+        // renames it — a failed flip must clean up its own staging or it
+        // leaks forever ([[vacuum]] sweeps the crash-without-cleanup
+        // residue)
+        case e: Throwable => fs.delete(tmp, false); throw e
+      }
     }
+    try flipOnce()
+    catch { case _: java.io.IOException => flipOnce() }
   }
 
   /** Read a pinned version, or the committed latest when None. */
@@ -277,8 +290,17 @@ object Snapshots {
     * existence check — retention is the explicit trade against
     * unbounded storage, sized so the training-lineage window (`keep`)
     * survives.
+    *
+    * `pointerTmpGraceMs` bounds the crash-residue sweep below: staged
+    * pointer tmps YOUNGER than the grace (by file mtime vs this JVM's
+    * wall clock) are left alone. The comparison assumes store and
+    * client clocks agree to well within the grace — on a store with
+    * real skew, widen the grace (the only cost is residue lingering
+    * longer); if the sweep ever does race a stalled live committer,
+    * [[commitPointer]]'s one-shot re-stage retry absorbs it.
     */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+      pointerTmpGraceMs: Long = 3600000L): Seq[Long] = {
     require(keep >= 1, "vacuum must keep at least the committed latest")
     val ptr = latestVersion(spark, root).getOrElse(return Nil)
     val fs = fsOf(spark, root)
@@ -287,9 +309,9 @@ object Snapshots {
     drop.foreach(v => fs.delete(new Path(root, s"$VPrefix$v"), true))
     // sweep pointer-staging residue from committers that CRASHED between
     // create and rename (a failed flip cleans up after itself; a killed
-    // JVM cannot). The 1-hour grace window protects an in-flight
-    // committer — deleting a live tmp would fail its rename.
-    val cutoff = System.currentTimeMillis() - 3600000L
+    // JVM cannot). The grace window protects an in-flight committer —
+    // deleting a live tmp would fail its rename.
+    val cutoff = System.currentTimeMillis() - pointerTmpGraceMs
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isFile
         && st.getPath.getName.startsWith(s"$Pointer.tmp.")

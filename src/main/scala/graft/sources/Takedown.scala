@@ -38,6 +38,21 @@ import org.apache.spark.sql.functions._
   * (nightly-rebuild cost, probed at prod:search6); steps 3–4 are
   * rows-sized. TakedownSpec drives the whole flow through the real
   * operators and pins every contract above.
+  *
+  * ATOMICITY + CONCURRENCY CONTRACT. Purge and republish are two
+  * separate commits, not one transaction: if the republish fails AFTER
+  * a successful purge, the source rows are gone but the live index
+  * pointer still serves the purged docs' chunks. [[execute]] therefore
+  * RETRIES the publish once; if the retry also fails (both failures are
+  * in the run log), the caller holds an explicit obligation to re-run
+  * the publish — the takedown is NOT compliant at the serving layer
+  * until a publish succeeds, and the run log's failed `rag_index` rows
+  * are the signal to alert on. Writer exclusivity: the flow inherits
+  * [[Catalog.upsert]]/[[Catalog.purgeKeys]]'s no-concurrent-writers
+  * contract — do not run a takedown concurrently with a nightly
+  * upsert/compaction of the same tables or store; serialize both
+  * through one orchestrator slot (the snapshot layer tolerates
+  * concurrent publishes, the plain-parquet table layer does not).
   */
 object Takedown {
 
@@ -71,9 +86,19 @@ object Takedown {
       s"purge_$docsTable", deleted, (System.nanoTime() - t0) / 1000000L,
       "ok", "")))
     // step 2 — republish the index from the purged table's CURRENT state
-    // (publishRagStoreFrom writes its own run-log row, ok or failed)
-    val after = graft.operators.TrainPrep.publishRagStoreFrom(
-      spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs)
+    // (publishRagStoreFrom writes its own run-log row, ok or failed).
+    // One retry: a transient publish failure here leaves the serving
+    // index non-compliant (see the atomicity contract above), so the
+    // cheap second attempt is taken before surfacing the obligation to
+    // the caller — both failures land in the run log if it too dies.
+    val after =
+      try graft.operators.TrainPrep.publishRagStoreFrom(
+        spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs)
+      catch {
+        case _: Throwable =>
+          graft.operators.TrainPrep.publishRagStoreFrom(
+            spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs)
+      }
     // step 4 — the audit: which of the purged docs' chunks left the index
     val removed = before match {
       case Some(v0) =>
