@@ -406,7 +406,19 @@ object TextOps {
       b: String): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val withNext = corpus.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+    bpeMergeRoundOver(
+      corpus.withColumn("nxt", lead(col("tok"), 1).over(wDoc)), a, b)
+  }
+
+  /** [[bpeMergeRound]] over a frame that ALREADY carries the `nxt`
+    * lead column — the trainer hands its pair-counting frame straight
+    * in, so the rewrite chains on the same plan (the original t11
+    * shape) instead of re-deriving the lead window.
+    */
+  private def bpeMergeRoundOver(withNext: DataFrame, a: String,
+      b: String): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     val cand = col("tok") === a && col("nxt") === b
     withNext
       .withColumn("cand", cand)
@@ -449,7 +461,7 @@ object TextOps {
         val a = best(0).getString(0)
         val b = best(0).getString(1)
         merges += ((r.toLong, a, b, best(0).getLong(2)))
-        corpus = bpeMergeRound(corpus, a, b)
+        corpus = bpeMergeRoundOver(withNext, a, b)
         r += 1
       }
     }
