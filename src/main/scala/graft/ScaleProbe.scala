@@ -938,6 +938,84 @@ object ScaleProbe {
     // term and the 10× partition metadata are visible but sub-linear; a
     // purge that rewrote or rescanned the table at full width would be
     // 10×.
+    // packed-chunk erasure probe (`runMain graft.ScaleProbe
+    // prod:chunks`): Takedown.executeChunks against a 1× (sf0.1, 60k
+    // gated docs) and 10× (600k) pack store + chunk table, same fixed
+    // 20-doc takedown shape both scales — the token-heaviest shard's
+    // tail (trailing chunks must vanish) + the second shard's EARLIEST
+    // docs, which force that shard to rebuild from its head: the
+    // per-shard worst case, so the rewritten-chunk count grows ~10×
+    // with the store (53 → 512). What should scale how: the
+    // geometry/shift joins are request-sized — flat; the trim/upsert
+    // rewrite is O(touched shard suffix); the store REWRITE is the
+    // honest linear term at this flat-directory layout (manifest +
+    // band index + shingle signatures rewrite wholesale; in production
+    // those are partitioned catalog tables and the rewrite is the same
+    // touched-partition dynamic overwrite as the chunk table's).
+    // MEASURED (warm, r14): 1× 6.17 s, 10× 5.73 s — FLAT wall-clock
+    // even with 10× the rewritten chunks and 10× the store tables;
+    // at this scale the per-step fixed costs (9 jobs + run-log writes)
+    // dominate and the linear terms are not yet visible.
+    if (args.contains("prod:chunks")) {
+      import graft.operators.TrainPrep
+      import graft.sources.{Catalog, Takedown}
+      val dirBase = skewCache("prodchunks")
+      if (!new java.io.File(s"$dirBase/10x/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, src)
+        docs.unionByName(docs
+            .withColumn("_c", explode(sequence(lit(1L), lit(9L))))
+            .withColumn("doc_id", col("doc_id") + col("_c") * 10000L + 5000L)
+            .drop("_c"))
+          .write.mode("overwrite").parquet(s"$dirBase/10x/documents.parquet")
+      }
+      val db = "probe_chunks"
+      val loc = java.nio.file.Files.createTempDirectory("probe_chunks").toString
+      Catalog.ensureDatabase(spark, db, Some(loc))
+      val ts = java.sql.Timestamp.valueOf("2026-08-15 12:00:00")
+      for ((label, d) <- Seq("1x" -> src, "10x" -> s"$dirBase/10x")) {
+        val store = java.nio.file.Files
+          .createTempDirectory(s"probe_chunks_store_$label").toString
+        val docsT = s"$db.documents_$label"
+        val chunksT = s"$db.chunks_$label"
+        val runLog = s"$loc/runlog_$label.parquet"
+        val all = Tables.documents(spark, d)
+        Catalog.append(all.withColumn("pt", pmod(col("doc_id"), lit(16L)))
+          .repartition(col("pt")), docsT, Seq("pt"))
+        TrainPrep.materializeStore(spark, d, store)
+        val sman = spark.read.parquet(s"$store/store_manifest.parquet")
+          .localCheckpoint()
+        Catalog.append(TrainPrep.shardChunksOf(
+            sman.select(col("shard"), col("doc_id"), col("start_off"),
+              col("n_tokens")).withColumn("open_start", lit(0L)), all)
+          .repartition(col("shard")), chunksT, Seq("shard"))
+        dropPersisted()
+        // fixed takedown shape: the heaviest shard's last ~10 docs + 10
+        // mid-shard docs of another shard
+        val t0r = spark.read.parquet(s"$store/store_totals.parquet")
+          .orderBy(col("tot0").desc).limit(2).collect()
+        val (s0, tot0) = (t0r(0).getAs[Long]("shard"), t0r(0).getAs[Long]("tot0"))
+        val s1 = t0r(1).getAs[Long]("shard")
+        val sman2 = spark.read.parquet(s"$store/store_manifest.parquet")
+        val tail0 = sman2.filter(col("shard") === s0)
+          .orderBy(col("start_off").desc).limit(10)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        val mid1 = sman2.filter(col("shard") === s1).orderBy("start_off")
+          .limit(10).select("doc_id").collect().map(_.getLong(0)).toSeq
+        val doomed = tail0 ++ mid1
+        Catalog.purgeKeys(spark, docsT,
+          { import spark.implicits._; doomed.toDF("doc_id") }, Seq("pt"))
+        dropPersisted()
+        val t0 = System.nanoTime()
+        val r = Takedown.executeChunks(spark, doomed, docsT, store,
+          chunksT, runLog, ts)
+        println(f"[probe] prod chunks $label%-4s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+          s"manifestPurged=${r.manifestRowsPurged} shards=${r.shardsTouched} " +
+          s"rewritten=${r.chunksRewritten} deleted=${r.chunksDeleted}")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     if (args.contains("prod:purge")) {
       import graft.sources.Catalog
       val db = "probe_purge"

@@ -182,7 +182,10 @@ object Takedown {
     * the layout tables wholesale here because the probe store is a flat
     * directory — in production those are shard-partitioned catalog
     * tables and step 4 is the same touched-partition dynamic overwrite
-    * as step 3.
+    * as step 3. MEASURED (prod:chunks, warm, same fixed 20-doc takedown
+    * incl. a worst-case rebuild-from-shard-head): 6.17 s at 1× (sf0.1
+    * store) vs 5.73 s at 10× store history — FLAT even with 10× the
+    * rewritten chunks (53 → 512) and 10× the store tables.
     */
   def executeChunks(spark: SparkSession, docIds: Seq[Long],
       docsTable: String, storeDir: String, chunksTable: String,
