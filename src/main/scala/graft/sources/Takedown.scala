@@ -305,4 +305,49 @@ object Takedown {
       ChunksResult(nPurged, nShards, nRebuilt, deleted)
     } finally idsDf.unpersist(blocking = false)
   }
+
+  /** Layer-by-layer erasure VERIFICATION — the evidence table a
+    * compliance response actually attaches: for every maintained layer
+    * that carries a `doc_id`, the count of rows still present for the
+    * requested ids. One row per audited layer, `rows_remaining = 0`
+    * everywhere ⇔ the takedown is complete at the audited surfaces.
+    * Callers pass only the layers they maintain (docsTable, the
+    * pipe3/pipe5 pack store, the published RAG index root — the RAG
+    * check audits the COMMITTED LATEST version, i.e. what serving
+    * reads; pinned older versions are retention policy's business,
+    * [[Snapshots.vacuum]]). Each check is one column-pruned semi-join
+    * count — O(layer scan) with only the doc_id column read, the same
+    * discovery-scan economics as [[Catalog.purgeKeys]]. Note what this
+    * deliberately does NOT claim: content-derived layers without doc
+    * attribution (packed chunk digests, the held-out fingerprint
+    * hashes) cannot be audited by id — their erasure is pinned
+    * structurally instead (TakedownChunksSpec's bit-equality to a
+    * from-scratch rebuild on the purged corpus).
+    */
+  def verifyErasure(spark: SparkSession, docIds: Seq[Long],
+      docsTable: Option[String] = None, storeDir: Option[String] = None,
+      ragRoot: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    require(docIds.nonEmpty, "verifyErasure needs at least one doc id")
+    import spark.implicits._
+    val ids = docIds.toDF("doc_id").distinct().localCheckpoint()
+    try {
+      def remaining(df: org.apache.spark.sql.DataFrame): Long =
+        df.select("doc_id").join(ids, Seq("doc_id"), "left_semi").count()
+      val rows =
+        docsTable.toSeq.map(t =>
+          "documents" -> remaining(spark.table(t))) ++
+        storeDir.toSeq.flatMap(d => Seq(
+          "store_manifest" -> remaining(
+            spark.read.parquet(s"$d/store_manifest.parquet")),
+          "store_bands" -> remaining(
+            spark.read.parquet(s"$d/store_bands.parquet")),
+          "store_shingles" -> remaining(
+            spark.read.parquet(s"$d/store_shingles.parquet")))) ++
+        ragRoot.toSeq.flatMap(r => Seq("vecs", "index", "postings",
+          "chunklens").map(t =>
+            s"rag_$t" -> remaining(Snapshots.readTable(spark, r, t))))
+      rows.map { case (layer, n) => (layer, n, n == 0L) }
+        .toDF("layer", "rows_remaining", "clean")
+    } finally ids.unpersist(blocking = false)
+  }
 }

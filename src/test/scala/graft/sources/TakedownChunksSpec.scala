@@ -128,5 +128,13 @@ class TakedownChunksSpec extends graft.SparkSpec {
     val r2 = Takedown.executeChunks(spark, doomed, docsT, storeDir,
       chunksT, runLog, ts)
     assert(r2 === Takedown.ChunksResult(0L, 0L, 0L, 0L))
+
+    // the compliance evidence table over the pack-store layers
+    val ver = Takedown.verifyErasure(spark, doomed,
+      docsTable = Some(docsT), storeDir = Some(storeDir)).collect()
+    assert(ver.map(_.getAs[String]("layer")).toSet ===
+      Set("documents", "store_manifest", "store_bands", "store_shingles"))
+    assert(ver.forall(_.getAs[Boolean]("clean")),
+      ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
   }
 }

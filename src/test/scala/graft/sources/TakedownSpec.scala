@@ -64,5 +64,49 @@ class TakedownSpec extends graft.SparkSpec {
       && r0.getAs[Long]("rows") == 1L
       && r0.getAs[String]("status") == "ok") === 1)
     assert(log.count(_.getAs[String]("pipeline") == "rag_index") === 2)
+
+    // the compliance evidence table: every id-auditable layer clean
+    val ver = Takedown.verifyErasure(spark, Seq(doomed),
+      docsTable = Some(t), ragRoot = Some(ragRoot)).collect()
+    assert(ver.map(_.getAs[String]("layer")).toSet ===
+      Set("documents", "rag_vecs", "rag_index", "rag_postings", "rag_chunklens"))
+    assert(ver.forall(_.getAs[Boolean]("clean")),
+      ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
+    // and it actually DETECTS leftovers: a still-present doc is flagged
+    val present = spark.table(t).agg(min("doc_id")).first().getLong(0)
+    val dirty = Takedown.verifyErasure(spark, Seq(present),
+      docsTable = Some(t)).collect()
+    assert(dirty.length === 1 && !dirty(0).getAs[Boolean]("clean")
+      && dirty(0).getAs[Long]("rows_remaining") === 1L)
+  }
+
+  test("takedown: a publish failure after a successful purge is retried once, both failures logged, error propagates") {
+    val db = "takedown_retry_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_tdr").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.documents"
+    val runLog = java.nio.file.Files
+      .createTempDirectory("graft_tdr_log").toString + "/runlog.parquet"
+    val ts = java.sql.Timestamp.valueOf("2026-08-15 12:00:00")
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+    Catalog.append(docs.repartition(col("shard")), t, Seq("shard"))
+    val doomed = spark.table(t).agg(min("doc_id")).first().getLong(0)
+    // a regular FILE at the rag root makes every publish attempt fail
+    val ragRoot = java.nio.file.Files
+      .createTempDirectory("graft_tdr_rag").toString + "/rag"
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(ragRoot))
+    intercept[Exception] {
+      Takedown.execute(spark, Seq(doomed), t, Seq("shard"),
+        ragRoot, runLog, ts)
+    }
+    // the purge half COMMITTED (the non-atomic seam the scaladoc names)
+    assert(spark.table(t).filter(col("doc_id") === doomed).count() === 0L)
+    val log = RunLog.read(spark, runLog).collect()
+    assert(log.count(r => r.getAs[String]("pipeline") == "takedown"
+      && r.getAs[String]("status") == "ok") === 1)
+    // one failed publish row per attempt — the retry really ran
+    assert(log.count(r => r.getAs[String]("pipeline") == "rag_index"
+      && r.getAs[String]("status") == "failed") === 2)
   }
 }
