@@ -300,26 +300,33 @@ object Catalog {
     // when the NULL partition is touched) — a single pushable IN — and
     // composite specs semi-join the broadcast touched-partition frame
     // on null-safe equality.
+    // per-column prefilter: a statically prunable IN per partition
+    // column (the partition pruner evaluates it against the listing —
+    // a semi-join alone cannot prune). For one column it IS exact; for
+    // composite specs it admits the cross product of touched values, so
+    // the exact null-safe semi-join below re-restricts to the touched
+    // TUPLES — pruning from the literals, exactness from the join.
+    def colPred(c: String, i: Int): org.apache.spark.sql.Column = {
+      val vals = touched.map(_.get(i)).distinct
+      val nonNull = vals.filter(_ != null)
+      val p0 =
+        if (nonNull.isEmpty) lit(false)
+        else col(c).isin(nonNull: _*)
+      if (vals.contains(null)) p0 || col(c).isNull else p0
+    }
+    val prefiltered = spark.table(table).filter(
+      partitionBy.zipWithIndex.map((colPred _).tupled).reduce(_ && _))
     val part =
-      if (partitionBy.size == 1) {
-        val c = partitionBy.head
-        val vals = touched.map(_.get(0))
-        val nonNull = vals.filter(_ != null)
-        val p0 =
-          if (nonNull.isEmpty) lit(false)
-          else col(c).isin(nonNull: _*)
-        spark.table(table)
-          .filter(if (vals.contains(null)) p0 || col(c).isNull else p0)
-      } else {
+      if (partitionBy.size == 1) prefiltered // the IN is already exact
+      else {
         val tdf = spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
             scala.jdk.CollectionConverters.SeqHasAsJava(touched).asJava),
           StructType(partitionBy.map(c => schema(c)).toArray))
           .toDF(partitionBy.map(c => s"_t_$c"): _*)
-        spark.table(table)
-          .join(broadcast(tdf),
-            partitionBy.map(c => col(c) <=> col(s"_t_$c")).reduce(_ && _),
-            "left_semi")
+        prefiltered.join(broadcast(tdf),
+          partitionBy.map(c => col(c) <=> col(s"_t_$c")).reduce(_ && _),
+          "left_semi")
       }
     val doomed = part.join(keys, keyCols, "left_semi").count()
     val survivors = part.join(keys, keyCols, "left_anti")

@@ -95,9 +95,17 @@ object Takedown {
       try graft.operators.TrainPrep.publishRagStoreFrom(
         spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs)
       catch {
-        case _: Throwable =>
-          graft.operators.TrainPrep.publishRagStoreFrom(
+        // NonFatal only: retrying a full index build on an OOMEd or
+        // interrupting JVM makes things worse, not compliant. If the
+        // retry also fails, the FIRST failure rides along as suppressed
+        // (the run log holds both rows either way).
+        case scala.util.control.NonFatal(e1) =>
+          try graft.operators.TrainPrep.publishRagStoreFrom(
             spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs)
+          catch {
+            case scala.util.control.NonFatal(e2) =>
+              e2.addSuppressed(e1); throw e2
+          }
       }
     // step 4 — the audit: which of the purged docs' chunks left the index
     val removed = before match {
@@ -204,15 +212,19 @@ object Takedown {
       catch { case e: Throwable => log(stage, -1L, "failed", e.toString); throw e }
 
     val idsDf = docIds.toDF("doc_id").distinct().localCheckpoint()
+    // every pinned frame unpersists on ALL exits — a long-lived
+    // orchestrator looping takedowns (some of which fail) must not
+    // accumulate checkpoint blocks (the ScaleProbe dropPersisted cliff)
+    val pinned = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](idsDf)
     try {
       val sman = spark.read.parquet(s"$storeDir/store_manifest.parquet")
       // the purge list's manifest rows — request-sized, pinned: they
       // drive the geometry, the shift join, and the store rewrite
       val purged = sman.join(idsDf, Seq("doc_id"), "left_semi").localCheckpoint()
+      pinned += purged
       val nPurged = purged.count()
       if (nPurged == 0L) { // never packed ⇒ nothing to erase at this grain
         log("noop", 0L, "ok", "")
-        purged.unpersist(blocking = false)
         return ChunksResult(0L, 0L, 0L, 0L)
       }
       // 1. per-shard geometry: first shifted offset + purged token mass
@@ -220,6 +232,7 @@ object Takedown {
         .agg(min("start_off").as("cut"), sum("n_tokens").as("ptoks"))
         .withColumn("emit_start", expr(s"(cut div ${B}L) * ${B}L"))
         .localCheckpoint() // O(shards)
+      pinned += cuts
       val touched = cuts.select("shard")
       val nShards = cuts.count()
       // 2. shifted survivor layout of the touched shards
@@ -235,7 +248,8 @@ object Takedown {
         .withColumn("new_start",
           col("start_off") - coalesce(col("shift"), lit(0L)))
         .localCheckpoint() // consumed by the rebuild AND the store rewrite
-      val rebuilt = step(s"rebuild_$chunksTable") {
+      pinned += shifted
+      val (rebuilt, nRebuilt) = step(s"rebuild_$chunksTable") {
         val uni = shifted
           .join(broadcast(cuts.select("shard", "emit_start")), Seq("shard"))
           .filter(col("new_start") + col("n_tokens") > col("emit_start"))
@@ -244,7 +258,9 @@ object Takedown {
             col("emit_start").as("open_start"))
         val r = graft.operators.TrainPrep
           .shardChunksOf(uni, spark.table(docsTable)).localCheckpoint()
-        (r, r.count())
+        pinned += r
+        val n = r.count()
+        ((r, n), n)
       }
       // 3a. trim: chunk ids past each shard's new end
       val deleted = step(s"trim_$chunksTable") {
@@ -263,14 +279,22 @@ object Takedown {
       // 3b. upsert the rebuilt suffix (only when the region re-emitted
       // anything — a fully-emptied shard has nothing to write)
       step(s"upsert_$chunksTable") {
-        val n = rebuilt.count()
-        if (n > 0L)
+        if (nRebuilt > 0L)
           Catalog.upsert(spark, rebuilt, chunksTable,
             keys = Seq("shard", "chunk_id"), partitionBy = Seq("shard"))
-        ((), n)
+        ((), nRebuilt)
       }
-      // 4. store rewrite: manifest (shifted survivors), totals, opens,
-      // band index, shingle signatures
+      // 4. store rewrite: band index, shingle signatures, totals, opens
+      // — and the MANIFEST LAST. The manifest is this flow's commit
+      // record (the noop guard keys on it), so every other table must
+      // already be at the purged state when it lands: a crash anywhere
+      // before the manifest write leaves the old manifest intact and a
+      // RE-RUN of the same takedown redoes every step from consistent
+      // inputs (the bands/shingles anti-joins and totals/opens
+      // recomputes are idempotent). A crash INSIDE the manifest
+      // overwrite itself is the flat-directory layout's residual risk —
+      // the production form stages-and-flips through Snapshots/a table
+      // format, as the scaladoc above states.
       step("store_rewrite") {
         val manCols = sman.columns.toSeq
         val newMan = sman.join(broadcast(touched), Seq("shard"), "left_anti")
@@ -279,31 +303,26 @@ object Takedown {
             .select(manCols.map(col): _*))
           .select(manCols.map(col): _*)
           .localCheckpoint() // breaks lineage to the file being replaced
-        newMan.write.mode("overwrite")
-          .parquet(s"$storeDir/store_manifest.parquet")
+        pinned += newMan
+        for (t <- Seq("store_bands", "store_shingles")) {
+          val kept = spark.read.parquet(s"$storeDir/$t.parquet")
+            .join(idsDf, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          pinned += kept
+          kept.write.mode("overwrite").parquet(s"$storeDir/$t.parquet")
+        }
         newMan.groupBy("shard")
           .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"))
           .write.mode("overwrite").parquet(s"$storeDir/store_totals.parquet")
         newMan.groupBy("shard")
           .agg((expr(s"sum(n_tokens) div ${B}L") * B).as("open_start"))
           .write.mode("overwrite").parquet(s"$storeDir/store_opens.parquet")
-        for (t <- Seq("store_bands", "store_shingles")) {
-          val kept = spark.read.parquet(s"$storeDir/$t.parquet")
-            .join(idsDf, Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-          kept.write.mode("overwrite").parquet(s"$storeDir/$t.parquet")
-          kept.unpersist(blocking = false)
-        }
-        val out = ((), nPurged)
-        newMan.unpersist(blocking = false)
-        out
+        newMan.write.mode("overwrite")
+          .parquet(s"$storeDir/store_manifest.parquet")
+        ((), nPurged)
       }
-      val nRebuilt = rebuilt.count()
-      // a long-lived orchestrator must not accumulate checkpoint blocks
-      // across takedowns
-      Seq(rebuilt, purged, cuts, shifted).foreach(_.unpersist(blocking = false))
       ChunksResult(nPurged, nShards, nRebuilt, deleted)
-    } finally idsDf.unpersist(blocking = false)
+    } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   /** Layer-by-layer erasure VERIFICATION — the evidence table a

@@ -92,8 +92,6 @@ object Pipeline {
       targetHashedIds: Seq[String],
       ingestionTs: java.sql.Timestamp,
       scaleDivisor: Double = WatchTime.percentScaleDivisor): Map[String, Long] = {
-    import graft.sources.RunLog
-    val logPath = s"${wh.root}/run_log"
     def required(entity: String, schema: org.apache.spark.sql.types.StructType) =
       RawZone.readLatestRun(spark, rawRoot, entity, schema).getOrElse(
         throw new IllegalStateException(s"no raw runs under $rawRoot/$entity"))
@@ -105,10 +103,30 @@ object Pipeline {
       rawEvents,
       dimMedia.select(col("media_id"), col("duration")),
       ingestionTs, scaleDivisor)
-    val done = scala.collection.mutable.ArrayBuffer[RunLog.Entry]()
+    loggedStarWrites(spark, wh, "runBatch", ingestionTs,
+      dimMedia, dimVisitor, fact, Nil)
+  }
+
+  /** The three observed star-table writes shared by [[runBatchLogged]]
+    * and [[runBatchGated]] — ONE copy so the two lifecycles can never
+    * drift: each stage rides [[graft.sources.RunLog.observedWrite]], a
+    * failing stage appends everything logged so far (including any
+    * `prelude` entries, e.g. the gate's) plus its own failed row before
+    * the error propagates, and the returned map is stage → rows written
+    * this run (prelude entries included).
+    */
+  private def loggedStarWrites(spark: SparkSession, wh: Warehouse,
+      pipeline: String, ingestionTs: java.sql.Timestamp,
+      dimMedia: org.apache.spark.sql.DataFrame,
+      dimVisitor: org.apache.spark.sql.DataFrame,
+      fact: org.apache.spark.sql.DataFrame,
+      prelude: Seq[graft.sources.RunLog.Entry]): Map[String, Long] = {
+    import graft.sources.RunLog
+    val logPath = s"${wh.root}/run_log"
+    val done = scala.collection.mutable.ArrayBuffer[RunLog.Entry](prelude: _*)
     def stage(name: String, df: org.apache.spark.sql.DataFrame)(
         w: org.apache.spark.sql.DataFrame => Unit): Unit =
-      try done += RunLog.observedWrite(df, ingestionTs, "runBatch", name)(w)
+      try done += RunLog.observedWrite(df, ingestionTs, pipeline, name)(w)
       catch {
         case f: RunLog.LoggedFailure =>
           RunLog.append(spark, logPath, (done :+ f.entry).toSeq)
@@ -338,14 +356,18 @@ object Pipeline {
     */
   def batchExpectations(dimMedia: org.apache.spark.sql.DataFrame,
       fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // coalesce every sum: over an EMPTY staged frame sum() is NULL, and
+    // a null violations/pass row is an expectation that neither passed
+    // nor failed — an empty batch must audit as 0 violations, checked 0
     val dmAgg = dimMedia.agg(
       count(lit(1)).as("n"),
       (count(lit(1)) - count_distinct(col("media_id"))).as("dup_media_id"),
-      sum(when(col("duration") < 0.0, 1L).otherwise(0L)).as("negative_duration"))
+      coalesce(sum(when(col("duration") < 0.0, 1L).otherwise(0L)), lit(0L))
+        .as("negative_duration"))
     val fAgg = fact.agg(
       count(lit(1)).as("n"),
-      sum(when(col("percent_viewed") < 0.0 || col("percent_viewed") > 1.0, 1L)
-        .otherwise(0L)).as("percent_range"))
+      coalesce(sum(when(col("percent_viewed") < 0.0 || col("percent_viewed") > 1.0, 1L)
+        .otherwise(0L)), lit(0L)).as("percent_range"))
     def reshape(agg1: org.apache.spark.sql.DataFrame, tbl: String,
         checks: Seq[String]) =
       agg1.select(explode(array(checks.map(name =>
@@ -412,23 +434,10 @@ object Pipeline {
         throw new IllegalStateException(
           s"dq_gate: batch rejected, nothing written — $msg")
       }
-      val done = scala.collection.mutable.ArrayBuffer[RunLog.Entry]()
-      done += RunLog.Entry(ingestionTs, "runBatchGated", "dq_gate",
+      val gateEntry = RunLog.Entry(ingestionTs, "runBatchGated", "dq_gate",
         audit.length.toLong, (System.nanoTime() - t0) / 1000000L, "ok", "")
-      def stage(name: String, df: org.apache.spark.sql.DataFrame)(
-          w: org.apache.spark.sql.DataFrame => Unit): Unit =
-        try done += RunLog.observedWrite(df, ingestionTs, "runBatchGated", name)(w)
-        catch {
-          case f: RunLog.LoggedFailure =>
-            RunLog.append(spark, logPath, (done :+ f.entry).toSeq)
-            throw f.cause
-        }
-      stage("dim_media", dimMedia)(RawZone.warehouseAppend(_, wh.dimMedia))
-      stage("dim_visitor", dimVisitor)(RawZone.warehouseAppend(_, wh.dimVisitor))
-      stage("fact_media_engagement", fact)(
-        RawZone.warehouseAppend(_, wh.fact, partitionBy = Seq("date")))
-      RunLog.append(spark, logPath, done.toSeq)
-      done.map(e => e.stage -> e.rows).toMap
+      loggedStarWrites(spark, wh, "runBatchGated", ingestionTs,
+        dimMedia, dimVisitor, fact, Seq(gateEntry))
     } finally
       Seq(dimMedia, fact).foreach(_.unpersist(blocking = false))
   }

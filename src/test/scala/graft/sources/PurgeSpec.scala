@@ -90,4 +90,44 @@ class PurgeSpec extends graft.SparkSpec {
     assert(spark.table(t).filter(col("src") === "o'brien").count() === 0L)
     assert(spark.table(t).filter(col("src").isNull).count() === 1L)
   }
+
+  test("purgeKeys on a COMPOSITE partition spec: exact tuples, untouched cross-product partitions keep their files") {
+    val db = "purge_comp"
+    val loc = java.nio.file.Files.createTempDirectory("graft_purge_c").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.docs"
+    // (d, r) composite partitions, 3×3 grid × 20 rows; the doomed rows
+    // sit in tuples (0,0) and (1,1) ONLY — the per-column IN prefilter
+    // admits the cross product {0,1}×{0,1}, so this pins that the
+    // null-safe tuple semi-join re-restricts exactly: (0,1) and (1,0)
+    // must keep their files byte-for-byte
+    val base = spark.range(180L).select(
+      (col("id") % 3L).as("d"), ((col("id") / 3L) % 3L).as("r"),
+      col("id").as("doc_id"), (col("id") * 7L).as("payload"))
+    Catalog.append(base.repartition(col("d"), col("r")), t, Seq("d", "r"))
+    def files(d: Long, r: Long): Set[String] = {
+      val f = new java.io.File(s"$loc/docs/d=$d/r=$r")
+      if (!f.exists()) Set.empty
+      else f.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val crossBefore = Seq((0L, 1L), (1L, 0L), (2L, 2L)).map { case (d, r) =>
+      (d, r) -> files(d, r)
+    }
+    import spark.implicits._
+    val doomed = base.filter(
+        (col("d") === 0L && col("r") === 0L && col("doc_id") % 2L === 0L) ||
+        (col("d") === 1L && col("r") === 1L))
+      .select("doc_id").as[Long].collect().toSeq
+    val deleted = Catalog.purgeKeys(spark, t, doomed.toDF("doc_id"), Seq("d", "r"))
+    assert(deleted === doomed.size.toLong)
+    assert(spark.table(t).join(doomed.toDF("doc_id"), Seq("doc_id"),
+      "left_semi").count() === 0L)
+    assert(spark.table(t).count() === 180L - doomed.size)
+    // the all-doomed (1,1) tuple partition is dropped
+    assert(spark.table(t).filter(col("d") === 1L && col("r") === 1L).count() === 0L)
+    assert(files(1L, 1L).isEmpty)
+    // cross-product-but-untouched tuples kept their exact files
+    for (((d, r), before) <- crossBefore)
+      assert(files(d, r) === before, s"($d,$r)")
+  }
 }
