@@ -458,6 +458,79 @@ object Pipeline {
     * not a landed-row count — summing `rows` over an at-least-once
     * replay history intentionally counts the replay.
     */
+  /** [[runStreamingLogged]] behind the PER-TRIGGER promotion gate — the
+    * streaming twin of [[runBatchGated]] ("fail the trigger, don't land
+    * the batch"): every micro-batch is audited by the SAME
+    * [[batchExpectations]] suite (against the stream's staged dim)
+    * BEFORE its sink write. A violating trigger logs one failed
+    * `dq_gate_trigger_<batchId>` row naming the failing expectations
+    * and THROWS — the stream dies with the batch UNCOMMITTED in the
+    * checkpoint, so after the upstream fix a restart replays exactly
+    * the rejected data (the deliberate posture: silently skipping a
+    * poisoned trigger would drop data; landing it would corrupt the
+    * fact table — neither is acceptable, so the operator gets the
+    * failure and the forensics). A clean trigger logs `dq_gate` ok and
+    * proceeds through [[runStreamingLogged]]'s observed write. The
+    * batch pins once (localCheckpoint, micro-batch-sized) so the audit
+    * and the write share one computation.
+    */
+  def runStreamingGated(spark: SparkSession, rawRoot: String, wh: Warehouse,
+      targetHashedIds: Seq[String],
+      ingestionTs: java.sql.Timestamp,
+      checkpoint: String,
+      idempotent: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.RunLog
+    val logPath = s"${wh.root}/run_log"
+    val rawMedia = RawZone.readLatestRun(spark, rawRoot, "media", Schemas.rawMedia)
+      .getOrElse(throw new IllegalStateException(s"no raw runs under $rawRoot/media"))
+    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+      .localCheckpoint() // audited per trigger + feeds the duration join
+    val durations = dimMedia.select(col("media_id"), col("duration"))
+    val eventStream = spark.readStream
+      .schema(Schemas.rawEvent.add(RawZone.RunColumn, "string"))
+      .json(s"$rawRoot/events")
+    val eventKey = Seq("media_id", "visitor_id", "date", "event_timestamp")
+    graft.streaming.Streams.availableNowSink(
+      Transforms.perEventFact(eventStream, durations, ingestionTs), checkpoint) {
+      (batch0, batchId) =>
+        val batch = batch0.localCheckpoint()
+        try {
+          val t0 = System.nanoTime()
+          val audit = batchExpectations(dimMedia, batch).collect()
+          val bad = audit.filter(_.getAs[Long]("violations") > 0L)
+          if (bad.nonEmpty) {
+            val msg = bad.map(r =>
+              s"${r.getAs[String]("tbl")}.${r.getAs[String]("chk")}" +
+                s"=${r.getAs[Long]("violations")}").mkString(", ")
+            RunLog.append(spark, logPath, Seq(RunLog.Entry(ingestionTs,
+              "runStreamingGated", s"dq_gate_trigger_$batchId",
+              bad.map(_.getAs[Long]("violations")).sum,
+              (System.nanoTime() - t0) / 1000000L, "failed",
+              s"expectations failed: $msg".take(500))))
+            throw new IllegalStateException(
+              s"dq_gate trigger $batchId: batch rejected, nothing written — $msg")
+          }
+          val gateEntry = RunLog.Entry(ingestionTs, "runStreamingGated",
+            s"dq_gate_trigger_$batchId", audit.length.toLong,
+            (System.nanoTime() - t0) / 1000000L, "ok", "")
+          val entry =
+            try RunLog.observedWrite(batch, ingestionTs, "runStreamingGated",
+              s"fact_trigger_$batchId") { b =>
+              if (idempotent)
+                RawZone.warehouseMerge(b.sparkSession, b, wh.fact, eventKey,
+                  partitionBy = Seq("date"))
+              else RawZone.warehouseAppend(b, wh.fact, partitionBy = Seq("date"))
+            }
+            catch {
+              case f: RunLog.LoggedFailure =>
+                RunLog.append(spark, logPath, Seq(gateEntry, f.entry))
+                throw f.cause
+            }
+          RunLog.append(spark, logPath, Seq(gateEntry, entry))
+        } finally batch.unpersist(blocking = false)
+    }.start()
+  }
+
   def runStreamingLogged(spark: SparkSession, rawRoot: String, wh: Warehouse,
       targetHashedIds: Seq[String],
       ingestionTs: java.sql.Timestamp,

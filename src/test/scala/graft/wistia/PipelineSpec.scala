@@ -552,6 +552,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("runStreamingGated: a clean trigger lands; a poisoned trigger dies UNCOMMITTED and replays after the fix") {
+    import graft.sources.RunLog
+    val dir = Files.createTempDirectory("pipeline_sgate").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    // trigger 1: clean
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2),
+      eventJson("e2", "v1", "abc", "2024-03-01T10:00:20Z", 0.5)))
+    val q1 = Pipeline.runStreamingGated(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, s"$dir/ckpt")
+    q1.awaitTermination(60000)
+    assert(RawZone.warehouse(spark, wh.fact).count() === 2L)
+    // trigger 2: one event out of percent domain — the whole trigger is
+    // rejected, the stream dies, NOTHING of it lands
+    import spark.implicits._
+    RawZone.writeRun(spark.read.schema(Schemas.rawEvent).json(Seq(
+      eventJson("e3", "v2", "xyz", "2024-03-02T09:00:00Z", 1.5),
+      eventJson("e4", "v2", "abc", "2024-03-02T09:01:00Z", 0.4)).toDS),
+      s"$dir/raw", "events", "20250502_000000")
+    val q2 = Pipeline.runStreamingGated(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, s"$dir/ckpt")
+    intercept[Exception] { q2.awaitTermination(60000); q2.stop() }
+    assert(RawZone.warehouse(spark, wh.fact).count() === 2L) // unchanged
+    val failed = RunLog.read(spark, s"${wh.root}/run_log")
+      .filter(col("status") === "failed").collect()
+    assert(failed.length === 1)
+    assert(failed(0).getAs[String]("stage").startsWith("dq_gate_trigger_"))
+    assert(failed(0).getAs[String]("error").contains("fact.percent_range=1"))
+    // upstream fix: replace the poisoned run's events; the checkpoint
+    // never committed trigger 2, so a restart REPLAYS the fixed data
+    // (plus anything newer) — no data loss, no poison landed
+    val runDir = new java.io.File(s"$dir/raw/events/run_ts=20250502_000000")
+    runDir.listFiles().foreach(_.delete())
+    RawZone.writeRun(spark.read.schema(Schemas.rawEvent).json(Seq(
+      eventJson("e3", "v2", "xyz", "2024-03-02T09:00:00Z", 0.9),
+      eventJson("e4", "v2", "abc", "2024-03-02T09:01:00Z", 0.4)).toDS),
+      s"$dir/raw", "events", "20250503_000000")
+    val q3 = Pipeline.runStreamingGated(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, s"$dir/ckpt")
+    q3.awaitTermination(60000)
+    assert(RawZone.warehouse(spark, wh.fact).count() === 4L)
+    assert(RawZone.warehouse(spark, wh.fact)
+      .filter(col("percent_viewed") > 1.0).count() === 0L)
+  }
+
   test("runBatchGated: a clean batch lands identically to runBatchLogged") {
     val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
     val events = Seq(
