@@ -355,35 +355,78 @@ object Pipeline {
     * recompute the transform lineage.
     */
   def batchExpectations(dimMedia: org.apache.spark.sql.DataFrame,
-      fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // coalesce every sum: over an EMPTY staged frame sum() is NULL, and
-    // a null violations/pass row is an expectation that neither passed
-    // nor failed — an empty batch must audit as 0 violations, checked 0
-    val dmAgg = dimMedia.agg(
+      fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dimExpectations(dimMedia).unionByName(factExpectations(dimMedia, fact))
+
+  // coalesce every sum in the audits: over an EMPTY staged frame sum()
+  // is NULL, and a null violations/pass row is an expectation that
+  // neither passed nor failed — an empty batch must audit as 0
+  // violations, checked 0
+  private def reshapeAudit(agg1: org.apache.spark.sql.DataFrame, tbl: String,
+      checks: Seq[String]): org.apache.spark.sql.DataFrame =
+    agg1.select(explode(array(checks.map(name =>
+      struct(lit(tbl).as("tbl"), lit(name).as("chk"),
+        col(name).cast("long").as("violations"),
+        col("n").cast("long").as("checked"))): _*)).as("r")).select("r.*")
+      .withColumn("pass", col("violations") === 0L)
+
+  /** The dim-side half of [[batchExpectations]] — separable because a
+    * stream's dim is staged ONCE at start and immutable for the query's
+    * lifetime, so [[runStreamingGated]] audits it once up front instead
+    * of re-reporting the identical dim verdict on every trigger.
+    */
+  def dimExpectations(
+      dimMedia: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    reshapeAudit(dimMedia.agg(
       count(lit(1)).as("n"),
       (count(lit(1)) - count_distinct(col("media_id"))).as("dup_media_id"),
       coalesce(sum(when(col("duration") < 0.0, 1L).otherwise(0L)), lit(0L))
-        .as("negative_duration"))
+        .as("negative_duration")),
+      "dim_media", Seq("dup_media_id", "negative_duration"))
+
+  /** The fact-side half of [[batchExpectations]] — the per-batch/
+    * per-trigger checks (domain + referential integrity vs the staged
+    * dim, which rides broadcast in the anti-join).
+    */
+  def factExpectations(dimMedia: org.apache.spark.sql.DataFrame,
+      fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val fAgg = fact.agg(
       count(lit(1)).as("n"),
       coalesce(sum(when(col("percent_viewed") < 0.0 || col("percent_viewed") > 1.0, 1L)
         .otherwise(0L)), lit(0L)).as("percent_range"))
-    def reshape(agg1: org.apache.spark.sql.DataFrame, tbl: String,
-        checks: Seq[String]) =
-      agg1.select(explode(array(checks.map(name =>
-        struct(lit(tbl).as("tbl"), lit(name).as("chk"),
-          col(name).cast("long").as("violations"),
-          col("n").cast("long").as("checked"))): _*)).as("r")).select("r.*")
     val orphan = fact
       .join(broadcast(dimMedia.select("media_id")), Seq("media_id"), "left_anti")
       .agg(count(lit(1)).cast("long").as("violations"))
       .crossJoin(fAgg.select(col("n").cast("long").as("checked")))
       .select(lit("fact").as("tbl"), lit("orphan_media").as("chk"),
         col("violations"), col("checked"))
-    reshape(dmAgg, "dim_media", Seq("dup_media_id", "negative_duration"))
-      .unionByName(reshape(fAgg, "fact", Seq("percent_range")))
-      .unionByName(orphan)
       .withColumn("pass", col("violations") === 0L)
+    reshapeAudit(fAgg, "fact", Seq("percent_range")).unionByName(orphan)
+  }
+
+  /** The gate DECISION shared by every gated lifecycle: evaluate a
+    * collected audit; violations ⇒ append ONE failed run-log row naming
+    * every failing expectation and THROW (nothing may land); clean ⇒
+    * return the ok entry for the caller to log alongside its writes.
+    */
+  private def gateOrThrow(spark: SparkSession, logPath: String,
+      pipeline: String, stage: String, ingestionTs: java.sql.Timestamp,
+      audit: Array[org.apache.spark.sql.Row],
+      t0: Long): graft.sources.RunLog.Entry = {
+    import graft.sources.RunLog
+    val bad = audit.filter(_.getAs[Long]("violations") > 0L)
+    if (bad.nonEmpty) {
+      val msg = bad.map(r => s"${r.getAs[String]("tbl")}.${r.getAs[String]("chk")}" +
+        s"=${r.getAs[Long]("violations")}").mkString(", ")
+      RunLog.append(spark, logPath, Seq(RunLog.Entry(ingestionTs,
+        pipeline, stage, bad.map(_.getAs[Long]("violations")).sum,
+        (System.nanoTime() - t0) / 1000000L, "failed",
+        s"expectations failed: $msg".take(500))))
+      throw new IllegalStateException(
+        s"$stage: batch rejected, nothing written — $msg")
+    }
+    RunLog.Entry(ingestionTs, pipeline, stage, audit.length.toLong,
+      (System.nanoTime() - t0) / 1000000L, "ok", "")
   }
 
   /** [[runBatchLogged]] behind a PROMOTION GATE — the dbt-test/
@@ -423,19 +466,8 @@ object Pipeline {
       val t0 = System.nanoTime()
       val audit = batchExpectations(dimMedia, fact)
         .collect() // bounded: one row per expectation
-      val bad = audit.filter(r => r.getAs[Long]("violations") > 0L)
-      if (bad.nonEmpty) {
-        val msg = bad.map(r => s"${r.getAs[String]("tbl")}.${r.getAs[String]("chk")}" +
-          s"=${r.getAs[Long]("violations")}").mkString(", ")
-        RunLog.append(spark, logPath, Seq(RunLog.Entry(ingestionTs,
-          "runBatchGated", "dq_gate", bad.map(_.getAs[Long]("violations")).sum,
-          (System.nanoTime() - t0) / 1000000L, "failed",
-          s"expectations failed: $msg".take(500))))
-        throw new IllegalStateException(
-          s"dq_gate: batch rejected, nothing written — $msg")
-      }
-      val gateEntry = RunLog.Entry(ingestionTs, "runBatchGated", "dq_gate",
-        audit.length.toLong, (System.nanoTime() - t0) / 1000000L, "ok", "")
+      val gateEntry = gateOrThrow(spark, logPath, "runBatchGated", "dq_gate",
+        ingestionTs, audit, t0)
       loggedStarWrites(spark, wh, "runBatchGated", ingestionTs,
         dimMedia, dimVisitor, fact, Seq(gateEntry))
     } finally
@@ -458,79 +490,6 @@ object Pipeline {
     * not a landed-row count — summing `rows` over an at-least-once
     * replay history intentionally counts the replay.
     */
-  /** [[runStreamingLogged]] behind the PER-TRIGGER promotion gate — the
-    * streaming twin of [[runBatchGated]] ("fail the trigger, don't land
-    * the batch"): every micro-batch is audited by the SAME
-    * [[batchExpectations]] suite (against the stream's staged dim)
-    * BEFORE its sink write. A violating trigger logs one failed
-    * `dq_gate_trigger_<batchId>` row naming the failing expectations
-    * and THROWS — the stream dies with the batch UNCOMMITTED in the
-    * checkpoint, so after the upstream fix a restart replays exactly
-    * the rejected data (the deliberate posture: silently skipping a
-    * poisoned trigger would drop data; landing it would corrupt the
-    * fact table — neither is acceptable, so the operator gets the
-    * failure and the forensics). A clean trigger logs `dq_gate` ok and
-    * proceeds through [[runStreamingLogged]]'s observed write. The
-    * batch pins once (localCheckpoint, micro-batch-sized) so the audit
-    * and the write share one computation.
-    */
-  def runStreamingGated(spark: SparkSession, rawRoot: String, wh: Warehouse,
-      targetHashedIds: Seq[String],
-      ingestionTs: java.sql.Timestamp,
-      checkpoint: String,
-      idempotent: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.sources.RunLog
-    val logPath = s"${wh.root}/run_log"
-    val rawMedia = RawZone.readLatestRun(spark, rawRoot, "media", Schemas.rawMedia)
-      .getOrElse(throw new IllegalStateException(s"no raw runs under $rawRoot/media"))
-    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
-      .localCheckpoint() // audited per trigger + feeds the duration join
-    val durations = dimMedia.select(col("media_id"), col("duration"))
-    val eventStream = spark.readStream
-      .schema(Schemas.rawEvent.add(RawZone.RunColumn, "string"))
-      .json(s"$rawRoot/events")
-    val eventKey = Seq("media_id", "visitor_id", "date", "event_timestamp")
-    graft.streaming.Streams.availableNowSink(
-      Transforms.perEventFact(eventStream, durations, ingestionTs), checkpoint) {
-      (batch0, batchId) =>
-        val batch = batch0.localCheckpoint()
-        try {
-          val t0 = System.nanoTime()
-          val audit = batchExpectations(dimMedia, batch).collect()
-          val bad = audit.filter(_.getAs[Long]("violations") > 0L)
-          if (bad.nonEmpty) {
-            val msg = bad.map(r =>
-              s"${r.getAs[String]("tbl")}.${r.getAs[String]("chk")}" +
-                s"=${r.getAs[Long]("violations")}").mkString(", ")
-            RunLog.append(spark, logPath, Seq(RunLog.Entry(ingestionTs,
-              "runStreamingGated", s"dq_gate_trigger_$batchId",
-              bad.map(_.getAs[Long]("violations")).sum,
-              (System.nanoTime() - t0) / 1000000L, "failed",
-              s"expectations failed: $msg".take(500))))
-            throw new IllegalStateException(
-              s"dq_gate trigger $batchId: batch rejected, nothing written — $msg")
-          }
-          val gateEntry = RunLog.Entry(ingestionTs, "runStreamingGated",
-            s"dq_gate_trigger_$batchId", audit.length.toLong,
-            (System.nanoTime() - t0) / 1000000L, "ok", "")
-          val entry =
-            try RunLog.observedWrite(batch, ingestionTs, "runStreamingGated",
-              s"fact_trigger_$batchId") { b =>
-              if (idempotent)
-                RawZone.warehouseMerge(b.sparkSession, b, wh.fact, eventKey,
-                  partitionBy = Seq("date"))
-              else RawZone.warehouseAppend(b, wh.fact, partitionBy = Seq("date"))
-            }
-            catch {
-              case f: RunLog.LoggedFailure =>
-                RunLog.append(spark, logPath, Seq(gateEntry, f.entry))
-                throw f.cause
-            }
-          RunLog.append(spark, logPath, Seq(gateEntry, entry))
-        } finally batch.unpersist(blocking = false)
-    }.start()
-  }
-
   def runStreamingLogged(spark: SparkSession, rawRoot: String, wh: Warehouse,
       targetHashedIds: Seq[String],
       ingestionTs: java.sql.Timestamp,
@@ -563,6 +522,86 @@ object Pipeline {
               throw f.cause
           }
         RunLog.append(spark, logPath, Seq(entry))
+    }.start()
+  }
+
+  /** [[runStreamingLogged]] behind the promotion gate — the streaming
+    * twin of [[runBatchGated]] ("fail the trigger, don't land the
+    * batch"), split along what can actually change per trigger: the
+    * DIM-side expectations ([[dimExpectations]]) run ONCE before the
+    * stream starts, because the staged dim is immutable for the query's
+    * lifetime — a poisoned dim rejects at startup (`dq_gate_dim`
+    * failed row + throw) instead of re-reporting the identical verdict
+    * every trigger; the FACT-side expectations ([[factExpectations]]:
+    * percent domain + orphan-media RI vs the broadcast dim) audit every
+    * micro-batch before its sink write through the shared
+    * [[gateOrThrow]] decision. A violating trigger logs one failed
+    * `dq_gate_trigger_<batchId>` row naming the expectations and THROWS
+    * — landing the batch would corrupt the fact table and silently
+    * skipping it would drop data, so the stream dies with the trigger
+    * UNCOMMITTED and the operator gets the failure plus the forensics.
+    *
+    * RECOVERY SEMANTICS, stated precisely (Spark's file source, not
+    * this gate, defines them): the rejected trigger's FILE LIST is
+    * already recorded in the source's metadata log, so a plain restart
+    * replays the same files and the gate rejects them again —
+    * deliberately: the poison cannot slip through by restarting. The
+    * operator's playbook is to REMOVE the poisoned run's files and
+    * republish corrected data as a NEW run: the planned batch then
+    * replays whatever of its files remain (a fully-removed run replays
+    * empty — dropping exactly the rejected rows, nothing else ever
+    * landed), and the new run arrives as the next trigger. Do NOT edit
+    * a planned run in place: the file source replays its recorded list
+    * and skips missing files with only a WARN, so partial in-place
+    * deletion silently loses the run's surviving rows — republish,
+    * don't patch (PipelineSpec exercises exactly this playbook). The
+    * batch pins once (localCheckpoint, micro-batch-sized) so the audit
+    * and the write share one computation.
+    */
+  def runStreamingGated(spark: SparkSession, rawRoot: String, wh: Warehouse,
+      targetHashedIds: Seq[String],
+      ingestionTs: java.sql.Timestamp,
+      checkpoint: String,
+      idempotent: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.RunLog
+    val logPath = s"${wh.root}/run_log"
+    val rawMedia = RawZone.readLatestRun(spark, rawRoot, "media", Schemas.rawMedia)
+      .getOrElse(throw new IllegalStateException(s"no raw runs under $rawRoot/media"))
+    val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+    // dim gate at startup: one bounded audit of the immutable staged dim
+    val tDim = System.nanoTime()
+    val dimGate = gateOrThrow(spark, logPath, "runStreamingGated",
+      "dq_gate_dim", ingestionTs, dimExpectations(dimMedia).collect(), tDim)
+    RunLog.append(spark, logPath, Seq(dimGate))
+    val durations = dimMedia.select(col("media_id"), col("duration"))
+    val eventStream = spark.readStream
+      .schema(Schemas.rawEvent.add(RawZone.RunColumn, "string"))
+      .json(s"$rawRoot/events")
+    val eventKey = Seq("media_id", "visitor_id", "date", "event_timestamp")
+    graft.streaming.Streams.availableNowSink(
+      Transforms.perEventFact(eventStream, durations, ingestionTs), checkpoint) {
+      (batch0, batchId) =>
+        val batch = batch0.localCheckpoint()
+        try {
+          val t0 = System.nanoTime()
+          val gateEntry = gateOrThrow(spark, logPath, "runStreamingGated",
+            s"dq_gate_trigger_$batchId", ingestionTs,
+            factExpectations(dimMedia, batch).collect(), t0)
+          val entry =
+            try RunLog.observedWrite(batch, ingestionTs, "runStreamingGated",
+              s"fact_trigger_$batchId") { b =>
+              if (idempotent)
+                RawZone.warehouseMerge(b.sparkSession, b, wh.fact, eventKey,
+                  partitionBy = Seq("date"))
+              else RawZone.warehouseAppend(b, wh.fact, partitionBy = Seq("date"))
+            }
+            catch {
+              case f: RunLog.LoggedFailure =>
+                RunLog.append(spark, logPath, Seq(gateEntry, f.entry))
+                throw f.cause
+            }
+          RunLog.append(spark, logPath, Seq(gateEntry, entry))
+        } finally batch.unpersist(blocking = false)
     }.start()
   }
 }

@@ -581,9 +581,14 @@ class PipelineSpec extends SparkSpec {
     assert(failed.length === 1)
     assert(failed(0).getAs[String]("stage").startsWith("dq_gate_trigger_"))
     assert(failed(0).getAs[String]("error").contains("fact.percent_range=1"))
-    // upstream fix: replace the poisoned run's events; the checkpoint
-    // never committed trigger 2, so a restart REPLAYS the fixed data
-    // (plus anything newer) — no data loss, no poison landed
+    // the documented recovery playbook (Pipeline.runStreamingGated
+    // scaladoc): REMOVE the whole poisoned run and REPUBLISH the
+    // corrected data as a NEW run — the planned-but-uncommitted batch
+    // replays empty (its files are gone; exactly the rejected rows,
+    // nothing else, ever existed in it) and the corrected run arrives
+    // as the next trigger. Editing a planned run in place would be
+    // lossy (the file source replays its recorded list, WARN-skipping
+    // missing files) — which is why the playbook says republish.
     val runDir = new java.io.File(s"$dir/raw/events/run_ts=20250502_000000")
     runDir.listFiles().foreach(_.delete())
     RawZone.writeRun(spark.read.schema(Schemas.rawEvent).json(Seq(
@@ -596,6 +601,36 @@ class PipelineSpec extends SparkSpec {
     assert(RawZone.warehouse(spark, wh.fact).count() === 4L)
     assert(RawZone.warehouse(spark, wh.fact)
       .filter(col("percent_viewed") > 1.0).count() === 0L)
+    // the dim gate ran once per stream START (3 activations), not per
+    // trigger — the dim is immutable for a query's lifetime
+    val dimGates = RunLog.read(spark, s"${wh.root}/run_log")
+      .filter(col("stage") === "dq_gate_dim").collect()
+    assert(dimGates.length === 3)
+    assert(dimGates.forall(_.getAs[String]("status") == "ok"))
+  }
+
+  test("runStreamingGated: a poisoned DIM rejects at startup, before any trigger") {
+    import graft.sources.RunLog
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipeline_sgate_dim").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    val negMedia = mediaJson.map(_.replace("\"duration\": 50.0", "\"duration\": -50.0"))
+    RawZone.writeRun(spark.read.schema(Schemas.rawMedia)
+      .json(negMedia.toDS), s"$dir/raw", "media", "20250501_000000")
+    RawZone.writeRun(spark.read.schema(Schemas.rawEvent).json(Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2)).toDS),
+      s"$dir/raw", "events", "20250501_000000")
+    val e = intercept[IllegalStateException] {
+      Pipeline.runStreamingGated(spark, s"$dir/raw", wh,
+        Seq("abc", "xyz"), ts0, s"$dir/ckpt")
+    }
+    assert(e.getMessage.contains("dim_media.negative_duration=1"))
+    assert(!Files.exists(java.nio.file.Paths.get(wh.fact)))
+    val log = RunLog.read(spark, s"${wh.root}/run_log").collect()
+    assert(log.length === 1)
+    assert(log(0).getAs[String]("stage") === "dq_gate_dim")
+    assert(log(0).getAs[String]("status") === "failed")
   }
 
   test("runBatchGated: a clean batch lands identically to runBatchLogged") {
