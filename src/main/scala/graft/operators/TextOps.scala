@@ -500,8 +500,24 @@ object TextOps {
     val h = conv(substring(md5(
       concat(col("doc_id").cast("string"), lit(":bpe"))), 1, 15), 16, 10)
       .cast("long")
-    bpeLoopOf(Tables.documents(s, d)
-      .filter(if (rate == 1L) lit(true) else pmod(h, lit(rate)) === 0L))._1
+    val sampled = Tables.documents(s, d)
+      .filter(if (rate == 1L) lit(true) else pmod(h, lit(rate)) === 0L)
+    // a degenerate sample must be VISIBLE, not a silently weak tokenizer
+    // artifact: an over-aggressive rate can thin the corpus until the
+    // loop runs out of pairs (merges.size < t11K) or out of docs
+    // entirely — and a stored empty/truncated merge table makes every
+    // downstream encode a no-op with no signal. Empty is an error;
+    // truncated warns with the sampled-doc count so the operator can
+    // size the rate against the probe's noise-vs-margin rule.
+    val nSampled = sampled.count()
+    require(nSampled > 0L,
+      s"bpeTrainSampled: rate=$rate left zero docs — no merge table can be trained")
+    val merges = bpeLoopOf(sampled)._1
+    if (merges.size < t11K)
+      System.err.println(s"[bpeTrainSampled] WARNING: rate=$rate kept only " +
+        s"$nSampled docs and the merge loop dried up at ${merges.size}/" +
+        s"$t11K merges — the stored table is truncated; lower the rate")
+    merges
   }
 
   /** ENCODE with a GIVEN merge table (the deployed-tokenizer path t18

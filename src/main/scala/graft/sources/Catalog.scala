@@ -324,7 +324,12 @@ object Catalog {
         val tdf = spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
             scala.jdk.CollectionConverters.SeqHasAsJava(touched).asJava),
-          StructType(partitionBy.map(c => schema(c)).toArray))
+          // staging schema normalized nullable: the touched list can
+          // carry the NULL (__HIVE_DEFAULT_PARTITION__) partition even
+          // when the column is declared non-nullable, and createDataFrame
+          // validates rows against THIS schema — a verbatim copy would
+          // abort the purge mid-flight on the null tuple
+          StructType(partitionBy.map(c => schema(c).copy(nullable = true)).toArray))
           .toDF(partitionBy.map(c => s"_t_$c"): _*)
         prefiltered.join(broadcast(tdf),
           partitionBy.map(c => col(c) <=> col(s"_t_$c")).reduce(_ && _),

@@ -208,7 +208,15 @@ object Snapshots {
       }
     }
     try flipOnce()
-    catch { case _: java.io.IOException => flipOnce() }
+    catch {
+      // the retry must not erase the first failure's diagnosis: if it
+      // too dies, the original IOException rides along as suppressed
+      // (Takedown.execute's retry discipline) — one error object carries
+      // both attempts for the operator
+      case e1: java.io.IOException =>
+        try flipOnce()
+        catch { case e2: Throwable => e2.addSuppressed(e1); throw e2 }
+    }
   }
 
   /** Read a pinned version, or the committed latest when None. */

@@ -567,11 +567,22 @@ object Pipeline {
     val logPath = s"${wh.root}/run_log"
     val rawMedia = RawZone.readLatestRun(spark, rawRoot, "media", Schemas.rawMedia)
       .getOrElse(throw new IllegalStateException(s"no raw runs under $rawRoot/media"))
+    // the immutable dim pins ONCE (localCheckpoint, dim-sized) BEFORE its
+    // gate, so the startup verdict covers exactly the frame every trigger
+    // then audits against and joins — not a per-trigger recomputation of
+    // the raw-JSON-read + transform lineage. The pinned blocks live for
+    // the query's lifetime (the returned StreamingQuery owns them); only
+    // a REJECTED dim unpersists here, since no query starts.
     val dimMedia = Transforms.dimMedia(rawMedia, targetHashedIds, ingestionTs)
+      .localCheckpoint()
     // dim gate at startup: one bounded audit of the immutable staged dim
     val tDim = System.nanoTime()
-    val dimGate = gateOrThrow(spark, logPath, "runStreamingGated",
-      "dq_gate_dim", ingestionTs, dimExpectations(dimMedia).collect(), tDim)
+    val dimGate =
+      try gateOrThrow(spark, logPath, "runStreamingGated",
+        "dq_gate_dim", ingestionTs, dimExpectations(dimMedia).collect(), tDim)
+      catch { case e: Throwable =>
+        dimMedia.unpersist(blocking = false); throw e
+      }
     RunLog.append(spark, logPath, Seq(dimGate))
     val durations = dimMedia.select(col("media_id"), col("duration"))
     val eventStream = spark.readStream

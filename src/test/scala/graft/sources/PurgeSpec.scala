@@ -130,4 +130,39 @@ class PurgeSpec extends graft.SparkSpec {
     for (((d, r), before) <- crossBefore)
       assert(files(d, r) === before, s"($d,$r)")
   }
+
+  test("purgeKeys on a COMPOSITE spec with the NULL partition touched") {
+    // the composite path stages the touched tuples through
+    // createDataFrame, which VALIDATES rows against the staging schema —
+    // a partition column copied non-nullable from the table schema would
+    // throw mid-purge on the null tuple (the single-column path's isin
+    // handles null separately; this pins the composite form, the
+    // nullable-normalized staging schema)
+    val db = "purge_comp_null"
+    val loc = java.nio.file.Files.createTempDirectory("graft_purge_cn").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.docs"
+    import spark.implicits._
+    val base = Seq(
+      (Option("web"), 0L, 1L), (Option("web"), 1L, 2L),
+      (None: Option[String], 0L, 3L), (None: Option[String], 0L, 4L),
+      (None: Option[String], 1L, 5L), (Option("pdf"), 0L, 6L))
+      .toDF("src", "r", "doc_id")
+    Catalog.append(base.repartition(col("src"), col("r")), t, Seq("src", "r"))
+    // doom one row in the (NULL, 0) tuple plus one in ("web", 1) — the
+    // touched list mixes a null and a non-null tuple, so the staged
+    // frame must admit null in the src column
+    val deleted = Catalog.purgeKeys(spark, t,
+      Seq(3L, 2L).toDF("doc_id"), Seq("src", "r"))
+    assert(deleted === 2L)
+    val left = spark.table(t).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(left === Seq(1L, 4L, 5L, 6L))
+    // the null tuple kept its surviving row; the all-doomed ("web", 1)
+    // tuple is dropped
+    assert(spark.table(t).filter(col("src").isNull && col("r") === 0L)
+      .count() === 1L)
+    assert(spark.table(t).filter(col("src") === "web" && col("r") === 1L)
+      .count() === 0L)
+  }
 }
