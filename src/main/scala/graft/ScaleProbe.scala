@@ -1204,6 +1204,53 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // single-pass BPE encode probe (`runMain graft.ScaleProbe
+    // bpe:encode`): the r14 audit's one remaining O(k·corpus)
+    // serving-side term was bpeEncodeWithMerges' k-round corpus replay
+    // (each round a doc_id window exchange + sort over the full corpus).
+    // The r15 native expression applies the whole merge table per
+    // document in one map-only codegen'd pass, so encode cost must be
+    // INDEPENDENT of k. Train k=12 merges on the sf0.1 corpus, then time
+    // the old window replay vs the expression at k=6 and k=12 — the
+    // replay should roughly double, the expression should be flat — with
+    // full-sequence parity asserted in-run at both k. MEASURED (sf0.1,
+    // warm, r15): window replay 3.34 s (k=6) → 6.00 s (k=12), ~1.8×;
+    // expression 0.12 s at BOTH k — flat, and ~28×/~50× under the
+    // replay it replaced.
+    if (args.contains("bpe:encode")) {
+      import graft.operators.TextOps
+      val docs = Tables.documents(spark, src)
+      val merges12 = TextOps.bpeLoopOf(docs, 12)._1.map(m => (m._2, m._3))
+      require(merges12.size == 12, s"trained only ${merges12.size}/12 merges")
+      dropPersisted()
+      for (k <- Seq(6, 12)) {
+        val merges = merges12.take(k)
+        def exprDf(): DataFrame = docs.select(col("doc_id"), posexplode(
+            graft.functions.VectorFunctions.bpeEncode(
+              split(col("text"), " "), merges)))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("tok"))
+        // parity: full (doc_id, pos, tok) sequences, both directions
+        val win = TextOps.bpeReplayWindowed(docs, merges).localCheckpoint()
+        val ex = exprDf().localCheckpoint()
+        require(ex.exceptAll(win).isEmpty && win.exceptAll(ex).isEmpty,
+          s"k=$k: expression encode diverged from the window replay")
+        println(s"[probe] bpe:encode k=$k parity OK (${win.count()} tokens)")
+        dropPersisted()
+        for ((label, run) <- Seq[(String, () => DataFrame)](
+            "window-replay" -> (() => TextOps.bpeReplayWindowed(docs, merges)),
+            "expression   " -> (() => exprDf()))) {
+          run().write.format("noop").mode("overwrite").save()
+          dropPersisted()
+          val t0 = System.nanoTime()
+          run().write.format("noop").mode("overwrite").save()
+          println(f"[probe] bpe:encode k=$k%-3d $label ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          dropPersisted()
+        }
+      }
+      spark.stop()
+      return
+    }
     // adversarial t17 hub-word probe (`runMain graft.ScaleProbe
     // skew:t17`): one ultra-hot word interleaved at every other position
     // of every doc — the co-occurrence graph gets a hub node whose

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{DotLong, HyperplaneBands, IntersectCountAtLeastFrac, IntersectCountSortedLong, MisraGries, SparkShim, TopKPairs}
+import org.apache.spark.sql.graftshim.{BpeEncode, DotLong, HyperplaneBands, IntersectCountAtLeastFrac, IntersectCountSortedLong, MisraGries, SparkShim, TopKPairs}
 
 /** Column-level entry points for the native vector/set expressions (see
   * [[org.apache.spark.sql.graftshim.DotLong]] and
@@ -56,4 +56,12 @@ object VectorFunctions {
   def misraGries(item: Column, capacity: Int): Column =
     SparkShim.column(MisraGries(SparkShim.expression(item), capacity)
       .toAggregateExpression())
+
+  /** Replay an ORDERED BPE merge table over an `array<string>` token
+    * column in one map-only codegen'd pass (each merge a leftmost-non-
+    * overlapping rewrite, in training order) — encode cost independent
+    * of the corpus-wide round count.
+    */
+  def bpeEncode(toks: Column, merges: Seq[(String, String)]): Column =
+    SparkShim.column(BpeEncode(SparkShim.expression(toks), merges))
 }

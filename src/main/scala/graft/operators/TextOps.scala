@@ -373,17 +373,19 @@ object TextOps {
   // per-doc sequential scan.
   //
   // Scale (dd7's loop discipline — the driver iterates over ACTIONS,
-  // never rows): each round is one map-side-combined pair-count shuffle,
-  // a distributed TakeOrdered(1) (the only collect — a single row, like
-  // the HWM scalar), and a doc_id-partitioned window rewrite;
-  // localCheckpoint truncates lineage per round so round k's plan does
-  // not replay rounds 1..k−1.
+  // never rows): each round is one map-side-combined pair-count shuffle
+  // and a distributed TakeOrdered(1) (the only collect — a single row,
+  // like the HWM scalar). Since r15 the REWRITE half is the single-pass
+  // native BpeEncode expression stacked over the one checkpointed
+  // array-form corpus (see bpeLoopOf) — no per-round doc_id window
+  // exchange and no per-round materialization.
   private val t11K = 6
 
   /** The shared BPE merge loop: k rounds of count→argmax→rewrite.
     * Returns the merge table rows (driver-side, k scalars) and the
-    * FINAL rewritten corpus frame — t11 reports the former, t18 the
-    * per-doc encode statistics of the latter.
+    * FINAL rewritten corpus as (doc_id, toks array<string>) — t11
+    * reports the former, t18 the per-doc encode statistics of the
+    * latter.
     */
   private def bpeLoop(s: SparkSession, d: String)
       : (Seq[(Long, String, String, Long)], DataFrame) =
@@ -397,10 +399,13 @@ object TextOps {
     * count isolates runs exactly like the filtered pos − row_number
     * form, and min-over-(doc, grp) only reads candidate rows via the
     * when(). All windows cluster by doc_id, so the whole round is one
-    * doc_id exchange (reused from the checkpointed corpus). Shared by
-    * the TRAINER loop (which recounts between rounds) and
-    * [[bpeEncodeWithMerges]] (which replays a fixed merge table — no
-    * counting, exactly this rewrite per merge).
+    * doc_id exchange (reused from the checkpointed corpus).
+    *
+    * Since r15 this window form is the EXECUTABLE SPEC dual: the hot
+    * paths (the trainer's rewrite half and the serving encode) run the
+    * single-pass native [[graft.functions.VectorFunctions.bpeEncode]]
+    * expression instead, and BpeEncodeSpec pins the two replays
+    * sequence-bit-equal differentially ([[bpeReplayWindowed]]).
     */
   private def bpeMergeRound(corpus: DataFrame, a: String,
       b: String): DataFrame = {
@@ -442,30 +447,66 @@ object TextOps {
     .select(col("doc_id"), col("pos").cast("long").as("pos"),
       col("col").as("tok"))
 
-  private def bpeLoopOf(docs: DataFrame)
+  /** The k-round window-algebra replay of a fixed merge table over an
+    * exploded corpus — the pre-r15 encode path, kept as the executable
+    * spec the single-pass [[graft.functions.VectorFunctions.bpeEncode]]
+    * expression is differentially pinned against (BpeEncodeSpec, full
+    * token sequences, sf0.001 corpus + adversarial self-merge runs).
+    * Returns (doc_id, pos, tok).
+    */
+  private[graft] def bpeReplayWindowed(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(bpeExplode(docs).localCheckpoint()) {
+      case (c, (a, b)) => bpeMergeRound(c, a, b)
+    }
+
+  /** Array-form trainer loop: the corpus stays ONE row per doc
+    * (`toks: array<string>`), round r's corpus is the base plus the
+    * first r−1 merges STACKED into a single [[graft.functions
+    * .VectorFunctions.bpeEncode]] map pass, and pairs for the count come
+    * from an in-row zip (t12's discipline). What this removes vs the
+    * pre-r15 exploded form: the per-round doc_id window exchange + sort
+    * over the FULL corpus (the rewrite is now embarrassingly parallel)
+    * and the per-round localCheckpoint materialization — the only
+    * shuffle left per round is the map-side-combined pair count, and
+    * the only collect stays the 1-row argmax. Re-applying r−1 in-memory
+    * merges per round costs O(k²/2) map passes total — at k=6, 15 cheap
+    * codegen'd passes against checkpoint-free lineage. MEASURED (sf0.1,
+    * warm): t11 4.87 → 1.43 s and t18 4.92 → 1.49 s vs the r14 exploded
+    * window form — the pair extraction must stay arrays_zip (plain
+    * codegen'd), not zip_with (CodegenFallback HOF, ~5× on this path).
+    */
+  private[graft] def bpeLoopOf(docs: DataFrame, k: Int = t11K)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    var corpus = bpeExplode(docs).localCheckpoint()
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint() // read k+1 times: once per round's count + final
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    def encoded: DataFrame =
+      if (merges.isEmpty) base
+      else base.withColumn("toks", graft.functions.VectorFunctions
+        .bpeEncode(col("toks"), merges.toSeq.map(m => (m._2, m._3))))
     var r = 1
     var done = false
-    while (r <= t11K && !done) {
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val withNext = corpus.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      val best = withNext.filter(col("nxt").isNotNull)
-        .groupBy(col("tok").as("lhs"), col("nxt").as("rhs"))
+    while (r <= k && !done) {
+      // arrays_zip (a plain codegen'd expression), NOT zip_with (a
+      // CodegenFallback higher-order function) — the pair extraction is
+      // the per-round hot path
+      val a = col("toks")
+      val pairs = arrays_zip(
+        slice(a, lit(1), greatest(size(a) - 1, lit(0))).as("l"),
+        slice(a, lit(2), greatest(size(a) - 1, lit(0))).as("r"))
+      val best = encoded.select(explode(pairs).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("lhs"), col("rhs")).limit(1).collect()
       if (best.isEmpty) done = true
       else {
-        val a = best(0).getString(0)
-        val b = best(0).getString(1)
-        merges += ((r.toLong, a, b, best(0).getLong(2)))
-        corpus = bpeMergeRoundOver(withNext, a, b)
+        merges += ((r.toLong, best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2)))
         r += 1
       }
     }
-    (merges.toSeq, corpus)
+    (merges.toSeq, encoded)
   }
 
   /** SAMPLE-THINNED BPE training — the 100 TB trainer path (sim14/
@@ -481,9 +522,11 @@ object TextOps {
     * is the production knob for the O(k·corpus) training cost the r13
     * audit flagged (t11/t18 were the slowest text family).
     *
-    * MEASURED (sample:bpe probe, sf0.1 10× corpus = 600k docs, warm):
-    * full train 17.6 s; rate=2 7.2 s (2.4×) with 5/6 (lhs, rhs) merges
-    * agreeing; rate=10 4.1 s (4.3×) with 0/6. The split is not noise —
+    * MEASURED (sample:bpe probe, sf0.1 10× corpus = 600k docs, warm,
+    * r15 array-form trainer): full train 11.15 s; rate=2 3.02 s (3.7×)
+    * with 5/6 (lhs, rhs) merges agreeing; rate=10 1.57 s (7.1×) with
+    * 0/6 (the r14 exploded-window trainer measured 17.6/7.2/4.1 s on
+    * the same corpus). The split is not noise —
     * it is the honest sizing rule for this knob: the synthetic corpus's
     * pair frequencies are near-FLAT (full top-6 counts 3570..3410, an
     * argmax margin of 1–2%), so the sample must keep its frequency
@@ -521,23 +564,24 @@ object TextOps {
   }
 
   /** ENCODE with a GIVEN merge table (the deployed-tokenizer path t18
-    * folds into its loop): replay the merges in training order over the
-    * FULL corpus — k fixed rewrite rounds, NO pair counting or argmax
-    * collect — and report t18's per-doc statistics. With the merge
-    * table from the full-corpus trainer this is bit-identical to t18
+    * folds into its loop): ONE map-only pass of the single-pass native
+    * expression ([[graft.functions.VectorFunctions.bpeEncode]]) over the
+    * full corpus — no pair counting, no argmax collect, no join, and
+    * since r15 no per-merge corpus rewrite rounds either: encode cost is
+    * independent of k (the bpe:encode probe measures it — the r14
+    * audit's last O(k·corpus) serving-side term). With the merge table
+    * from the full-corpus trainer this is bit-identical to t18
     * (T11SampledSpec pins the factoring); with [[bpeTrainSampled]]'s
     * table it is the production configuration: train on the sample,
     * encode everything.
     */
   private[graft] def bpeEncodeWithMerges(s: SparkSession, d: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val after = merges.foldLeft(bpeExplode(docs).localCheckpoint()) {
-      case (c, (a, b)) => bpeMergeRound(c, a, b)
-    }.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_before"))
-      .join(after, Seq("doc_id"))
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_before"),
+        size(graft.functions.VectorFunctions.bpeEncode(toks, merges))
+          .cast("long").as("n_after"))
       .select(col("doc_id"), col("n_before"), col("n_after"),
         expr("n_after * 1000000L div n_before").as("compression_ppm"))
       .orderBy("doc_id")
@@ -604,17 +648,18 @@ c$r AS (SELECT doc_id,
   // (pk1) or curriculum (cur1) stage consumes as "token budget after
   // tokenization", not whitespace count.
   //
-  // Scale: identical loop discipline to t11 (k fixed rounds, one
-  // pair-count shuffle + one doc_id-clustered window rewrite each, the
-  // 1-row argmax the only collect); the final stats are one map-side-
-  // combined per-doc count over each end of the loop.
+  // Scale: training cost is t11's (k pair-count shuffles + k 1-row
+  // argmax collects — the counting is irreducible); the ENCODE half is
+  // one map-only pass of the stacked single-pass expression on the
+  // trainer's final frame, and the stats are in-row size() arithmetic —
+  // no join, no window, no per-round corpus rewrite.
   private def t18BpeEncode(s: SparkSession, d: String): DataFrame = {
-    val before = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_before"))
+    val docs = Tables.documents(s, d)
     val after = bpeLoop(s, d)._2
-      .groupBy("doc_id").agg(count(lit(1)).as("n_after"))
-    before.join(after, Seq("doc_id"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_after"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_before"))
+      .join(after, Seq("doc_id"))
       .select(col("doc_id"), col("n_before"), col("n_after"),
         expr("n_after * 1000000L div n_before").as("compression_ppm"))
       .orderBy("doc_id")

@@ -287,6 +287,111 @@ case class IntersectCountAtLeastFrac(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Replay a FIXED, ORDERED BPE merge table over an `array<string>` token
+  * column in ONE map-only pass — the serving-side encode of the t11/t18
+  * tokenizer (TextOps.bpeEncodeWithMerges) and the rewrite half of each
+  * training round. Merge r rewrites every leftmost-non-overlapping
+  * (lhs, rhs) adjacency into the token `lhs + " " + rhs`, in training
+  * order — a single left-to-right scan per merge per document, which is
+  * EXACTLY the window-algebra replay's semantics: a greedy left-to-right
+  * scan merges the even-offset candidates of each candidate run
+  * (consecutive candidates only arise when lhs == rhs), the same set the
+  * gaps-and-islands selection picks (BpeEncodeSpec pins the
+  * equivalence differentially, full token sequences).
+  *
+  * Cost: O(k · doc_tokens) per document entirely IN MEMORY inside
+  * whole-stage codegen — replacing the k-round corpus replay, whose
+  * every round was a doc_id window exchange + sort over the FULL corpus
+  * (the one remaining O(k·corpus) serving-side term of the r14 audit).
+  * At 100 TB the encode becomes embarrassingly parallel: no shuffle at
+  * any k, the merge table rides the plan as three tiny reference
+  * arrays. The scan buffer is reused across merges (in-place
+  * compaction: the write cursor never passes the read cursor), so the
+  * only allocation is one UTF8String[] per row.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  // element nullability mirrors the input: merges never introduce nulls,
+  // and a null element never matches a merge (UTF8String.equals(null) is
+  // false), so it passes through untouched
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val mA: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val mB: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._2)).toArray
+  @transient private lazy val mM: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1 + " " + m._2)).toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      cur(i) = if (x.isNullAt(i)) null else x.getUTF8String(i)
+      i += 1
+    }
+    var len = n
+    var r = 0
+    while (r < mA.length) {
+      val av = mA(r); val bv = mB(r); val mv = mM(r)
+      var w = 0; var j = 0
+      while (j < len) {
+        if (j + 1 < len && av.equals(cur(j)) && bv.equals(cur(j + 1))) {
+          cur(w) = mv; w += 1; j += 2
+        } else {
+          cur(w) = cur(j); w += 1; j += 1
+        }
+      }
+      len = w
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(cur.asInstanceOf[Array[AnyRef]], len))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      val aRef = ctx.addReferenceObj("bpeLhs", mA, s"$u8[]")
+      val bRef = ctx.addReferenceObj("bpeRhs", mB, s"$u8[]")
+      val mRef = ctx.addReferenceObj("bpeMerged", mM, s"$u8[]")
+      val n = ctx.freshName("n"); val cur = ctx.freshName("cur")
+      val len = ctx.freshName("len"); val r = ctx.freshName("r")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val w = ctx.freshName("w")
+      val av = ctx.freshName("av"); val bv = ctx.freshName("bv")
+      s"""
+         |int $n = $x.numElements();
+         |$u8[] $cur = new $u8[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $cur[$i] = $x.isNullAt($i) ? null : $x.getUTF8String($i);
+         |}
+         |int $len = $n;
+         |for (int $r = 0; $r < ${mA.length}; $r++) {
+         |  $u8 $av = $aRef[$r]; $u8 $bv = $bRef[$r];
+         |  int $w = 0; int $j = 0;
+         |  while ($j < $len) {
+         |    if ($j + 1 < $len && $av.equals($cur[$j]) && $bv.equals($cur[$j + 1])) {
+         |      $cur[$w++] = $mRef[$r]; $j += 2;
+         |    } else {
+         |      $cur[$w++] = $cur[$j]; $j += 1;
+         |    }
+         |  }
+         |  $len = $w;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) java.util.Arrays.copyOf($cur, $len));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Misra–Gries heavy-hitters CANDIDATE sketch over a long-typed item
   * column: a bounded map of `capacity` counters per aggregation buffer,
   * emitting the surviving candidate items as a sorted `array<long>`.
