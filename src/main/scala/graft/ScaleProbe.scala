@@ -768,13 +768,15 @@ object ScaleProbe {
     // DIRTIER store than real growth would produce, so the measured
     // slope is conservative. Output equality vs the registry pipe5 is
     // asserted in-run at 1× (and pinned at sf0.001 by
-    // Pipe5FromStoreSpec). MEASURED (sf0.1 base, warm, this round):
-    // rederive-in-plan 1× 4.69 s; from-store 1× 3.66 s, 10×-store
-    // 5.76 s — 1.57× for 10× store growth even with the conservative
-    // full-10× candidate degree (the residual slope is the 10× band
-    // index + signature semi join feeding the verify, plus the
-    // 3-column manifest boundary scan), vs the registry probe's 2.6×
-    // with batch+store grown together. The production-shaped
+    // Pipe5FromStoreSpec). MEASURED (sf0.1 base, warm, r15 — the store
+    // now a versioned Snapshots root): rederive-in-plan 1× 4.83 s;
+    // from-store 1× 3.59 s, 10×-store 4.44 s — 1.24× for 10× store
+    // growth even with the conservative full-10× candidate degree (the
+    // residual slope is the 10× band index + signature semi join
+    // feeding the verify, plus the 3-column manifest boundary scan;
+    // the r14 flat-directory layout measured 3.66 → 5.76 s), vs the
+    // registry probe's 2.6× with batch+store grown together. The
+    // versioning costs nothing measurable. The production-shaped
     // incremental cost is near-flat in store size, as the design
     // claims. (The sf0.1 batch is near-dup-heavy by corpus design —
     // pipe3 accepts 2 docs — so the timed number is dominated by the
@@ -792,10 +794,10 @@ object ScaleProbe {
         docs.unionByName(copies).write.mode("overwrite")
           .parquet(s"$dirBase/10x/documents.parquet")
       }
-      // last night's run (untimed)
-      if (!new java.io.File(s"$dirBase/1x_store/store_opens.parquet").exists())
+      // last night's run (untimed) — the store is a Snapshots root now
+      if (graft.sources.Snapshots.latestVersion(spark, s"$dirBase/1x_store").isEmpty)
         TrainPrep.materializeStore(spark, src, s"$dirBase/1x_store")
-      if (!new java.io.File(s"$dirBase/10x_store/store_opens.parquet").exists())
+      if (graft.sources.Snapshots.latestVersion(spark, s"$dirBase/10x_store").isEmpty)
         TrainPrep.materializeStore(spark, s"$dirBase/10x", s"$dirBase/10x_store")
       // correctness: from-store output == the registry pipe5, bit-for-bit
       val want = SparkEntry.queries("pipe5_incremental_chunks")(spark, src)
@@ -982,7 +984,7 @@ object ScaleProbe {
         Catalog.append(all.withColumn("pt", pmod(col("doc_id"), lit(16L)))
           .repartition(col("pt")), docsT, Seq("pt"))
         TrainPrep.materializeStore(spark, d, store)
-        val sman = spark.read.parquet(s"$store/store_manifest.parquet")
+        val sman = TrainPrep.storeTable(spark, store, "store_manifest")
           .localCheckpoint()
         Catalog.append(TrainPrep.shardChunksOf(
             sman.select(col("shard"), col("doc_id"), col("start_off"),
@@ -991,11 +993,11 @@ object ScaleProbe {
         dropPersisted()
         // fixed takedown shape: the heaviest shard's last ~10 docs + 10
         // mid-shard docs of another shard
-        val t0r = spark.read.parquet(s"$store/store_totals.parquet")
+        val t0r = TrainPrep.storeTable(spark, store, "store_totals")
           .orderBy(col("tot0").desc).limit(2).collect()
         val (s0, tot0) = (t0r(0).getAs[Long]("shard"), t0r(0).getAs[Long]("tot0"))
         val s1 = t0r(1).getAs[Long]("shard")
-        val sman2 = spark.read.parquet(s"$store/store_manifest.parquet")
+        val sman2 = TrainPrep.storeTable(spark, store, "store_manifest")
         val tail0 = sman2.filter(col("shard") === s0)
           .orderBy(col("start_off").desc).limit(10)
           .select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -1011,6 +1013,17 @@ object ScaleProbe {
         println(f"[probe] prod chunks $label%-4s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
           s"manifestPurged=${r.manifestRowsPurged} shards=${r.shardsTouched} " +
           s"rewritten=${r.chunksRewritten} deleted=${r.chunksDeleted}")
+        dropPersisted()
+        // the compliance evidence table a regulator actually sees —
+        // measured, not asserted: five layers (documents + manifest/
+        // bands/shingles by id + the structural test_shingles
+        // derivation), each a narrow-column scan
+        val tv = System.nanoTime()
+        val ver = Takedown.verifyErasure(spark, doomed,
+          docsTable = Some(docsT), storeDir = Some(store)).collect()
+        require(ver.forall(_.getAs[Boolean]("clean")),
+          s"verifyErasure found residue: ${ver.mkString(",")}")
+        println(f"[probe] prod chunks $label%-4s verifyErasure ${(System.nanoTime() - tv) / 1e9}%6.2f s (${ver.length} layers clean)")
         dropPersisted()
       }
       spark.stop()

@@ -1547,17 +1547,51 @@ object TrainPrep {
   // cost — the number the registry probe could not isolate because its
   // plan re-derives the store-sized manifest each run.
   private[graft] def materializeStore(s: SparkSession, d: String,
-      storeDir: String): Unit =
+      storeDir: String): Long =
     materializeStoreFrom(s, Tables.documents(s, d), storeDir)
+
+  /** The held-out membership convention (doc_id ≡ 0 mod 10) — ONE
+    * definition shared by the store writer, the erasure flow
+    * ([[graft.sources.Takedown.executeChunks]] re-derives the
+    * fingerprint universe when a doomed id is held-out) and the
+    * verification layer.
+    */
+  private[graft] def isHeldOutId(id: Long): Boolean = id % 10L == 0L
+
+  /** The held-out fingerprint universe of a documents frame — bare
+    * shingle hashes, no doc attribution (dc1/dc2's decontamination
+    * side). Derivable ONLY from a corpus, which is why erasing a
+    * held-out doc means re-deriving this table from the purged corpus.
+    */
+  private[graft] def testShinglesOf(docsAll: DataFrame): DataFrame =
+    Dedup.shingleRowsOf(docsAll.filter(col("doc_id") % 10 === 0))
+      .select(xxhash64(col("s")).as("h")).distinct()
+
+  /** Read one pack-store table at the committed latest (or a pinned)
+    * snapshot version — every store consumer goes through here so the
+    * versioned layout stays in one place.
+    */
+  private[graft] def storeTable(s: SparkSession, storeDir: String,
+      name: String, version: Option[Long] = None): DataFrame =
+    graft.sources.Snapshots.readTable(s, storeDir, name, version)
 
   /** [[materializeStore]] over an explicit documents frame — the form
     * the erasure spec uses to build the from-scratch reference store on
     * a PURGED corpus ([[graft.sources.Takedown.executeChunks]]'s
     * bit-equality pin), and what a maintained warehouse would call with
     * its catalog table's current state.
+    *
+    * Since r15 the six store tables commit as ONE atomic
+    * [[graft.sources.Snapshots.writeTables]] version (single version
+    * claim + pointer flip): a reader never sees a half-written store, a
+    * crashed write leaves the previous version fully readable, and the
+    * erasure flow's store rewrite inherits the same guarantee — the
+    * flat-directory crash window the r14 scaladoc documented is closed
+    * with the machinery pipe6's RAG index already publishes through.
+    * Returns the committed version.
     */
   private[graft] def materializeStoreFrom(s: SparkSession, docsAll: DataFrame,
-      storeDir: String): Unit = {
+      storeDir: String): Long = {
     val nWords = size(split(col("text"), " ")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
     val hkey = conv(substring(md5(
@@ -1570,29 +1604,18 @@ object TrainPrep {
     // (a) band index, store-bucket cap applied AT WRITE (pipe3 stage 3's
     // guard — an over-full bucket never reaches any future nightly run)
     val wBucket = Window.partitionBy("band", "key")
-    Dedup.bandFrameOf(store)
+    val bands = Dedup.bandFrameOf(store)
       .select(col("doc_id"), col("band"), col("key"))
       .withColumn("sb", count(lit(1)).over(wBucket))
       .filter(col("sb") <= pipe3MaxStoreBucket)
       .select("doc_id", "band", "key")
-      .write.mode("overwrite").parquet(s"$storeDir/store_bands.parquet")
     // (b) per-doc sorted shingle-hash signatures (dd11's stored side)
-    Dedup.shingleRowsOf(store)
+    val shingles = Dedup.shingleRowsOf(store)
       .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$storeDir/store_shingles.parquet")
-    // (c) held-out fingerprint universe
-    Dedup.shingleRowsOf(docsAll.filter(col("doc_id") % 10 === 0))
-      .select(xxhash64(col("s")).as("h")).distinct()
-      .write.mode("overwrite").parquet(s"$storeDir/test_shingles.parquet")
-    // (d) per-shard append cursors
-    store.select(col("doc_id"), nWords.as("n_tokens"))
-      .withColumn("shard", pmod(hkey, lit(8L)))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"))
-      .write.mode("overwrite").parquet(s"$storeDir/store_totals.parquet")
-    // (e) token-offset manifest
+    // (e) token-offset manifest — pinned once: cursors (d) and open
+    // starts (f) derive from it, and writeTables evaluates each frame
     val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     val smang = store
       .select(col("doc_id"), nWords.as("n_tokens"))
@@ -1601,12 +1624,22 @@ object TrainPrep {
       .withColumn("start_off",
         coalesce(sum(col("n_tokens"))
           .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    smang.write.mode("overwrite").parquet(s"$storeDir/store_manifest.parquet")
-    // (f) open-chunk starts
-    smang.groupBy("shard")
-      .agg((expr(s"sum(n_tokens) div ${packBudget}L") * packBudget)
-        .as("open_start"))
-      .write.mode("overwrite").parquet(s"$storeDir/store_opens.parquet")
+      .localCheckpoint()
+    try
+      graft.sources.Snapshots.writeTables(Seq(
+        "store_bands" -> bands,
+        "store_shingles" -> shingles,
+        // (c) held-out fingerprint universe
+        "test_shingles" -> testShinglesOf(docsAll),
+        // (d) per-shard append cursors
+        "store_totals" -> smang.groupBy("shard")
+          .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0")),
+        "store_manifest" -> smang,
+        // (f) open-chunk starts
+        "store_opens" -> smang.groupBy("shard")
+          .agg((expr(s"sum(n_tokens) div ${packBudget}L") * packBudget)
+            .as("open_start"))), storeDir)
+    finally smang.unpersist(blocking = false)
   }
 
   /** pipe3's five stages reading the materialized store: only the BATCH
@@ -1633,7 +1666,7 @@ object TrainPrep {
       .filter(col("rk") === 1).drop("th", "rk")
     // stage 3 — fuzzy gate vs the STORED band index (the cap was applied
     // at write time; batch-side signatures are the only MinHash work)
-    val sBand = s.read.parquet(s"$storeDir/store_bands.parquet")
+    val sBand = storeTable(s, storeDir, "store_bands")
     val cand = Dedup.bandFrameOf(bdd)
         .select(col("doc_id").as("nid"), col("band"), col("key"))
       .join(sBand.select(col("doc_id").as("oid"), col("band"), col("key")),
@@ -1645,7 +1678,7 @@ object TrainPrep {
       .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-    val hsS = s.read.parquet(s"$storeDir/store_shingles.parquet")
+    val hsS = storeTable(s, storeDir, "store_shingles")
       .join(cand.select(col("oid").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val dupNids = cand
       .join(hsB.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
@@ -1656,7 +1689,7 @@ object TrainPrep {
       .select(col("nid").as("doc_id")).distinct()
     val fresh = bdd.join(dupNids, Seq("doc_id"), "left_anti")
     // stage 4 — decontamination vs the stored fingerprint universe
-    val testSh = s.read.parquet(s"$storeDir/test_shingles.parquet")
+    val testSh = storeTable(s, storeDir, "test_shingles")
     val fsh = Dedup.shingleRowsOf(fresh)
       .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
     val ctot = fsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -1671,7 +1704,7 @@ object TrainPrep {
     val hkey = conv(substring(md5(
       concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
       .cast("long")
-    val stored = s.read.parquet(s"$storeDir/store_totals.parquet")
+    val stored = storeTable(s, storeDir, "store_totals")
     val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     acc.withColumn("hkey", hkey)
       .withColumn("shard", pmod(col("hkey"), lit(8L)))
@@ -1693,8 +1726,8 @@ object TrainPrep {
     */
   private[graft] def pipe5FromStore(s: SparkSession, d: String,
       storeDir: String): DataFrame = {
-    val smang = s.read.parquet(s"$storeDir/store_manifest.parquet")
-    val opens = s.read.parquet(s"$storeDir/store_opens.parquet")
+    val smang = storeTable(s, storeDir, "store_manifest")
+    val opens = storeTable(s, storeDir, "store_opens")
     val man = pipe3ManifestFromStore(s, d, storeDir)
       .select("shard", "doc_id", "start_off", "n_tokens")
       .localCheckpoint() // feeds touched-shards, tokens, and spans

@@ -178,6 +178,13 @@ object Catalog {
     * key per batch (pipe5's grain), or rely on a monotone column right
     * after the keys (a growing open chunk's n_tokens) to make max =
     * latest.
+    *
+    * The no-concurrent-writers contract is ENFORCED (r15): the rewrite
+    * runs under the table's [[CommitLock]] — a second writer fails
+    * loudly naming the holder instead of silently interleaving two
+    * partition overwrites, and a crashed holder's lease ages out under
+    * the lock's grace. Re-entrant from [[Takedown.executeChunks]],
+    * which holds the same lock across its whole flow.
     */
   def upsert(spark: SparkSession, df: DataFrame, table: String,
       keys: Seq[String], partitionBy: Seq[String]): Unit = {
@@ -193,9 +200,19 @@ object Catalog {
       .select(cols.map(col): _*)
     if (!spark.catalog.tableExists(table)) {
       // same one-file-per-partition discipline as the rewrite path
+      // (creation is additive — the lock guards REWRITES of existing
+      // partitions, and the table has no location to lock yet)
       append(deduped.repartition(partitionBy.map(col): _*), table, partitionBy)
       return
     }
+    CommitLock.withTableLock(spark, table) {
+      upsertPinned(spark, deduped, table, keys, partitionBy)
+    }
+  }
+
+  private def upsertPinned(spark: SparkSession, deduped: DataFrame,
+      table: String, keys: Seq[String], partitionBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
     val schema = spark.table(table).schema
     val tableCols = spark.table(table).columns.toSeq
     val touched = deduped.select(partitionBy.map(col): _*).distinct()
@@ -253,16 +270,17 @@ object Catalog {
     * RagStoreSpec demonstrates exactly that delete-and-republish, with
     * `diffTable` naming the purged doc's chunks as the audit trail.
     *
-    * CONCURRENCY CONTRACT (same as [[upsert]] and [[compactPartitions]],
-    * restated because takedowns tend to get wired into schedules next to
-    * nightly loads): NO concurrent writers on the same table. The
-    * survivor rewrite is a pin-then-dynamic-overwrite of the touched
-    * partitions — rows another writer lands between the pin and the
-    * overwrite are silently replaced, and a purge racing an `upsert` of
-    * the same partitions interleaves two overwrites. Serialize both
-    * through one orchestrator slot; full snapshot isolation needs a
-    * table format (Iceberg/Delta), out of scope by the public-Spark-only
-    * rule.
+    * CONCURRENCY CONTRACT — ENFORCED since r15 (takedowns get wired
+    * into schedules next to nightly loads): the discover-pin-rewrite
+    * sequence runs under the table's [[CommitLock]], the same advisory
+    * lease [[upsert]] takes, so a purge racing an upsert of the same
+    * table fails loudly naming the holder instead of silently
+    * interleaving two partition overwrites (rows another writer lands
+    * between the pin and the overwrite would be replaced). The lock is
+    * advisory writer-vs-writer serialization, not snapshot isolation —
+    * that needs a table format (Iceberg/Delta), out of scope by the
+    * public-Spark-only rule; [[compactPartitions]] keeps its
+    * documented quiesce-the-writers contract.
     */
   def purgeKeys(spark: SparkSession, table: String,
       keysDf: DataFrame, partitionBy: Seq[String]): Long = {
@@ -276,9 +294,13 @@ object Catalog {
       s"key columns ${keyCols.mkString(",")} must exist in $table")
     // the purge list is request-sized — pin it once, it drives three joins
     val keys = keysDf.distinct().localCheckpoint()
-    try purgeKeysPinned(spark, table, keys, keyCols, partitionBy, schema,
-      tableCols)
-    finally keys.unpersist(blocking = false)
+    // the whole discover-pin-rewrite sequence runs under the table's
+    // commit lock (upsert's discipline): rows another writer lands
+    // between the pin and the overwrite would be silently replaced
+    try CommitLock.withTableLock(spark, table) {
+      purgeKeysPinned(spark, table, keys, keyCols, partitionBy, schema,
+        tableCols)
+    } finally keys.unpersist(blocking = false)
   }
 
   private def purgeKeysPinned(spark: SparkSession, table: String,

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Advisory per-table COMMIT LOCK for the plain-parquet warehouse's
+  * rewriting writers — the "next step is serialize" of the r14 audit:
+  * [[Catalog.upsert]], [[Catalog.purgeKeys]] and
+  * [[Takedown.executeChunks]] all rewrite the same partitions under a
+  * documented no-concurrent-writers contract, and with takedowns AND
+  * nightly prep both real flows over the same chunk table, the contract
+  * needs teeth before anyone schedules both.
+  *
+  * Protocol ([[Snapshots]]' staging discipline): the holder writes its
+  * identity to a UNIQUE tmp file under the table directory, then claims
+  * `_commit.lock` with an atomic no-overwrite rename — two racing
+  * writers cannot both win (same primitive as the snapshot version
+  * claim). The loser reads the holder identity and fails LOUDLY — an
+  * advisory lock's job is to turn a silent interleaved-overwrite
+  * corruption into an operator-visible scheduling error, not to queue.
+  * Release deletes the lock ONLY if it still carries this holder's
+  * token (a broken-then-reacquired lock must not be deleted by the
+  * previous holder's release path).
+  *
+  * Crashed holders: a lock file older than `staleGraceMs` (mtime vs
+  * this JVM's clock — [[Snapshots.vacuum]]'s pointerTmpGraceMs
+  * discipline, widen on stores with real clock skew) is presumed
+  * abandoned, broken, and the claim retried ONCE. A live-but-slow
+  * holder inside the grace is never broken.
+  *
+  * Re-entrant per thread: [[Takedown.executeChunks]] holds the chunk
+  * table's lock across its whole flow while calling purgeKeys and
+  * upsert on the same table — nested acquisitions of a path this
+  * thread already holds are no-ops (released by the outermost scope).
+  *
+  * The `_` prefix keeps the lock and its tmps invisible to directory-
+  * listing readers, like every other control file in this package.
+  * Scale: two metadata operations per commit (tmp write + rename), one
+  * delete at release — noise against any table rewrite.
+  */
+object CommitLock {
+
+  private val LockName = "_commit.lock"
+
+  /** Lock paths held by the current thread (re-entrancy). */
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Thrown when another writer holds the table's commit lock. */
+  final class LockedException(msg: String) extends IllegalStateException(msg)
+
+  /** Run `body` holding the commit lock of `dir` (a table location).
+    * Throws [[LockedException]] if another writer holds it and the
+    * lease is not stale.
+    */
+  def withLock[T](spark: SparkSession, dir: String,
+      staleGraceMs: Long = 3600000L)(body: => T): T = {
+    val lockPath = new Path(dir, LockName)
+    val key = lockPath.toString
+    if (held.get().contains(key)) return body // re-entrant
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = s"${java.util.UUID.randomUUID}@${
+      java.net.InetAddress.getLocalHost.getHostName}"
+    def tryClaim(): Boolean = {
+      val tmp = new Path(dir, s"$LockName.tmp.${java.util.UUID.randomUUID}")
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        try {
+          // no-OVERWRITE rename: atomic claim, loses if the lock exists
+          FileContext.getFileContext(lockPath.toUri,
+            spark.sparkContext.hadoopConfiguration).rename(tmp, lockPath)
+          true
+        } catch {
+          case e: java.io.IOException
+              if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                fs.exists(lockPath) =>
+            fs.delete(tmp, false); false
+        }
+      } catch {
+        case e: Throwable => fs.delete(tmp, false); throw e
+      }
+    }
+    def holderOf(): String =
+      try {
+        val in = fs.open(lockPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: java.io.IOException => "<unreadable>" }
+    var acquired = tryClaim()
+    if (!acquired) {
+      // stale-lease path: presumed-crashed holders get broken once
+      val stale =
+        try fs.getFileStatus(lockPath).getModificationTime <
+          System.currentTimeMillis() - staleGraceMs
+        catch { case _: java.io.IOException => true } // vanished: retry
+      if (stale) {
+        try fs.delete(lockPath, false)
+        catch { case _: java.io.IOException => () }
+        acquired = tryClaim()
+      }
+      if (!acquired)
+        throw new LockedException(
+          s"commit lock on $dir is held by ${holderOf()} — concurrent " +
+          "writers on a plain-parquet table interleave partition " +
+          "overwrites; serialize the schedules (or remove a crashed " +
+          s"holder's $LockName after the ${staleGraceMs / 1000}s grace)")
+    }
+    held.set(held.get() + key)
+    try body
+    finally {
+      held.set(held.get() - key)
+      // delete only OUR lock: if someone broke a stale lease and
+      // re-claimed, the file carries their token and must survive
+      try if (holderOf() == token) fs.delete(lockPath, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** The storage location of a catalog table — where its commit lock
+    * lives (resolved through SQL, not internals, so it works against
+    * any metastore).
+    */
+  private[graft] def tableLocation(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(r => r.getString(0).trim.equalsIgnoreCase("Location"))
+      .map(_.getString(1).trim)
+      .getOrElse(throw new IllegalStateException(
+        s"DESCRIBE FORMATTED $table reports no Location — cannot place its commit lock"))
+
+  /** [[withLock]] keyed by catalog table name. */
+  def withTableLock[T](spark: SparkSession, table: String,
+      staleGraceMs: Long = 3600000L)(body: => T): T =
+    withLock(spark, tableLocation(spark, table), staleGraceMs)(body)
+}

@@ -121,11 +121,12 @@ object Takedown {
 
   /** What the chunk-grain flow returns: manifest rows erased from the
     * pack layout, shards whose chunk suffix was rebuilt, chunk rows
-    * re-emitted (upserted), and trailing chunk rows deleted because the
-    * shard shrank past them.
+    * re-emitted (upserted), trailing chunk rows deleted because the
+    * shard shrank past them, and the pack-store snapshot version now
+    * committed (unchanged when the flow was a no-op).
     */
   case class ChunksResult(manifestRowsPurged: Long, shardsTouched: Long,
-      chunksRewritten: Long, chunksDeleted: Long)
+      chunksRewritten: Long, chunksDeleted: Long, storeVersion: Long)
 
   /** Erasure at the PACKED-TRAINING-CHUNK grain — the half [[execute]]
     * names out of scope: pipe5's chunks concatenate adjacent documents,
@@ -166,38 +167,59 @@ object Takedown {
     *     the shifted offsets; totals and open-chunk starts recompute
     *     from the new manifest; the MinHash band index and shingle
     *     signatures drop the purged docs' rows (their hashes must not
-    *     keep deduplicating future batches against erased content).
-    *     Caveats, stated honestly: (a) the held-out fingerprint
-    *     universe (`test_shingles`) stores bare hashes with no doc
-    *     attribution — erasing a held-out doc means re-deriving that
-    *     table from the purged corpus, out of this flow's scope; (b) a
-    *     band BUCKET that was dropped at original write for exceeding
-    *     the store cap stays dropped even if the purge shrank it below
-    *     the cap — the cap is a performance guard, and its rows were
-    *     never stored to restore.
+    *     keep deduplicating future batches against erased content); and
+    *     when a doomed id is HELD-OUT, the fingerprint universe
+    *     (`test_shingles` — bare hashes, no doc attribution) is
+    *     RE-DERIVED from the purged corpus, the only correct erasure at
+    *     that layer (dc1/dc2 must stop matching batches against the
+    *     erased doc's shingles). All six tables commit as ONE atomic
+    *     [[Snapshots.writeTables]] version: a crash anywhere inside the
+    *     rewrite leaves the previous version committed and fully
+    *     readable, and a RE-RUN of the same takedown converges (every
+    *     step reads the PINNED pre-takedown version and the recomputes
+    *     are idempotent — TakedownChunksSpec crash-injects exactly
+    *     this). Remaining caveat, stated honestly: a band BUCKET that
+    *     was dropped at original write for exceeding the store cap
+    *     stays dropped even if the purge shrank it below the cap — the
+    *     cap is a performance guard, and its rows were never stored to
+    *     restore.
     *  5. One [[RunLog]] row per step (failed steps log BEFORE the error
     *     propagates), so the erasure is answerable from job history.
     *
-    * Concurrency contract — same as [[execute]]: NO concurrent writers
-    * on `chunksTable` or the store directory while this runs; the
-    * trim + upsert are two dynamic overwrites of the same partitions
-    * and a racing nightly run would interleave them.
+    * Concurrency contract — ENFORCED (r15): the whole flow holds
+    * `chunksTable`'s [[CommitLock]] (re-entrantly shared with the
+    * trim's purgeKeys and the suffix upsert), so a racing nightly run
+    * fails loudly instead of interleaving its overwrite between the
+    * trim + upsert pair. (The store itself tolerates concurrent
+    * publishes — Snapshots' claim protocol — but a racing nightly store
+    * update would still fork the lineage; serialize both schedules.)
     *
     * Scale: everything after the manifest scan is survivor-of-touched-
     * shard- or request-sized; the manifest scan itself is the same
     * 3-int64-column pass pipe5FromStore already pays (a real table
-    * format prunes it by shard). The store rewrite pins and rewrites
-    * the layout tables wholesale here because the probe store is a flat
-    * directory — in production those are shard-partitioned catalog
-    * tables and step 4 is the same touched-partition dynamic overwrite
-    * as step 3. MEASURED (prod:chunks, warm, same fixed 20-doc takedown
-    * incl. a worst-case rebuild-from-shard-head): 6.17 s at 1× (sf0.1
-    * store) vs 5.73 s at 10× store history — FLAT even with 10× the
-    * rewritten chunks (53 → 512) and 10× the store tables.
+    * format prunes it by shard). The store rewrite emits full new
+    * versions of the layout tables here because the store is a
+    * snapshot root — in production those could be shard-partitioned
+    * catalog tables under a table format, where the rewrite is the
+    * same touched-partition dynamic overwrite as step 3 with the
+    * format's own commit atomicity. MEASURED (prod:chunks, warm, r15
+    * versioned store, same fixed 20-doc takedown incl. a worst-case
+    * rebuild-from-shard-head): 5.95 s at 1× (sf0.1 store) vs 5.31 s at
+    * 10× store history — FLAT even with 10× the rewritten chunks
+    * (53 → 512) and 10× the store tables, and no slower than the r14
+    * flat-overwrite layout (6.17/5.73 s) whose crash window it closes;
+    * [[verifyErasure]]'s five-layer evidence table measures 1.42 s at
+    * 1× vs 1.39 s at 10× — flat, scan-bound.
+    *
+    * `failpointBefore` is a TEST-ONLY crash-injection seam: naming a
+    * step stage throws before that step runs, simulating a crash
+    * between steps (the spec proves old-version readability and re-run
+    * convergence through it). Production callers leave it empty.
     */
   def executeChunks(spark: SparkSession, docIds: Seq[Long],
       docsTable: String, storeDir: String, chunksTable: String,
-      runLogPath: String, runTs: java.sql.Timestamp): ChunksResult = {
+      runLogPath: String, runTs: java.sql.Timestamp,
+      failpointBefore: String = ""): ChunksResult = {
     require(docIds.nonEmpty, "a takedown needs at least one doc id")
     import spark.implicits._
     val B = graft.operators.TrainPrep.packBudget
@@ -207,25 +229,77 @@ object Takedown {
         "takedown_chunks", stage, rows,
         (System.nanoTime() - t0) / 1000000L, status,
         Option(err).getOrElse("").take(500))))
-    def step[T](stage: String)(body: => (T, Long)): T =
+    def step[T](stage: String)(body: => (T, Long)): T = {
+      if (stage == failpointBefore)
+        throw new IllegalStateException(s"failpoint: crash before $stage")
       try { val (v, rows) = body; log(stage, rows, "ok", ""); v }
       catch { case e: Throwable => log(stage, -1L, "failed", e.toString); throw e }
+    }
 
+    // the whole flow runs under the chunk table's COMMIT LOCK
+    // (re-entrant: the trim's purgeKeys and the suffix upsert re-enter
+    // it on the same thread) — a racing nightly upsert fails loudly
+    // instead of interleaving its overwrite between this flow's trim
+    // and upsert. Wrapped as a named def so the early no-op returns
+    // stay plain method returns.
+    def flow(): ChunksResult = {
+    // the ENTIRE flow reads one pinned pre-takedown store version: a
+    // concurrent publish (or this flow's own commit) can never make two
+    // steps see different store states, and a re-run after a mid-flow
+    // crash recomputes from the same consistent inputs
+    val v0 = Snapshots.latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed pack store under $storeDir"))
+    def stored(t: String) = Snapshots.readTable(spark, storeDir, t, Some(v0))
     val idsDf = docIds.toDF("doc_id").distinct().localCheckpoint()
+    val heldOutDoomed = docIds.exists(graft.operators.TrainPrep.isHeldOutId)
+    // the purged corpus for fingerprint re-derivation: anti-join rather
+    // than assuming the caller already ran purgeKeys (it is a no-op if
+    // the table is already purged — the documented flow order)
+    def derivedTestShingles() = graft.operators.TrainPrep.testShinglesOf(
+      spark.table(docsTable).join(idsDf, Seq("doc_id"), "left_anti"))
     // every pinned frame unpersists on ALL exits — a long-lived
     // orchestrator looping takedowns (some of which fail) must not
     // accumulate checkpoint blocks (the ScaleProbe dropPersisted cliff)
     val pinned = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](idsDf)
     try {
-      val sman = spark.read.parquet(s"$storeDir/store_manifest.parquet")
+      val sman = stored("store_manifest")
       // the purge list's manifest rows — request-sized, pinned: they
       // drive the geometry, the shift join, and the store rewrite
       val purged = sman.join(idsDf, Seq("doc_id"), "left_semi").localCheckpoint()
       pinned += purged
       val nPurged = purged.count()
-      if (nPurged == 0L) { // never packed ⇒ nothing to erase at this grain
+      if (nPurged == 0L && !heldOutDoomed) {
+        // never packed, not held-out ⇒ nothing to erase at this grain
         log("noop", 0L, "ok", "")
-        return ChunksResult(0L, 0L, 0L, 0L)
+        return ChunksResult(0L, 0L, 0L, 0L, v0)
+      }
+      if (nPurged == 0L) {
+        // HELD-OUT-only takedown: the ids were never packed (held-out
+        // docs are excluded from the store by construction), but the
+        // fingerprint universe may still carry their shingle hashes.
+        // Drift-check first so a repeated identical takedown is a true
+        // no-op (bare hashes carry no attribution — equality against
+        // the purged-corpus derivation IS the erased-state test).
+        val der = derivedTestShingles().localCheckpoint()
+        pinned += der
+        val cur = stored("test_shingles")
+        val drift = cur.join(der, Seq("h"), "left_anti").count() +
+          der.join(cur, Seq("h"), "left_anti").count()
+        if (drift == 0L) {
+          log("noop", 0L, "ok", "")
+          return ChunksResult(0L, 0L, 0L, 0L, v0)
+        }
+        val v1 = step("store_rewrite") {
+          val v = Snapshots.writeTables(Seq(
+            "store_bands" -> stored("store_bands"),
+            "store_shingles" -> stored("store_shingles"),
+            "test_shingles" -> der,
+            "store_totals" -> stored("store_totals"),
+            "store_manifest" -> sman,
+            "store_opens" -> stored("store_opens")), storeDir)
+          (v, drift)
+        }
+        return ChunksResult(0L, 0L, 0L, 0L, v1)
       }
       // 1. per-shard geometry: first shifted offset + purged token mass
       val cuts = purged.groupBy("shard")
@@ -264,7 +338,7 @@ object Takedown {
       }
       // 3a. trim: chunk ids past each shard's new end
       val deleted = step(s"trim_$chunksTable") {
-        val tots = spark.read.parquet(s"$storeDir/store_totals.parquet")
+        val tots = stored("store_totals")
         val newLast = cuts.join(tots, Seq("shard"))
           .withColumn("new_last", expr(
             s"CASE WHEN tot0 - ptoks <= 0 THEN -1 ELSE (tot0 - ptoks - 1) div ${B}L END"))
@@ -284,45 +358,45 @@ object Takedown {
             keys = Seq("shard", "chunk_id"), partitionBy = Seq("shard"))
         ((), nRebuilt)
       }
-      // 4. store rewrite: band index, shingle signatures, totals, opens
-      // — and the MANIFEST LAST. The manifest is this flow's commit
-      // record (the noop guard keys on it), so every other table must
-      // already be at the purged state when it lands: a crash anywhere
-      // before the manifest write leaves the old manifest intact and a
-      // RE-RUN of the same takedown redoes every step from consistent
-      // inputs (the bands/shingles anti-joins and totals/opens
-      // recomputes are idempotent). A crash INSIDE the manifest
-      // overwrite itself is the flat-directory layout's residual risk —
-      // the production form stages-and-flips through Snapshots/a table
-      // format, as the scaladoc above states.
-      step("store_rewrite") {
+      // 4. store rewrite: band index, shingle signatures, totals, opens,
+      // manifest — and, when a doomed id is held-out, the re-derived
+      // fingerprint universe — as ONE atomic Snapshots version. No
+      // lineage-breaking pins are needed any more: every input reads the
+      // IMMUTABLE pinned version v0 while the write stages under a new
+      // version directory, so nothing ever overwrites a file its own
+      // plan reads. A crash anywhere inside leaves v0 committed; a
+      // re-run recomputes the same version content from v0 and commits.
+      // newMan pins because three output tables derive from it.
+      val v1 = step("store_rewrite") {
         val manCols = sman.columns.toSeq
         val newMan = sman.join(broadcast(touched), Seq("shard"), "left_anti")
           .unionByName(shifted
             .withColumn("start_off", col("new_start"))
             .select(manCols.map(col): _*))
           .select(manCols.map(col): _*)
-          .localCheckpoint() // breaks lineage to the file being replaced
+          .localCheckpoint()
         pinned += newMan
-        for (t <- Seq("store_bands", "store_shingles")) {
-          val kept = spark.read.parquet(s"$storeDir/$t.parquet")
-            .join(idsDf, Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-          pinned += kept
-          kept.write.mode("overwrite").parquet(s"$storeDir/$t.parquet")
-        }
-        newMan.groupBy("shard")
-          .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"))
-          .write.mode("overwrite").parquet(s"$storeDir/store_totals.parquet")
-        newMan.groupBy("shard")
-          .agg((expr(s"sum(n_tokens) div ${B}L") * B).as("open_start"))
-          .write.mode("overwrite").parquet(s"$storeDir/store_opens.parquet")
-        newMan.write.mode("overwrite")
-          .parquet(s"$storeDir/store_manifest.parquet")
-        ((), nPurged)
+        val testSh =
+          if (heldOutDoomed) derivedTestShingles()
+          else stored("test_shingles")
+        val v = Snapshots.writeTables(Seq(
+          "store_bands" -> stored("store_bands")
+            .join(idsDf, Seq("doc_id"), "left_anti"),
+          "store_shingles" -> stored("store_shingles")
+            .join(idsDf, Seq("doc_id"), "left_anti"),
+          "test_shingles" -> testSh,
+          "store_totals" -> newMan.groupBy("shard")
+            .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0")),
+          "store_manifest" -> newMan,
+          "store_opens" -> newMan.groupBy("shard")
+            .agg((expr(s"sum(n_tokens) div ${B}L") * B).as("open_start"))),
+          storeDir)
+        (v, nPurged)
       }
-      ChunksResult(nPurged, nShards, nRebuilt, deleted)
+      ChunksResult(nPurged, nShards, nRebuilt, deleted, v1)
     } finally pinned.foreach(_.unpersist(blocking = false))
+    }
+    CommitLock.withTableLock(spark, chunksTable)(flow())
   }
 
   /** Layer-by-layer erasure VERIFICATION — the evidence table a
@@ -336,12 +410,24 @@ object Takedown {
     * reads; pinned older versions are retention policy's business,
     * [[Snapshots.vacuum]]). Each check is one column-pruned semi-join
     * count — O(layer scan) with only the doc_id column read, the same
-    * discovery-scan economics as [[Catalog.purgeKeys]]. Note what this
-    * deliberately does NOT claim: content-derived layers without doc
-    * attribution (packed chunk digests, the held-out fingerprint
-    * hashes) cannot be audited by id — their erasure is pinned
-    * structurally instead (TakedownChunksSpec's bit-equality to a
-    * from-scratch rebuild on the purged corpus).
+    * discovery-scan economics as [[Catalog.purgeKeys]]. Content-derived
+    * layers without doc attribution are handled two ways: packed chunk
+    * digests cannot be audited by id at all — their erasure is pinned
+    * structurally by TakedownChunksSpec's bit-equality to a
+    * from-scratch rebuild on the purged corpus — while the held-out
+    * fingerprint universe (`test_shingles`) GAINS a structural layer
+    * here when BOTH docsTable and storeDir are passed: its
+    * rows_remaining is the symmetric difference against a from-scratch
+    * derivation on the CURRENT (purged) documents table — zero ⇔ the
+    * stored hashes are exactly the purged corpus's held-out
+    * fingerprints, i.e. nothing of any erased held-out doc survives at
+    * that layer. That check is O(held-out shingles) — heavier than the
+    * semi-join counts but still one narrow-column pass per side, and it
+    * is the only id-free layer a regulator would ask about.
+    * MEASURED (prod:chunks, warm, r15): the five-layer evidence table
+    * (documents + manifest/bands/shingles by id + the structural
+    * test_shingles derivation) runs 1.42 s at 1× vs 1.39 s at 10×
+    * store history — flat, scan-bound.
     */
   def verifyErasure(spark: SparkSession, docIds: Seq[Long],
       docsTable: Option[String] = None, storeDir: Option[String] = None,
@@ -357,11 +443,20 @@ object Takedown {
           "documents" -> remaining(spark.table(t))) ++
         storeDir.toSeq.flatMap(d => Seq(
           "store_manifest" -> remaining(
-            spark.read.parquet(s"$d/store_manifest.parquet")),
+            Snapshots.readTable(spark, d, "store_manifest")),
           "store_bands" -> remaining(
-            spark.read.parquet(s"$d/store_bands.parquet")),
+            Snapshots.readTable(spark, d, "store_bands")),
           "store_shingles" -> remaining(
-            spark.read.parquet(s"$d/store_shingles.parquet")))) ++
+            Snapshots.readTable(spark, d, "store_shingles")))) ++
+        (docsTable zip storeDir).toSeq.map { case (t, d) =>
+          val der = graft.operators.TrainPrep.testShinglesOf(spark.table(t))
+            .localCheckpoint() // two consumers below
+          try {
+            val cur = Snapshots.readTable(spark, d, "test_shingles")
+            "test_shingles" -> (cur.join(der, Seq("h"), "left_anti").count() +
+              der.join(cur, Seq("h"), "left_anti").count())
+          } finally der.unpersist(blocking = false)
+        } ++
         ragRoot.toSeq.flatMap(r => Seq("vecs", "index", "postings",
           "chunklens").map(t =>
             s"rag_$t" -> remaining(Snapshots.readTable(spark, r, t))))

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+/** The advisory per-table commit lock: two interleaved writers cannot
+  * both rewrite a plain-parquet table — the second fails loudly naming
+  * the holder — while a crashed holder's lease ages out under the
+  * grace and nested acquisitions on one thread re-enter (the
+  * executeChunks-calls-purgeKeys shape; TakedownChunksSpec exercises
+  * the real nesting end-to-end).
+  */
+class CommitLockSpec extends graft.SparkSpec {
+
+  private def lockFile(loc: String) =
+    new java.io.File(loc.stripPrefix("file:"), "_commit.lock")
+
+  private def plantLock(loc: String, holder: String,
+      ageMs: Long = 0L): java.io.File = {
+    val f = lockFile(loc)
+    java.nio.file.Files.writeString(f.toPath, holder)
+    if (ageMs > 0L)
+      f.setLastModified(System.currentTimeMillis() - ageMs)
+    f
+  }
+
+  private def seed(db: String): (String, String) = {
+    val loc = java.nio.file.Files.createTempDirectory(s"graft_cl_$db").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.t"
+    val base = spark.range(40L).select(
+      (col("id") % 4L).as("p"), col("id").as("k"), (col("id") * 7L).as("v"))
+    Catalog.append(base.repartition(col("p")), t, Seq("p"))
+    (t, CommitLock.tableLocation(spark, t))
+  }
+
+  test("a second writer fails loudly naming the holder; the table is untouched") {
+    val (t, tloc) = seed("cl_contend")
+    val batch = spark.range(10L).select(
+      lit(0L).as("p"), col("id").as("k"), lit(-1L).as("v"))
+    plantLock(tloc, "nightly-prep@elsewhere")
+    val e = intercept[CommitLock.LockedException] {
+      Catalog.upsert(spark, batch, t, keys = Seq("p", "k"), partitionBy = Seq("p"))
+    }
+    assert(e.getMessage.contains("nightly-prep@elsewhere"))
+    assert(spark.table(t).filter(col("v") === -1L).count() === 0L)
+    // purgeKeys honors the same lock
+    import spark.implicits._
+    val e2 = intercept[CommitLock.LockedException] {
+      Catalog.purgeKeys(spark, t, Seq(0L).toDF("k"), Seq("p"))
+    }
+    assert(e2.getMessage.contains("nightly-prep@elsewhere"))
+    assert(spark.table(t).count() === 40L)
+    // the contender released: the writer proceeds and cleans up after
+    // itself
+    assert(lockFile(tloc).delete())
+    Catalog.upsert(spark, batch, t, keys = Seq("p", "k"), partitionBy = Seq("p"))
+    assert(spark.table(t).filter(col("v") === -1L).count() === 10L)
+    assert(!lockFile(tloc).exists(), "the lock must release with the writer")
+  }
+
+  test("a crashed holder's stale lease is broken after the grace") {
+    val (t, tloc) = seed("cl_stale")
+    plantLock(tloc, "crashed-holder@gone", ageMs = 2L * 3600L * 1000L)
+    val batch = spark.range(5L).select(
+      lit(1L).as("p"), (col("id") * 4L + 1L).as("k"), lit(-2L).as("v"))
+    // default grace is 1h — the 2h-old lease breaks and the write lands
+    Catalog.upsert(spark, batch, t, keys = Seq("p", "k"), partitionBy = Seq("p"))
+    assert(spark.table(t).filter(col("v") === -2L).count() === 5L)
+    assert(!lockFile(tloc).exists())
+    // a YOUNG lease (inside the grace) is never broken
+    plantLock(tloc, "live-holder@slow", ageMs = 60L * 1000L)
+    intercept[CommitLock.LockedException] {
+      Catalog.upsert(spark, batch, t, keys = Seq("p", "k"), partitionBy = Seq("p"))
+    }
+  }
+
+  test("re-entrant on one thread; released by the outermost scope") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cl_re").toString
+    val got = CommitLock.withLock(spark, dir) {
+      CommitLock.withLock(spark, dir) { 42 } // must not self-deadlock
+    }
+    assert(got === 42)
+    assert(!new java.io.File(dir, "_commit.lock").exists())
+    // and a body failure still releases
+    intercept[RuntimeException] {
+      CommitLock.withLock(spark, dir) { throw new RuntimeException("boom") }
+    }
+    assert(!new java.io.File(dir, "_commit.lock").exists())
+  }
+}

@@ -4,19 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Takedown.executeChunks — erasure at the packed-training-chunk grain.
-  * Seeds a maintained documents table, the nightly-prep store and the
-  * trainer-read chunk table (a full shard-grain pack — what prior pipe5
-  * runs accumulated), purges a takedown list spanning a heavy shard
-  * tail (so trailing chunks VANISH), a mid-shard doc (so a prefix
-  * survives untouched) and a never-packed held-out doc (partial-overlap
-  * handling), then pins the three contracts of the r13 deferral:
+  * Seeds a maintained documents table, the nightly-prep store (a
+  * Snapshots multi-table root since r15) and the trainer-read chunk
+  * table (a full shard-grain pack — what prior pipe5 runs accumulated),
+  * purges a takedown list spanning a heavy shard tail (so trailing
+  * chunks VANISH), a mid-shard doc (so a prefix survives untouched) and
+  * a never-packed held-out doc (partial-overlap handling), then pins:
   *  (a) the chunk table bit-equals a FROM-SCRATCH pack of the purged
   *      corpus (⇒ no emitted chunk contains any purged doc's tokens);
-  *  (b) the rewritten store (manifest/totals/opens/bands/shingles)
-  *      bit-equals a from-scratch materializeStore on the purged
-  *      corpus;
+  *  (b) the rewritten store — ALL SIX tables, including the re-derived
+  *      held-out fingerprint universe — bit-equals a from-scratch
+  *      materializeStore on the purged corpus;
   *  (c) untouched shards' parquet files are byte-identical (same file
-  *      list — neither the trim nor the upsert rewrote them).
+  *      list — neither the trim nor the upsert rewrote them);
+  *  (d) a crash injected anywhere mid-flow leaves the pre-takedown
+  *      store version committed and readable, and a re-run converges;
+  *  (e) a held-out-only takedown rewrites test_shingles so the stored
+  *      decontamination gate stops matching the erased doc, and a
+  *      repeated identical takedown is a true no-op.
   */
 class TakedownChunksSpec extends graft.SparkSpec {
 
@@ -25,7 +30,8 @@ class TakedownChunksSpec extends graft.SparkSpec {
     * with the emit floor at 0 for every shard.
     */
   private def fullPack(storeDir: String, docs: DataFrame): DataFrame = {
-    val sman = spark.read.parquet(s"$storeDir/store_manifest.parquet")
+    val sman = graft.operators.TrainPrep.storeTable(spark, storeDir,
+      "store_manifest")
     graft.operators.TrainPrep.shardChunksOf(
       sman.select(col("shard"), col("doc_id"), col("start_off"),
         col("n_tokens")).withColumn("open_start", lit(0L)),
@@ -34,6 +40,12 @@ class TakedownChunksSpec extends graft.SparkSpec {
 
   private def rows(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
+
+  private def store(dir: String, t: String): DataFrame =
+    graft.operators.TrainPrep.storeTable(spark, dir, t)
+
+  private val AllStoreTables = Seq("store_manifest", "store_totals",
+    "store_opens", "store_bands", "store_shingles", "test_shingles")
 
   test("executeChunks: trim + rebuild bit-equal a from-scratch pack; untouched shards keep their files") {
     val d = sf("sf0.001")
@@ -52,22 +64,22 @@ class TakedownChunksSpec extends graft.SparkSpec {
     Catalog.append(allDocs.withColumn("pt", pmod(col("doc_id"), lit(4L)))
       .repartition(col("pt")), docsT, Seq("pt"))
     // nightly-prep store + accumulated trainer-read chunk table
-    graft.operators.TrainPrep.materializeStore(spark, d, storeDir)
+    val v0 = graft.operators.TrainPrep.materializeStore(spark, d, storeDir)
     Catalog.append(fullPack(storeDir, allDocs).repartition(col("shard")),
       chunksT, Seq("shard"))
 
     // takedown list: the token-heaviest shard's tail (trailing chunks
     // must vanish), a mid doc of another shard (prefix must survive),
     // and a held-out doc that was never packed
-    val sman0 = spark.read.parquet(s"$storeDir/store_manifest.parquet")
-    val t0 = spark.read.parquet(s"$storeDir/store_totals.parquet")
+    val sman0 = store(storeDir, "store_manifest")
+    val t0 = store(storeDir, "store_totals")
       .orderBy(col("tot0").desc).first()
     val (s0, tot0) = (t0.getAs[Long]("shard"), t0.getAs[Long]("tot0"))
     val tail0 = sman0.filter(col("shard") === s0 &&
         col("start_off") >= lit(tot0 / 2L))
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(tail0.nonEmpty)
-    val s1 = spark.read.parquet(s"$storeDir/store_totals.parquet")
+    val s1 = store(storeDir, "store_totals")
       .filter(col("shard") =!= s0).orderBy(col("tot0").desc)
       .first().getAs[Long]("shard")
     val mid1 = sman0.filter(col("shard") === s1).orderBy("start_off")
@@ -94,8 +106,12 @@ class TakedownChunksSpec extends graft.SparkSpec {
     assert(r.shardsTouched === 2L)
     assert(r.chunksRewritten > 0L)
     assert(r.chunksDeleted > 0L, "the shard tail purge must retire trailing chunk ids")
+    assert(r.storeVersion > v0)
+    assert(Snapshots.latestVersion(spark, storeDir) === Some(r.storeVersion))
 
-    // (a)+(b): from-scratch reference on the purged corpus
+    // (a)+(b): from-scratch reference on the purged corpus — ALL SIX
+    // store tables, incl. the held-out fingerprint universe (a held-out
+    // doc is in the takedown list, so test_shingles must re-derive)
     val store2 = java.nio.file.Files.createTempDirectory("graft_tc_ref").toString
     val purgedDocs = allDocs.filter(!col("doc_id").isin(doomed: _*))
     graft.operators.TrainPrep.materializeStoreFrom(spark, purgedDocs, store2)
@@ -103,10 +119,14 @@ class TakedownChunksSpec extends graft.SparkSpec {
     // the catalog table reorders the partition column last — align
     assert(rows(spark.table(chunksT).select(ref.columns.map(col): _*))
       === rows(ref))
-    for (t <- Seq("store_manifest", "store_totals", "store_opens",
-        "store_bands", "store_shingles"))
-      assert(rows(spark.read.parquet(s"$storeDir/$t.parquet"))
-        === rows(spark.read.parquet(s"$store2/$t.parquet")), t)
+    for (t <- AllStoreTables)
+      assert(rows(store(storeDir, t)) === rows(store(store2, t)), t)
+
+    // the PRE-takedown store version stays pinned-readable (compliance
+    // window: retention policy, not the takedown, decides its vacuum)
+    assert(Snapshots.readTable(spark, storeDir, "store_manifest", Some(v0))
+      .join(doomed.toDF("doc_id"), Seq("doc_id"), "left_semi")
+      .count() === nManifestDoomed)
 
     // (c): untouched shards' files byte-identical (same paths — nothing
     // rewrote them)
@@ -124,17 +144,163 @@ class TakedownChunksSpec extends graft.SparkSpec {
       s"upsert_$chunksT" -> "ok", "store_rewrite" -> "ok"))
 
     // idempotence of the layout: a second takedown of the same ids finds
-    // nothing left to erase (the store already reflects the purge)
+    // nothing left to erase (the store already reflects the purge — the
+    // held-out drift check reports zero, so NO new version commits)
     val r2 = Takedown.executeChunks(spark, doomed, docsT, storeDir,
       chunksT, runLog, ts)
-    assert(r2 === Takedown.ChunksResult(0L, 0L, 0L, 0L))
+    assert(r2 === Takedown.ChunksResult(0L, 0L, 0L, 0L, r.storeVersion))
+    assert(Snapshots.latestVersion(spark, storeDir) === Some(r.storeVersion))
 
-    // the compliance evidence table over the pack-store layers
+    // the compliance evidence table over the pack-store layers — incl.
+    // the structural test_shingles drift layer (docsTable + storeDir)
     val ver = Takedown.verifyErasure(spark, doomed,
       docsTable = Some(docsT), storeDir = Some(storeDir)).collect()
     assert(ver.map(_.getAs[String]("layer")).toSet ===
-      Set("documents", "store_manifest", "store_bands", "store_shingles"))
+      Set("documents", "store_manifest", "store_bands", "store_shingles",
+        "test_shingles"))
     assert(ver.forall(_.getAs[Boolean]("clean")),
       ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
+  }
+
+  test("executeChunks: a crash injected mid-flow leaves the old store version committed; a re-run converges") {
+    val d = sf("sf0.001")
+    val db = "takedown_crash_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_tcr_db").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val docsT = s"$db.documents"
+    val chunksT = s"$db.chunks"
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_tcr_store").toString
+    val runLog = java.nio.file.Files
+      .createTempDirectory("graft_tcr_log").toString + "/runlog.parquet"
+    val ts = java.sql.Timestamp.valueOf("2026-08-15 12:00:00")
+    val allDocs = graft.Tables.documents(spark, d)
+    Catalog.append(allDocs.withColumn("pt", pmod(col("doc_id"), lit(4L)))
+      .repartition(col("pt")), docsT, Seq("pt"))
+    val v0 = graft.operators.TrainPrep.materializeStore(spark, d, storeDir)
+    Catalog.append(fullPack(storeDir, allDocs).repartition(col("shard")),
+      chunksT, Seq("shard"))
+    val sman0v0 = rows(store(storeDir, "store_manifest"))
+
+    // doom two mid-shard packed docs
+    val doomed = store(storeDir, "store_manifest")
+      .orderBy("shard", "start_off").limit(2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    Catalog.purgeKeys(spark, docsT, doomed.toDF("doc_id"), Seq("pt"))
+
+    // crash 1: before anything lands (the rebuild step) — pure abort
+    intercept[IllegalStateException] {
+      Takedown.executeChunks(spark, doomed, docsT, storeDir, chunksT,
+        runLog, ts, failpointBefore = s"rebuild_$chunksT")
+    }
+    assert(Snapshots.latestVersion(spark, storeDir) === Some(v0))
+    assert(rows(store(storeDir, "store_manifest")) === sman0v0)
+
+    // crash 2: after the chunk-table trim+upsert but BEFORE the store
+    // rewrite — the window the r14 flat layout could not survive. The
+    // chunk table is mid-takedown, but the store still serves v0
+    // consistently (all six tables the pre-takedown state).
+    intercept[IllegalStateException] {
+      Takedown.executeChunks(spark, doomed, docsT, storeDir, chunksT,
+        runLog, ts, failpointBefore = "store_rewrite")
+    }
+    assert(Snapshots.latestVersion(spark, storeDir) === Some(v0))
+    assert(rows(store(storeDir, "store_manifest")) === sman0v0)
+
+    // re-run with no failpoint: converges to exactly the from-scratch
+    // state (chunk table AND all six store tables)
+    val r = Takedown.executeChunks(spark, doomed, docsT, storeDir,
+      chunksT, runLog, ts)
+    assert(r.storeVersion > v0)
+    val store2 = java.nio.file.Files.createTempDirectory("graft_tcr_ref").toString
+    val purgedDocs = allDocs.filter(!col("doc_id").isin(doomed: _*))
+    graft.operators.TrainPrep.materializeStoreFrom(spark, purgedDocs, store2)
+    val ref = fullPack(store2, purgedDocs)
+    assert(rows(spark.table(chunksT).select(ref.columns.map(col): _*))
+      === rows(ref))
+    for (t <- AllStoreTables)
+      assert(rows(store(storeDir, t)) === rows(store(store2, t)), t)
+  }
+
+  test("held-out-only takedown: test_shingles re-derives, the stored decontamination gate releases, repeat is a no-op") {
+    import spark.implicits._
+    // synthetic corpus with full control over the id conventions:
+    //   10, 20 — held-out (id % 10 == 0); 10 shares NO text with 20
+    //   1, 2, 11 — store docs (id % 10 != 0, id % 7 != 3)
+    //   3 — batch doc (id % 7 == 3) whose text EQUALS held-out doc 10's
+    //       ⇒ decontamination (pipe3 stage 4) drops it while 10's
+    //       fingerprints are stored, accepts it after their erasure
+    def words(prefix: String) =
+      (1 to 12).map(i => s"$prefix$i").mkString(" ")
+    val tA = words("alpha")   // doc 10 and batch doc 3
+    val tB = words("beta")    // doc 20
+    val docs = Seq(
+      (10L, tA), (20L, tB),
+      (1L, words("gamma")), (2L, words("delta")), (11L, words("epsil")),
+      (3L, tA))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("synth"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tho").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val db = "takedown_heldout_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_tho_db").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val docsT = s"$db.documents"
+    val chunksT = s"$db.chunks"
+    Catalog.append(docs.withColumn("pt", pmod(col("doc_id"), lit(2L)))
+      .repartition(col("pt")), docsT, Seq("pt"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_tho_store").toString
+    val v0 = graft.operators.TrainPrep.materializeStore(spark, dir, storeDir)
+    Catalog.append(fullPack(storeDir, docs).repartition(col("shard")),
+      chunksT, Seq("shard"))
+    val runLog = java.nio.file.Files
+      .createTempDirectory("graft_tho_log").toString + "/runlog.parquet"
+    val ts = java.sql.Timestamp.valueOf("2026-08-15 12:00:00")
+
+    // BEFORE: the stored gate (pipe3FromStore stage 4) rejects batch
+    // doc 3 — its shingles all match held-out doc 10's fingerprints
+    def acceptedBatchDocs(): Set[Long] =
+      graft.operators.TrainPrep.pipe3ManifestFromStore(spark, dir, storeDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedBatchDocs() === Set.empty)
+
+    // the takedown: held-out doc 10 — never packed, so no chunk work,
+    // but the fingerprint universe must re-derive
+    Catalog.purgeKeys(spark, docsT, Seq(10L).toDF("doc_id"), Seq("pt"))
+    val r = Takedown.executeChunks(spark, Seq(10L), docsT, storeDir,
+      chunksT, runLog, ts)
+    assert((r.manifestRowsPurged, r.shardsTouched, r.chunksRewritten,
+      r.chunksDeleted) === ((0L, 0L, 0L, 0L)))
+    assert(r.storeVersion > v0)
+
+    // test_shingles bit-equals a from-scratch derivation on the purged
+    // corpus (only doc 20's fingerprints remain)
+    val purged = docs.filter(col("doc_id") =!= 10L)
+    assert(rows(store(storeDir, "test_shingles")) ===
+      rows(graft.operators.TrainPrep.testShinglesOf(purged)))
+    // every other table carried forward unchanged
+    for (t <- AllStoreTables.filterNot(_ == "test_shingles"))
+      assert(rows(store(storeDir, t)) ===
+        rows(Snapshots.readTable(spark, storeDir, t, Some(v0))), t)
+
+    // AFTER: the gate releases batch doc 3 (dc1/dc2 no longer match
+    // the erased doc's shingles); it must NOT release anything else
+    assert(acceptedBatchDocs() === Set(3L))
+
+    // the evidence table gains the structural layer and reports clean
+    val ver = Takedown.verifyErasure(spark, Seq(10L),
+      docsTable = Some(docsT), storeDir = Some(storeDir)).collect()
+    assert(ver.map(_.getAs[String]("layer")).toSet.contains("test_shingles"))
+    assert(ver.forall(_.getAs[Boolean]("clean")),
+      ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
+
+    // repeat of the identical takedown: drift is zero ⇒ true no-op, no
+    // new version
+    val r2 = Takedown.executeChunks(spark, Seq(10L), docsT, storeDir,
+      chunksT, runLog, ts)
+    assert(r2 === Takedown.ChunksResult(0L, 0L, 0L, 0L, r.storeVersion))
+    assert(Snapshots.latestVersion(spark, storeDir) === Some(r.storeVersion))
   }
 }
