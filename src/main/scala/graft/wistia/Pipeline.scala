@@ -32,6 +32,11 @@ object Pipeline {
     val dimMedia = s"$root/dim_media"
     val dimVisitor = s"$root/dim_visitor"
     val fact = s"$root/fact_media_engagement"
+    /** Opt-in dead-letter table for [[runStreamingGated]]'s rejected
+      * triggers: the violating rows + the expectation each failed,
+      * append-only and run-stamped. Never read by the lifecycle.
+      */
+    val quarantine = s"$root/quarantine"
   }
 
   /** Historical-backfill start when the fact table is empty/absent
@@ -384,6 +389,16 @@ object Pipeline {
         .as("negative_duration")),
       "dim_media", Seq("dup_media_id", "negative_duration"))
 
+  // the fact-side violation predicates — ONE definition shared by the
+  // aggregate audit and the quarantine row capture, so the rows written
+  // to the dead-letter table are exactly the rows the gate counted
+  private val percentRangeViolation =
+    col("percent_viewed") < 0.0 || col("percent_viewed") > 1.0
+  private def orphanRows(dimMedia: org.apache.spark.sql.DataFrame,
+      fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    fact.join(broadcast(dimMedia.select("media_id")), Seq("media_id"),
+      "left_anti")
+
   /** The fact-side half of [[batchExpectations]] — the per-batch/
     * per-trigger checks (domain + referential integrity vs the staged
     * dim, which rides broadcast in the anti-join).
@@ -392,10 +407,9 @@ object Pipeline {
       fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val fAgg = fact.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(when(col("percent_viewed") < 0.0 || col("percent_viewed") > 1.0, 1L)
+      coalesce(sum(when(percentRangeViolation, 1L)
         .otherwise(0L)), lit(0L)).as("percent_range"))
-    val orphan = fact
-      .join(broadcast(dimMedia.select("media_id")), Seq("media_id"), "left_anti")
+    val orphan = orphanRows(dimMedia, fact)
       .agg(count(lit(1)).cast("long").as("violations"))
       .crossJoin(fAgg.select(col("n").cast("long").as("checked")))
       .select(lit("fact").as("tbl"), lit("orphan_media").as("chk"),
@@ -557,12 +571,25 @@ object Pipeline {
     * don't patch (PipelineSpec exercises exactly this playbook). The
     * batch pins once (localCheckpoint, micro-batch-sized) so the audit
     * and the write share one computation.
+    *
+    * `quarantine = true` adds DEAD-LETTER FORENSICS without touching
+    * the fail-stop semantics: before the rejecting throw, the violating
+    * rows land in [[Warehouse.quarantine]] (append-only, one row per
+    * (event, failed expectation), stamped with the batch id and run
+    * ts, plus its own run-log row) so the operator reads WHAT poisoned
+    * the trigger without re-deriving it from the raw zone. The fact
+    * table still receives nothing, the stream still dies with the
+    * trigger uncommitted, and a quarantine-write failure is logged but
+    * never masks the gate verdict. Off by default: the quarantine
+    * retains rejected (possibly garbage, possibly sensitive) payloads,
+    * which is a retention decision the operator must opt into.
     */
   def runStreamingGated(spark: SparkSession, rawRoot: String, wh: Warehouse,
       targetHashedIds: Seq[String],
       ingestionTs: java.sql.Timestamp,
       checkpoint: String,
-      idempotent: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+      idempotent: Boolean = false,
+      quarantine: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sources.RunLog
     val logPath = s"${wh.root}/run_log"
     val rawMedia = RawZone.readLatestRun(spark, rawRoot, "media", Schemas.rawMedia)
@@ -595,9 +622,42 @@ object Pipeline {
         val batch = batch0.localCheckpoint()
         try {
           val t0 = System.nanoTime()
+          val audit = factExpectations(dimMedia, batch).collect()
+          if (quarantine && audit.exists(_.getAs[Long]("violations") > 0L)) {
+            // dead-letter capture BEFORE the rejecting throw — one row
+            // per (event, failed expectation), same predicates the
+            // audit counted. Best-effort: its own failure logs and
+            // yields to the gate verdict below.
+            try {
+              val failing = audit.filter(_.getAs[Long]("violations") > 0L)
+                .map(_.getAs[String]("chk")).toSeq
+              val qRows = failing.map { chk =>
+                (chk match {
+                  case "percent_range" => batch.filter(percentRangeViolation)
+                  case "orphan_media" => orphanRows(dimMedia, batch)
+                  case other => throw new IllegalStateException(
+                    s"no quarantine capture for expectation $other")
+                }).withColumn("failed_check", lit(chk))
+              }.reduce(_ unionByName _)
+                .withColumn("batch_id", lit(batchId))
+                .withColumn("quarantined_run_ts", lit(ingestionTs))
+              val qEntry = RunLog.observedWrite(qRows, ingestionTs,
+                "runStreamingGated", s"quarantine_trigger_$batchId") { b =>
+                RawZone.warehouseAppend(b, wh.quarantine)
+              }
+              RunLog.append(spark, logPath, Seq(qEntry))
+            } catch {
+              case f: RunLog.LoggedFailure =>
+                RunLog.append(spark, logPath, Seq(f.entry))
+              case scala.util.control.NonFatal(qe) =>
+                RunLog.append(spark, logPath, Seq(RunLog.Entry(ingestionTs,
+                  "runStreamingGated", s"quarantine_trigger_$batchId", -1L,
+                  (System.nanoTime() - t0) / 1000000L, "failed",
+                  Option(qe.toString).getOrElse("").take(500))))
+            }
+          }
           val gateEntry = gateOrThrow(spark, logPath, "runStreamingGated",
-            s"dq_gate_trigger_$batchId", ingestionTs,
-            factExpectations(dimMedia, batch).collect(), t0)
+            s"dq_gate_trigger_$batchId", ingestionTs, audit, t0)
           val entry =
             try RunLog.observedWrite(batch, ingestionTs, "runStreamingGated",
               s"fact_trigger_$batchId") { b =>

@@ -609,6 +609,54 @@ class PipelineSpec extends SparkSpec {
     assert(dimGates.forall(_.getAs[String]("status") == "ok"))
   }
 
+  test("runStreamingGated quarantine: the violating rows land dead-letter, the fact table still receives nothing") {
+    import graft.sources.RunLog
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipeline_sgate_q").toString
+    val wh = Pipeline.Warehouse(s"$dir/wh")
+    val ts0 = Timestamp.valueOf("2025-05-01 00:00:00")
+    // one clean trigger first so the fact table exists with known rows
+    writeRaw(s"$dir/raw", "20250501_000000", Seq(
+      eventJson("e1", "v1", "abc", "2024-03-01T10:00:00Z", 0.2)))
+    val q1 = Pipeline.runStreamingGated(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, s"$dir/ckpt", quarantine = true)
+    q1.awaitTermination(60000)
+    assert(RawZone.warehouse(spark, wh.fact).count() === 1L)
+    assert(!Files.exists(java.nio.file.Paths.get(wh.quarantine)),
+      "a clean trigger must write nothing dead-letter")
+    // poisoned trigger: one percent-domain violation AND one orphan —
+    // BOTH capture, each named with its failed expectation; the clean
+    // row of the same trigger is NOT quarantined (it is rejected with
+    // the trigger, but it violated nothing)
+    RawZone.writeRun(spark.read.schema(Schemas.rawEvent).json(Seq(
+      eventJson("e2", "v2", "xyz", "2024-03-02T09:00:00Z", 1.5),
+      eventJson("e3", "v3", "ghost", "2024-03-02T09:00:30Z", 0.3),
+      eventJson("e4", "v2", "abc", "2024-03-02T09:01:00Z", 0.4)).toDS),
+      s"$dir/raw", "events", "20250502_000000")
+    val q2 = Pipeline.runStreamingGated(spark, s"$dir/raw", wh,
+      Seq("abc", "xyz"), ts0, s"$dir/ckpt", quarantine = true)
+    intercept[Exception] { q2.awaitTermination(60000); q2.stop() }
+    // fail-stop unchanged: nothing of the trigger landed
+    assert(RawZone.warehouse(spark, wh.fact).count() === 1L)
+    // the dead-letter table holds exactly the two violating rows, each
+    // with its failed expectation, batch id and run stamp
+    val q = RawZone.warehouse(spark, wh.quarantine)
+    assert(q.count() === 2L)
+    val byCheck = q.select("failed_check", "visitor_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(byCheck === Set("percent_range" -> "v2", "orphan_media" -> "v3"))
+    assert(q.select("batch_id").distinct().collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    assert(q.filter(col("quarantined_run_ts") === lit(ts0)).count() === 2L)
+    // the run log carries both the quarantine write and the gate verdict
+    val log = RunLog.read(spark, s"${wh.root}/run_log")
+      .filter(col("stage").isin("quarantine_trigger_1", "dq_gate_trigger_1"))
+      .select("stage", "status", "rows").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(log("quarantine_trigger_1") === (("ok", 2L)))
+    assert(log("dq_gate_trigger_1")._1 === "failed")
+  }
+
   test("runStreamingGated: a poisoned DIM rejects at startup, before any trigger") {
     import graft.sources.RunLog
     import spark.implicits._
