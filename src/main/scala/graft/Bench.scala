@@ -97,8 +97,39 @@ object Bench {
     // `failed` (recomputed here — discarded stall passes don't count)
     val okKeys = passes.map(_.keySet).reduce(_ intersect _)
     val failed = allNames -- okKeys
+    // SPREAD STABILIZATION: a handful of queries are bimodal on this VM
+    // (dd13/dd14 observed 1.2–5.1 s within one session), so a
+    // median-of-3 lands on whichever side the coin fell and flips
+    // round-over-round diffs 2× on untouched code. A query whose 3
+    // accepted passes spread more than 1.5× gets up to 2 extra SOLO
+    // re-runs; its median is then the median of 5, which equals the
+    // median of the middle 3 — the extremes stop deciding it. The
+    // sidecar records every query's final sample set and spread so a
+    // shaky median is visible in the artifact.
+    def runOne(name: String): Option[Double] = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropPersisted()
+      if (ok) Some(dt) else None
+    }
+    val samples: Map[String, Seq[Double]] = okKeys.toSeq.sorted.map { k =>
+      var vals = passes.map(_(k)).toSeq
+      var extras = 0
+      while (extras < 2 && vals.max > 1.5 * vals.min) {
+        System.err.println(
+          f"[bench] $k spread ${vals.max / vals.min}%.2fx over ${vals.size} passes; re-running")
+        runOne(k).foreach(v => vals = vals :+ v)
+        extras += 1
+      }
+      k -> vals
+    }.toMap
     val results = okKeys.toSeq.sorted.map { k =>
-      k -> passes.map(_(k)).sorted.apply(1) // median of 3 accepted passes
+      val s = samples(k).sorted
+      k -> s((s.size - 1) / 2) // median (odd sizes: 3 or 5)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -118,8 +149,16 @@ object Bench {
         .mkString("{", ",", "}")
       f"""{"total":${p.values.sum}%.3f,"queries":$m}"""
     }.mkString("[", ",", "]")
+    // per-query sample sets + spread (max/min over the final set, incl.
+    // any stabilization re-runs) — the shaky-median detector
+    val spreadJson = okKeys.toSeq.sorted.map { k =>
+      val s = samples(k)
+      "\"" + k + "\":" +
+        f"""{"spread":${s.max / s.min}%.3f,"samples":${
+          s.map(v => f"$v%.3f").mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
     val sidecar =
-      f"""{"median":$line,"failed":$failedJson,"stall_retries":$retries,"passes":$passJson}"""
+      f"""{"median":$line,"failed":$failedJson,"stall_retries":$retries,"spreads":$spreadJson,"passes":$passJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), sidecar + "\n")
     catch { case e: Throwable =>
