@@ -921,12 +921,14 @@ object ScaleProbe {
     // and 10× (640 partitions, same width — a longer history, the way a
     // chunk warehouse actually grows), upsert the SAME fixed batch
     // (pure update of 2 partitions), time the second (warm) upsert.
-    // MEASURED (sf-independent synthetic, warm, two runs this round):
-    // 1× 1.28/1.20 s, 10× 0.92/0.86 s — FLAT in table size (the 10×
-    // run is faster: both rewrite exactly 2 partitions and the second
+    // MEASURED (sf-independent synthetic, warm, r15 with the commit
+    // lease): 1× 1.87 s, 10× 1.37 s — FLAT in table size (the 10× run
+    // is faster: both rewrite exactly 2 partitions and the second
     // table benefits from the warmer JVM; the survivor scan's
-    // partition pruning means the 10× history is never read). A merge
-    // that rewrote or rescanned the table would be 10×.
+    // partition pruning means the 10× history is never read; the r14
+    // lock-free form measured 1.28/0.92 s — the lease's metadata ops
+    // are the fixed delta). A merge that rewrote or rescanned the
+    // table would be 10×.
     // Catalog.purgeKeys scale probe (`runMain graft.ScaleProbe
     // prod:purge`): a takedown request deletes a FIXED key list from a
     // 1× (64 partitions × 20k rows) and a 10× (640 partitions — a longer
@@ -935,11 +937,12 @@ object ScaleProbe {
     // (keys arrive by entity, not by partition), which reads only the
     // key + partition columns — a 2-int64 columnar pass. Expect near-
     // flat: the discovery scan's 10× growth is pennies next to the
-    // fixed 2-partition rewrite. MEASURED (warm, this round): 1× 2.42 s,
-    // 10× 4.23 s for 10× history (1.75×) — the discovery scan's linear
-    // term and the 10× partition metadata are visible but sub-linear; a
-    // purge that rewrote or rescanned the table at full width would be
-    // 10×.
+    // fixed 2-partition rewrite. MEASURED (warm, r15 with the commit
+    // lease): 1× 1.97 s, 10× 2.58 s for 10× history (1.31×) — the
+    // discovery scan's linear term and the 10× partition metadata are
+    // visible but sub-linear (r14 lock-free 1.75/2.35 s; r13
+    // OR-of-ANDs 2.42/4.23 s); a purge that rewrote or rescanned the
+    // table at full width would be 10×.
     // packed-chunk erasure probe (`runMain graft.ScaleProbe
     // prod:chunks`): Takedown.executeChunks against a 1× (sf0.1, 60k
     // gated docs) and 10× (600k) pack store + chunk table, same fixed

@@ -257,12 +257,13 @@ object Catalog {
     * all-doomed partition would otherwise silently keep its rows, the
     * classic purge hole). Untouched partitions keep their exact files
     * (PurgeSpec pins this). Returns the number of rows deleted.
-    * MEASURED (prod:purge, warm, r14 with the IN-form touched filter):
-    * the same 500-key takedown against a 64- vs 640-partition table
-    * runs 1.75 vs 2.35 s — sub-linear in history (the linear term is
-    * the 2-column discovery scan; the rewrite is the fixed 2 touched
-    * partitions; the r13 OR-of-ANDs filter measured 2.42 vs 4.23 s on
-    * the same harness).
+    * MEASURED (prod:purge, warm, r15 with the IN-form touched filter
+    * AND the commit lease): the same 500-key takedown against a 64- vs
+    * 640-partition table runs 1.97 vs 2.58 s — sub-linear in history
+    * (the linear term is the 2-column discovery scan; the rewrite is
+    * the fixed 2 touched partitions; the r14 lock-free form measured
+    * 1.75/2.35 s — the lease costs ~0.2 s of metadata ops per commit —
+    * and the r13 OR-of-ANDs filter 2.42/4.23 s on the same harness).
     *
     * The downstream half of a takedown is the snapshot layer: derived
     * artifacts (RAG index, manifests) REPUBLISH without the purged docs
