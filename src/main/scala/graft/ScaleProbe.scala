@@ -794,10 +794,18 @@ object ScaleProbe {
         docs.unionByName(copies).write.mode("overwrite")
           .parquet(s"$dirBase/10x/documents.parquet")
       }
-      // last night's run (untimed) — the store is a Snapshots root now
-      if (graft.sources.Snapshots.latestVersion(spark, s"$dirBase/1x_store").isEmpty)
+      // last night's run (untimed) — the store is a Snapshots root now.
+      // A cached store from an older layout (missing a table the current
+      // code reads) re-materializes as a fresh version: the ensure
+      // condition checks the committed latest actually carries the full
+      // current table set, not just that a version exists.
+      def storeReady(root: String): Boolean =
+        graft.sources.Snapshots.latestVersion(spark, root).exists { v =>
+          new java.io.File(s"$root/_v=$v/store_capped").exists()
+        }
+      if (!storeReady(s"$dirBase/1x_store"))
         TrainPrep.materializeStore(spark, src, s"$dirBase/1x_store")
-      if (graft.sources.Snapshots.latestVersion(spark, s"$dirBase/10x_store").isEmpty)
+      if (!storeReady(s"$dirBase/10x_store"))
         TrainPrep.materializeStore(spark, s"$dirBase/10x", s"$dirBase/10x_store")
       // correctness: from-store output == the registry pipe5, bit-for-bit
       val want = SparkEntry.queries("pipe5_incremental_chunks")(spark, src)
@@ -820,6 +828,25 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         run().write.format("noop").mode("overwrite").save()
         println(f"[probe] prod pipe5 $label%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
+      }
+      // the nightly STORE ADVANCE (compute batch-sized, write
+      // store-sized — the cost of full-version atomicity): time the
+      // commit, then ROLL BACK the pointer so the cached probe stores
+      // keep serving the un-advanced state for parity on later runs
+      // (rollback is a metadata-only pointer flip; the orphaned version
+      // is shadowed by the next claim). MEASURED (warm, r15): 1×
+      // 6.33 s, 10×-store 7.91 s — 1.25× for 10× store growth: the
+      // compute is batch-sized, the slope is the union-table snapshot
+      // write, as documented.
+      for ((label, d, st) <- Seq(
+          ("advance-1x", src, s"$dirBase/1x_store"),
+          ("advance-10x-store", s"$dirBase/10x", s"$dirBase/10x_store"))) {
+        val v0 = graft.sources.Snapshots.latestVersion(spark, st).get
+        val t0 = System.nanoTime()
+        val v1 = TrainPrep.advanceStore(spark, d, st)
+        println(f"[probe] prod pipe5 $label%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (v$v0 -> v$v1)")
+        graft.sources.Snapshots.commitPointer(spark, st, v0)
         dropPersisted()
       }
       spark.stop()

@@ -446,13 +446,24 @@ object Catalog {
     * (staged then moved) — but the pass must NOT run concurrently with
     * WRITERS appending to the same partitions: rows appended between
     * the survey/pin and the overwrite would be silently replaced by the
-    * pinned snapshot. Quiesce ingestion or serialize compaction with
-    * the append job (full snapshot isolation needs a table format —
+    * pinned snapshot. The pass holds the table's [[CommitLock]] (r15),
+    * which serializes it against the OTHER rewriters (upsert,
+    * purgeKeys, executeChunks) — but plain appends do not take the
+    * lease, so ingestion must still be quiesced or scheduled around
+    * compaction (full snapshot isolation needs a table format —
     * Iceberg/Delta — out of scope by the public-Spark-only rule).
     */
   def compactPartitions(spark: SparkSession, table: String,
       partitionBy: Seq[String], targetBytes: Long = 128L << 20,
-      maxFiles: Int = 4, batchSize: Int = 64): Seq[CompactionResult] = {
+      maxFiles: Int = 4, batchSize: Int = 64): Seq[CompactionResult] =
+    CommitLock.withTableLock(spark, table) {
+      compactPartitionsLocked(spark, table, partitionBy, targetBytes,
+        maxFiles, batchSize)
+    }
+
+  private def compactPartitionsLocked(spark: SparkSession, table: String,
+      partitionBy: Seq[String], targetBytes: Long,
+      maxFiles: Int, batchSize: Int): Seq[CompactionResult] = {
     import org.apache.spark.sql.functions._
     require(partitionBy.nonEmpty, "compactPartitions needs a partitioned table")
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -292,6 +292,7 @@ object Takedown {
         val v1 = step("store_rewrite") {
           val v = Snapshots.writeTables(Seq(
             "store_bands" -> stored("store_bands"),
+            "store_capped" -> stored("store_capped"),
             "store_shingles" -> stored("store_shingles"),
             "test_shingles" -> der,
             "store_totals" -> stored("store_totals"),
@@ -382,6 +383,12 @@ object Takedown {
         val v = Snapshots.writeTables(Seq(
           "store_bands" -> stored("store_bands")
             .join(idsDf, Seq("doc_id"), "left_anti"),
+          // the capped-bucket registry CARRIES: a bucket dropped at
+          // original write stays dropped even if the purge shrank it
+          // below the cap — its rows were never stored to restore
+          // (caveat (b)); the registry keeps advanceStore exact about
+          // that history
+          "store_capped" -> stored("store_capped"),
           "store_shingles" -> stored("store_shingles")
             .join(idsDf, Seq("doc_id"), "left_anti"),
           "test_shingles" -> testSh,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TrainPrep.advanceStore — the nightly incremental advance of the
+  * versioned pack store: tonight's accepted batch folds into a new
+  * snapshot version whose order-independent tables are BIT-EQUAL to a
+  * from-scratch build over the combined membership, whose manifest
+  * appends without shifting anything already written, and whose replay
+  * (same night, advanced store) is a true no-op. The cap algebra that
+  * makes the band index exact ([[TrainPrep.advanceBands]]) is pinned
+  * separately with constructed frames — no MinHash collisions needed to
+  * exercise carry / transition / swallow.
+  */
+class AdvanceStoreSpec extends graft.SparkSpec {
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def store(dir: String, t: String): DataFrame =
+    TrainPrep.storeTable(spark, dir, t)
+
+  test("advanceStore: order-independent tables bit-equal from-scratch; manifest appends; replay no-op; old version pinned") {
+    val d = sf("sf0.001")
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_adv").toString
+    val v1 = TrainPrep.materializeStore(spark, d, storeDir)
+    val man0 = rows(store(storeDir, "store_manifest"))
+    val acc = TrainPrep.pipe3ManifestFromStore(spark, d, storeDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("shard"), r.getAs[Long]("start_off"))).toSeq
+    assert(acc.nonEmpty, "the batch must accept something for this pin to bite")
+
+    val v2 = TrainPrep.advanceStore(spark, d, storeDir)
+    assert(v2 > v1)
+    assert(graft.sources.Snapshots.latestVersion(spark, storeDir) === Some(v2))
+
+    // from-scratch reference over the COMBINED membership: the static
+    // store convention plus tonight's accepted ids
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, d)
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val combined = docs
+      .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 3)
+      .unionByName(docs.join(acc.map(_._1).toDF("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    val refDir = java.nio.file.Files.createTempDirectory("graft_adv_ref").toString
+    TrainPrep.materializeStoreOver(spark, combined, docs, refDir)
+    for (t <- Seq("store_bands", "store_capped", "store_shingles",
+        "test_shingles", "store_totals", "store_opens"))
+      assert(rows(store(storeDir, t)) === rows(store(refDir, t)), t)
+
+    // the manifest deliberately does NOT equal from-scratch (append-only
+    // offsets never shift) — it equals old ∪ the accepted rows with the
+    // store's hkey convention
+    val hkey = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val accMan = rows(acc.toDF("doc_id", "n_tokens", "shard", "start_off")
+      .withColumn("hkey", hkey)
+      .select(store(storeDir, "store_manifest").columns.map(col): _*))
+    assert(rows(store(storeDir, "store_manifest")) === man0 ++ accMan)
+    // ... and from-scratch would have shifted offsets: same keys, at
+    // least one different start_off (the interleave is the reason the
+    // manifest is exempt above)
+    assert(rows(store(refDir, "store_manifest")) !== man0 ++ accMan)
+
+    // the pre-advance version stays pinned-readable
+    assert(rows(graft.sources.Snapshots.readTable(spark, storeDir,
+      "store_manifest", Some(v1))) === man0)
+
+    // replay the same night against the advanced store: every accepted
+    // doc now sits in the band index and fuzzy-gates its replay out —
+    // nothing accepted, no empty version committed, pipe5 emits nothing
+    assert(TrainPrep.pipe3ManifestFromStore(spark, d, storeDir).isEmpty)
+    assert(TrainPrep.advanceStore(spark, d, storeDir) === v2)
+    assert(graft.sources.Snapshots.latestVersion(spark, storeDir) === Some(v2))
+    assert(TrainPrep.pipe5FromStore(spark, d, storeDir).isEmpty)
+  }
+
+  test("advanceBands cap algebra: carry, at-cap transition, capped-bucket swallow, untouched pass-through") {
+    val cap = TrainPrep.pipe3MaxStoreBucket
+    // bucket (0,111): stored exactly AT the cap — one batch row tips it
+    //   over, so ALL cap+1 rows must drop and the bucket registers
+    // bucket (0,222): 3 stored rows + 1 batch row = 4, stays kept
+    // bucket (0,999): in the registry (no stored rows) — batch rows
+    //   must be swallowed, registry entry survives
+    // bucket (1,333): untouched by the batch — passes through verbatim
+    val oldBands = spark.range(cap).select(col("id").as("doc_id"),
+        lit(0).as("band"), lit(111L).as("key"))
+      .unionByName(spark.range(3).select((col("id") + 1000L).as("doc_id"),
+        lit(0).as("band"), lit(222L).as("key")))
+      .unionByName(spark.range(5).select((col("id") + 2000L).as("doc_id"),
+        lit(1).as("band"), lit(333L).as("key")))
+    import spark.implicits._
+    val oldCapped = Seq((0, 999L)).toDF("band", "key")
+    val accBands = Seq(
+      (9000L, 0, 111L), (9001L, 0, 999L), (9002L, 0, 999L), (9003L, 0, 222L))
+      .toDF("doc_id", "band", "key")
+    val (kept, capped) = TrainPrep.advanceBands(oldBands, oldCapped, accBands)
+    val keptRows = kept.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[Long]("key"))).toSet
+    assert(!keptRows.exists(_._3 == 111L), "the tipped bucket must drop wholesale")
+    assert(!keptRows.exists(_._3 == 999L), "registry buckets swallow batch rows")
+    assert(keptRows.count(_._3 == 222L) === 4)
+    assert(keptRows.count(_._3 == 333L) === 5)
+    val cappedRows = capped.collect()
+      .map(r => (r.getAs[Int]("band"), r.getAs[Long]("key"))).toSet
+    assert(cappedRows === Set((0, 999L), (0, 111L)))
+  }
+}
