@@ -129,7 +129,11 @@ object Bench {
     }.toMap
     val results = okKeys.toSeq.sorted.map { k =>
       val s = samples(k).sorted
-      k -> s((s.size - 1) / 2) // median (odd sizes: 3 or 5)
+      // true median: odd sizes take the middle, the even size a failed
+      // stabilization re-run can leave (3 + 1) averages the two middles
+      // — the lower-middle alone would bias a bimodal sample low
+      k -> (if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

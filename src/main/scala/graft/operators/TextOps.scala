@@ -549,17 +549,20 @@ object TextOps {
     // artifact: an over-aggressive rate can thin the corpus until the
     // loop runs out of pairs (merges.size < t11K) or out of docs
     // entirely — and a stored empty/truncated merge table makes every
-    // downstream encode a no-op with no signal. Empty is an error;
-    // truncated warns with the sampled-doc count so the operator can
-    // size the rate against the probe's noise-vs-margin rule.
-    val nSampled = sampled.count()
-    require(nSampled > 0L,
-      s"bpeTrainSampled: rate=$rate left zero docs — no merge table can be trained")
+    // downstream encode a no-op with no signal. The diagnostics are
+    // DEFERRED behind the truncation test so a healthy run pays no
+    // extra corpus scan: empty is an error, truncated warns with the
+    // sampled-doc count so the operator can size the rate against the
+    // probe's noise-vs-margin rule.
     val merges = bpeLoopOf(sampled)._1
-    if (merges.size < t11K)
+    if (merges.size < t11K) {
+      val nSampled = sampled.count()
+      require(nSampled > 0L,
+        s"bpeTrainSampled: rate=$rate left zero docs — no merge table can be trained")
       System.err.println(s"[bpeTrainSampled] WARNING: rate=$rate kept only " +
         s"$nSampled docs and the merge loop dried up at ${merges.size}/" +
         s"$t11K merges — the stored table is truncated; lower the rate")
+    }
     merges
   }
 

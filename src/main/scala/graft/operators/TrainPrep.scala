@@ -1558,13 +1558,21 @@ object TrainPrep {
     */
   private[graft] def isHeldOutId(id: Long): Boolean = id % 10L == 0L
 
+  /** Column form of the same convention — the store writer, the gates
+    * and the fingerprint derivation filter through THIS, so a future
+    * convention change cannot leave the scalar and frame forms
+    * disagreeing.
+    */
+  private[graft] def isHeldOutCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 10 === 0
+
   /** The held-out fingerprint universe of a documents frame — bare
     * shingle hashes, no doc attribution (dc1/dc2's decontamination
     * side). Derivable ONLY from a corpus, which is why erasing a
     * held-out doc means re-deriving this table from the purged corpus.
     */
   private[graft] def testShinglesOf(docsAll: DataFrame): DataFrame =
-    Dedup.shingleRowsOf(docsAll.filter(col("doc_id") % 10 === 0))
+    Dedup.shingleRowsOf(docsAll.filter(isHeldOutCol(col("doc_id"))))
       .select(xxhash64(col("s")).as("h")).distinct()
 
   /** Read one pack-store table at the committed latest (or a pinned)
@@ -1596,7 +1604,7 @@ object TrainPrep {
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
     val gated = docsAll
       .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
-      .filter(col("doc_id") % 10 =!= 0)
+      .filter(!isHeldOutCol(col("doc_id")))
     materializeStoreOver(s, gated.filter(col("doc_id") % 7 =!= 3),
       docsAll, storeDir)
   }
@@ -1645,6 +1653,7 @@ object TrainPrep {
           .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .localCheckpoint()
     try
+      graft.sources.CommitLock.withLock(s, storeDir) {
       graft.sources.Snapshots.writeTables(Seq(
         "store_bands" -> bands,
         "store_capped" -> capped,
@@ -1659,6 +1668,7 @@ object TrainPrep {
         "store_opens" -> smang.groupBy("shard")
           .agg((expr(s"sum(n_tokens) div ${packBudget}L") * packBudget)
             .as("open_start"))), storeDir)
+      }
     finally {
       smang.unpersist(blocking = false)
       counted.unpersist(blocking = false)
@@ -1748,11 +1758,22 @@ object TrainPrep {
     * version when the delta is empty — no empty commits).
     */
   private[graft] def advanceStore(s: SparkSession, d: String,
+      storeDir: String): Long =
+    // the advance runs under the STORE ROOT's commit lease: a takedown
+    // rewrite (executeChunks holds the same lease) landing between this
+    // read of v0 and the commit of v0 ∪ batch would otherwise be
+    // silently undone — the erased docs' rows resurrected at latest
+    graft.sources.CommitLock.withLock(s, storeDir) {
+      advanceStoreLocked(s, d, storeDir)
+    }
+
+  private def advanceStoreLocked(s: SparkSession, d: String,
       storeDir: String): Long = {
     val v0 = graft.sources.Snapshots.latestVersion(s, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed pack store under $storeDir"))
     def stored(t: String) = storeTable(s, storeDir, t, Some(v0))
-    val acc = pipe3ManifestFromStore(s, d, storeDir).localCheckpoint()
+    // the delta derivation pins the SAME v0 the union bases read
+    val acc = pipe3ManifestFromStore(s, d, storeDir, Some(v0)).localCheckpoint()
     try {
       if (acc.isEmpty) return v0
       val accDocs = Tables.documents(s, d)
@@ -1803,13 +1824,18 @@ object TrainPrep {
     * the plan.
     */
   private[graft] def pipe3ManifestFromStore(s: SparkSession, d: String,
-      storeDir: String): DataFrame = {
+      storeDir: String, version: Option[Long] = None): DataFrame = {
+    // resolve the store version ONCE: every stage must read the same
+    // snapshot (per-read pointer resolution could mix two versions if
+    // a publish lands mid-plan), and advanceStore pins its own v0 here
+    val pin = version.orElse(graft.sources.Snapshots.latestVersion(s, storeDir))
+    def st(t: String): DataFrame = storeTable(s, storeDir, t, pin)
     val nWords = size(split(col("text"), " ")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
     // stage 1 — quality gate, batch rows only
     val batch = Tables.documents(s, d)
       .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
-      .filter(col("doc_id") % 10 =!= 0).filter(col("doc_id") % 7 === 3)
+      .filter(!isHeldOutCol(col("doc_id"))).filter(col("doc_id") % 7 === 3)
     // stage 2 — within-batch exact dedup
     val wTh = Window.partitionBy("th").orderBy("doc_id")
     val bdd = batch
@@ -1818,7 +1844,7 @@ object TrainPrep {
       .filter(col("rk") === 1).drop("th", "rk")
     // stage 3 — fuzzy gate vs the STORED band index (the cap was applied
     // at write time; batch-side signatures are the only MinHash work)
-    val sBand = storeTable(s, storeDir, "store_bands")
+    val sBand = st("store_bands")
     val cand = Dedup.bandFrameOf(bdd)
         .select(col("doc_id").as("nid"), col("band"), col("key"))
       .join(sBand.select(col("doc_id").as("oid"), col("band"), col("key")),
@@ -1830,7 +1856,7 @@ object TrainPrep {
       .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-    val hsS = storeTable(s, storeDir, "store_shingles")
+    val hsS = st("store_shingles")
       .join(cand.select(col("oid").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val dupNids = cand
       .join(hsB.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
@@ -1841,7 +1867,7 @@ object TrainPrep {
       .select(col("nid").as("doc_id")).distinct()
     val fresh = bdd.join(dupNids, Seq("doc_id"), "left_anti")
     // stage 4 — decontamination vs the stored fingerprint universe
-    val testSh = storeTable(s, storeDir, "test_shingles")
+    val testSh = st("test_shingles")
     val fsh = Dedup.shingleRowsOf(fresh)
       .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
     val ctot = fsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -1856,7 +1882,7 @@ object TrainPrep {
     val hkey = conv(substring(md5(
       concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
       .cast("long")
-    val stored = storeTable(s, storeDir, "store_totals")
+    val stored = st("store_totals")
     val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     acc.withColumn("hkey", hkey)
       .withColumn("shard", pmod(col("hkey"), lit(8L)))
@@ -1878,9 +1904,11 @@ object TrainPrep {
     */
   private[graft] def pipe5FromStore(s: SparkSession, d: String,
       storeDir: String): DataFrame = {
-    val smang = storeTable(s, storeDir, "store_manifest")
-    val opens = storeTable(s, storeDir, "store_opens")
-    val man = pipe3ManifestFromStore(s, d, storeDir)
+    // one pinned version for the whole plan (see pipe3ManifestFromStore)
+    val pin = graft.sources.Snapshots.latestVersion(s, storeDir)
+    val smang = storeTable(s, storeDir, "store_manifest", pin)
+    val opens = storeTable(s, storeDir, "store_opens", pin)
+    val man = pipe3ManifestFromStore(s, d, storeDir, pin)
       .select("shard", "doc_id", "start_off", "n_tokens")
       .localCheckpoint() // feeds touched-shards, tokens, and spans
     val touched = man.select("shard").distinct()

@@ -199,11 +199,21 @@ object Catalog {
       .select(col("_row.*"))
       .select(cols.map(col): _*)
     if (!spark.catalog.tableExists(table)) {
-      // same one-file-per-partition discipline as the rewrite path
-      // (creation is additive — the lock guards REWRITES of existing
-      // partitions, and the table has no location to lock yet)
-      append(deduped.repartition(partitionBy.map(col): _*), table, partitionBy)
-      return
+      // the table has no location of its own to lock before it exists,
+      // so creation races serialize on the DATABASE's lock with the
+      // existence re-checked under it — two first writers cannot both
+      // create-and-append (the loser falls through to the keyed merge)
+      val created = CommitLock.withLock(spark,
+        CommitLock.databaseLocation(spark,
+          CommitLock.databaseOf(spark, table))) {
+        if (!spark.catalog.tableExists(table)) {
+          // same one-file-per-partition discipline as the rewrite path
+          append(deduped.repartition(partitionBy.map(col): _*), table,
+            partitionBy)
+          true
+        } else false
+      }
+      if (created) return
     }
     CommitLock.withTableLock(spark, table) {
       upsertPinned(spark, deduped, table, keys, partitionBy)

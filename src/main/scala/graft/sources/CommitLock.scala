@@ -26,7 +26,13 @@ import org.apache.spark.sql.SparkSession
   * this JVM's clock — [[Snapshots.vacuum]]'s pointerTmpGraceMs
   * discipline, widen on stores with real clock skew) is presumed
   * abandoned, broken, and the claim retried ONCE. A live-but-slow
-  * holder inside the grace is never broken.
+  * holder is never broken: a daemon HEARTBEAT refreshes the held
+  * lock's mtime every `staleGraceMs / 4`, so liveness — not a guess
+  * about the longest possible rewrite — keeps the lease; only a
+  * genuinely dead holder's file ever ages past the grace. (The
+  * refresh is an ownership-checked setTimes; a heartbeat that finds
+  * the file gone or re-owned stops silently — the break already
+  * happened and the release path will not delete a usurper's lock.)
   *
   * Re-entrant per thread: [[Takedown.executeChunks]] holds the chunk
   * table's lock across its whole flow while calling purgeKeys and
@@ -108,8 +114,26 @@ object CommitLock {
           s"holder's $LockName after the ${staleGraceMs / 1000}s grace)")
     }
     held.set(held.get() + key)
+    // heartbeat: keep the held lease young so a long-running body is
+    // never presumed crashed by another writer's stale-break path
+    val beat = new Thread(() => {
+      var live = true // broken + re-owned ⇒ stand down (no plain `return`
+      // in a lambda — that is a non-local return, not a thread exit)
+      try {
+        while (live && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(staleGraceMs / 4, 50L))
+          try {
+            if (holderOf() != token) live = false
+            else fs.setTimes(lockPath, System.currentTimeMillis(), -1L)
+          } catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"commit-lock-heartbeat-${lockPath.getName}")
+    beat.setDaemon(true)
+    beat.start()
     try body
     finally {
+      beat.interrupt()
       held.set(held.get() - key)
       // delete only OUR lock: if someone broke a stale lease and
       // re-claimed, the file carries their token and must survive
@@ -133,4 +157,22 @@ object CommitLock {
   def withTableLock[T](spark: SparkSession, table: String,
       staleGraceMs: Long = 3600000L)(body: => T): T =
     withLock(spark, tableLocation(spark, table), staleGraceMs)(body)
+
+  /** The storage location of a DATABASE — where creation races of its
+    * not-yet-existing tables serialize (a table has no location of its
+    * own to lock before it exists).
+    */
+  private[graft] def databaseLocation(spark: SparkSession, db: String): String =
+    spark.sql(s"DESCRIBE DATABASE `$db`").collect()
+      .find(r => r.getString(0).trim.equalsIgnoreCase("Location"))
+      .map(_.getString(1).trim)
+      .getOrElse(throw new IllegalStateException(
+        s"DESCRIBE DATABASE $db reports no Location — cannot place its commit lock"))
+
+  /** The database a (possibly unqualified) table name resolves in. */
+  private[graft] def databaseOf(spark: SparkSession, table: String): String =
+    table.split('.') match {
+      case Array(db, _) => db
+      case _ => spark.catalog.currentDatabase
+    }
 }

@@ -277,14 +277,15 @@ object Takedown {
         // HELD-OUT-only takedown: the ids were never packed (held-out
         // docs are excluded from the store by construction), but the
         // fingerprint universe may still carry their shingle hashes.
-        // Drift-check first so a repeated identical takedown is a true
-        // no-op (bare hashes carry no attribution — equality against
-        // the purged-corpus derivation IS the erased-state test).
+        // RESIDUE-check first so a repeated identical takedown is a
+        // true no-op (bare hashes carry no attribution — a stored hash
+        // the purged corpus cannot justify IS the erased-state test;
+        // derived-but-not-stored hashes are ingestion drift, holdout
+        // refresh's business, not erasure's).
         val der = derivedTestShingles().localCheckpoint()
         pinned += der
         val cur = stored("test_shingles")
-        val drift = cur.join(der, Seq("h"), "left_anti").count() +
-          der.join(cur, Seq("h"), "left_anti").count()
+        val drift = cur.join(der, Seq("h"), "left_anti").count()
         if (drift == 0L) {
           log("noop", 0L, "ok", "")
           return ChunksResult(0L, 0L, 0L, 0L, v0)
@@ -403,7 +404,14 @@ object Takedown {
       ChunksResult(nPurged, nShards, nRebuilt, deleted, v1)
     } finally pinned.foreach(_.unpersist(blocking = false))
     }
-    CommitLock.withTableLock(spark, chunksTable)(flow())
+    // two leases, fixed order (chunk table, then store root — the only
+    // multi-lock holder, so no cycle is possible): the chunk-table
+    // lease serializes against nightly upserts of the same partitions,
+    // the store lease against advanceStore/materializeStore commits
+    // that would otherwise resurrect the erased rows by unioning from
+    // a pre-takedown version
+    CommitLock.withTableLock(spark, chunksTable)(
+      CommitLock.withLock(spark, storeDir)(flow()))
   }
 
   /** Layer-by-layer erasure VERIFICATION — the evidence table a
@@ -424,13 +432,16 @@ object Takedown {
     * from-scratch rebuild on the purged corpus — while the held-out
     * fingerprint universe (`test_shingles`) GAINS a structural layer
     * here when BOTH docsTable and storeDir are passed: its
-    * rows_remaining is the symmetric difference against a from-scratch
-    * derivation on the CURRENT (purged) documents table — zero ⇔ the
-    * stored hashes are exactly the purged corpus's held-out
-    * fingerprints, i.e. nothing of any erased held-out doc survives at
-    * that layer. That check is O(held-out shingles) — heavier than the
-    * semi-join counts but still one narrow-column pass per side, and it
-    * is the only id-free layer a regulator would ask about.
+    * rows_remaining is the count of STORED hashes absent from a
+    * from-scratch derivation on the CURRENT (purged) documents table —
+    * zero ⇔ nothing the current corpus cannot justify survives at that
+    * layer (an erased doc's unique shingles would remain stored and
+    * count; hashes the corpus gained since the last store write are
+    * ingestion drift, deliberately NOT counted — a successful erasure
+    * must not read as residue because a held-out doc arrived
+    * yesterday). O(held-out shingles) — heavier than the semi-join
+    * counts but one narrow-column pass per side, and the only id-free
+    * layer a regulator would ask about.
     * MEASURED (prod:chunks, warm, r15): the five-layer evidence table
     * (documents + manifest/bands/shingles by id + the structural
     * test_shingles derivation) runs 1.42 s at 1× vs 1.39 s at 10×
@@ -456,13 +467,14 @@ object Takedown {
           "store_shingles" -> remaining(
             Snapshots.readTable(spark, d, "store_shingles")))) ++
         (docsTable zip storeDir).toSeq.map { case (t, d) =>
+          // ONE-directional: stored hashes absent from the current
+          // derivation are erasure RESIDUE; derived-but-not-stored
+          // hashes are ordinary ingestion drift (a held-out doc added
+          // since the last store write) and must not flag a successful
+          // takedown as unclean
           val der = graft.operators.TrainPrep.testShinglesOf(spark.table(t))
-            .localCheckpoint() // two consumers below
-          try {
-            val cur = Snapshots.readTable(spark, d, "test_shingles")
-            "test_shingles" -> (cur.join(der, Seq("h"), "left_anti").count() +
-              der.join(cur, Seq("h"), "left_anti").count())
-          } finally der.unpersist(blocking = false)
+          val cur = Snapshots.readTable(spark, d, "test_shingles")
+          "test_shingles" -> cur.join(der, Seq("h"), "left_anti").count()
         } ++
         ragRoot.toSeq.flatMap(r => Seq("vecs", "index", "postings",
           "chunklens").map(t =>

@@ -616,7 +616,7 @@ object Pipeline {
       .schema(Schemas.rawEvent.add(RawZone.RunColumn, "string"))
       .json(s"$rawRoot/events")
     val eventKey = Seq("media_id", "visitor_id", "date", "event_timestamp")
-    graft.streaming.Streams.availableNowSink(
+    val query = graft.streaming.Streams.availableNowSink(
       Transforms.perEventFact(eventStream, durations, ingestionTs), checkpoint) {
       (batch0, batchId) =>
         val batch = batch0.localCheckpoint()
@@ -643,7 +643,15 @@ object Pipeline {
                 .withColumn("quarantined_run_ts", lit(ingestionTs))
               val qEntry = RunLog.observedWrite(qRows, ingestionTs,
                 "runStreamingGated", s"quarantine_trigger_$batchId") { b =>
-                RawZone.warehouseAppend(b, wh.quarantine)
+                // mirror the fact sink's replay semantics: under
+                // idempotent=true a restarted stream replays the same
+                // poisoned trigger and the dead-letter rows must
+                // converge, not duplicate — keyed on the event key plus
+                // the failed expectation and batch id
+                if (idempotent)
+                  RawZone.warehouseMerge(b.sparkSession, b, wh.quarantine,
+                    eventKey ++ Seq("failed_check", "batch_id"))
+                else RawZone.warehouseAppend(b, wh.quarantine)
               }
               RunLog.append(spark, logPath, Seq(qEntry))
             } catch {
@@ -674,5 +682,23 @@ object Pipeline {
           RunLog.append(spark, logPath, Seq(gateEntry, entry))
         } finally batch.unpersist(blocking = false)
     }.start()
+    // the pinned dim lives exactly as long as its query: an orchestrator
+    // looping activations in one session must not accumulate dim-sized
+    // checkpoint blocks (the dropPersisted cliff) — release on
+    // termination, then retire the listener
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            dimMedia.unpersist(blocking = false)
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 }

@@ -74,6 +74,31 @@ class CommitLockSpec extends graft.SparkSpec {
     }
   }
 
+  test("heartbeat keeps a live slow holder's lease young — a contender inside the body never breaks it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cl_hb").toString
+    // grace 400 ms, body runs 1.5 s — without the heartbeat (refresh
+    // every grace/4 = 100 ms) the contender's stale check at t≈1 s
+    // would break the lease mid-body, the exact interleaving the lock
+    // exists to prevent
+    val got = CommitLock.withLock(spark, dir, staleGraceMs = 400L) {
+      Thread.sleep(1500L)
+      intercept[CommitLock.LockedException] {
+        // contender on ANOTHER thread (same thread would re-enter)
+        val t = new java.util.concurrent.CompletableFuture[Unit]()
+        val th = new Thread(() =>
+          try { CommitLock.withLock(spark, dir, staleGraceMs = 400L)(());
+                t.complete(()) }
+          catch { case e: Throwable => t.completeExceptionally(e) })
+        th.start(); th.join()
+        try t.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+      7
+    }
+    assert(got === 7)
+    assert(!new java.io.File(dir, "_commit.lock").exists())
+  }
+
   test("re-entrant on one thread; released by the outermost scope") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cl_re").toString
     val got = CommitLock.withLock(spark, dir) {
