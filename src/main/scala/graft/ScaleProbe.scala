@@ -801,7 +801,11 @@ object ScaleProbe {
       // current table set, not just that a version exists.
       def storeReady(root: String): Boolean =
         graft.sources.Snapshots.latestVersion(spark, root).exists { v =>
-          new java.io.File(s"$root/_v=$v/store_capped").exists()
+          new java.io.File(s"$root/_v=$v/store_capped").exists() &&
+            (try graft.sources.Snapshots
+              .readTable(spark, root, "store_totals", Some(v))
+              .columns.contains("max_tok")
+            catch { case _: Throwable => false })
         }
       if (!storeReady(s"$dirBase/1x_store"))
         TrainPrep.materializeStore(spark, src, s"$dirBase/1x_store")

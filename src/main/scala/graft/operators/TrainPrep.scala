@@ -1660,10 +1660,17 @@ object TrainPrep {
         "store_shingles" -> shingles,
         // (c) held-out fingerprint universe
         "test_shingles" -> testShinglesOf(docsAll),
-        // (d) per-shard append cursors
+        // (d) per-shard append cursors + the per-shard max doc length
+        // (max_tok bounds the boundary prefilter below — see
+        // pipe5FromStore)
         "store_totals" -> smang.groupBy("shard")
-          .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0")),
-        "store_manifest" -> smang,
+          .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"),
+            max("n_tokens").as("max_tok")),
+        // the manifest lands SORTED by start_off within each shard's
+        // files so parquet row-group min/max stats make the boundary
+        // prefilter a tail read, not a table scan
+        "store_manifest" -> smang.repartition(col("shard"))
+          .sortWithinPartitions("shard", "start_off"),
         // (f) open-chunk starts
         "store_opens" -> smang.groupBy("shard")
           .agg((expr(s"sum(n_tokens) div ${packBudget}L") * packBudget)
@@ -1793,12 +1800,17 @@ object TrainPrep {
       val manifest = stored("store_manifest").unionByName(
         acc.withColumn("hkey", hkey).select(manCols.map(col): _*))
       val deltas = acc.groupBy("shard")
-        .agg(count(lit(1)).as("dc"), sum("n_tokens").as("dt"))
+        .agg(count(lit(1)).as("dc"), sum("n_tokens").as("dt"),
+          max("n_tokens").as("dm"))
       val totals = stored("store_totals")
         .join(deltas, Seq("shard"), "full_outer")
         .select(col("shard"),
           (coalesce(col("cnt0"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cnt0"),
-          (coalesce(col("tot0"), lit(0L)) + coalesce(col("dt"), lit(0L))).as("tot0"))
+          (coalesce(col("tot0"), lit(0L)) + coalesce(col("dt"), lit(0L))).as("tot0"),
+          // max over a union = max of the two maxes — order-independent,
+          // so still bit-equal to from-scratch
+          greatest(coalesce(col("max_tok"), lit(0L)),
+            coalesce(col("dm"), lit(0L))).as("max_tok"))
         .localCheckpoint() // 2 consumers: totals table + opens
       try
         graft.sources.Snapshots.writeTables(Seq(
@@ -1807,7 +1819,8 @@ object TrainPrep {
           "store_shingles" -> shingles,
           "test_shingles" -> stored("test_shingles"),
           "store_totals" -> totals,
-          "store_manifest" -> manifest,
+          "store_manifest" -> manifest.repartition(col("shard"))
+            .sortWithinPartitions("shard", "start_off"),
           "store_opens" -> totals.select(col("shard"),
             (expr(s"tot0 div ${packBudget}L") * packBudget).as("open_start"))),
           storeDir)
@@ -1896,11 +1909,15 @@ object TrainPrep {
   }
 
   /** pipe5 reading the materialized store: the stored manifest is
-    * touched only by the boundary filter (a 3-int64-column scan — the
-    * one store-sized read left in the plan; a real table format prunes
-    * it to the tail row groups via per-shard max(start_off) stats) and
-    * the open starts are 8 stored rows. Everything else is
-    * batch-sized. Output = pipe5's, bit-for-bit.
+    * touched only by the boundary filter, and since r15 that read is
+    * PRUNED — [[boundaryScan]] pushes literal (shard, start_off)
+    * predicates derived from the bounded stored stats into the
+    * start_off-sorted manifest scan, so parquet row-group min/max
+    * stats confine it to each shard's tail (the "a real table format
+    * would prune this" note made real in plain parquet;
+    * Pipe5FromStoreSpec asserts the pushdown in the plan). The open
+    * starts are 8 stored rows; everything else is batch-sized.
+    * Output = pipe5's, bit-for-bit.
     */
   private[graft] def pipe5FromStore(s: SparkSession, d: String,
       storeDir: String): DataFrame = {
@@ -1912,7 +1929,7 @@ object TrainPrep {
       .select("shard", "doc_id", "start_off", "n_tokens")
       .localCheckpoint() // feeds touched-shards, tokens, and spans
     val touched = man.select("shard").distinct()
-    val bnd = smang.join(broadcast(opens), "shard")
+    val bnd = boundaryScan(s, storeDir, pin).join(broadcast(opens), "shard")
       .filter(col("start_off") + col("n_tokens") > col("open_start"))
       .join(broadcast(touched), Seq("shard"), "left_semi")
       .select("shard", "doc_id", "start_off", "n_tokens")
@@ -1920,6 +1937,32 @@ object TrainPrep {
       .join(broadcast(opens), Seq("shard"), "left")
       .withColumn("open_start", coalesce(col("open_start"), lit(0L)))
     shardChunksOf(uni5, Tables.documents(s, d)).orderBy("shard", "chunk_id")
+  }
+
+  /** The manifest BOUNDARY SCAN with its literal prefilter — factored
+    * from [[pipe5FromStore]] so the pushdown is plan-assertable
+    * (Pipe5FromStoreSpec; the final pipe5 plan hides this scan behind
+    * shardChunksOf's checkpoint). A doc can only straddle its shard's
+    * open chunk if start_off > open_start − max_tok(shard) (n_tokens ≤
+    * max_tok by definition), and both sides are bounded stored stats
+    * (8 rows each) — with the manifest sorted by start_off within each
+    * shard's files, the literal OR-of-ANDs prunes the scan to each
+    * shard's tail ROW GROUPS, removing the one store-sized read the
+    * pipe5 plan had left. pipe5FromStore's exact span filter
+    * re-restricts; this prefilter is a provable superset.
+    */
+  private[graft] def boundaryScan(s: SparkSession, storeDir: String,
+      pin: Option[Long]): DataFrame = {
+    val openBy = storeTable(s, storeDir, "store_opens", pin).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("open_start")).toMap
+    val maxTokBy = storeTable(s, storeDir, "store_totals", pin)
+      .select("shard", "max_tok").collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("max_tok")).toMap
+    val pre = openBy.toSeq.map { case (sh, open) =>
+      col("shard") === sh &&
+        col("start_off") > open - maxTokBy.getOrElse(sh, Long.MaxValue)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    storeTable(s, storeDir, "store_manifest", pin).filter(pre)
   }
 
   /** The chunk MATERIALIZATION shared by every shard-grain packer —

@@ -394,8 +394,10 @@ object Takedown {
             .join(idsDf, Seq("doc_id"), "left_anti"),
           "test_shingles" -> testSh,
           "store_totals" -> newMan.groupBy("shard")
-            .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0")),
-          "store_manifest" -> newMan,
+            .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"),
+              max("n_tokens").as("max_tok")),
+          "store_manifest" -> newMan.repartition(col("shard"))
+            .sortWithinPartitions("shard", "start_off"),
           "store_opens" -> newMan.groupBy("shard")
             .agg((expr(s"sum(n_tokens) div ${B}L") * B).as("open_start"))),
           storeDir)

@@ -33,5 +33,18 @@ class Pipe5FromStoreSpec extends graft.SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(p5Want.nonEmpty)
     assert(p5Got === p5Want)
+
+    // the boundary PREFILTER reaches the manifest scan as pushed
+    // literals (r15): with the manifest sorted by start_off within each
+    // shard's files, row-group min/max stats turn the boundary read
+    // into a tail read — the plan must show the (shard, start_off)
+    // literals pushed, or the "last store-sized read removed" claim is
+    // just a comment (asserted on the factored boundaryScan; the full
+    // pipe5 plan hides this scan behind shardChunksOf's checkpoint)
+    val plan = TrainPrep.boundaryScan(spark, storeDir, None)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(3000))
+    assert(plan.contains("GreaterThan(start_off,"), plan.take(3000))
+    assert(plan.contains("EqualTo(shard,"), plan.take(3000))
   }
 }
