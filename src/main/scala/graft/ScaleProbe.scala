@@ -839,10 +839,11 @@ object ScaleProbe {
       // commit, then ROLL BACK the pointer so the cached probe stores
       // keep serving the un-advanced state for parity on later runs
       // (rollback is a metadata-only pointer flip; the orphaned version
-      // is shadowed by the next claim). MEASURED (warm, r15): 1×
-      // 6.33 s, 10×-store 7.91 s — 1.25× for 10× store growth: the
-      // compute is batch-sized, the slope is the union-table snapshot
-      // write, as documented.
+      // is shadowed by the next claim). MEASURED (warm, r15 final
+      // surface): 1× 7.45 s, 10×-store 7.43 s — FLAT: the compute is
+      // batch-sized and the range-partitioned manifest sort
+      // parallelizes the union-table write (the pre-sort capture read
+      // 6.33/7.91 s).
       for ((label, d, st) <- Seq(
           ("advance-1x", src, s"$dirBase/1x_store"),
           ("advance-10x-store", s"$dirBase/10x", s"$dirBase/10x_store"))) {

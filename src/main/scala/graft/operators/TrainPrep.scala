@@ -1669,7 +1669,7 @@ object TrainPrep {
         // the manifest lands SORTED by start_off within each shard's
         // files so parquet row-group min/max stats make the boundary
         // prefilter a tail read, not a table scan
-        "store_manifest" -> smang.repartition(col("shard"))
+        "store_manifest" -> smang.repartitionByRange(col("shard"), col("start_off"))
           .sortWithinPartitions("shard", "start_off"),
         // (f) open-chunk starts
         "store_opens" -> smang.groupBy("shard")
@@ -1759,10 +1759,12 @@ object TrainPrep {
     * cost of full-version atomicity in this layout (a table format
     * would append/overwrite partitions under its own commit protocol;
     * the read side is unchanged either way). MEASURED (prod:pipe5
-    * advance arm, warm, r15): 6.33 s at 1× (sf0.1 store) vs 7.91 s at
-    * 10× store history — 1.25× for 10× growth, the slope being exactly
-    * that union-table write. Returns the committed version (the prior
-    * version when the delta is empty — no empty commits).
+    * advance arm, warm, r15 final surface with the range-sorted
+    * manifest write): 7.45 s at 1× (sf0.1 store) vs 7.43 s at 10×
+    * store history — FLAT (the pre-sort capture read 6.33/7.91 s; the
+    * range partitioning parallelizes the big manifest's sort, trading
+    * ~1 s at 1× for flatness at 10×). Returns the committed version
+    * (the prior version when the delta is empty — no empty commits).
     */
   private[graft] def advanceStore(s: SparkSession, d: String,
       storeDir: String): Long =
@@ -1819,7 +1821,7 @@ object TrainPrep {
           "store_shingles" -> shingles,
           "test_shingles" -> stored("test_shingles"),
           "store_totals" -> totals,
-          "store_manifest" -> manifest.repartition(col("shard"))
+          "store_manifest" -> manifest.repartitionByRange(col("shard"), col("start_off"))
             .sortWithinPartitions("shard", "start_off"),
           "store_opens" -> totals.select(col("shard"),
             (expr(s"tot0 div ${packBudget}L") * packBudget).as("open_start"))),

@@ -203,13 +203,16 @@ object Takedown {
     * catalog tables under a table format, where the rewrite is the
     * same touched-partition dynamic overwrite as step 3 with the
     * format's own commit atomicity. MEASURED (prod:chunks, warm, r15
-    * versioned store, same fixed 20-doc takedown incl. a worst-case
-    * rebuild-from-shard-head): 5.95 s at 1× (sf0.1 store) vs 5.31 s at
-    * 10× store history — FLAT even with 10× the rewritten chunks
-    * (53 → 512) and 10× the store tables, and no slower than the r14
-    * flat-overwrite layout (6.17/5.73 s) whose crash window it closes;
-    * [[verifyErasure]]'s five-layer evidence table measures 1.42 s at
-    * 1× vs 1.39 s at 10× — flat, scan-bound.
+    * final surface, same fixed 20-doc takedown incl. a worst-case
+    * rebuild-from-shard-head): 7.8/6.7/8.2 s at 1× (sf0.1 store) vs
+    * 6.7/7.5 s at 10× store history across repeated captures — FLAT in
+    * store size even with 10× the rewritten chunks (53 → 512) and 10×
+    * the store tables; the two commit leases plus the range-sorted
+    * manifest write add ~1–2 s of fixed cost over the pre-lease
+    * versioned capture (5.95/5.31 s) and the r14 flat-overwrite layout
+    * (6.17/5.73 s) whose crash window is now closed;
+    * [[verifyErasure]]'s five-layer evidence table measures
+    * 1.2–1.7 s at either scale — flat, scan-bound.
     *
     * `failpointBefore` is a TEST-ONLY crash-injection seam: naming a
     * step stage throws before that step runs, simulating a crash
@@ -396,7 +399,7 @@ object Takedown {
           "store_totals" -> newMan.groupBy("shard")
             .agg(count(lit(1)).as("cnt0"), sum("n_tokens").as("tot0"),
               max("n_tokens").as("max_tok")),
-          "store_manifest" -> newMan.repartition(col("shard"))
+          "store_manifest" -> newMan.repartitionByRange(col("shard"), col("start_off"))
             .sortWithinPartitions("shard", "start_off"),
           "store_opens" -> newMan.groupBy("shard")
             .agg((expr(s"sum(n_tokens) div ${B}L") * B).as("open_start"))),
@@ -446,8 +449,8 @@ object Takedown {
     * layer a regulator would ask about.
     * MEASURED (prod:chunks, warm, r15): the five-layer evidence table
     * (documents + manifest/bands/shingles by id + the structural
-    * test_shingles derivation) runs 1.42 s at 1× vs 1.39 s at 10×
-    * store history — flat, scan-bound.
+    * test_shingles derivation) runs 1.2–1.7 s at 1× and 10× store
+    * history alike — flat, scan-bound.
     */
   def verifyErasure(spark: SparkSession, docIds: Seq[Long],
       docsTable: Option[String] = None, storeDir: Option[String] = None,
