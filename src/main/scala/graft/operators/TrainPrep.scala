@@ -1763,8 +1763,11 @@ object TrainPrep {
     * manifest write): 7.45 s at 1× (sf0.1 store) vs 7.43 s at 10×
     * store history — FLAT (the pre-sort capture read 6.33/7.91 s; the
     * range partitioning parallelizes the big manifest's sort, trading
-    * ~1 s at 1× for flatness at 10×). Returns the committed version
-    * (the prior version when the delta is empty — no empty commits).
+    * ~1 s at 1× for flatness at 10×). Retention: one version accretes
+    * per non-empty night — [[graft.sources.Snapshots.vacuum]] with the
+    * training-lineage window is the bound, exactly as for the RAG
+    * index. Returns the committed version (the prior version when the
+    * delta is empty — no empty commits).
     */
   private[graft] def advanceStore(s: SparkSession, d: String,
       storeDir: String): Long =
