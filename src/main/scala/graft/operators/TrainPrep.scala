@@ -1771,24 +1771,37 @@ object TrainPrep {
     */
   private[graft] def advanceStore(s: SparkSession, d: String,
       storeDir: String): Long =
+    advanceStoreOver(s,
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3), storeDir)
+
+  /** [[advanceStore]] over an EXPLICIT batch frame — what
+    * [[graft.streaming.Streams.streamingStoreAdvance]] calls per
+    * micro-batch. Idempotent under trigger REPLAY by the store's own
+    * gates: a replayed batch's accepted docs already sit in the band
+    * index, so the fuzzy gate drops them, the delta is empty, and no
+    * new version commits (StreamingStoreAdvanceSpec pins it).
+    */
+  private[graft] def advanceStoreOver(s: SparkSession, batchRaw: DataFrame,
+      storeDir: String): Long =
     // the advance runs under the STORE ROOT's commit lease: a takedown
     // rewrite (executeChunks holds the same lease) landing between this
     // read of v0 and the commit of v0 ∪ batch would otherwise be
     // silently undone — the erased docs' rows resurrected at latest
     graft.sources.CommitLock.withLock(s, storeDir) {
-      advanceStoreLocked(s, d, storeDir)
+      advanceStoreLocked(s, batchRaw, storeDir)
     }
 
-  private def advanceStoreLocked(s: SparkSession, d: String,
+  private def advanceStoreLocked(s: SparkSession, batchRaw: DataFrame,
       storeDir: String): Long = {
     val v0 = graft.sources.Snapshots.latestVersion(s, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed pack store under $storeDir"))
     def stored(t: String) = storeTable(s, storeDir, t, Some(v0))
     // the delta derivation pins the SAME v0 the union bases read
-    val acc = pipe3ManifestFromStore(s, d, storeDir, Some(v0)).localCheckpoint()
+    val acc = pipe3ManifestFromStoreOver(s, batchRaw, storeDir, Some(v0))
+      .localCheckpoint()
     try {
       if (acc.isEmpty) return v0
-      val accDocs = Tables.documents(s, d)
+      val accDocs = batchRaw
         .join(acc.select("doc_id"), Seq("doc_id"), "left_semi")
       val (bands, capped) = advanceBands(stored("store_bands"),
         stored("store_capped"), Dedup.bandFrameOf(accDocs))
@@ -1842,7 +1855,21 @@ object TrainPrep {
     * the plan.
     */
   private[graft] def pipe3ManifestFromStore(s: SparkSession, d: String,
-      storeDir: String, version: Option[Long] = None): DataFrame = {
+      storeDir: String, version: Option[Long] = None): DataFrame =
+    pipe3ManifestFromStoreOver(s,
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3), storeDir,
+      version)
+
+  /** [[pipe3ManifestFromStore]] over an EXPLICIT batch frame — the form
+    * the streaming advance feeds one micro-batch at a time (membership
+    * IS the stream there, not the doc_id % 7 convention). The quality
+    * gate and the held-out exclusion still apply to every batch:
+    * garbage and holdout docs must never enter the store regardless of
+    * how the batch arrived.
+    */
+  private[graft] def pipe3ManifestFromStoreOver(s: SparkSession,
+      batchRaw: DataFrame, storeDir: String,
+      version: Option[Long] = None): DataFrame = {
     // resolve the store version ONCE: every stage must read the same
     // snapshot (per-read pointer resolution could mix two versions if
     // a publish lands mid-plan), and advanceStore pins its own v0 here
@@ -1851,9 +1878,9 @@ object TrainPrep {
     val nWords = size(split(col("text"), " ")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
     // stage 1 — quality gate, batch rows only
-    val batch = Tables.documents(s, d)
+    val batch = batchRaw
       .filter(nWords >= 10L && nAlpha * 2L > col("n_chars"))
-      .filter(!isHeldOutCol(col("doc_id"))).filter(col("doc_id") % 7 === 3)
+      .filter(!isHeldOutCol(col("doc_id")))
     // stage 2 — within-batch exact dedup
     val wTh = Window.partitionBy("th").orderBy("doc_id")
     val bdd = batch

@@ -957,6 +957,38 @@ object Streams {
     * reference's Cloud-Scheduler→Job activation (T5) without the manual
     * HWM query (T1/T2): the checkpoint IS the high-water mark.
     */
+  /** The NIGHTLY STORE ADVANCE as a streaming query — the pack store
+    * stays current per TRIGGER instead of per night: each micro-batch of
+    * document rows runs the stored gates (within-batch exact dedup,
+    * fuzzy gate vs the stored band index, decontamination vs the stored
+    * fingerprints, cursor-chained append offsets) and folds its accepted
+    * docs into the next atomic store version via
+    * [[graft.operators.TrainPrep.advanceStoreOver]] — the same commit,
+    * under the same store-root lease, the batch nightly run makes, so
+    * downstream pipe5FromStore/takedown consumers cannot tell which
+    * cadence produced the version they read.
+    *
+    * Delivery semantics: foreachBatch is at-least-once, and the advance
+    * is IDEMPOTENT under trigger replay by the store's own gates — a
+    * replayed batch's accepted docs already sit in the band index, the
+    * fuzzy gate drops them, the delta is empty and no version commits
+    * (the spec re-runs a processed batch through a fresh checkpoint and
+    * pins the version unchanged). Ordering: one advance at a time by
+    * construction (foreachBatch triggers serialize within a query; a
+    * SECOND concurrent writer fails loudly on the store lease).
+    *
+    * Scale: per-trigger compute is batch-sized (the pipe3FromStore
+    * economics); the store-sized term is the snapshot write of the
+    * union tables, amortized per trigger exactly as per night.
+    */
+  def streamingStoreAdvance(docs: DataFrame, storeDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    availableNowSink(docs, checkpoint) { (batch, _) =>
+      graft.operators.TrainPrep.advanceStoreOver(batch.sparkSession, batch,
+        storeDir)
+      ()
+    }
+
   def availableNowSink(transformed: DataFrame, checkpoint: String)(
       write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     transformed.writeStream
