@@ -980,13 +980,34 @@ object Streams {
     * Scale: per-trigger compute is batch-sized (the pipe3FromStore
     * economics); the store-sized term is the snapshot write of the
     * union tables, amortized per trigger exactly as per night.
+    *
+    * Lease contention: a takedown ([[graft.sources.Takedown
+    * .executeChunks]]) briefly holds the same store-root lease. Killing
+    * the stream over a transient, legitimate writer would turn every
+    * takedown into an operator page, so a locked trigger WAITS —
+    * bounded retries with a fixed pause — and only a lease still held
+    * past the whole window fails the trigger (that is no longer
+    * "transient": something is stuck, and fail-loud is correct).
+    * Waiting preserves ordering (the trigger retries, never skips).
     */
   def streamingStoreAdvance(docs: DataFrame, storeDir: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String, lockRetries: Int = 20,
+      lockWaitMs: Long = 3000L): DataStreamWriter[Row] =
     availableNowSink(docs, checkpoint) { (batch, _) =>
-      graft.operators.TrainPrep.advanceStoreOver(batch.sparkSession, batch,
-        storeDir)
-      ()
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          graft.operators.TrainPrep.advanceStoreOver(batch.sparkSession,
+            batch, storeDir)
+          done = true
+        } catch {
+          case e: graft.sources.CommitLock.LockedException =>
+            attempts += 1
+            if (attempts > lockRetries) throw e
+            Thread.sleep(lockWaitMs)
+        }
+      }
     }
 
   def availableNowSink(transformed: DataFrame, checkpoint: String)(

@@ -101,4 +101,30 @@ class StreamingStoreAdvanceSpec extends graft.SparkSpec {
     activate(java.nio.file.Files.createTempDirectory("graft_ssa_ck2").toString)
     assert(graft.sources.Snapshots.latestVersion(spark, streamStore).get === vFinal)
   }
+
+  test("a trigger WAITS out a transiently-held store lease instead of dying") {
+    import graft.operators.TrainPrep
+    val base = docsDf(Seq((1L, words("gamma")), (10L, words("alpha"))))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ssa_lk").toString
+    TrainPrep.materializeStoreFrom(spark, base, store)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ssa_lkin").toString
+    docsDf(Seq((31L, words("zeta")))).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    // a contending holder (a takedown, say) owns the lease; it releases
+    // ~1 s into the trigger's retry window
+    val lock = new java.io.File(store, "_commit.lock")
+    java.nio.file.Files.writeString(lock.toPath, "takedown@elsewhere")
+    val releaser = new Thread(() => { Thread.sleep(1000L); lock.delete(); () })
+    releaser.start()
+    val q = Streams.streamingStoreAdvance(
+      spark.readStream.schema(docSchema).parquet(inDir), store,
+      java.nio.file.Files.createTempDirectory("graft_ssa_lkck").toString,
+      lockRetries = 30, lockWaitMs = 200L).start()
+    q.awaitTermination(120000)
+    releaser.join()
+    // the trigger waited, then advanced
+    assert(TrainPrep.storeTable(spark, store, "store_manifest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet.contains(31L))
+  }
 }
