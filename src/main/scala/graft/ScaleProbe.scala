@@ -835,23 +835,40 @@ object ScaleProbe {
         dropPersisted()
       }
       // the nightly STORE ADVANCE (compute batch-sized, write
-      // store-sized — the cost of full-version atomicity): time the
-      // commit, then ROLL BACK the pointer so the cached probe stores
-      // keep serving the un-advanced state for parity on later runs
-      // (rollback is a metadata-only pointer flip; the orphaned version
-      // is shadowed by the next claim). MEASURED (warm, r15 final
-      // surface): 1× 7.45 s, 10×-store 7.43 s — FLAT: the compute is
-      // batch-sized and the range-partitioned manifest sort
-      // parallelizes the union-table write (the pre-sort capture read
-      // 6.33/7.91 s).
+      // store-sized — the cost of full-version atomicity): each arm
+      // runs against a THROWAWAY COPY of the cached store, deleted
+      // after timing — a pointer rollback would leave an orphaned
+      // version dir per run (claims take max(dirs)+1, so orphans are
+      // never reclaimed) and a crash between advance and rollback
+      // would poison the cache's parity check for every later run.
+      // MEASURED (warm, r15 final surface): 1× 7.45 s, 10×-store
+      // 7.43 s — FLAT: the compute is batch-sized and the
+      // range-partitioned manifest sort parallelizes the union-table
+      // write (the pre-sort capture read 6.33/7.91 s).
+      def copyDir(from: String, to: String): Unit = {
+        val src0 = java.nio.file.Paths.get(from)
+        java.nio.file.Files.walk(src0).forEach { p =>
+          val dst = java.nio.file.Paths.get(to).resolve(src0.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dst)
+          else java.nio.file.Files.copy(p, dst)
+        }
+      }
+      def deleteDir(dir: String): Unit =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       for ((label, d, st) <- Seq(
           ("advance-1x", src, s"$dirBase/1x_store"),
           ("advance-10x-store", s"$dirBase/10x", s"$dirBase/10x_store"))) {
-        val v0 = graft.sources.Snapshots.latestVersion(spark, st).get
+        val scratch = java.nio.file.Files
+          .createTempDirectory("probe_advance").toString
+        deleteDir(scratch); copyDir(st, scratch)
+        val v0 = graft.sources.Snapshots.latestVersion(spark, scratch).get
         val t0 = System.nanoTime()
-        val v1 = TrainPrep.advanceStore(spark, d, st)
+        val v1 = TrainPrep.advanceStore(spark, d, scratch)
         println(f"[probe] prod pipe5 $label%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (v$v0 -> v$v1)")
-        graft.sources.Snapshots.commitPointer(spark, st, v0)
+        deleteDir(scratch)
         dropPersisted()
       }
       spark.stop()

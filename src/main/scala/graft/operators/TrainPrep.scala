@@ -1558,10 +1558,13 @@ object TrainPrep {
     */
   private[graft] def isHeldOutId(id: Long): Boolean = id % 10L == 0L
 
-  /** Column form of the same convention — the store writer, the gates
-    * and the fingerprint derivation filter through THIS, so a future
-    * convention change cannot leave the scalar and frame forms
-    * disagreeing.
+  /** Column form of the same convention for the STORE-side writers and
+    * gates (materializeStore, pipe3FromStore, testShinglesOf, the
+    * takedown trigger). The registry in-plan twins and the dc1/dc2
+    * derivations deliberately keep the literal `% 10` — their DuckDB
+    * oracle SQL replays the convention textually, so changing it means
+    * changing query + oracle together there; THIS helper only keeps the
+    * store path's scalar and frame forms in lockstep.
     */
   private[graft] def isHeldOutCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c % 10 === 0
@@ -1776,10 +1779,14 @@ object TrainPrep {
 
   /** [[advanceStore]] over an EXPLICIT batch frame — what
     * [[graft.streaming.Streams.streamingStoreAdvance]] calls per
-    * micro-batch. Idempotent under trigger REPLAY by the store's own
-    * gates: a replayed batch's accepted docs already sit in the band
-    * index, so the fuzzy gate drops them, the delta is empty, and no
-    * new version commits (StreamingStoreAdvanceSpec pins it).
+    * micro-batch. Idempotent under trigger REPLAY at the ID grain by
+    * the manifest membership guard (a doc id already in the stored
+    * manifest never re-enters — load-bearing for the capped-bucket
+    * corner, where the fuzzy gate has no stored candidates to catch a
+    * replay with), and at the CONTENT grain by the fuzzy gate for
+    * same-text-new-id arrivals; an all-replayed batch's delta is empty
+    * and no new version commits (StreamingStoreAdvanceSpec +
+    * AdvanceStoreSpec pin both grains).
     */
   private[graft] def advanceStoreOver(s: SparkSession, batchRaw: DataFrame,
       storeDir: String): Long =
@@ -1796,12 +1803,23 @@ object TrainPrep {
     val v0 = graft.sources.Snapshots.latestVersion(s, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed pack store under $storeDir"))
     def stored(t: String) = storeTable(s, storeDir, t, Some(v0))
+    // MEMBERSHIP GUARD before the gates: a doc id already in the stored
+    // manifest must never re-enter, whatever the gates say — the fuzzy
+    // gate alone cannot guarantee it, because a doc whose every band
+    // bucket is CAPPED has no stored candidates to collide with (the
+    // >cap mass-near-duplicate corner), and a replayed trigger would
+    // re-accept it: duplicate manifest rows, double-counted cursors.
+    // The anti-join runs BEFORE the cursor-chaining stage so surviving
+    // rows keep contiguous offsets; cost is one column-pruned manifest
+    // id scan, purgeKeys' discovery economics.
+    val batchFresh = batchRaw.join(
+      stored("store_manifest").select("doc_id"), Seq("doc_id"), "left_anti")
     // the delta derivation pins the SAME v0 the union bases read
-    val acc = pipe3ManifestFromStoreOver(s, batchRaw, storeDir, Some(v0))
+    val acc = pipe3ManifestFromStoreOver(s, batchFresh, storeDir, Some(v0))
       .localCheckpoint()
     try {
       if (acc.isEmpty) return v0
-      val accDocs = batchRaw
+      val accDocs = batchFresh
         .join(acc.select("doc_id"), Seq("doc_id"), "left_semi")
       val (bands, capped) = advanceBands(stored("store_bands"),
         stored("store_capped"), Dedup.bandFrameOf(accDocs))

@@ -202,18 +202,17 @@ object Catalog {
       // the table has no location of its own to lock before it exists,
       // so creation races serialize on the DATABASE's lock with the
       // existence re-checked under it — two first writers cannot both
-      // create-and-append (the loser falls through to the keyed merge)
-      val created = CommitLock.withLock(spark,
+      // create-and-append. Only the METADATA-ONLY create happens under
+      // the db lease (milliseconds — the lease even waits briefly, so
+      // concurrent creators of DIFFERENT tables in one database pass
+      // through rather than fail); the first batch then lands through
+      // the normal table-locked merge below, where it is all-fresh.
+      CommitLock.withLock(spark,
         CommitLock.databaseLocation(spark,
-          CommitLock.databaseOf(spark, table))) {
-        if (!spark.catalog.tableExists(table)) {
-          // same one-file-per-partition discipline as the rewrite path
-          append(deduped.repartition(partitionBy.map(col): _*), table,
-            partitionBy)
-          true
-        } else false
+          CommitLock.databaseOf(spark, table)), waitRetries = 40) {
+        if (!spark.catalog.tableExists(table))
+          ensureTable(spark, table, deduped.schema, partitionBy)
       }
-      if (created) return
     }
     CommitLock.withTableLock(spark, table) {
       upsertPinned(spark, deduped, table, keys, partitionBy)

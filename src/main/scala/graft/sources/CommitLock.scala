@@ -47,6 +47,7 @@ import org.apache.spark.sql.SparkSession
 object CommitLock {
 
   private val LockName = "_commit.lock"
+  private val Unreadable = "<unreadable>"
 
   /** Lock paths held by the current thread (re-entrancy). */
   private val held = new ThreadLocal[Set[String]] {
@@ -61,7 +62,8 @@ object CommitLock {
     * lease is not stale.
     */
   def withLock[T](spark: SparkSession, dir: String,
-      staleGraceMs: Long = 3600000L)(body: => T): T = {
+      staleGraceMs: Long = 3600000L, waitRetries: Int = 0,
+      waitMs: Long = 250L)(body: => T): T = {
     val lockPath = new Path(dir, LockName)
     val key = lockPath.toString
     if (held.get().contains(key)) return body // re-entrant
@@ -93,7 +95,7 @@ object CommitLock {
         val in = fs.open(lockPath)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      } catch { case _: java.io.IOException => "<unreadable>" }
+      } catch { case _: java.io.IOException => Unreadable }
     var acquired = tryClaim()
     if (!acquired) {
       // stale-lease path: presumed-crashed holders get broken once
@@ -104,6 +106,15 @@ object CommitLock {
       if (stale) {
         try fs.delete(lockPath, false)
         catch { case _: java.io.IOException => () }
+        acquired = tryClaim()
+      }
+      // optional SHORT wait for transient holders (metadata-only
+      // commits like table creation) — rewriters keep the default 0:
+      // fail-loud is the contract for long-held leases
+      var waits = 0
+      while (!acquired && waits < waitRetries) {
+        Thread.sleep(waitMs)
+        waits += 1
         acquired = tryClaim()
       }
       if (!acquired)
@@ -123,7 +134,13 @@ object CommitLock {
         while (live && !Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(staleGraceMs / 4, 50L))
           try {
-            if (holderOf() != token) live = false
+            val h = holderOf()
+            // stand down ONLY on positive evidence of re-ownership: a
+            // transient read failure ("<unreadable>") must keep the
+            // beat alive — killing it on an IO blip would let the
+            // stale sweep break a live 2-hour holder, the exact
+            // corruption the heartbeat prevents
+            if (h != token && h != Unreadable) live = false
             else fs.setTimes(lockPath, System.currentTimeMillis(), -1L)
           } catch { case _: java.io.IOException => () }
         }
@@ -169,9 +186,12 @@ object CommitLock {
       .getOrElse(throw new IllegalStateException(
         s"DESCRIBE DATABASE $db reports no Location — cannot place its commit lock"))
 
-  /** The database a (possibly unqualified) table name resolves in. */
+  /** The database a table name resolves in — handles bare,
+    * db-qualified, and catalog-qualified (catalog.db.tbl) forms.
+    */
   private[graft] def databaseOf(spark: SparkSession, table: String): String =
     table.split('.') match {
+      case Array(_, db, _) => db
       case Array(db, _) => db
       case _ => spark.catalog.currentDatabase
     }

@@ -686,19 +686,28 @@ object Pipeline {
     // looping activations in one session must not accumulate dim-sized
     // checkpoint blocks (the dropPersisted cliff) — release on
     // termination, then retire the listener
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == query.id) {
-            dimMedia.unpersist(blocking = false)
-            spark.streams.removeListener(this)
-          }
-      })
+    val dimRelease = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          dimMedia.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(dimRelease)
+    // close the registration race: a no-data AvailableNow query can
+    // terminate (and dispatch its event) before addListener ran, so the
+    // listener would never fire — if the query is already inactive,
+    // release inline (unpersist is idempotent, removeListener a no-op
+    // if the event also fired)
+    if (!query.isActive) {
+      dimMedia.unpersist(blocking = false)
+      spark.streams.removeListener(dimRelease)
+    }
     query
   }
 }

@@ -80,6 +80,45 @@ class AdvanceStoreSpec extends graft.SparkSpec {
     assert(TrainPrep.pipe5FromStore(spark, d, storeDir).isEmpty)
   }
 
+  test("replay of a doc accepted through a fully-CAPPED bucket is rejected by the manifest membership guard") {
+    import spark.implicits._
+    // a mass-near-duplicate store: cap+1 docs of IDENTICAL text, so
+    // every one of their band buckets exceeds the cap — store_bands is
+    // EMPTY for those buckets and the fuzzy gate has no stored
+    // candidates. A batch doc with the same text is then accepted (the
+    // cap is a documented performance guard that admits possibly-dup
+    // docs — registry pipe3 semantics); what must NOT happen is the
+    // same doc id re-entering on an at-least-once trigger REPLAY, which
+    // only the manifest membership guard can prevent here.
+    val cap = TrainPrep.pipe3MaxStoreBucket
+    def words(prefix: String) =
+      (1 to 12).map(i => s"$prefix$i").mkString(" ")
+    val t = words("alpha")
+    val storeDocs = spark.range(cap + 1L)
+      .select((col("id") * 2L + 1L).as("doc_id"), lit(t).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("synth"))
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_adv_cap").toString
+    TrainPrep.materializeStoreOver(spark, storeDocs, storeDocs, storeDir)
+    assert(store(storeDir, "store_bands").isEmpty,
+      "every bucket must be capped for this pin to bite")
+    assert(!store(storeDir, "store_capped").isEmpty)
+
+    val batch = Seq((900001L, t)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("synth"))
+    val v1 = TrainPrep.advanceStoreOver(spark, batch, storeDir)
+    assert(store(storeDir, "store_manifest")
+      .filter(col("doc_id") === 900001L).count() === 1L)
+    // the replay: same batch again — the gates cannot catch it (no
+    // stored candidates), the membership guard must
+    assert(TrainPrep.advanceStoreOver(spark, batch, storeDir) === v1)
+    assert(store(storeDir, "store_manifest")
+      .filter(col("doc_id") === 900001L).count() === 1L)
+    assert(graft.sources.Snapshots.latestVersion(spark, storeDir) === Some(v1))
+  }
+
   test("advanceBands cap algebra: carry, at-cap transition, capped-bucket swallow, untouched pass-through") {
     val cap = TrainPrep.pipe3MaxStoreBucket
     // bucket (0,111): stored exactly AT the cap — one batch row tips it
