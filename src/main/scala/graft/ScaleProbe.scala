@@ -834,17 +834,19 @@ object ScaleProbe {
         println(f"[probe] prod pipe5 $label%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         dropPersisted()
       }
-      // the nightly STORE ADVANCE (compute batch-sized, write
-      // store-sized — the cost of full-version atomicity): each arm
-      // runs against a THROWAWAY COPY of the cached store, deleted
-      // after timing — a pointer rollback would leave an orphaned
-      // version dir per run (claims take max(dirs)+1, so orphans are
-      // never reclaimed) and a crash between advance and rollback
-      // would poison the cache's parity check for every later run.
-      // MEASURED (warm, r15 final surface): 1× 7.45 s, 10×-store
-      // 7.43 s — FLAT: the compute is batch-sized and the
-      // range-partitioned manifest sort parallelizes the union-table
-      // write (the pre-sort capture read 6.33/7.91 s).
+      // the nightly STORE ADVANCE (compute batch-sized, and since the
+      // layered-snapshot commit the WRITE too — manifest/shingles/bands
+      // land as Append deltas, test_shingles/capped as Carry refs, only
+      // the 8-row totals/opens write Full): each arm runs against a
+      // THROWAWAY COPY of the cached store, deleted after timing — a
+      // pointer rollback would leave an orphaned version dir per run
+      // (claims take max(dirs)+1, so orphans are never reclaimed) and a
+      // crash between advance and rollback would poison the cache's
+      // parity check for every later run. MEASURED (warm, settled):
+      // 1× 5.83 s, 10×-store 5.63 s — FLAT and ~1.3× under the
+      // full-version commit this replaces (7.45/7.43 s): the gates
+      // dominate at this sf; the eliminated write term is O(store)
+      // per night, which is what matters at 100 TB.
       def copyDir(from: String, to: String): Unit = {
         val src0 = java.nio.file.Paths.get(from)
         java.nio.file.Files.walk(src0).forEach { p =>

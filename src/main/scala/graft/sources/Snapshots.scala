@@ -31,21 +31,61 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Scale: a snapshot read is exactly a parquet read of one directory
   * (partition pruning, pushdown, and the whole scan stack apply
-  * unchanged); the pointer is one ~8-byte file read once per plan. The
-  * cost of versioning is storage — writers emit full versions — which
-  * is why this layer fits REBUILT artifacts (manifests, indexes, dim
-  * snapshots: small relative to the corpus, rebuilt nightly by
-  * pipe2/pipe6) rather than the append-only fact/chunk tables, whose
-  * incremental feeds stay on [[Catalog.upsert]]/[[RawZone]] and whose
-  * history IS the append log. [[vacuum]] bounds retained versions.
+  * unchanged); the pointer is one ~8-byte file read once per plan.
+  * [[write]]/[[writeTables]] emit full versions — right for REBUILT
+  * artifacts (manifests, indexes, dim snapshots: small relative to the
+  * corpus, rebuilt nightly by pipe2/pipe6). [[writeTablesSpec]] adds
+  * LAYERED versions ([[Carry]]/[[Append]] per table) for incremental
+  * advances whose nightly change is batch-sized against a store-sized
+  * table — same one-claim-one-flip atomicity, batch-sized bytes.
+  * Append-only fact/chunk tables still stay on
+  * [[Catalog.upsert]]/[[RawZone]]: their history IS the append log.
+  * [[vacuum]] bounds retained versions (chain-reference-aware).
   */
 object Snapshots {
 
   private val Pointer = "_latest.version"
   private val VPrefix = "_v="
+  private val BaseFile = "_base"
+  private val DeltaDir = "_delta"
+
+  /** How one table of a [[writeTablesSpec]] version is materialized —
+    * the LAYERED alternative to emitting a full copy per version, for
+    * writers whose nightly change is batch-sized against a store-sized
+    * table (the pack store's `advanceStore`): a [[Carry]] table is
+    * unchanged and stored as a reference to the version that last wrote
+    * it; an [[Append]] table stores only the new rows, layered over a
+    * base version. Readers ([[readTable]]) resolve the chain to a
+    * multi-directory parquet scan — same pruning/pushdown, no unions in
+    * the plan — and [[vacuum]] keeps every version a surviving chain
+    * references, so a pinned read never dangles. Chain depth grows one
+    * per Append commit; a periodic [[compactLatest]] (or any full
+    * [[writeTables]] rebuild) cuts the chain and re-bounds what vacuum
+    * can reclaim.
+    */
+  sealed trait TableSpec
+  /** A fully materialized table: every row written under this version. */
+  final case class Full(df: DataFrame) extends TableSpec
+  /** Unchanged since `base` — stored as a version reference, zero data
+    * written. Pure-carry chains collapse at write time (a carry of a
+    * carry references the original), so resolution cost never grows
+    * with consecutive unchanged nights.
+    */
+  final case class Carry(base: Long) extends TableSpec
+  /** `base`'s rows plus `delta` — only the delta is written. The caller
+    * owes row-set semantics: the layered read IS base ∪ delta, so this
+    * fits append-only advances (new doc_ids), never updates/deletes.
+    */
+  final case class Append(base: Long, delta: DataFrame) extends TableSpec
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
 
   /** Committed latest version, or None before the first successful
     * [[write]] (an orphaned `_v=` directory alone does NOT count).
@@ -53,14 +93,7 @@ object Snapshots {
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsOf(spark, root)
     val p = new Path(root, Pointer)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        Some(s.toLong)
-      } finally in.close()
-    }
+    if (!fs.exists(p)) None else Some(readSmall(fs, p).toLong)
   }
 
   /** All version directories present on disk (committed or orphaned). */
@@ -111,21 +144,102 @@ object Snapshots {
     */
   def writeTables(tables: Seq[(String, DataFrame)], root: String): Long = {
     require(tables.nonEmpty, "writeTables needs at least one table")
+    writeTablesSpec(tables.head._2.sparkSession,
+      tables.map { case (n, df) => n -> (Full(df): TableSpec) }, root)
+  }
+
+  /** [[writeTables]] with per-table materialization specs — the
+    * batch-sized-commit form for incremental writers: [[Full]] tables
+    * write every row, [[Carry]] tables write a version reference only,
+    * [[Append]] tables write only their delta over a base version. The
+    * atomicity contract is identical (one staged directory, one version
+    * claim, one pointer flip covers the whole set); what changes is the
+    * WRITE cost — a nightly advance whose change is batch-sized commits
+    * batch-sized bytes instead of re-emitting the store (the "cost of
+    * full-version atomicity" the advance's r15 scaladoc named, closed).
+    * Base versions must be committed-or-claimed versions of THIS root;
+    * [[vacuum]] retains them as long as any surviving chain references
+    * them.
+    */
+  def writeTablesSpec(spark: SparkSession,
+      tables: Seq[(String, TableSpec)], root: String): Long = {
+    require(tables.nonEmpty, "writeTablesSpec needs at least one table")
     require(tables.map(_._1).distinct.size == tables.size,
-      "writeTables table names must be unique")
+      "writeTablesSpec table names must be unique")
     require(tables.forall { case (n, _) => n.nonEmpty && !n.startsWith("_") },
       "table names must be non-empty and not _-prefixed")
-    val spark = tables.head._2.sparkSession
+    val fs = fsOf(spark, root)
+    // collapse PURE-CARRY levels at write time: a carry (or append-base)
+    // pointing at a version whose own table is a data-less carry skips
+    // to where the data actually lives, so consecutive unchanged nights
+    // cost one hop forever, not a hop per night
+    def collapse(table: String, base: Long): Long = {
+      var b = base
+      var hop = true
+      while (hop) {
+        val dir = new Path(root, s"$VPrefix$b/$table")
+        require(fs.exists(dir),
+          s"$table carry/append base _v=$b does not exist under $root")
+        val bf = new Path(dir, BaseFile)
+        if (fs.exists(bf) && !fs.exists(new Path(dir, DeltaDir)))
+          b = readSmall(fs, bf).toLong
+        else hop = false
+      }
+      b
+    }
     val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID}")
+    def writeBaseRef(tableDir: Path, base: Long): Unit = {
+      fs.mkdirs(tableDir)
+      val out = fs.create(new Path(tableDir, BaseFile), false)
+      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+    }
     try
-      tables.foreach { case (name, df) =>
-        df.write.mode(SaveMode.Overwrite).format("parquet")
-          .save(new Path(staging, name).toString)
+      tables.foreach {
+        case (name, Full(df)) =>
+          df.write.mode(SaveMode.Overwrite).format("parquet")
+            .save(new Path(staging, name).toString)
+        case (name, Carry(base)) =>
+          writeBaseRef(new Path(staging, name), collapse(name, base))
+        case (name, Append(base, delta)) =>
+          val dir = new Path(staging, name)
+          delta.write.mode(SaveMode.Overwrite).format("parquet")
+            .save(new Path(dir, DeltaDir).toString)
+          writeBaseRef(dir, collapse(name, base))
       }
     catch { case e: Throwable =>
       fsOf(spark, root).delete(staging, true); throw e
     }
     claimAndCommit(spark, root, staging)
+  }
+
+  /** Cut every chain at the committed latest: re-commit each table of
+    * the latest version as a [[Full]] copy. Metadata stays identical to
+    * readers (same rows via [[readTable]]); what changes is lineage —
+    * the new version references nothing, so a following [[vacuum]] can
+    * reclaim the whole history the chains were pinning. The periodic
+    * maintenance pass for append-advanced stores, run at whatever
+    * cadence bounds chain depth × retention.
+    *
+    * Runs under the root's [[CommitLock]]: a compaction racing an
+    * incremental advance would otherwise re-publish the PRE-advance
+    * state as latest (read-latest → write-latest lost update — the
+    * same resurrection race the advance/takedown writers serialize
+    * on). Re-entrant if the caller already holds the lease.
+    */
+  def compactLatest(spark: SparkSession, root: String): Long =
+    CommitLock.withLock(spark, root) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      writeTables(tableNames(spark, root, v)
+        .map(t => t -> readTable(spark, root, t, Some(v))), root)
+    }
+
+  /** The table names of a [[writeTables]]/[[writeTablesSpec]] version. */
+  def tableNames(spark: SparkSession, root: String, version: Long): Seq[String] = {
+    val fs = fsOf(spark, root)
+    fs.listStatus(new Path(root, s"$VPrefix$version")).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).sorted
   }
 
   /** Claim the next version number for a fully-staged directory and flip
@@ -224,10 +338,41 @@ object Snapshots {
       version: Option[Long] = None): DataFrame =
     spark.read.parquet(resolve(spark, root, version))
 
-  /** Read one table of a [[writeTables]] snapshot (pinned or latest). */
+  /** Read one table of a [[writeTables]]/[[writeTablesSpec]] snapshot
+    * (pinned or latest). A layered table ([[Carry]]/[[Append]] commits)
+    * resolves its base chain to a MULTI-DIRECTORY parquet scan — one
+    * relation, all data directories along the chain, with pruning and
+    * pushdown applying per file exactly as for a full table.
+    */
   def readTable(spark: SparkSession, root: String, table: String,
-      version: Option[Long] = None): DataFrame =
-    spark.read.parquet(s"${resolve(spark, root, version)}/$table")
+      version: Option[Long] = None): DataFrame = {
+    // resolve the version ONCE (a concurrent pointer flip between two
+    // reads of latest must not split this call's view)
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    require(versions(spark, root).contains(v),
+      s"snapshot _v=$v does not exist under $root (vacuumed?)")
+    spark.read.parquet(tablePaths(spark, root, table, v): _*)
+  }
+
+  /** The data directories of `table` at `version`, base-chain resolved
+    * (oldest layer first — read order is irrelevant to row-set
+    * semantics, but deterministic ordering keeps plans stable).
+    */
+  private def tablePaths(spark: SparkSession, root: String, table: String,
+      version: Long): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, s"$VPrefix$version/$table")
+    require(fs.exists(dir),
+      s"table $table of snapshot _v=$version does not exist under $root (vacuumed?)")
+    val bf = new Path(dir, BaseFile)
+    if (!fs.exists(bf)) Seq(dir.toString)
+    else {
+      val base = tablePaths(spark, root, table, readSmall(fs, bf).toLong)
+      val delta = new Path(dir, DeltaDir)
+      if (fs.exists(delta)) base :+ delta.toString else base
+    }
+  }
 
   private def resolve(spark: SparkSession, root: String,
       version: Option[Long]): String = {
@@ -291,13 +436,17 @@ object Snapshots {
   }
 
   /** Retention: delete committed versions older than the newest `keep`,
-    * plus nothing else — orphans above the pointer are left for the
-    * next write to shadow (deleting a directory a concurrent writer
-    * owns is not this pass's call). Returns the versions deleted.
-    * Readers pinned to a vacuumed version fail loudly at [[read]]'s
-    * existence check — retention is the explicit trade against
-    * unbounded storage, sized so the training-lineage window (`keep`)
-    * survives.
+    * EXCEPT any version a surviving version's table chain still
+    * references ([[Carry]]/[[Append]] base refs, transitively — a
+    * retained layered table must never dangle), plus nothing else —
+    * orphans above the pointer are left for the next write to shadow
+    * (deleting a directory a concurrent writer owns is not this pass's
+    * call). Returns the versions deleted. Readers pinned to a vacuumed
+    * version fail loudly at [[read]]'s existence check — retention is
+    * the explicit trade against unbounded storage, sized so the
+    * training-lineage window (`keep`) survives. Note the corollary for
+    * append-advanced stores: a long Append chain pins its whole history
+    * against vacuum — [[compactLatest]] cuts it.
     *
     * `pointerTmpGraceMs` bounds the crash-residue sweep below: staged
     * pointer tmps YOUNGER than the grace (by file mtime vs this JVM's
@@ -312,8 +461,32 @@ object Snapshots {
     require(keep >= 1, "vacuum must keep at least the committed latest")
     val ptr = latestVersion(spark, root).getOrElse(return Nil)
     val fs = fsOf(spark, root)
-    val committed = versions(spark, root).filter(_ <= ptr)
-    val drop = committed.dropRight(keep)
+    val all = versions(spark, root)
+    val committed = all.filter(_ <= ptr)
+    // reference closure: walk every SURVIVING version's table chains
+    // (retained window + above-pointer versions, which stay pinnable)
+    // and spare whatever they reach — transitively, since an Append
+    // base can itself be layered
+    val candidates = committed.dropRight(keep).toSet
+    def baseRefs(v: Long): Seq[Long] = {
+      val vd = new Path(root, s"$VPrefix$v")
+      if (!fs.exists(vd)) Nil
+      else fs.listStatus(vd).toSeq.filter(_.isDirectory).flatMap { st =>
+        val bf = new Path(st.getPath, BaseFile)
+        if (fs.exists(bf))
+          try Some(readSmall(fs, bf).toLong) catch { case _: Exception => None }
+        else None
+      }
+    }
+    val reached = scala.collection.mutable.Set[Long]()
+    var frontier = all.filterNot(candidates).distinct
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(baseRefs).distinct
+        .filterNot(v => reached.contains(v) || !candidates.contains(v))
+      reached ++= next
+      frontier = next
+    }
+    val drop = committed.filter(v => candidates.contains(v) && !reached.contains(v))
     drop.foreach(v => fs.delete(new Path(root, s"$VPrefix$v"), true))
     // sweep pointer-staging residue from committers that CRASHED between
     // create and rename (a failed flip cleans up after itself; a killed

@@ -294,6 +294,12 @@ object Takedown {
           return ChunksResult(0L, 0L, 0L, 0L, v0)
         }
         val v1 = step("store_rewrite") {
+          // deliberately ALL-FULL, never Carry/Append: an erasure commit
+          // must reference NO earlier version, or the chain pins the
+          // pre-takedown directory (whose tables still hold the erased
+          // bytes) against [[Snapshots.vacuum]] — physical erasure via
+          // retention would never complete. A takedown is a CHAIN CUT:
+          // later advance appends layer over it, never past it.
           val v = Snapshots.writeTables(Seq(
             "store_bands" -> stored("store_bands"),
             "store_capped" -> stored("store_capped"),
@@ -384,14 +390,20 @@ object Takedown {
         val testSh =
           if (heldOutDoomed) derivedTestShingles()
           else stored("test_shingles")
+        // deliberately ALL-FULL, never Carry/Append (even for tables
+        // the purge left unchanged, like the capped-bucket registry —
+        // which carries CONTENT-wise: a bucket dropped at original
+        // write stays dropped even if the purge shrank it below the
+        // cap, its rows were never stored to restore, caveat (b)): an
+        // erasure commit must reference NO earlier version, or the
+        // chain pins the pre-takedown directory — whose other tables
+        // still hold the erased docs' bytes — against
+        // [[Snapshots.vacuum]], and physical erasure via retention
+        // would never complete. A takedown is a CHAIN CUT: later
+        // advance appends layer over it, never past it.
         val v = Snapshots.writeTables(Seq(
           "store_bands" -> stored("store_bands")
             .join(idsDf, Seq("doc_id"), "left_anti"),
-          // the capped-bucket registry CARRIES: a bucket dropped at
-          // original write stays dropped even if the purge shrank it
-          // below the cap — its rows were never stored to restore
-          // (caveat (b)); the registry keeps advanceStore exact about
-          // that history
           "store_capped" -> stored("store_capped"),
           "store_shingles" -> stored("store_shingles")
             .join(idsDf, Seq("doc_id"), "left_anti"),

@@ -978,8 +978,13 @@ object Streams {
     * SECOND concurrent writer fails loudly on the store lease).
     *
     * Scale: per-trigger compute is batch-sized (the pipe3FromStore
-    * economics); the store-sized term is the snapshot write of the
-    * union tables, amortized per trigger exactly as per night.
+    * economics) — and so is the per-trigger WRITE since the layered
+    * snapshot commit (Append deltas + Carry refs; see
+    * [[graft.operators.TrainPrep.advanceStoreOver]]): a trigger costs
+    * its own rows, never a store re-emit. The trade is chain depth —
+    * one layer per non-empty trigger — so a streaming deployment runs
+    * [[graft.sources.Snapshots.compactLatest]] + vacuum on a real
+    * cadence where a nightly batch might not bother.
     *
     * Lease contention: a takedown ([[graft.sources.Takedown
     * .executeChunks]]) briefly holds the same store-root lease. Killing

@@ -71,6 +71,23 @@ class AdvanceStoreSpec extends graft.SparkSpec {
     assert(rows(graft.sources.Snapshots.readTable(spark, storeDir,
       "store_manifest", Some(v1))) === man0)
 
+    // the commit itself was BATCH-sized (the layered-snapshot pin): the
+    // manifest landed as an Append layer over v1 with a delta of exactly
+    // the accepted rows, and the corpus-static fingerprint universe as a
+    // Carry reference with zero data files of its own
+    def baseOf(t: String): Option[Long] = {
+      val f = new java.io.File(s"$storeDir/_v=$v2/$t/_base")
+      if (!f.exists()) None else Some(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+    }
+    assert(baseOf("store_manifest") === Some(v1))
+    assert(spark.read.parquet(s"$storeDir/_v=$v2/store_manifest/_delta")
+      .count() === acc.size.toLong)
+    assert(baseOf("test_shingles") === Some(v1))
+    assert(!new java.io.File(s"$storeDir/_v=$v2/test_shingles").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    assert(baseOf("store_shingles") === Some(v1))
+
     // replay the same night against the advanced store: every accepted
     // doc now sits in the band index and fuzzy-gates its replay out —
     // nothing accepted, no empty version committed, pipe5 emits nothing
@@ -149,5 +166,21 @@ class AdvanceStoreSpec extends graft.SparkSpec {
     val cappedRows = capped.collect()
       .map(r => (r.getAs[Int]("band"), r.getAs[Long]("key"))).toSet
     assert(cappedRows === Set((0, 999L), (0, 111L)))
+
+    // the DELTA form advanceStore's layered commit uses must agree with
+    // the total form on the same frames: overNew is exactly the tipped
+    // bucket, accKept exactly the batch rows that survive both
+    // registries (kept ≡ (old anti capped) ∪ accKept by construction)
+    val (overNew, accKept) =
+      TrainPrep.advanceBandsDelta(oldBands, oldCapped, accBands)
+    assert(overNew.collect().map(r =>
+      (r.getAs[Int]("band"), r.getAs[Long]("key"))).toSet === Set((0, 111L)))
+    val accKeptRows = accKept.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[Long]("key"))).toSet
+    assert(accKeptRows === Set((9003L, 0, 222L)))
+    assert(keptRows ===
+      oldBands.join(capped, Seq("band", "key"), "left_anti").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+          r.getAs[Long]("key"))).toSet ++ accKeptRows)
   }
 }

@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Snapshots.writeTablesSpec — LAYERED versions: a Carry table is a
+  * version reference (zero data written), an Append table writes only
+  * its delta, readTable resolves the chain to the full row set, pinned
+  * older versions stay exact, pure-carry chains collapse at write time,
+  * vacuum spares every version a surviving chain references, and
+  * compactLatest cuts chains so vacuum can reclaim again.
+  */
+class LayeredSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+  import Snapshots.{Append, Carry, Full, TableSpec}
+
+  private def frame(tag: String, ids: Range) =
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+
+  private def rows(root: String, t: String, v: Option[Long] = None) =
+    Snapshots.readTable(spark, root, t, v).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def hasDataFiles(root: String, v: Long, t: String): Boolean = {
+    val dir = new java.io.File(s"$root/_v=$v/$t")
+    dir.listFiles().exists(f => f.getName.endsWith(".parquet"))
+  }
+  private def baseOf(root: String, v: Long, t: String): Option[Long] = {
+    val f = new java.io.File(s"$root/_v=$v/$t/_base")
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+  }
+
+  test("carry and append resolve to the layered row set; pinned versions stay exact; the write is delta-sized") {
+    val root = java.nio.file.Files.createTempDirectory("layered").toString + "/s"
+    val v1 = Snapshots.writeTables(Seq(
+      "big" -> frame("a", 1 to 100), "small" -> frame("s", 1 to 3)), root)
+    val v2 = Snapshots.writeTablesSpec(spark, Seq(
+      "big" -> (Append(v1, frame("b", 101 to 110)): TableSpec),
+      "small" -> Carry(v1)), root)
+    assert(v2 === v1 + 1)
+    // resolved row sets: base ∪ delta for the append, base verbatim for
+    // the carry
+    assert(rows(root, "big") ===
+      (1 to 100).map(i => (i.toLong, "a")).toSet ++
+        (101 to 110).map(i => (i.toLong, "b")))
+    assert(rows(root, "small") === (1 to 3).map(i => (i.toLong, "s")).toSet)
+    // pinned v1 unchanged
+    assert(rows(root, "big", Some(v1)).size === 100)
+    // the v2 directory carries NO data for `small` and only the DELTA
+    // for `big` — the structural pin that the commit was batch-sized
+    assert(!hasDataFiles(root, v2, "small"))
+    assert(baseOf(root, v2, "small") === Some(v1))
+    assert(baseOf(root, v2, "big") === Some(v1))
+    assert(spark.read.parquet(s"$root/_v=$v2/big/_delta").count() === 10L)
+  }
+
+  test("pure-carry chains collapse at write; append chains layer; vacuum keeps referenced versions and compactLatest frees them") {
+    val root = java.nio.file.Files.createTempDirectory("layered").toString + "/s"
+    val v1 = Snapshots.writeTables(Seq("t" -> frame("a", 1 to 50)), root)
+    val v2 = Snapshots.writeTablesSpec(spark,
+      Seq("t" -> (Carry(v1): TableSpec)), root)
+    val v3 = Snapshots.writeTablesSpec(spark,
+      Seq("t" -> (Carry(v2): TableSpec)), root)
+    // v3's carry collapsed THROUGH the data-less v2 to where the bytes
+    // live
+    assert(baseOf(root, v3, "t") === Some(v1))
+    val v4 = Snapshots.writeTablesSpec(spark,
+      Seq("t" -> (Append(v3, frame("d", 51 to 60)): TableSpec)), root)
+    assert(baseOf(root, v4, "t") === Some(v1)) // append base collapsed too
+    assert(rows(root, "t").size === 60)
+
+    // vacuum keep=1 must spare v1 (v4's chain references it) but can
+    // drop the data-less v2/v3
+    val dropped = Snapshots.vacuum(spark, root, keep = 1)
+    assert(dropped === Seq(v2, v3))
+    assert(rows(root, "t").size === 60) // latest still resolves
+    assert(Snapshots.versions(spark, root) === Seq(v1, v4))
+
+    // compactLatest cuts the chain: the new version is self-contained,
+    // and the NEXT vacuum reclaims the whole referenced history
+    val v5 = Snapshots.compactLatest(spark, root)
+    assert(baseOf(root, v5, "t") === None)
+    assert(hasDataFiles(root, v5, "t"))
+    assert(rows(root, "t").size === 60)
+    assert(Snapshots.vacuum(spark, root, keep = 1) === Seq(v1, v4))
+    assert(Snapshots.versions(spark, root) === Seq(v5))
+    assert(rows(root, "t").size === 60)
+  }
+
+  test("a reader pinned to a vacuumed chain member fails loudly; a carry of a missing base fails at write") {
+    val root = java.nio.file.Files.createTempDirectory("layered").toString + "/s"
+    val v1 = Snapshots.writeTables(Seq("t" -> frame("a", 1 to 5)), root)
+    intercept[IllegalArgumentException] {
+      Snapshots.writeTablesSpec(spark,
+        Seq("t" -> (Carry(v1 + 7): TableSpec)), root)
+    }
+    val v2 = Snapshots.writeTablesSpec(spark,
+      Seq("t" -> (Append(v1, frame("b", 6 to 7)): TableSpec)), root)
+    // simulate an out-of-band deletion of the base (a manual rm, not
+    // vacuum — vacuum would have spared it): the chained read must fail
+    // loudly, not silently return the delta alone
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, s"_v=$v1"), true)
+    intercept[IllegalArgumentException] {
+      Snapshots.readTable(spark, root, "t", Some(v2)).collect()
+    }
+  }
+
+  test("a failed layered write leaks no staging and commits nothing") {
+    val root = java.nio.file.Files.createTempDirectory("layered").toString + "/s"
+    val v1 = Snapshots.writeTables(Seq(
+      "t" -> frame("a", 1 to 5), "u" -> frame("u", 1 to 2)), root)
+    val boom = spark.range(1).selectExpr("assert_true(id > 10) AS boom")
+    intercept[Exception] {
+      Snapshots.writeTablesSpec(spark, Seq(
+        "t" -> (Carry(v1): TableSpec),
+        "u" -> Append(v1, boom)), root)
+    }
+    assert(Snapshots.latestVersion(spark, root) === Some(v1))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val residue = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("_staging_"))
+    assert(residue.isEmpty, residue.mkString(","))
+  }
+}

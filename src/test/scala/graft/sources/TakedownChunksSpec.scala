@@ -310,4 +310,78 @@ class TakedownChunksSpec extends graft.SparkSpec {
     assert(r2 === Takedown.ChunksResult(0L, 0L, 0L, 0L, r.storeVersion))
     assert(Snapshots.latestVersion(spark, storeDir) === Some(r.storeVersion))
   }
+
+  test("a takedown CUTS the advance's append chain: vacuum then physically erases every pre-takedown version") {
+    import spark.implicits._
+    // the retention end-to-end the layered commits make subtle: nightly
+    // advances commit batch-sized Append/Carry layers whose chains PIN
+    // their history against vacuum (a retained read must not dangle) —
+    // so physical erasure has to come from the takedown commit being
+    // self-contained (all-Full, referencing nothing). This pins all
+    // three acts: the chain protects history from vacuum while it
+    // serves, the takedown cuts it, and the next vacuum reclaims every
+    // pre-takedown byte while the store still serves the purged state.
+    def words(prefix: String) =
+      (1 to 12).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (10L, words("alpha")), (20L, words("beta")), // held-out
+      (1L, words("gamma")), (2L, words("delta")), (11L, words("epsil")),
+      (3L, words("zeta"))) // batch doc (id % 7 == 3), unique text
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("synth"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcut").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val db = "takedown_chaincut_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_tcut_db").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val docsT = s"$db.documents"
+    val chunksT = s"$db.chunks"
+    Catalog.append(docs.withColumn("pt", pmod(col("doc_id"), lit(2L)))
+      .repartition(col("pt")), docsT, Seq("pt"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_tcut_store").toString
+    val v1 = graft.operators.TrainPrep.materializeStore(spark, dir, storeDir)
+    // night 2: the advance accepts batch doc 3 as a LAYERED commit
+    val v2 = graft.operators.TrainPrep.advanceStore(spark, dir, storeDir)
+    assert(v2 > v1)
+    def baseOf(v: Long, t: String): Boolean =
+      new java.io.File(s"$storeDir/_v=$v/$t/_base").exists()
+    assert(baseOf(v2, "store_manifest") && baseOf(v2, "test_shingles"))
+    Catalog.append(fullPack(storeDir, docs).repartition(col("shard")),
+      chunksT, Seq("shard"))
+
+    // while the chain serves, vacuum must SPARE its base: v1 is the
+    // only reclaim candidate and v2's chain references it
+    assert(Snapshots.vacuum(spark, storeDir, keep = 1) === Nil)
+    assert(Snapshots.versions(spark, storeDir) === Seq(v1, v2))
+
+    // the takedown dooms a PACKED store doc → Full store rewrite
+    val runLog = java.nio.file.Files
+      .createTempDirectory("graft_tcut_log").toString + "/runlog.parquet"
+    val ts = java.sql.Timestamp.valueOf("2026-08-15 12:00:00")
+    Catalog.purgeKeys(spark, docsT, Seq(1L).toDF("doc_id"), Seq("pt"))
+    val r = Takedown.executeChunks(spark, Seq(1L), docsT, storeDir,
+      chunksT, runLog, ts)
+    assert(r.manifestRowsPurged === 1L)
+    val v3 = r.storeVersion
+    // the CUT, structurally: no table of the takedown version carries a
+    // base reference
+    for (t <- AllStoreTables :+ "store_capped")
+      assert(!baseOf(v3, t), s"takedown version must not reference: $t")
+
+    // now vacuum reclaims the WHOLE pre-takedown history — v1 (the
+    // chain base holding the erased doc's bytes) and v2 alike
+    assert(Snapshots.vacuum(spark, storeDir, keep = 1) === Seq(v1, v2))
+    assert(Snapshots.versions(spark, storeDir) === Seq(v3))
+    // ... and the store still serves the purged state: doc 1 gone, the
+    // advanced doc 3 still packed, evidence table clean
+    val manifest = store(storeDir, "store_manifest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!manifest.contains(1L) && manifest.contains(3L))
+    val ver = Takedown.verifyErasure(spark, Seq(1L),
+      docsTable = Some(docsT), storeDir = Some(storeDir)).collect()
+    assert(ver.forall(_.getAs[Boolean]("clean")),
+      ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
+  }
 }
