@@ -98,8 +98,34 @@ class StreamingStoreAdvanceSpec extends graft.SparkSpec {
     // gates reject all previously-accepted docs, the delta is empty, no
     // version commits — the at-least-once sink is idempotent
     val vFinal = graft.sources.Snapshots.latestVersion(spark, streamStore).get
-    activate(java.nio.file.Files.createTempDirectory("graft_ssa_ck2").toString)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ssa_ck2").toString
+    activate(ckpt2)
     assert(graft.sources.Snapshots.latestVersion(spark, streamStore).get === vFinal)
+
+    // mid-stream MAINTENANCE — the deployment discipline the trigger
+    // cadence makes real (one chain layer per non-empty trigger):
+    // compactLatest cuts the chain between triggers, vacuum reclaims
+    // the whole accreted history, and the stream just keeps going
+    val vC = graft.sources.Snapshots.compactLatest(spark, streamStore)
+    for (t <- Seq("store_manifest", "store_totals", "store_opens",
+        "store_bands", "store_capped", "store_shingles", "test_shingles")) {
+      assert(!new java.io.File(s"$streamStore/_v=$vC/$t/_base").exists(),
+        s"compacted version must be self-contained: $t")
+      assert(rows(TrainPrep.storeTable(spark, streamStore, t)) ===
+        rows(TrainPrep.storeTable(spark, twinStore, t)), s"post-compaction: $t")
+    }
+    assert(graft.sources.Snapshots.vacuum(spark, streamStore, keep = 1).nonEmpty)
+    assert(graft.sources.Snapshots.versions(spark, streamStore) === Seq(vC))
+    // replay against the COMPACTED store: the membership guard reads the
+    // compacted manifest, still nothing commits...
+    activate(java.nio.file.Files.createTempDirectory("graft_ssa_ck3").toString)
+    assert(graft.sources.Snapshots.latestVersion(spark, streamStore).get === vC)
+    // ... and a genuinely new trigger still advances
+    publish(Seq((51L, words("kappa"))))
+    activate(ckpt2)
+    assert(TrainPrep.storeTable(spark, streamStore, "store_manifest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet.contains(51L))
+    assert(graft.sources.Snapshots.latestVersion(spark, streamStore).get > vC)
   }
 
   test("a trigger WAITS out a transiently-held store lease instead of dying") {
