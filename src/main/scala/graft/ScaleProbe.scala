@@ -961,6 +961,50 @@ object ScaleProbe {
         println(f"[probe] prod search6 $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         dropPersisted()
       }
+      // the incremental RAG-store ADVANCE (advanceRagStore — the
+      // freshness path between rebuilds): a FIXED 20-doc batch against
+      // the 1× and 10× published stores, each arm on a throwaway copy
+      // (an advance mutates latest; the cached store must stay pristine
+      // for parity). Expect flat: compute is O(batch chunks × k) against
+      // the broadcast centroids + the chunklens membership anti-join's
+      // column-pruned scan; the write is O(batch) Append deltas.
+      // MEASURED (warm, r15 continuation): 1× 2.56 s, 10× 2.24 s — FLAT
+      // in store size, and serving at latest picks the new docs up with
+      // the same near-flat from-store query cost (the s6/s7 arms of the
+      // same capture: s6 0.87/0.87 s, s7 2.63/3.12 s at 1×/10×).
+      def copyDir(from: String, to: String): Unit = {
+        val src0 = java.nio.file.Paths.get(from)
+        java.nio.file.Files.walk(src0).forEach { p =>
+          val dst = java.nio.file.Paths.get(to).resolve(src0.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dst)
+          else java.nio.file.Files.copy(p, dst)
+        }
+      }
+      def deleteDir(dir: String): Unit =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      // NOT checkpointed: the inter-arm dropPersisted() would evict the
+      // blocks mid-probe, and 20 literal rows re-derive for free
+      val batch = { import spark.implicits._
+        (1 to 20).map(i => (1000000L + i,
+          (1 to 80).map(j => s"fresh${i}w$j").mkString(" ")))
+          .toDF("doc_id", "text") }
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source", lit("probe"))
+      for ((label, st) <- Seq(
+          ("rag-advance-1x", s"$dirBase/1x_store"),
+          ("rag-advance-10x", s"$dirBase/10x_store"))) {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("probe_ragadv").toString
+        deleteDir(scratch); copyDir(st, scratch)
+        val t0 = System.nanoTime()
+        TrainPrep.advanceRagStore(spark, batch, scratch)
+        println(f"[probe] prod search6 $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        deleteDir(scratch)
+        dropPersisted()
+      }
       spark.stop()
       return
     }

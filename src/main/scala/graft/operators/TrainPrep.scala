@@ -2444,7 +2444,17 @@ object TrainPrep {
     val cent = vecs.orderBy("doc_id", "k").limit(kc)
       .select(col("doc_id").as("cdoc"), col("k").as("ck"),
         col("va").as("vc"), col("vnrm").as("cnrm"))
-    val index = vecs.crossJoin(broadcast(cent))
+    Pipe6Parts(vecs, cent, assignToCells(vecs, cent).localCheckpoint(), kc)
+  }
+
+  /** The (chunk → cell) IVF assignment against a GIVEN centroid frame —
+    * factored from [[pipe6PartsOf]] so the incremental
+    * [[advanceRagStore]] assigns new chunks with EXACTLY the build's
+    * argmax (codegen'd DotLong against the broadcast centroids,
+    * map-side-combinable max(struct(cos, −cdoc, −ck))).
+    */
+  private def assignToCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
       .withColumn("dot", graft.functions.VectorFunctions.dotLong(col("va"), col("vc")))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("vnrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
@@ -2453,9 +2463,6 @@ object TrainPrep {
         (-col("cdoc")).as("ncd"), (-col("ck")).as("nck"))).as("m"))
       .select(col("doc_id"), col("k"), col("vnrm"),
         (-col("m.ncd")).as("cell_doc"), (-col("m.nck")).as("cell_k"))
-      .localCheckpoint()
-    Pipe6Parts(vecs, cent, index, kc)
-  }
 
   /** Publish pipe6's RAG index through [[graft.sources.Snapshots]] as ONE
     * atomic multi-table version — the lifecycle the registry plan's
@@ -2507,20 +2514,29 @@ object TrainPrep {
       graft.sources.RunLog.Entry(runTs, "rag_index", stage, rows,
         (System.nanoTime() - t0) / 1000000L, status, err)
     try {
-      val v = graft.sources.Snapshots.writeTables(Seq(
-        "vecs" -> parts.vecs,
-        "cent" -> parts.cent,
-        "index" -> parts.index.observe(obs, count(lit(1)).as("rows")),
-        "postings" -> postings,
-        // doc_id-sorted for the same reason postings are tok-sorted:
-        // search7FromStore's per-query candidate lookup filters on ≤15
-        // literal doc_ids, and row-group min/max stats on a sorted
-        // column prune that scan to O(candidates) row groups instead of
-        // the whole store (measured at prod:search6 — the r13 linear
-        // serving term this removes)
-        "chunklens" -> dl.repartition(col("doc_id"))
-          .sortWithinPartitions("doc_id", "k"),
-        "stats" -> stats), root)
+      // under the ROOT's commit lease: a rebuild racing an incremental
+      // advance ([[advanceRagStore]]) would otherwise read-latest →
+      // write-latest and silently drop the advance's chunks from the
+      // new latest. Deliberately ALL-FULL (never Carry/Append): the
+      // rebuild is the retrain/chain-cut — after a takedown's republish
+      // it must reference no pre-purge version, so vacuum can
+      // physically reclaim the erased bytes (the executeChunks rule)
+      val v = graft.sources.CommitLock.withLock(s, root) {
+        graft.sources.Snapshots.writeTables(Seq(
+          "vecs" -> parts.vecs,
+          "cent" -> parts.cent,
+          "index" -> parts.index.observe(obs, count(lit(1)).as("rows")),
+          "postings" -> postings,
+          // doc_id-sorted for the same reason postings are tok-sorted:
+          // search7FromStore's per-query candidate lookup filters on ≤15
+          // literal doc_ids, and row-group min/max stats on a sorted
+          // column prune that scan to O(candidates) row groups instead of
+          // the whole store (measured at prod:search6 — the r13 linear
+          // serving term this removes)
+          "chunklens" -> dl.repartition(col("doc_id"))
+            .sortWithinPartitions("doc_id", "k"),
+          "stats" -> stats), root)
+      }
       runLogPath.foreach(p => graft.sources.RunLog.append(s, p,
         Seq(entry(s"publish_v$v", obs.get("rows").asInstanceOf[Long], "ok", ""))))
       v
@@ -2536,6 +2552,93 @@ object TrainPrep {
       // repeated takedowns in a long-lived session
       Seq(toks, dl, parts.vecs, parts.index)
         .foreach(_.unpersist(blocking = false))
+  }
+
+  /** INCREMENTAL RAG-STORE ADVANCE — the serving-side twin of
+    * [[advanceStore]]: fold a batch of NEW documents into the published
+    * retrieval index ([[publishRagStore]]'s six tables) so
+    * [[graft.operators.TextOps.search6FromStore]]/`search7FromStore`
+    * serve them between nightly rebuilds. The batch's pk6 chunks are
+    * vectorized and assigned to the PINNED stored centroids — exactly
+    * the build's argmax ([[assignToCells]], shared code) — and the
+    * commit is LAYERED ([[graft.sources.Snapshots.writeTablesSpec]]):
+    * vecs/index/postings/chunklens land as Append deltas over the
+    * pinned version, the centroids Carry, only the 1-row stats table
+    * writes Full. Delta files keep the store's sort conventions
+    * (postings by tok, chunklens by doc_id) so the serving scans'
+    * row-group pruning applies to every layer.
+    *
+    * The honest contract — freshness, not retraining: the cell count
+    * stays k=⌈√C₀⌉ of the LAST REBUILD's corpus and new chunks join
+    * existing cells (the standard IVF-grow-until-retrain posture of a
+    * production vector DB), so the recall ceiling drifts as the corpus
+    * grows and the nightly [[publishRagStore]] rebuild — which
+    * re-derives k and the centroids, writes all-Full, and thereby CUTS
+    * the advance's chain for vacuum — remains the quality-maintenance
+    * path. Consequently an advance is NOT bit-equal to a rebuild on
+    * the grown corpus (different centroids); what IS pinned
+    * (AdvanceRagStoreSpec): two advances compose associatively
+    * (advance(b1); advance(b2) ≡ advance(b1 ∪ b2), all six tables),
+    * a pinned pre-advance version serves bit-identically after any
+    * number of advances, the advanced latest retrieves the new docs,
+    * and a replayed batch (doc_id already in chunklens — the
+    * membership guard) commits nothing.
+    *
+    * Scale: compute is O(batch chunks × k) codegen'd dots against the
+    * broadcast centroid frame + batch-sized aggregations; the write is
+    * O(batch) bytes. MEASURED (prod:search6 rag-advance arms, warm): a
+    * fixed 20-doc batch advances the sf0.1 store in 2.56 s and the 10×
+    * store in 2.24 s — flat in store size. Runs under the root's commit
+    * lease (an advance racing the nightly rebuild or a takedown
+    * republish must fail loudly, not silently lose). Returns the
+    * committed version (the prior version when nothing in the batch is
+    * new).
+    */
+  private[graft] def advanceRagStore(s: SparkSession, batchDocs: DataFrame,
+      root: String): Long =
+    graft.sources.CommitLock.withLock(s, root) {
+      advanceRagStoreLocked(s, batchDocs, root)
+    }
+
+  private def advanceRagStoreLocked(s: SparkSession, batchDocs: DataFrame,
+      root: String): Long = {
+    import graft.sources.Snapshots
+    import Snapshots.{Append, Carry, Full, TableSpec}
+    val v0 = Snapshots.latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed RAG store under $root"))
+    def stored(t: String) = Snapshots.readTable(s, root, t, Some(v0))
+    // membership guard at the DOC grain: chunklens covers every chunk of
+    // every indexed doc (including zero-vector lexical-only chunks), so
+    // its doc_id set IS the indexed-doc set — a replayed trigger's docs
+    // anti-join away and an all-replayed batch commits nothing
+    val fresh = batchDocs.join(stored("chunklens").select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    val toks = pk6TokenChunksOf(fresh).localCheckpoint() // vecs + dl + postings
+    try {
+      if (toks.isEmpty) return v0
+      val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
+        .localCheckpoint() // 3 consumers: postings join, chunklens, stats
+      try {
+        val postingsDelta = toks.groupBy("tok", "doc_id", "k")
+          .agg(count(lit(1)).as("tf"))
+          .join(dl, Seq("doc_id", "k"))
+          .select("tok", "doc_id", "k", "tf", "dl")
+          .repartition(col("tok")).sortWithinPartitions("tok")
+        val d = dl.agg(sum("dl").as("dtt"), count(lit(1)).as("dn")).first()
+        val stats = stored("stats").select(
+          (col("tt") + lit(d.getAs[Long]("dtt"))).as("tt"),
+          (col("n") + lit(d.getAs[Long]("dn"))).as("n"))
+        Snapshots.writeTablesSpec(s, Seq(
+          "vecs" -> (Append(v0, pipe6DenseVectorsOf(toks)): TableSpec),
+          "cent" -> Carry(v0),
+          "index" -> Append(v0,
+            assignToCells(pipe6DenseVectorsOf(toks), stored("cent"))),
+          "postings" -> Append(v0, postingsDelta),
+          "chunklens" -> Append(v0, dl.repartition(col("doc_id"))
+            .sortWithinPartitions("doc_id", "k")),
+          "stats" -> Full(stats)), root)
+      } finally dl.unpersist(blocking = false)
+    } finally toks.unpersist(blocking = false)
   }
 
   private def pipe6RagIndex(s: SparkSession, d: String): DataFrame = {

@@ -999,21 +999,54 @@ object Streams {
       checkpoint: String, lockRetries: Int = 20,
       lockWaitMs: Long = 3000L): DataStreamWriter[Row] =
     availableNowSink(docs, checkpoint) { (batch, _) =>
-      var attempts = 0
-      var done = false
-      while (!done) {
-        try {
-          graft.operators.TrainPrep.advanceStoreOver(batch.sparkSession,
-            batch, storeDir)
-          done = true
-        } catch {
-          case e: graft.sources.CommitLock.LockedException =>
-            attempts += 1
-            if (attempts > lockRetries) throw e
-            Thread.sleep(lockWaitMs)
-        }
+      waitingOutLease(lockRetries, lockWaitMs) {
+        graft.operators.TrainPrep.advanceStoreOver(batch.sparkSession,
+          batch, storeDir)
       }
     }
+
+  /** The SERVING-side twin of [[streamingStoreAdvance]]: each
+    * micro-batch folds its documents into the published RAG index via
+    * [[graft.operators.TrainPrep.advanceRagStore]] — new chunks
+    * assigned to the pinned stored centroids and Append-committed, so
+    * search6FromStore/search7FromStore serve them at the next latest
+    * read. Same delivery posture: idempotent under trigger replay by
+    * the chunklens membership guard (a replayed batch commits
+    * nothing), one advance at a time by foreachBatch serialization, a
+    * transiently-held root lease (the nightly rebuild, a takedown
+    * republish) waited out with bounded retries. Same honest contract
+    * as the batch advance: freshness between rebuilds, not retraining
+    * — the recall ceiling is the nightly rebuild's job.
+    */
+  def streamingRagAdvance(docs: DataFrame, ragRoot: String,
+      checkpoint: String, lockRetries: Int = 20,
+      lockWaitMs: Long = 3000L): DataStreamWriter[Row] =
+    availableNowSink(docs, checkpoint) { (batch, _) =>
+      waitingOutLease(lockRetries, lockWaitMs) {
+        graft.operators.TrainPrep.advanceRagStore(batch.sparkSession,
+          batch, ragRoot)
+      }
+    }
+
+  /** Bounded lease-wait shared by the per-trigger store advancers: a
+    * LockedException is a transient, legitimate writer (takedown,
+    * nightly rebuild) — wait and retry rather than page the operator;
+    * a lease still held past the whole window is stuck, fail loudly.
+    */
+  private def waitingOutLease[T](lockRetries: Int, lockWaitMs: Long)(
+      body: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: graft.sources.CommitLock.LockedException =>
+          attempts += 1
+          if (attempts > lockRetries) throw e
+          Thread.sleep(lockWaitMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   def availableNowSink(transformed: DataFrame, checkpoint: String)(
       write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
