@@ -242,6 +242,36 @@ object Snapshots {
       .filterNot(_.startsWith("_")).sorted
   }
 
+  /** One row per table of the committed latest (or a pinned) version:
+    * `(table, layers, referenced)` — how many data layers the chain
+    * resolves to and which versions it references. The observable the
+    * compact-vs-vacuum cadence decision reads: `layers` is the number
+    * of directories every scan of that table touches, and the union of
+    * `referenced` is what [[vacuum]] cannot reclaim until
+    * [[compactLatest]] cuts the chains. Metadata-only (no data read).
+    */
+  def layerReport(spark: SparkSession, root: String,
+      version: Option[Long] = None): Seq[(String, Int, Seq[Long])] = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val fs = fsOf(spark, root)
+    tableNames(spark, root, v).map { t =>
+      def walk(at: Long): (Int, Seq[Long]) = {
+        val dir = new Path(root, s"$VPrefix$at/$t")
+        val bf = new Path(dir, BaseFile)
+        if (!fs.exists(bf)) (1, Nil)
+        else {
+          val base = readSmall(fs, bf).toLong
+          val (n, refs) = walk(base)
+          val own = if (fs.exists(new Path(dir, DeltaDir))) 1 else 0
+          (n + own, base +: refs)
+        }
+      }
+      val (layers, refs) = walk(v)
+      (t, layers, refs)
+    }
+  }
+
   /** Claim the next version number for a fully-staged directory and flip
     * the pointer — the shared tail of [[write]] and [[writeTables]].
     */

@@ -78,9 +78,13 @@ class LayeredSnapshotSpec extends SparkSpec {
     assert(rows(root, "t").size === 60) // latest still resolves
     assert(Snapshots.versions(spark, root) === Seq(v1, v4))
 
+    // the cadence observable: one append layer over the collapsed base
+    assert(Snapshots.layerReport(spark, root) === Seq(("t", 2, Seq(v1))))
+
     // compactLatest cuts the chain: the new version is self-contained,
     // and the NEXT vacuum reclaims the whole referenced history
     val v5 = Snapshots.compactLatest(spark, root)
+    assert(Snapshots.layerReport(spark, root) === Seq(("t", 1, Nil)))
     assert(baseOf(root, v5, "t") === None)
     assert(hasDataFiles(root, v5, "t"))
     assert(rows(root, "t").size === 60)
