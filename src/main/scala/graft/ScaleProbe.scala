@@ -802,6 +802,7 @@ object ScaleProbe {
       def storeReady(root: String): Boolean =
         graft.sources.Snapshots.latestVersion(spark, root).exists { v =>
           new java.io.File(s"$root/_v=$v/store_capped").exists() &&
+            new java.io.File(s"$root/_v=$v/store_tombstones").exists() &&
             (try graft.sources.Snapshots
               .readTable(spark, root, "store_totals", Some(v))
               .columns.contains("max_tok")
@@ -914,12 +915,16 @@ object ScaleProbe {
             .drop("_c"))
           .write.mode("overwrite").parquet(s"$dirBase/10x/documents.parquet")
       }
-      // last rebuild (untimed): publish both stores once, reuse across runs
-      def ensureStore(d: String, root: String): Unit =
-        if (graft.sources.Snapshots.latestVersion(spark, root).isEmpty) {
+      // last rebuild (untimed): publish both stores once, reuse across
+      // runs — a cached pre-tombstone-registry store republishes
+      def ensureStore(d: String, root: String): Unit = {
+        val ready = graft.sources.Snapshots.latestVersion(spark, root)
+          .exists(v => new java.io.File(s"$root/_v=$v/tombstones").exists())
+        if (!ready) {
           TrainPrep.publishRagStore(spark, d, root)
           dropPersisted()
         }
+      }
       ensureStore(src, s"$dirBase/1x_store")
       ensureStore(s"$dirBase/10x", s"$dirBase/10x_store")
       // correctness: from-store serving == the registry twins, bit-for-bit

@@ -1660,6 +1660,16 @@ object TrainPrep {
       graft.sources.Snapshots.writeTables(Seq(
         "store_bands" -> bands,
         "store_capped" -> capped,
+        // (h) the TOMBSTONE registry — doc_ids erased by a takedown
+        // ([[graft.sources.Takedown.executeChunks]] adds them), which
+        // [[advanceStore]] refuses to re-admit: an at-least-once
+        // trigger REPLAYING pre-takedown input files would otherwise
+        // resurrect an erased doc, and the manifest membership guard
+        // cannot catch it (the purged id is absent, so it looks
+        // fresh). Empty at bootstrap; re-admitting a legitimately
+        // returning id is an explicit operator edit of this table,
+        // never an ingest side effect.
+        "store_tombstones" -> s.range(0).select(col("id").as("doc_id")),
         "store_shingles" -> shingles,
         // (c) held-out fingerprint universe
         "test_shingles" -> testShinglesOf(docsAll),
@@ -1832,17 +1842,23 @@ object TrainPrep {
     val v0 = graft.sources.Snapshots.latestVersion(s, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed pack store under $storeDir"))
     def stored(t: String) = storeTable(s, storeDir, t, Some(v0))
-    // MEMBERSHIP GUARD before the gates: a doc id already in the stored
-    // manifest must never re-enter, whatever the gates say — the fuzzy
-    // gate alone cannot guarantee it, because a doc whose every band
-    // bucket is CAPPED has no stored candidates to collide with (the
-    // >cap mass-near-duplicate corner), and a replayed trigger would
-    // re-accept it: duplicate manifest rows, double-counted cursors.
-    // The anti-join runs BEFORE the cursor-chaining stage so surviving
-    // rows keep contiguous offsets; cost is one column-pruned manifest
-    // id scan, purgeKeys' discovery economics.
-    val batchFresh = batchRaw.join(
-      stored("store_manifest").select("doc_id"), Seq("doc_id"), "left_anti")
+    // TOMBSTONE GUARD first: a doc id a takedown erased must never
+    // re-enter via an at-least-once REPLAY of pre-takedown input files
+    // — the membership guard below cannot catch it (the purged id is
+    // absent from the manifest, so it looks fresh). One column-pruned
+    // scan of the request-small registry.
+    // Then the MEMBERSHIP GUARD before the gates: a doc id already in
+    // the stored manifest must never re-enter, whatever the gates say —
+    // the fuzzy gate alone cannot guarantee it, because a doc whose
+    // every band bucket is CAPPED has no stored candidates to collide
+    // with (the >cap mass-near-duplicate corner), and a replayed
+    // trigger would re-accept it: duplicate manifest rows,
+    // double-counted cursors. The anti-joins run BEFORE the
+    // cursor-chaining stage so surviving rows keep contiguous offsets;
+    // cost is purgeKeys' discovery economics.
+    val batchFresh = batchRaw
+      .join(stored("store_tombstones"), Seq("doc_id"), "left_anti")
+      .join(stored("store_manifest").select("doc_id"), Seq("doc_id"), "left_anti")
     // the delta derivation pins the SAME v0 the union bases read
     val acc = pipe3ManifestFromStoreOver(s, batchFresh, storeDir, Some(v0))
       .localCheckpoint()
@@ -1901,6 +1917,7 @@ object TrainPrep {
           graft.sources.Snapshots.writeTablesSpec(s, Seq(
             "store_bands" -> bandsSpec,
             "store_capped" -> cappedSpec,
+            "store_tombstones" -> (Carry(v0): TableSpec),
             "store_shingles" -> (Append(v0, shinglesDelta): TableSpec),
             "test_shingles" -> Carry(v0),
             "store_totals" -> Full(totals),
@@ -2492,11 +2509,33 @@ object TrainPrep {
   /** [[publishRagStore]] over an explicit documents frame — the form a
     * maintained warehouse uses (publish FROM the catalog table's current
     * state, e.g. right after [[graft.sources.Catalog.purgeKeys]] in a
-    * takedown — graft.sources.Takedown composes exactly that).
+    * takedown — graft.sources.Takedown composes exactly that, passing
+    * the purged ids as `addTombstones`).
+    *
+    * The TOMBSTONE registry survives rebuilds: a rebuild publishes from
+    * the (purged) source, so it cannot know historical deletion
+    * requests on its own — the existing registry carries forward as
+    * DATA (plus `addTombstones`), never as a version reference, so the
+    * rebuild stays the chain cut. [[advanceRagStore]] refuses
+    * tombstoned ids; without this an at-least-once replay of
+    * pre-takedown inputs would re-index an erased doc.
     */
   private[graft] def publishRagStoreFrom(s: SparkSession, docs: DataFrame,
       root: String, runLogPath: Option[String] = None,
-      runTs: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
+      runTs: java.sql.Timestamp = new java.sql.Timestamp(0L),
+      addTombstones: Seq[Long] = Nil): Long = {
+    import s.implicits._
+    // resolved INSIDE the commit lock below: a takedown's tombstone
+    // additions landing while this rebuild runs must not be lost to a
+    // stale base
+    def tombstones() = (graft.sources.Snapshots.latestVersion(s, root) match {
+      // tolerate a pre-registry store (no tombstones table yet): its
+      // first rebuild introduces the table
+      case Some(v) if graft.sources.Snapshots.tableNames(s, root, v)
+          .contains("tombstones") =>
+        graft.sources.Snapshots.readTable(s, root, "tombstones", Some(v))
+      case _ => s.range(0).select(col("id").as("doc_id"))
+    }).unionByName(addTombstones.toDF("doc_id")).distinct()
     val toks = pk6TokenChunksOf(docs).localCheckpoint() // feeds vecs + dl + postings
     val parts = pipe6PartsOf(pipe6DenseVectorsOf(toks))
     val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
@@ -2525,6 +2564,7 @@ object TrainPrep {
         graft.sources.Snapshots.writeTables(Seq(
           "vecs" -> parts.vecs,
           "cent" -> parts.cent,
+          "tombstones" -> tombstones(),
           "index" -> parts.index.observe(obs, count(lit(1)).as("rows")),
           "postings" -> postings,
           // doc_id-sorted for the same reason postings are tok-sorted:
@@ -2607,12 +2647,18 @@ object TrainPrep {
     val v0 = Snapshots.latestVersion(s, root).getOrElse(
       throw new IllegalStateException(s"no committed RAG store under $root"))
     def stored(t: String) = Snapshots.readTable(s, root, t, Some(v0))
-    // membership guard at the DOC grain: chunklens covers every chunk of
-    // every indexed doc (including zero-vector lexical-only chunks), so
-    // its doc_id set IS the indexed-doc set — a replayed trigger's docs
-    // anti-join away and an all-replayed batch commits nothing
-    val fresh = batchDocs.join(stored("chunklens").select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti")
+    // TOMBSTONE guard first (an id a takedown erased must never
+    // re-enter via an at-least-once replay of pre-takedown inputs —
+    // the membership guard below can't catch it, the id is absent),
+    // then the membership guard at the DOC grain: chunklens covers
+    // every chunk of every indexed doc (including zero-vector
+    // lexical-only chunks), so its doc_id set IS the indexed-doc set —
+    // a replayed trigger's docs anti-join away and an all-replayed
+    // batch commits nothing
+    val fresh = batchDocs
+      .join(stored("tombstones"), Seq("doc_id"), "left_anti")
+      .join(stored("chunklens").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
     val toks = pk6TokenChunksOf(fresh).localCheckpoint() // vecs + dl + postings
     try {
       if (toks.isEmpty) return v0
@@ -2631,6 +2677,7 @@ object TrainPrep {
         Snapshots.writeTablesSpec(s, Seq(
           "vecs" -> (Append(v0, pipe6DenseVectorsOf(toks)): TableSpec),
           "cent" -> Carry(v0),
+          "tombstones" -> Carry(v0),
           "index" -> Append(v0,
             assignToCells(pipe6DenseVectorsOf(toks), stored("cent"))),
           "postings" -> Append(v0, postingsDelta),

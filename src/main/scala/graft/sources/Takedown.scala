@@ -91,9 +91,13 @@ object Takedown {
     // index non-compliant (see the atomicity contract above), so the
     // cheap second attempt is taken before surfacing the obligation to
     // the caller — both failures land in the run log if it too dies.
+    // the purged ids enter the republished store's TOMBSTONE registry:
+    // the incremental advance refuses them, so an at-least-once replay
+    // of pre-takedown inputs cannot resurrect this erasure
     val after =
       try graft.operators.TrainPrep.publishRagStoreFrom(
-        spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs)
+        spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs,
+        addTombstones = docIds)
       catch {
         // NonFatal only: retrying a full index build on an OOMEd or
         // interrupting JVM makes things worse, not compliant. If the
@@ -101,7 +105,8 @@ object Takedown {
         // (the run log holds both rows either way).
         case scala.util.control.NonFatal(e1) =>
           try graft.operators.TrainPrep.publishRagStoreFrom(
-            spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs)
+            spark, spark.table(docsTable), ragRoot, Some(runLogPath), runTs,
+            addTombstones = docIds)
           catch {
             case scala.util.control.NonFatal(e2) =>
               e2.addSuppressed(e1); throw e2
@@ -271,10 +276,38 @@ object Takedown {
       val purged = sman.join(idsDf, Seq("doc_id"), "left_semi").localCheckpoint()
       pinned += purged
       val nPurged = purged.count()
+      // the TOMBSTONE obligation holds on EVERY path, including the
+      // nothing-to-erase ones: the requested ids must be in
+      // store_tombstones or a later at-least-once REPLAY of
+      // pre-takedown input files re-admits them through advanceStore
+      // (the membership guard cannot catch an id the purge removed —
+      // or one never ingested at all, which is still a deletion
+      // request the ingest side must honor going forward)
+      val missingTomb = idsDf
+        .join(stored("store_tombstones"), Seq("doc_id"), "left_anti").count()
+      def tombstones() = stored("store_tombstones")
+        .unionByName(idsDf).distinct()
       if (nPurged == 0L && !heldOutDoomed) {
-        // never packed, not held-out ⇒ nothing to erase at this grain
-        log("noop", 0L, "ok", "")
-        return ChunksResult(0L, 0L, 0L, 0L, v0)
+        if (missingTomb == 0L) {
+          // never packed, not held-out, already tombstoned ⇒ no-op
+          log("noop", 0L, "ok", "")
+          return ChunksResult(0L, 0L, 0L, 0L, v0)
+        }
+        // never packed ⇒ nothing to ERASE at this grain, but the
+        // registry must still gain the ids. This commit removes no
+        // bytes, so the all-Full chain-cut rule does not apply — the
+        // request-small registry writes Full, everything else carries
+        val v1 = step("tombstones") {
+          import Snapshots.{Carry, Full, TableSpec}
+          val v = Snapshots.writeTablesSpec(spark,
+            Seq("store_tombstones" -> (Full(tombstones()): TableSpec)) ++
+              Seq("store_bands", "store_capped", "store_shingles",
+                "test_shingles", "store_totals", "store_manifest",
+                "store_opens").map(t => t -> (Carry(v0): TableSpec)),
+            storeDir)
+          (v, missingTomb)
+        }
+        return ChunksResult(0L, 0L, 0L, 0L, v1)
       }
       if (nPurged == 0L) {
         // HELD-OUT-only takedown: the ids were never packed (held-out
@@ -289,9 +322,24 @@ object Takedown {
         pinned += der
         val cur = stored("test_shingles")
         val drift = cur.join(der, Seq("h"), "left_anti").count()
-        if (drift == 0L) {
+        if (drift == 0L && missingTomb == 0L) {
           log("noop", 0L, "ok", "")
           return ChunksResult(0L, 0L, 0L, 0L, v0)
+        }
+        if (drift == 0L) {
+          // fingerprints already clean, only the registry is owed —
+          // same nothing-erased layered commit as the never-packed path
+          val v1 = step("tombstones") {
+            import Snapshots.{Carry, Full, TableSpec}
+            val v = Snapshots.writeTablesSpec(spark,
+              Seq("store_tombstones" -> (Full(tombstones()): TableSpec)) ++
+                Seq("store_bands", "store_capped", "store_shingles",
+                  "test_shingles", "store_totals", "store_manifest",
+                  "store_opens").map(t => t -> (Carry(v0): TableSpec)),
+              storeDir)
+            (v, missingTomb)
+          }
+          return ChunksResult(0L, 0L, 0L, 0L, v1)
         }
         val v1 = step("store_rewrite") {
           // deliberately ALL-FULL, never Carry/Append: an erasure commit
@@ -303,6 +351,7 @@ object Takedown {
           val v = Snapshots.writeTables(Seq(
             "store_bands" -> stored("store_bands"),
             "store_capped" -> stored("store_capped"),
+            "store_tombstones" -> tombstones(),
             "store_shingles" -> stored("store_shingles"),
             "test_shingles" -> der,
             "store_totals" -> stored("store_totals"),
@@ -405,6 +454,10 @@ object Takedown {
           "store_bands" -> stored("store_bands")
             .join(idsDf, Seq("doc_id"), "left_anti"),
           "store_capped" -> stored("store_capped"),
+          // the registry GAINS the doomed ids here: the advance's
+          // tombstone guard is what keeps an at-least-once replay of
+          // pre-takedown inputs from resurrecting this erasure
+          "store_tombstones" -> tombstones(),
           "store_shingles" -> stored("store_shingles")
             .join(idsDf, Seq("doc_id"), "left_anti"),
           "test_shingles" -> testSh,
@@ -493,9 +546,22 @@ object Takedown {
           val cur = Snapshots.readTable(spark, d, "test_shingles")
           "test_shingles" -> cur.join(der, Seq("h"), "left_anti").count()
         } ++
+        // tombstone COVERAGE (the re-entry guard, not a residue scan):
+        // rows_remaining counts requested ids MISSING from the
+        // registry — clean ⇔ every id is tombstoned, so an
+        // at-least-once replay of pre-takedown inputs cannot
+        // resurrect the erasure through the store advance
+        storeDir.toSeq.map(d =>
+          "tombstone_coverage" -> ids.join(
+            Snapshots.readTable(spark, d, "store_tombstones"),
+            Seq("doc_id"), "left_anti").count()) ++
         ragRoot.toSeq.flatMap(r => Seq("vecs", "index", "postings",
           "chunklens").map(t =>
-            s"rag_$t" -> remaining(Snapshots.readTable(spark, r, t))))
+            s"rag_$t" -> remaining(Snapshots.readTable(spark, r, t)))) ++
+        ragRoot.toSeq.map(r =>
+          "rag_tombstone_coverage" -> ids.join(
+            Snapshots.readTable(spark, r, "tombstones"),
+            Seq("doc_id"), "left_anti").count())
       rows.map { case (layer, n) => (layer, n, n == 0L) }
         .toDF("layer", "rows_remaining", "clean")
     } finally ids.unpersist(blocking = false)

@@ -97,6 +97,38 @@ class AdvanceRagStoreSpec extends graft.SparkSpec {
     assert(Snapshots.vacuum(spark, rootA, keep = 1) === Seq(v1a, v2a, v3a))
     assert(TextOps.search6FromStore(spark, rootA)
       .collect().map(_.toSeq).exists(_.contains(hot._1)))
+
+    // TAKEDOWN + RESURRECTION pin: republish WITHOUT the hot doc and
+    // with its id tombstoned (Takedown.execute's republish form) — an
+    // at-least-once replay re-delivering the erased doc must be
+    // refused by the advance's tombstone guard (the membership guard
+    // cannot catch it: the id is absent from the purged chunklens),
+    // while a genuinely new doc in the same batch still advances; the
+    // evidence table's rag_tombstone_coverage layer reads clean
+    val d3 = java.nio.file.Files.createTempDirectory("graft_ragc3").toString
+    graft.Tables.documents(spark, d)
+      .select("doc_id", "text", "n_chars", "source")
+      .unionByName(docsDf(Seq(mild)))
+      .write.parquet(s"$d3/documents.parquet")
+    val v5a = TrainPrep.publishRagStore(spark, d3, rootA) // purged corpus...
+    // ...but publishRagStore has no tombstone arg — write the takedown
+    // form directly over it
+    val v6a = TrainPrep.publishRagStoreFrom(spark,
+      graft.Tables.documents(spark, d3), rootA, addTombstones = Seq(hot._1))
+    assert(v6a > v5a)
+    val fresh2 = (9000003L, (1 to 80).map(i => s"novel$i").mkString(" "))
+    val v7a = TrainPrep.advanceRagStore(spark, docsDf(Seq(hot, fresh2)), rootA)
+    assert(v7a > v6a)
+    val served = Snapshots.readTable(spark, rootA, "chunklens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!served.contains(hot._1),
+      "a tombstoned id must never re-enter via an advance replay")
+    assert(served.contains(fresh2._1), "the guard must be surgical")
+    val ver = graft.sources.Takedown.verifyErasure(spark, Seq(hot._1),
+      ragRoot = Some(rootA)).collect()
+    assert(ver.map(_.getAs[String]("layer")).contains("rag_tombstone_coverage"))
+    assert(ver.forall(_.getAs[Boolean]("clean")),
+      ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
   }
 
   test("streaming twin: one trigger advances the RAG store; a replayed trigger commits nothing") {

@@ -48,8 +48,8 @@ class AdvanceStoreSpec extends graft.SparkSpec {
         Seq("doc_id"), "left_semi"))
     val refDir = java.nio.file.Files.createTempDirectory("graft_adv_ref").toString
     TrainPrep.materializeStoreOver(spark, combined, docs, refDir)
-    for (t <- Seq("store_bands", "store_capped", "store_shingles",
-        "test_shingles", "store_totals", "store_opens"))
+    for (t <- Seq("store_bands", "store_capped", "store_tombstones",
+        "store_shingles", "test_shingles", "store_totals", "store_opens"))
       assert(rows(store(storeDir, t)) === rows(store(refDir, t)), t)
 
     // the manifest deliberately does NOT equal from-scratch (append-only

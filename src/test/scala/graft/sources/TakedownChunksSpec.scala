@@ -164,7 +164,7 @@ class TakedownChunksSpec extends graft.SparkSpec {
       docsTable = Some(docsT), storeDir = Some(storeDir)).collect()
     assert(ver.map(_.getAs[String]("layer")).toSet ===
       Set("documents", "store_manifest", "store_bands", "store_shingles",
-        "test_shingles"))
+        "test_shingles", "tombstone_coverage"))
     assert(ver.forall(_.getAs[Boolean]("clean")),
       ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
   }
@@ -375,13 +375,44 @@ class TakedownChunksSpec extends graft.SparkSpec {
     assert(Snapshots.vacuum(spark, storeDir, keep = 1) === Seq(v1, v2))
     assert(Snapshots.versions(spark, storeDir) === Seq(v3))
     // ... and the store still serves the purged state: doc 1 gone, the
-    // advanced doc 3 still packed, evidence table clean
+    // advanced doc 3 still packed, evidence table clean — including the
+    // tombstone-coverage layer (the re-entry guard registered)
     val manifest = store(storeDir, "store_manifest")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!manifest.contains(1L) && manifest.contains(3L))
     val ver = Takedown.verifyErasure(spark, Seq(1L),
       docsTable = Some(docsT), storeDir = Some(storeDir)).collect()
+    assert(ver.map(_.getAs[String]("layer")).contains("tombstone_coverage"))
     assert(ver.forall(_.getAs[Boolean]("clean")),
       ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
+
+    // the RESURRECTION pin: an at-least-once replay of PRE-takedown
+    // input re-delivers the erased doc's row — the tombstone guard
+    // must drop it (the membership guard cannot: the purge removed the
+    // id, so it looks fresh) while a genuinely new doc in the same
+    // batch still advances
+    val replay = docs.filter(col("doc_id") === 1L)
+      .unionByName(Seq((17L, words("fresh")))
+        .toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("source", lit("synth")))
+    val v4 = graft.operators.TrainPrep.advanceStoreOver(spark, replay, storeDir)
+    assert(v4 > v3)
+    val manifest2 = store(storeDir, "store_manifest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!manifest2.contains(1L),
+      "a tombstoned id must never re-enter via an ingest replay")
+    assert(manifest2.contains(17L), "the guard must be surgical")
+
+    // a takedown of a NEVER-ingested id still registers the obligation
+    // (a nothing-erased layered commit), and repeating it is a no-op
+    val r9 = Takedown.executeChunks(spark, Seq(999L), docsT, storeDir,
+      chunksT, runLog, ts)
+    assert(r9.storeVersion > v4)
+    assert(store(storeDir, "store_tombstones")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 999L))
+    val r10 = Takedown.executeChunks(spark, Seq(999L), docsT, storeDir,
+      chunksT, runLog, ts)
+    assert(r10 === Takedown.ChunksResult(0L, 0L, 0L, 0L, r9.storeVersion))
   }
 }

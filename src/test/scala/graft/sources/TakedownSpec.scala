@@ -69,7 +69,8 @@ class TakedownSpec extends graft.SparkSpec {
     val ver = Takedown.verifyErasure(spark, Seq(doomed),
       docsTable = Some(t), ragRoot = Some(ragRoot)).collect()
     assert(ver.map(_.getAs[String]("layer")).toSet ===
-      Set("documents", "rag_vecs", "rag_index", "rag_postings", "rag_chunklens"))
+      Set("documents", "rag_vecs", "rag_index", "rag_postings",
+        "rag_chunklens", "rag_tombstone_coverage"))
     assert(ver.forall(_.getAs[Boolean]("clean")),
       ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
     // and it actually DETECTS leftovers: a still-present doc is flagged
