@@ -1799,11 +1799,13 @@ object TrainPrep {
     * contract is unchanged. MEASURED (prod:pipe5 advance arm, warm,
     * second capture on a settled machine): 5.83 s at 1× (sf0.1 store)
     * vs 5.63 s at 10× store history — flat, and ~1.3× under the
-    * full-version commit it replaces (7.45/7.43 s on the same probe).
-    * The modest wall-clock delta at this sf is honest: the batch GATES
-    * dominate (the fromstore arm alone runs ~3.5–4.3 s), so the
-    * eliminated term is small here — what matters at 100 TB is its
-    * SHAPE, O(batch) written bytes instead of O(store) per night.
+    * full-version commit it replaces (7.45/7.43 s on the same probe);
+    * with the tombstone guard added the capture reads 6.54/6.19 s —
+    * still flat, the guard a fixed request-small anti-join. The modest
+    * wall-clock delta at this sf is honest: the batch GATES dominate
+    * (the fromstore arm alone runs ~3.5–4.3 s), so the eliminated term
+    * is small here — what matters at 100 TB is its SHAPE, O(batch)
+    * written bytes instead of O(store) per night.
     * Retention: one version accretes per non-empty night, and an Append
     * chain pins its history against vacuum —
     * [[graft.sources.Snapshots.vacuum]] with the training-lineage

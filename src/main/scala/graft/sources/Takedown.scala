@@ -216,8 +216,9 @@ object Takedown {
     * manifest write add ~1–2 s of fixed cost over the pre-lease
     * versioned capture (5.95/5.31 s) and the r14 flat-overwrite layout
     * (6.17/5.73 s) whose crash window is now closed;
-    * [[verifyErasure]]'s five-layer evidence table measures
-    * 1.2–1.7 s at either scale — flat, scan-bound.
+    * [[verifyErasure]]'s evidence table (six layers with the
+    * tombstone-coverage guard) measures 1.2–1.7 s at either scale —
+    * flat, scan-bound.
     *
     * `failpointBefore` is a TEST-ONLY crash-injection seam: naming a
     * step stage throws before that step runs, simulating a crash
@@ -512,10 +513,11 @@ object Takedown {
     * yesterday). O(held-out shingles) — heavier than the semi-join
     * counts but one narrow-column pass per side, and the only id-free
     * layer a regulator would ask about.
-    * MEASURED (prod:chunks, warm, r15): the five-layer evidence table
-    * (documents + manifest/bands/shingles by id + the structural
-    * test_shingles derivation) runs 1.2–1.7 s at 1× and 10× store
-    * history alike — flat, scan-bound.
+    * MEASURED (prod:chunks, warm, r15): the evidence table — six
+    * layers with tombstone coverage (documents + manifest/bands/
+    * shingles by id + the structural test_shingles derivation + the
+    * registry check) — runs 1.2–1.7 s at 1× and 10× store history
+    * alike, flat, scan-bound.
     */
   def verifyErasure(spark: SparkSession, docIds: Seq[Long],
       docsTable: Option[String] = None, storeDir: Option[String] = None,
