@@ -1844,6 +1844,16 @@ object TrainPrep {
     val v0 = graft.sources.Snapshots.latestVersion(s, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed pack store under $storeDir"))
     def stored(t: String) = storeTable(s, storeDir, t, Some(v0))
+    // UPGRADE tolerance: a store published before the tombstone
+    // registry existed reads as an empty registry, and this advance
+    // INTRODUCES the table (Full-empty) instead of carrying — a
+    // 100 TB store must not need a re-materialization to keep
+    // ingesting (or to honor its first deletion request)
+    val hasTomb = graft.sources.Snapshots.tableNames(s, storeDir, v0)
+      .contains("store_tombstones")
+    def storedTombstones(): DataFrame =
+      if (hasTomb) stored("store_tombstones")
+      else s.range(0).select(col("id").as("doc_id"))
     // TOMBSTONE GUARD first: a doc id a takedown erased must never
     // re-enter via an at-least-once REPLAY of pre-takedown input files
     // — the membership guard below cannot catch it (the purged id is
@@ -1859,7 +1869,7 @@ object TrainPrep {
     // cursor-chaining stage so surviving rows keep contiguous offsets;
     // cost is purgeKeys' discovery economics.
     val batchFresh = batchRaw
-      .join(stored("store_tombstones"), Seq("doc_id"), "left_anti")
+      .join(storedTombstones(), Seq("doc_id"), "left_anti")
       .join(stored("store_manifest").select("doc_id"), Seq("doc_id"), "left_anti")
     // the delta derivation pins the SAME v0 the union bases read
     val acc = pipe3ManifestFromStoreOver(s, batchFresh, storeDir, Some(v0))
@@ -1919,7 +1929,8 @@ object TrainPrep {
           graft.sources.Snapshots.writeTablesSpec(s, Seq(
             "store_bands" -> bandsSpec,
             "store_capped" -> cappedSpec,
-            "store_tombstones" -> (Carry(v0): TableSpec),
+            "store_tombstones" -> (if (hasTomb) Carry(v0)
+              else Full(storedTombstones()): TableSpec),
             "store_shingles" -> (Append(v0, shinglesDelta): TableSpec),
             "test_shingles" -> Carry(v0),
             "store_totals" -> Full(totals),
@@ -2649,6 +2660,12 @@ object TrainPrep {
     val v0 = Snapshots.latestVersion(s, root).getOrElse(
       throw new IllegalStateException(s"no committed RAG store under $root"))
     def stored(t: String) = Snapshots.readTable(s, root, t, Some(v0))
+    // upgrade tolerance: a pre-registry store reads as an empty
+    // registry and this advance introduces the table (Full-empty)
+    val hasTomb = Snapshots.tableNames(s, root, v0).contains("tombstones")
+    def storedTombstones() =
+      if (hasTomb) stored("tombstones")
+      else s.range(0).select(col("id").as("doc_id"))
     // TOMBSTONE guard first (an id a takedown erased must never
     // re-enter via an at-least-once replay of pre-takedown inputs —
     // the membership guard below can't catch it, the id is absent),
@@ -2658,7 +2675,7 @@ object TrainPrep {
     // a replayed trigger's docs anti-join away and an all-replayed
     // batch commits nothing
     val fresh = batchDocs
-      .join(stored("tombstones"), Seq("doc_id"), "left_anti")
+      .join(storedTombstones(), Seq("doc_id"), "left_anti")
       .join(stored("chunklens").select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
     val toks = pk6TokenChunksOf(fresh).localCheckpoint() // vecs + dl + postings
@@ -2679,7 +2696,8 @@ object TrainPrep {
         Snapshots.writeTablesSpec(s, Seq(
           "vecs" -> (Append(v0, pipe6DenseVectorsOf(toks)): TableSpec),
           "cent" -> Carry(v0),
-          "tombstones" -> Carry(v0),
+          "tombstones" -> (if (hasTomb) Carry(v0)
+            else Full(storedTombstones()): TableSpec),
           "index" -> Append(v0,
             assignToCells(pipe6DenseVectorsOf(toks), stored("cent"))),
           "postings" -> Append(v0, postingsDelta),

@@ -284,9 +284,16 @@ object Takedown {
       // (the membership guard cannot catch an id the purge removed —
       // or one never ingested at all, which is still a deletion
       // request the ingest side must honor going forward)
+      // upgrade tolerance: a pre-registry store reads as an empty
+      // registry and this takedown INTRODUCES the table — a compliance
+      // flow must run on day one against any committed store
+      def storedTombstones() =
+        if (Snapshots.tableNames(spark, storeDir, v0).contains("store_tombstones"))
+          stored("store_tombstones")
+        else spark.range(0).select(col("id").as("doc_id"))
       val missingTomb = idsDf
-        .join(stored("store_tombstones"), Seq("doc_id"), "left_anti").count()
-      def tombstones() = stored("store_tombstones")
+        .join(storedTombstones(), Seq("doc_id"), "left_anti").count()
+      def tombstones() = storedTombstones()
         .unionByName(idsDf).distinct()
       if (nPurged == 0L && !heldOutDoomed) {
         if (missingTomb == 0L) {
@@ -555,17 +562,33 @@ object Takedown {
         // resurrect the erasure through the store advance
         storeDir.toSeq.map(d =>
           "tombstone_coverage" -> ids.join(
-            Snapshots.readTable(spark, d, "store_tombstones"),
+            registryOrEmpty(spark, d, "store_tombstones"),
             Seq("doc_id"), "left_anti").count()) ++
         ragRoot.toSeq.flatMap(r => Seq("vecs", "index", "postings",
           "chunklens").map(t =>
             s"rag_$t" -> remaining(Snapshots.readTable(spark, r, t)))) ++
         ragRoot.toSeq.map(r =>
           "rag_tombstone_coverage" -> ids.join(
-            Snapshots.readTable(spark, r, "tombstones"),
+            registryOrEmpty(spark, r, "tombstones"),
             Seq("doc_id"), "left_anti").count())
       rows.map { case (layer, n) => (layer, n, n == 0L) }
         .toDF("layer", "rows_remaining", "clean")
     } finally ids.unpersist(blocking = false)
+  }
+
+  /** A store's tombstone registry, or an EMPTY frame on a
+    * pre-registry store — which makes the coverage layer report every
+    * requested id as missing (clean = false), the honest verdict: the
+    * re-entry guard is not in force until a takedown or rebuild
+    * introduces the table.
+    */
+  private def registryOrEmpty(spark: SparkSession, root: String,
+      table: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Snapshots.latestVersion(spark, root) match {
+      case Some(v) if Snapshots.tableNames(spark, root, v).contains(table) =>
+        Snapshots.readTable(spark, root, table, Some(v))
+      case _ => spark.range(0).select(col("id").as("doc_id"))
+    }
   }
 }

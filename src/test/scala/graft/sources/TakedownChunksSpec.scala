@@ -415,4 +415,64 @@ class TakedownChunksSpec extends graft.SparkSpec {
       chunksT, runLog, ts)
     assert(r10 === Takedown.ChunksResult(0L, 0L, 0L, 0L, r9.storeVersion))
   }
+
+  test("a PRE-registry store upgrades in place: advance and takedown introduce the tombstone table, never demand a re-materialization") {
+    import spark.implicits._
+    def words(prefix: String) =
+      (1 to 12).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (10L, words("alpha")), (20L, words("beta")),
+      (1L, words("gamma")), (2L, words("delta")), (11L, words("epsil")),
+      (3L, words("zeta")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("synth"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tpre").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val db = "takedown_preregistry_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_tpre_db").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val docsT = s"$db.documents"
+    val chunksT = s"$db.chunks"
+    Catalog.append(docs.withColumn("pt", pmod(col("doc_id"), lit(2L)))
+      .repartition(col("pt")), docsT, Seq("pt"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_tpre_store").toString
+    val v1 = graft.operators.TrainPrep.materializeStore(spark, dir, storeDir)
+    // simulate a store published before the registry existed
+    def deleteDir(p: String): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    deleteDir(s"$storeDir/_v=$v1/store_tombstones")
+    assert(!Snapshots.tableNames(spark, storeDir, v1).contains("store_tombstones"))
+
+    // BEFORE any upgrade, the evidence table says the guard is NOT in
+    // force — honest, not a crash
+    val ver0 = Takedown.verifyErasure(spark, Seq(1L),
+      storeDir = Some(storeDir)).collect()
+    assert(ver0.find(_.getAs[String]("layer") == "tombstone_coverage")
+      .exists(!_.getAs[Boolean]("clean")))
+
+    // the nightly advance runs against the old layout and INTRODUCES
+    // the registry (empty — no obligations yet)
+    val v2 = graft.operators.TrainPrep.advanceStore(spark, dir, storeDir)
+    assert(v2 > v1)
+    assert(store(storeDir, "store_tombstones").isEmpty)
+
+    // a takedown registers into it; the evidence table reads clean
+    Catalog.append(fullPack(storeDir, docs).repartition(col("shard")),
+      chunksT, Seq("shard"))
+    val runLog = java.nio.file.Files
+      .createTempDirectory("graft_tpre_log").toString + "/runlog.parquet"
+    Catalog.purgeKeys(spark, docsT, Seq(1L).toDF("doc_id"), Seq("pt"))
+    val r = Takedown.executeChunks(spark, Seq(1L), docsT, storeDir, chunksT,
+      runLog, java.sql.Timestamp.valueOf("2026-08-15 12:00:00"))
+    assert(r.manifestRowsPurged === 1L)
+    assert(store(storeDir, "store_tombstones")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    val ver1 = Takedown.verifyErasure(spark, Seq(1L),
+      docsTable = Some(docsT), storeDir = Some(storeDir)).collect()
+    assert(ver1.forall(_.getAs[Boolean]("clean")),
+      ver1.filterNot(_.getAs[Boolean]("clean")).mkString(","))
+  }
 }
