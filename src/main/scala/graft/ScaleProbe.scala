@@ -373,6 +373,24 @@ object ScaleProbe {
   private def skewCache(name: String): String =
     s"/tmp/sfprobe_$name-v$SkewGenVersion"
 
+  /** Throwaway-copy helpers for the advance probe arms (an advance
+    * mutates latest, so each timed arm runs on a copy of the cached
+    * store, deleted after).
+    */
+  private def copyDir(from: String, to: String): Unit = {
+    val src0 = java.nio.file.Paths.get(from)
+    java.nio.file.Files.walk(src0).forEach { p =>
+      val dst = java.nio.file.Paths.get(to).resolve(src0.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst)
+    }
+  }
+  private def deleteDir(dir: String): Unit =
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+
   private def replicate(df: DataFrame): DataFrame =
     df.withColumn("_c", explode(sequence(lit(0L), lit(Copies - 1L))))
 
@@ -848,19 +866,6 @@ object ScaleProbe {
       // full-version commit this replaces (7.45/7.43 s): the gates
       // dominate at this sf; the eliminated write term is O(store)
       // per night, which is what matters at 100 TB.
-      def copyDir(from: String, to: String): Unit = {
-        val src0 = java.nio.file.Paths.get(from)
-        java.nio.file.Files.walk(src0).forEach { p =>
-          val dst = java.nio.file.Paths.get(to).resolve(src0.relativize(p))
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.createDirectories(dst)
-          else java.nio.file.Files.copy(p, dst)
-        }
-      }
-      def deleteDir(dir: String): Unit =
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       for ((label, d, st) <- Seq(
           ("advance-1x", src, s"$dirBase/1x_store"),
           ("advance-10x-store", s"$dirBase/10x", s"$dirBase/10x_store"))) {
@@ -977,19 +982,6 @@ object ScaleProbe {
       // in store size, and serving at latest picks the new docs up with
       // the same near-flat from-store query cost (the s6/s7 arms of the
       // same capture: s6 0.87/0.87 s, s7 2.63/3.12 s at 1×/10×).
-      def copyDir(from: String, to: String): Unit = {
-        val src0 = java.nio.file.Paths.get(from)
-        java.nio.file.Files.walk(src0).forEach { p =>
-          val dst = java.nio.file.Paths.get(to).resolve(src0.relativize(p))
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.createDirectories(dst)
-          else java.nio.file.Files.copy(p, dst)
-        }
-      }
-      def deleteDir(dir: String): Unit =
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       // NOT checkpointed: the inter-arm dropPersisted() would evict the
       // blocks mid-probe, and 20 literal rows re-derive for free
       val batch = { import spark.implicits._

@@ -1550,6 +1550,19 @@ object TrainPrep {
       storeDir: String): Long =
     materializeStoreFrom(s, Tables.documents(s, d), storeDir)
 
+  /** One row per doc_id, deterministic winner (min md5(text)) — the
+    * intra-batch guard both store advancers apply before their
+    * membership/tombstone anti-joins: an at-least-once source can
+    * deliver a new doc's row twice within one trigger, and two rows
+    * with one id (even differing text) must collapse to the same
+    * winner on every replay.
+    */
+  private def dedupBatchIds(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(md5(col("text")))
+    batch.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
+
   /** The held-out membership convention (doc_id ≡ 0 mod 10) — ONE
     * definition shared by the store writer, the erasure flow
     * ([[graft.sources.Takedown.executeChunks]] re-derives the
@@ -1854,7 +1867,13 @@ object TrainPrep {
     def storedTombstones(): DataFrame =
       if (hasTomb) stored("store_tombstones")
       else s.range(0).select(col("id").as("doc_id"))
-    // TOMBSTONE GUARD first: a doc id a takedown erased must never
+    // INTRA-BATCH id dedup first: an at-least-once source can deliver
+    // a NEW doc's row twice within one trigger (two input files, same
+    // doc_id) — neither membership nor content gates can catch two
+    // identical-id rows arriving together if their text differs, and
+    // duplicate ids would double-count cursors. Deterministic winner
+    // (min text hash), so replays converge.
+    // Then the TOMBSTONE GUARD: a doc id a takedown erased must never
     // re-enter via an at-least-once REPLAY of pre-takedown input files
     // — the membership guard below cannot catch it (the purged id is
     // absent from the manifest, so it looks fresh). One column-pruned
@@ -1868,7 +1887,7 @@ object TrainPrep {
     // double-counted cursors. The anti-joins run BEFORE the
     // cursor-chaining stage so surviving rows keep contiguous offsets;
     // cost is purgeKeys' discovery economics.
-    val batchFresh = batchRaw
+    val batchFresh = dedupBatchIds(batchRaw)
       .join(storedTombstones(), Seq("doc_id"), "left_anti")
       .join(stored("store_manifest").select("doc_id"), Seq("doc_id"), "left_anti")
     // the delta derivation pins the SAME v0 the union bases read
@@ -1885,15 +1904,31 @@ object TrainPrep {
       // rows are untouched, so the commit appends accKept over v0 and
       // carries the registry. A tipped bucket forces the rare full
       // rewrite, because its STORED rows must disappear.
-      val (overNew0, accKept) = advanceBandsDelta(stored("store_bands"),
+      val (overNew0, _) = advanceBandsDelta(stored("store_bands"),
         stored("store_capped"), accB)
       val overNew = overNew0.localCheckpoint() // request-small: decides the path
+      // accKept rebuilt against the PINNED overNew so no consumer —
+      // Append delta or full rewrite — re-runs the touched-bucket
+      // count embedded in advanceBandsDelta's second frame
+      val accKept = accB
+        .join(stored("store_capped"), Seq("band", "key"), "left_anti")
+        .join(overNew, Seq("band", "key"), "left_anti")
+        .select("doc_id", "band", "key")
       try {
         val (bandsSpec, cappedSpec): (TableSpec, TableSpec) =
           if (overNew.isEmpty) (Append(v0, accKept), Carry(v0))
           else {
-            val (kept, capped) = advanceBands(stored("store_bands"),
-              stored("store_capped"), accB)
+            // the rare full rewrite, from the ALREADY-computed (and
+            // checkpointed) delta — exactly advanceBands' tail algebra
+            // (kept = old anti capped ∪ accKept), without re-running
+            // the touched-bucket count against the stored index
+            val capped = stored("store_capped").unionByName(
+              overNew.join(stored("store_capped"), Seq("band", "key"),
+                "left_anti")).distinct()
+            val kept = stored("store_bands")
+              .join(capped, Seq("band", "key"), "left_anti")
+              .select("doc_id", "band", "key")
+              .unionByName(accKept)
             (Full(kept), Full(capped))
           }
         val shinglesDelta = Dedup.shingleRowsOf(accDocs)
@@ -2674,13 +2709,20 @@ object TrainPrep {
     // lexical-only chunks), so its doc_id set IS the indexed-doc set —
     // a replayed trigger's docs anti-join away and an all-replayed
     // batch commits nothing
-    val fresh = batchDocs
+    // intra-batch id dedup (see [[dedupBatchIds]]): a doc delivered
+    // twice within one trigger would otherwise be indexed twice — no
+    // downstream gate catches identical ids arriving together
+    val fresh = dedupBatchIds(batchDocs)
       .join(storedTombstones(), Seq("doc_id"), "left_anti")
       .join(stored("chunklens").select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
     val toks = pk6TokenChunksOf(fresh).localCheckpoint() // vecs + dl + postings
     try {
       if (toks.isEmpty) return v0
+      // pinned once: the vecs Append delta AND the cell assignment read
+      // it — without the pin the per-token hashing + per-chunk vector
+      // aggregation (the dominant compute term) would run twice
+      val vecsDelta = pipe6DenseVectorsOf(toks).localCheckpoint()
       val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
         .localCheckpoint() // 3 consumers: postings join, chunklens, stats
       try {
@@ -2694,17 +2736,19 @@ object TrainPrep {
           (col("tt") + lit(d.getAs[Long]("dtt"))).as("tt"),
           (col("n") + lit(d.getAs[Long]("dn"))).as("n"))
         Snapshots.writeTablesSpec(s, Seq(
-          "vecs" -> (Append(v0, pipe6DenseVectorsOf(toks)): TableSpec),
+          "vecs" -> (Append(v0, vecsDelta): TableSpec),
           "cent" -> Carry(v0),
           "tombstones" -> (if (hasTomb) Carry(v0)
             else Full(storedTombstones()): TableSpec),
-          "index" -> Append(v0,
-            assignToCells(pipe6DenseVectorsOf(toks), stored("cent"))),
+          "index" -> Append(v0, assignToCells(vecsDelta, stored("cent"))),
           "postings" -> Append(v0, postingsDelta),
           "chunklens" -> Append(v0, dl.repartition(col("doc_id"))
             .sortWithinPartitions("doc_id", "k")),
           "stats" -> Full(stats)), root)
-      } finally dl.unpersist(blocking = false)
+      } finally {
+        dl.unpersist(blocking = false)
+        vecsDelta.unpersist(blocking = false)
+      }
     } finally toks.unpersist(blocking = false)
   }
 

@@ -498,14 +498,17 @@ object Snapshots {
     // and spare whatever they reach — transitively, since an Append
     // base can itself be layered
     val candidates = committed.dropRight(keep).toSet
+    // FAIL CLOSED on an unreadable/corrupt _base ref: mapping it to
+    // "no reference" would let this pass delete a version a surviving
+    // chain still needs — the exact loss the closure exists to prevent.
+    // A transient read failure aborts the vacuum (retryable, loud);
+    // nothing has been deleted yet when the walk runs.
     def baseRefs(v: Long): Seq[Long] = {
       val vd = new Path(root, s"$VPrefix$v")
       if (!fs.exists(vd)) Nil
       else fs.listStatus(vd).toSeq.filter(_.isDirectory).flatMap { st =>
         val bf = new Path(st.getPath, BaseFile)
-        if (fs.exists(bf))
-          try Some(readSmall(fs, bf).toLong) catch { case _: Exception => None }
-        else None
+        if (fs.exists(bf)) Some(readSmall(fs, bf).toLong) else None
       }
     }
     val reached = scala.collection.mutable.Set[Long]()

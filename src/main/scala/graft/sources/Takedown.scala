@@ -291,10 +291,28 @@ object Takedown {
         if (Snapshots.tableNames(spark, storeDir, v0).contains("store_tombstones"))
           stored("store_tombstones")
         else spark.range(0).select(col("id").as("doc_id"))
-      val missingTomb = idsDf
+      // lazy: the real purge path never reads it — only the
+      // no-op/registry-only branches pay this count
+      lazy val missingTomb = idsDf
         .join(storedTombstones(), Seq("doc_id"), "left_anti").count()
       def tombstones() = storedTombstones()
         .unionByName(idsDf).distinct()
+      // the nothing-erased, registry-only commit the no-op-shaped
+      // branches share: this commit removes no bytes, so the all-Full
+      // chain-cut rule does not apply — the request-small registry
+      // writes Full, and EVERY other table of v0 carries (the list
+      // derives from the version itself, never a hardcoded name set
+      // that would silently drop an unknown table from latest)
+      def tombstoneOnlyCommit(): Long = step("tombstones") {
+        import Snapshots.{Carry, Full, TableSpec}
+        val v = Snapshots.writeTablesSpec(spark,
+          Seq("store_tombstones" -> (Full(tombstones()): TableSpec)) ++
+            Snapshots.tableNames(spark, storeDir, v0)
+              .filterNot(_ == "store_tombstones")
+              .map(t => t -> (Carry(v0): TableSpec)),
+          storeDir)
+        (v, missingTomb)
+      }
       if (nPurged == 0L && !heldOutDoomed) {
         if (missingTomb == 0L) {
           // never packed, not held-out, already tombstoned ⇒ no-op
@@ -302,20 +320,8 @@ object Takedown {
           return ChunksResult(0L, 0L, 0L, 0L, v0)
         }
         // never packed ⇒ nothing to ERASE at this grain, but the
-        // registry must still gain the ids. This commit removes no
-        // bytes, so the all-Full chain-cut rule does not apply — the
-        // request-small registry writes Full, everything else carries
-        val v1 = step("tombstones") {
-          import Snapshots.{Carry, Full, TableSpec}
-          val v = Snapshots.writeTablesSpec(spark,
-            Seq("store_tombstones" -> (Full(tombstones()): TableSpec)) ++
-              Seq("store_bands", "store_capped", "store_shingles",
-                "test_shingles", "store_totals", "store_manifest",
-                "store_opens").map(t => t -> (Carry(v0): TableSpec)),
-            storeDir)
-          (v, missingTomb)
-        }
-        return ChunksResult(0L, 0L, 0L, 0L, v1)
+        // registry must still gain the ids
+        return ChunksResult(0L, 0L, 0L, 0L, tombstoneOnlyCommit())
       }
       if (nPurged == 0L) {
         // HELD-OUT-only takedown: the ids were never packed (held-out
@@ -336,18 +342,8 @@ object Takedown {
         }
         if (drift == 0L) {
           // fingerprints already clean, only the registry is owed —
-          // same nothing-erased layered commit as the never-packed path
-          val v1 = step("tombstones") {
-            import Snapshots.{Carry, Full, TableSpec}
-            val v = Snapshots.writeTablesSpec(spark,
-              Seq("store_tombstones" -> (Full(tombstones()): TableSpec)) ++
-                Seq("store_bands", "store_capped", "store_shingles",
-                  "test_shingles", "store_totals", "store_manifest",
-                  "store_opens").map(t => t -> (Carry(v0): TableSpec)),
-              storeDir)
-            (v, missingTomb)
-          }
-          return ChunksResult(0L, 0L, 0L, 0L, v1)
+          // the shared nothing-erased layered commit
+          return ChunksResult(0L, 0L, 0L, 0L, tombstoneOnlyCommit())
         }
         val v1 = step("store_rewrite") {
           // deliberately ALL-FULL, never Carry/Append: an erasure commit
