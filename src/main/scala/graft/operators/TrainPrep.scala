@@ -1550,15 +1550,27 @@ object TrainPrep {
       storeDir: String): Long =
     materializeStoreFrom(s, Tables.documents(s, d), storeDir)
 
-  /** One row per doc_id, deterministic winner (min md5(text)) — the
-    * intra-batch guard both store advancers apply before their
-    * membership/tombstone anti-joins: an at-least-once source can
-    * deliver a new doc's row twice within one trigger, and two rows
-    * with one id (even differing text) must collapse to the same
-    * winner on every replay.
+  /** One row per doc_id, deterministic winner — the intra-batch guard
+    * both store advancers apply before their membership/tombstone
+    * anti-joins: an at-least-once source can deliver a new doc's row
+    * twice within one trigger, and two rows with one id must collapse
+    * to the SAME winner on every replay. The sort is total over the
+    * whole row (md5 of the text, then every remaining non-key column in
+    * name order): two same-id rows with identical text but differing
+    * metadata (source, n_chars) would tie on the text hash alone and
+    * hand row_number a nondeterministic winner — replays would not be
+    * guaranteed to converge on the same row.
     */
   private def dedupBatchIds(batch: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy(md5(col("text")))
+    // orderable columns only: a hypothetical map-typed column cannot
+    // serve as a sort key and would fail analysis
+    val tieBreak = batch.schema.fields.toSeq
+      .filter(f => f.name != "doc_id" && f.name != "text" &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType))
+      .map(_.name).sorted.map(col(_))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(md5(col("text")) +: tieBreak: _*)
     batch.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
   }
@@ -1884,12 +1896,17 @@ object TrainPrep {
     // every band bucket is CAPPED has no stored candidates to collide
     // with (the >cap mass-near-duplicate corner), and a replayed
     // trigger would re-accept it: duplicate manifest rows,
-    // double-counted cursors. The anti-joins run BEFORE the
-    // cursor-chaining stage so surviving rows keep contiguous offsets;
-    // cost is purgeKeys' discovery economics.
+    // double-counted cursors. Both guards are id anti-joins, so they
+    // fold into ONE join against the unioned guard frame (registry ∪
+    // manifest ids — one shuffle of the batch instead of two; the
+    // union adds no shuffle of its own, its sides just feed the join).
+    // The guard runs BEFORE the cursor-chaining stage so surviving
+    // rows keep contiguous offsets; cost is purgeKeys' discovery
+    // economics.
+    val guardIds = storedTombstones().select("doc_id")
+      .unionByName(stored("store_manifest").select("doc_id"))
     val batchFresh = dedupBatchIds(batchRaw)
-      .join(storedTombstones(), Seq("doc_id"), "left_anti")
-      .join(stored("store_manifest").select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(guardIds, Seq("doc_id"), "left_anti")
     // the delta derivation pins the SAME v0 the union bases read
     val acc = pipe3ManifestFromStoreOver(s, batchFresh, storeDir, Some(v0))
       .localCheckpoint()
@@ -2711,11 +2728,17 @@ object TrainPrep {
     // batch commits nothing
     // intra-batch id dedup (see [[dedupBatchIds]]): a doc delivered
     // twice within one trigger would otherwise be indexed twice — no
-    // downstream gate catches identical ids arriving together
+    // downstream gate catches identical ids arriving together. The two
+    // id guards fold into ONE anti-join against the unioned guard
+    // frame (registry ∪ indexed-doc ids) — one shuffle of the batch
+    // instead of two. No distinct on the chunklens side: an anti-join
+    // is insensitive to duplicate guard rows, and the dedup would cost
+    // its own exchange+aggregate just to shrink a side the join
+    // shuffles by the same key anyway.
+    val guardIds = storedTombstones().select("doc_id")
+      .unionByName(stored("chunklens").select("doc_id"))
     val fresh = dedupBatchIds(batchDocs)
-      .join(storedTombstones(), Seq("doc_id"), "left_anti")
-      .join(stored("chunklens").select("doc_id").distinct(),
-        Seq("doc_id"), "left_anti")
+      .join(guardIds, Seq("doc_id"), "left_anti")
     val toks = pk6TokenChunksOf(fresh).localCheckpoint() // vecs + dl + postings
     try {
       if (toks.isEmpty) return v0

@@ -25,14 +25,24 @@ import org.apache.spark.sql.SparkSession
   * Crashed holders: a lock file older than `staleGraceMs` (mtime vs
   * this JVM's clock — [[Snapshots.vacuum]]'s pointerTmpGraceMs
   * discipline, widen on stores with real clock skew) is presumed
-  * abandoned, broken, and the claim retried ONCE. A live-but-slow
-  * holder is never broken: a daemon HEARTBEAT refreshes the held
-  * lock's mtime every `staleGraceMs / 4`, so liveness — not a guess
-  * about the longest possible rewrite — keeps the lease; only a
-  * genuinely dead holder's file ever ages past the grace. (The
-  * refresh is an ownership-checked setTimes; a heartbeat that finds
-  * the file gone or re-owned stops silently — the break already
-  * happened and the release path will not delete a usurper's lock.)
+  * abandoned, broken, and the claim retried ONCE. The break CLAIMS
+  * rather than deletes: the presumed-stale lock is renamed to a unique
+  * tombstone name via the same atomic no-overwrite rename the claim
+  * uses, so (a) exactly one of N concurrent breakers wins — the losers'
+  * renames fail on the vanished source and they retry the ordinary
+  * claim — and (b) the staleness verdict is rendered on the EXACT file
+  * object removed: the tombstone IS the file that sat at the lock path,
+  * so a lock that turns out young post-rename (another breaker broke
+  * and a new holder re-claimed between this breaker's mtime probe and
+  * its rename — the delete-based TOCTOU) is put BACK by a second
+  * no-overwrite rename instead of destroyed. A live-but-slow holder is
+  * never broken: a daemon HEARTBEAT refreshes the held lock's mtime
+  * every `staleGraceMs / 4`, so liveness — not a guess about the
+  * longest possible rewrite — keeps the lease; only a genuinely dead
+  * holder's file ever ages past the grace. (The refresh is an
+  * ownership-checked setTimes; a heartbeat that finds the file gone or
+  * re-owned stops silently — the break already happened and the
+  * release path will not delete a usurper's lock.)
   *
   * Re-entrant per thread: [[Takedown.executeChunks]] holds the chunk
   * table's lock across its whole flow while calling purgeKeys and
@@ -104,8 +114,7 @@ object CommitLock {
           System.currentTimeMillis() - staleGraceMs
         catch { case _: java.io.IOException => true } // vanished: retry
       if (stale) {
-        try fs.delete(lockPath, false)
-        catch { case _: java.io.IOException => () }
+        breakIfStale(spark, dir, staleGraceMs)
         acquired = tryClaim()
       }
       // optional SHORT wait for transient holders (metadata-only
@@ -156,6 +165,50 @@ object CommitLock {
       // re-claimed, the file carries their token and must survive
       try if (holderOf() == token) fs.delete(lockPath, false)
       catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Break a presumed-stale lock by CLAIM, not delete — the TOCTOU
+    * close: rename the lock to a unique tombstone name (atomic,
+    * no-overwrite — exactly one of N concurrent breakers wins; the
+    * losers' renames fail on the vanished source and fall through to an
+    * ordinary claim retry), then render the staleness verdict ON THE
+    * TOMBSTONE, which is by construction the very file that sat at the
+    * lock path when this breaker renamed. Genuinely stale ⇒ the
+    * tombstone is deleted and the path is free. Young ⇒ this breaker
+    * raced a break-and-reclaim (its mtime probe saw the PREVIOUS,
+    * stale incarnation) and the live lock is restored by a second
+    * no-overwrite rename; if even the restore loses (a third writer
+    * claimed the momentarily-vacant path — a double race, its window
+    * one rename wide), the displaced young lock is dropped and its
+    * holder's heartbeat stands down on the re-ownership it observes —
+    * the advisory-lock failure mode shrunk from "any freshly-broken
+    * lease" to two back-to-back races inside one rename.
+    *
+    * Package-visible for CommitLockSpec, which drives both verdicts
+    * and the concurrent-breakers race directly.
+    */
+  private[sources] def breakIfStale(spark: SparkSession, dir: String,
+      staleGraceMs: Long): Unit = {
+    val lockPath = new Path(dir, LockName)
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = new Path(dir, s"$LockName.broken.${java.util.UUID.randomUUID}")
+    val fc = FileContext.getFileContext(lockPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      fc.rename(lockPath, tomb) // no-overwrite: one breaker wins
+      val young =
+        try fs.getFileStatus(tomb).getModificationTime >=
+          System.currentTimeMillis() - staleGraceMs
+        catch { case _: java.io.IOException => false } // unreadable: treat as stale residue
+      if (!young) fs.delete(tomb, false)
+      else
+        try fc.rename(tomb, lockPath) // restore the live lock we displaced
+        catch { case _: java.io.IOException => fs.delete(tomb, false) }
+    } catch {
+      // lost the break race (source vanished under us) — the winner
+      // owns the verdict; this breaker just retries the claim
+      case _: java.io.IOException => ()
     }
   }
 

@@ -272,6 +272,60 @@ object Snapshots {
     }
   }
 
+  /** What one [[maintain]] pass did: the chain-cut version it committed
+    * (None when no compaction was needed), the versions [[vacuum]]
+    * reclaimed, and the deepest table chain before/after — the numbers
+    * an orchestrator logs to see the policy holding.
+    */
+  final case class Maintenance(compactedTo: Option[Long],
+      vacuumed: Seq[Long], layersBefore: Int, layersAfter: Int)
+
+  /** Policy-driven snapshot MAINTENANCE — the one entry point a nightly
+    * orchestrator calls after an incremental advance, closing the loop
+    * [[layerReport]] (observe) / [[compactLatest]] (cut) / [[vacuum]]
+    * (reclaim) used to leave to operator judgment. Under the root's
+    * [[CommitLock]] (one lease across observe-decide-cut-reclaim, so a
+    * racing advance can neither lose its commit to the compaction nor
+    * slip a new chain ref past the vacuum):
+    *
+    *  1. read [[layerReport]] at the committed latest;
+    *  2. COMPACT ([[compactLatest]]) iff the deepest chain exceeds
+    *     `maxLayers` — every scan pays one directory-hop per layer —
+    *     OR any chain still references a version OUTSIDE the newest
+    *     `keep` (such a ref pins pre-window history against vacuum
+    *     forever; an advance loop that never compacts reclaims
+    *     nothing);
+    *  3. [[vacuum]] to `keep`.
+    *
+    * An already-healthy root (shallow chains, refs inside the window)
+    * pays two metadata reads and writes nothing. `maxLayers >= 1`;
+    * `keep >= 1` as in [[vacuum]]. No-op (all zeros) before the first
+    * commit. Scale: the compact is a full rewrite of the LATEST version
+    * only (store-sized, the price of a chain cut — amortized to one per
+    * `maxLayers` nights); the decision and the vacuum are metadata-only.
+    */
+  def maintain(spark: SparkSession, root: String, maxLayers: Int,
+      keep: Int): Maintenance = {
+    require(maxLayers >= 1, "maintain needs maxLayers >= 1")
+    require(keep >= 1, "maintain must keep at least the committed latest")
+    if (latestVersion(spark, root).isEmpty)
+      return Maintenance(None, Nil, 0, 0)
+    CommitLock.withLock(spark, root) {
+      val before = layerReport(spark, root)
+      val deepest = before.map(_._2).foldLeft(0)(math.max)
+      val latest = latestVersion(spark, root).get
+      val retained = versions(spark, root).filter(_ <= latest)
+        .takeRight(keep).toSet
+      val pinning = before.flatMap(_._3).exists(v => !retained.contains(v))
+      val compacted =
+        if (deepest > maxLayers || pinning) Some(compactLatest(spark, root))
+        else None
+      val dropped = vacuum(spark, root, keep)
+      val after = layerReport(spark, root).map(_._2).foldLeft(0)(math.max)
+      Maintenance(compacted, dropped, deepest, after)
+    }
+  }
+
   /** Claim the next version number for a fully-staged directory and flip
     * the pointer — the shared tail of [[write]] and [[writeTables]].
     */
@@ -485,10 +539,28 @@ object Snapshots {
     * real skew, widen the grace (the only cost is residue lingering
     * longer); if the sweep ever does race a stalled live committer,
     * [[commitPointer]]'s one-shot re-stage retry absorbs it.
+    *
+    * Runs under the root's [[CommitLock]] (re-entrant for callers that
+    * already hold it — [[compactLatest]]-then-vacuum maintenance, the
+    * takedown flows): the reference closure walks `_base` refs on disk,
+    * and a concurrent [[writeTablesSpec]] still STAGING its Carry/
+    * Append refs is invisible to the walk — without the lease, a
+    * writer basing on an older committed version could have that base
+    * deleted between the closure and its claim, committing a version
+    * with a dangling ref. Serializing vacuum against writers closes it.
     */
   def vacuum(spark: SparkSession, root: String, keep: Int,
       pointerTmpGraceMs: Long = 3600000L): Seq[Long] = {
     require(keep >= 1, "vacuum must keep at least the committed latest")
+    // pointer probe BEFORE the lock: locking materializes the lock file
+    // under `root`, and a never-committed root should stay untouched
+    if (latestVersion(spark, root).isEmpty) return Nil
+    CommitLock.withLock(spark, root)(vacuumLocked(spark, root, keep,
+      pointerTmpGraceMs))
+  }
+
+  private def vacuumLocked(spark: SparkSession, root: String, keep: Int,
+      pointerTmpGraceMs: Long): Seq[Long] = {
     val ptr = latestVersion(spark, root).getOrElse(return Nil)
     val fs = fsOf(spark, root)
     val all = versions(spark, root)

@@ -352,7 +352,7 @@ object Takedown {
           // bytes) against [[Snapshots.vacuum]] — physical erasure via
           // retention would never complete. A takedown is a CHAIN CUT:
           // later advance appends layer over it, never past it.
-          val v = Snapshots.writeTables(Seq(
+          val tables = Seq(
             "store_bands" -> stored("store_bands"),
             "store_capped" -> stored("store_capped"),
             "store_tombstones" -> tombstones(),
@@ -360,8 +360,9 @@ object Takedown {
             "test_shingles" -> der,
             "store_totals" -> stored("store_totals"),
             "store_manifest" -> sman,
-            "store_opens" -> stored("store_opens")), storeDir)
-          (v, drift)
+            "store_opens" -> stored("store_opens"))
+          assertCoversStore(spark, storeDir, v0, tables.map(_._1))
+          (Snapshots.writeTables(tables, storeDir), drift)
         }
         return ChunksResult(0L, 0L, 0L, 0L, v1)
       }
@@ -454,7 +455,7 @@ object Takedown {
         // [[Snapshots.vacuum]], and physical erasure via retention
         // would never complete. A takedown is a CHAIN CUT: later
         // advance appends layer over it, never past it.
-        val v = Snapshots.writeTables(Seq(
+        val tables = Seq(
           "store_bands" -> stored("store_bands")
             .join(idsDf, Seq("doc_id"), "left_anti"),
           "store_capped" -> stored("store_capped"),
@@ -471,9 +472,9 @@ object Takedown {
           "store_manifest" -> newMan.repartitionByRange(col("shard"), col("start_off"))
             .sortWithinPartitions("shard", "start_off"),
           "store_opens" -> newMan.groupBy("shard")
-            .agg((expr(s"sum(n_tokens) div ${B}L") * B).as("open_start"))),
-          storeDir)
-        (v, nPurged)
+            .agg((expr(s"sum(n_tokens) div ${B}L") * B).as("open_start")))
+        assertCoversStore(spark, storeDir, v0, tables.map(_._1))
+        (Snapshots.writeTables(tables, storeDir), nPurged)
       }
       ChunksResult(nPurged, nShards, nRebuilt, deleted, v1)
     } finally pinned.foreach(_.unpersist(blocking = false))
@@ -522,15 +523,50 @@ object Takedown {
     * registry check) — runs 1.2–1.7 s at 1× and 10× store history
     * alike, flat, scan-bound.
     */
+  /** The id-bearing store tables a retained-version residue audit
+    * scans (the tombstone registries are deliberately EXCLUDED — they
+    * hold the erased ids by design, that is the re-entry guard, not
+    * residue; `test_shingles` carries no doc attribution and is audited
+    * structurally against the current corpus instead).
+    */
+  private val storeIdTables = Set("store_manifest", "store_bands",
+    "store_shingles")
+  private val ragIdTables = Set("vecs", "index", "postings", "chunklens")
+
   def verifyErasure(spark: SparkSession, docIds: Seq[Long],
       docsTable: Option[String] = None, storeDir: Option[String] = None,
-      ragRoot: Option[String] = None): org.apache.spark.sql.DataFrame = {
+      ragRoot: Option[String] = None,
+      auditRetainedVersions: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(docIds.nonEmpty, "verifyErasure needs at least one doc id")
     import spark.implicits._
     val ids = docIds.toDF("doc_id").distinct().localCheckpoint()
     try {
       def remaining(df: org.apache.spark.sql.DataFrame): Long =
         df.select("doc_id").join(ids, Seq("doc_id"), "left_semi").count()
+      // `auditRetainedVersions` adds ONE LAYER PER RETAINED SNAPSHOT
+      // VERSION per root: the committed-latest checks below answer "is
+      // serving clean", but every retained older version is still a
+      // pinnable read that physically holds its rows — a regulator's
+      // "and the old copies?" must be answered by a query, not a
+      // retention-policy doc comment. Each layer counts requested ids
+      // across the version's id-bearing tables; rows_remaining > 0 on
+      // a pre-takedown version is the honest signal that retention has
+      // not yet completed the erasure ([[completeErasure]] runs the
+      // compact/vacuum loop and re-audits with this on). Cost: one
+      // column-pruned semi-join count per (retained version,
+      // id-bearing table) — bounded by the retention window.
+      def retainedLayers(root: String, prefix: String,
+          idTables: Set[String]): Seq[(String, Long)] = {
+        val latest = Snapshots.latestVersion(spark, root)
+        Snapshots.versions(spark, root)
+          .filter(v => latest.exists(v <= _))
+          .map { v =>
+            val n = Snapshots.tableNames(spark, root, v)
+              .filter(idTables).map(t =>
+                remaining(Snapshots.readTable(spark, root, t, Some(v)))).sum
+            s"${prefix}_v${v}_residue" -> n
+          }
+      }
       val rows =
         docsTable.toSeq.map(t =>
           "documents" -> remaining(spark.table(t))) ++
@@ -566,10 +602,130 @@ object Takedown {
         ragRoot.toSeq.map(r =>
           "rag_tombstone_coverage" -> ids.join(
             registryOrEmpty(spark, r, "tombstones"),
-            Seq("doc_id"), "left_anti").count())
+            Seq("doc_id"), "left_anti").count()) ++
+        (if (!auditRetainedVersions) Nil
+         else storeDir.toSeq.flatMap(d =>
+             retainedLayers(d, "store", storeIdTables)) ++
+           ragRoot.toSeq.flatMap(r =>
+             retainedLayers(r, "rag", ragIdTables)))
       rows.map { case (layer, n) => (layer, n, n == 0L) }
         .toDF("layer", "rows_remaining", "clean")
     } finally ids.unpersist(blocking = false)
+  }
+
+  /** What [[completeErasure]] did per root: the maintenance pass
+    * (compaction + reclaimed versions) and the re-audit evidence table
+    * (with the per-retained-version layers ON).
+    */
+  final case class Completion(store: Option[Snapshots.Maintenance],
+      rag: Option[Snapshots.Maintenance],
+      evidence: org.apache.spark.sql.DataFrame) {
+    /** Every evidence layer clean — serving AND every retained version. */
+    def complete: Boolean =
+      evidence.filter(!col("clean")).isEmpty
+  }
+
+  /** RETENTION-COMPLETE erasure — the loop [[execute]]/[[executeChunks]]
+    * deliberately leave to "retention policy decides", closed as an
+    * entry point: after the takedown commits (source purged, serving
+    * latest rewritten, tombstones registered), the PRE-takedown
+    * snapshot versions still physically hold the erased rows until
+    * someone compacts whatever chains pin them and vacuums them away.
+    * Per given root, under its [[CommitLock]] lease (re-entrant if the
+    * caller still holds it from the takedown):
+    *
+    *  1. [[Snapshots.maintain]] with the SLA's `keep`: compact iff the
+    *     surviving latest's chains reference any version outside the
+    *     retention window (post-takedown advances layer over the
+    *     takedown's chain-cut commit, and those refs would otherwise
+    *     pin — not the pre-takedown bytes, which the chain cut already
+    *     unpinned, but the window arithmetic still must hold), then
+    *     vacuum to `keep`;
+    *  2. re-audit with [[verifyErasure]]'s per-retained-version layers
+    *     ON — the compliance statement "no retained snapshot version
+    *     still contains these ids" as a query result.
+    *
+    * One [[RunLog]] row per step per root (`compact_<root>` — rows is
+    * the chain-cut version, 0 when no compaction was needed;
+    * `vacuum_<root>` — rows is the count of reclaimed versions;
+    * `erasure_audit` — rows is the total residue across all evidence
+    * layers, which a compliant completion leaves at 0). `keep` is the
+    * SLA: `keep = 1` erases history down to the serving version NOW;
+    * a larger window may honestly retain a pre-takedown version, and
+    * the evidence will SAY so (clean = false on its layer) rather than
+    * bury it. Physical-delete caveat: vacuum removes version
+    * directories; durable-storage replicas/backups are outside any
+    * engine's reach. Scale: the compact (when taken) rewrites the
+    * latest version only; vacuum and the audit are metadata plus
+    * column-pruned id scans.
+    */
+  def completeErasure(spark: SparkSession, docIds: Seq[Long],
+      docsTable: Option[String] = None, storeDir: Option[String] = None,
+      ragRoot: Option[String] = None, keep: Int = 1,
+      runLogPath: String, runTs: java.sql.Timestamp): Completion = {
+    require(docIds.nonEmpty, "completeErasure needs at least one doc id")
+    require(storeDir.nonEmpty || ragRoot.nonEmpty,
+      "completeErasure needs at least one snapshot root to complete")
+    val t0 = System.nanoTime()
+    def log(stage: String, rows: Long, status: String, err: String): Unit =
+      RunLog.append(spark, runLogPath, Seq(RunLog.Entry(runTs,
+        "takedown_retention", stage, rows,
+        (System.nanoTime() - t0) / 1000000L, status,
+        Option(err).getOrElse("").take(500))))
+    def maintainRoot(root: String, label: String): Snapshots.Maintenance =
+      try {
+        // maxLayers = MaxValue: depth policy is the nightly
+        // orchestrator's business ([[Snapshots.maintain]] with its own
+        // bound); HERE only the pinning rule may force the chain cut
+        val m = Snapshots.maintain(spark, root, Int.MaxValue, keep)
+        log(s"compact_$label", m.compactedTo.getOrElse(0L), "ok", "")
+        log(s"vacuum_$label", m.vacuumed.size.toLong, "ok", "")
+        m
+      } catch {
+        case e: Throwable =>
+          log(s"maintain_$label", -1L, "failed", e.toString); throw e
+      }
+    val sm = storeDir.map(maintainRoot(_, "store"))
+    val rm = ragRoot.map(maintainRoot(_, "rag"))
+    val evidence =
+      try verifyErasure(spark, docIds, docsTable, storeDir, ragRoot,
+        auditRetainedVersions = true).localCheckpoint()
+      catch {
+        case e: Throwable =>
+          log("erasure_audit", -1L, "failed", e.toString); throw e
+      }
+    val residue = evidence.agg(sum("rows_remaining")).first().getLong(0)
+    log("erasure_audit", residue, "ok", "")
+    Completion(sm, rm, evidence)
+  }
+
+  /** The rewrite-coverage guard both all-Full erasure commits run just
+    * before writing: the rewritten table set must cover EVERY table of
+    * the pinned pre-takedown version v0 (plus the tombstone registry
+    * this flow may introduce on a pre-registry store). The rewrites
+    * name their tables explicitly — each table's erasure transform is
+    * table-specific, so there is no generic fallback to "derive" — and
+    * this assertion turns the failure mode of a future writer adding a
+    * store table (exactly how `store_tombstones` itself arrived) from
+    * SILENTLY DROPPING that table out of latest into a loud error
+    * naming it. The inverse direction is also pinned: writing a table
+    * v0 never had (other than the registry) would fork the store
+    * surface mid-erasure.
+    */
+  private def assertCoversStore(spark: SparkSession, storeDir: String,
+      v0: Long, written: Seq[String]): Unit = {
+    val atV0 = Snapshots.tableNames(spark, storeDir, v0).toSet
+    val w = written.toSet
+    val dropped = atV0 -- w
+    require(dropped.isEmpty,
+      s"takedown store rewrite does not cover store table(s) " +
+        s"${dropped.toSeq.sorted.mkString(", ")} present at _v=$v0 — an " +
+        "all-Full erasure commit must rewrite every table or it silently " +
+        "drops them from latest; teach the rewrite its erasure transform")
+    val invented = w -- atV0 - "store_tombstones"
+    require(invented.isEmpty,
+      s"takedown store rewrite writes table(s) " +
+        s"${invented.toSeq.sorted.mkString(", ")} that _v=$v0 does not have")
   }
 
   /** A store's tombstone registry, or an EMPTY frame on a

@@ -389,33 +389,74 @@ object Pipeline {
         .as("negative_duration")),
       "dim_media", Seq("dup_media_id", "negative_duration"))
 
-  // the fact-side violation predicates — ONE definition shared by the
-  // aggregate audit and the quarantine row capture, so the rows written
-  // to the dead-letter table are exactly the rows the gate counted
-  private val percentRangeViolation =
-    col("percent_viewed") < 0.0 || col("percent_viewed") > 1.0
-  private def orphanRows(dimMedia: org.apache.spark.sql.DataFrame,
-      fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    fact.join(broadcast(dimMedia.select("media_id")), Seq("media_id"),
-      "left_anti")
+  /** One fact-side expectation as ONE value: its name, how the gate
+    * AUDITS it, and how the quarantine CAPTURES its violating rows —
+    * packaged together so the two cannot drift (the r15 shape kept the
+    * predicates shared but the audit's name list and the quarantine's
+    * match arms separate: adding an expectation to one without the
+    * other silently degraded quarantine to a logged best-effort
+    * failure). Now the audit derives its names FROM [[factChecks]] and
+    * the quarantine looks its capture up IN [[factChecks]], so every
+    * audited fact expectation has a capture by construction
+    * (PipelineSpec pins the subset relation).
+    */
+  private[wistia] sealed trait FactCheck {
+    def name: String
+    def capture(dimMedia: org.apache.spark.sql.DataFrame,
+        fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame
+  }
+  /** Per-row predicate: audited as a conditional sum inside the single
+    * fact-scan aggregate, captured as the matching rows.
+    */
+  private final case class RowCheck(name: String,
+      pred: org.apache.spark.sql.Column) extends FactCheck {
+    def capture(dimMedia: org.apache.spark.sql.DataFrame,
+        fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      fact.filter(pred)
+  }
+  /** Frame-level check (joins against the staged dim): audited as the
+    * frame's count, captured as the frame itself.
+    */
+  private final case class FrameCheck(name: String,
+      frame: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame) extends FactCheck {
+    def capture(dimMedia: org.apache.spark.sql.DataFrame,
+        fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      frame(dimMedia, fact)
+  }
+
+  private[wistia] val factChecks: Seq[FactCheck] = Seq(
+    RowCheck("percent_range",
+      col("percent_viewed") < 0.0 || col("percent_viewed") > 1.0),
+    FrameCheck("orphan_media", (dimMedia, fact) =>
+      fact.join(broadcast(dimMedia.select("media_id")), Seq("media_id"),
+        "left_anti")))
 
   /** The fact-side half of [[batchExpectations]] — the per-batch/
     * per-trigger checks (domain + referential integrity vs the staged
-    * dim, which rides broadcast in the anti-join).
+    * dim, which rides broadcast in the anti-join). Derived entirely
+    * from [[factChecks]]: the plan shape is unchanged (row predicates
+    * fold into ONE fact scan's conditional sums; each frame check is
+    * its own count), only the definition site is now shared with the
+    * quarantine capture.
     */
   def factExpectations(dimMedia: org.apache.spark.sql.DataFrame,
       fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rowChecks = factChecks.collect { case c: RowCheck => c }
+    val frameChecks = factChecks.collect { case c: FrameCheck => c }
     val fAgg = fact.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(when(percentRangeViolation, 1L)
-        .otherwise(0L)), lit(0L)).as("percent_range"))
-    val orphan = orphanRows(dimMedia, fact)
-      .agg(count(lit(1)).cast("long").as("violations"))
-      .crossJoin(fAgg.select(col("n").cast("long").as("checked")))
-      .select(lit("fact").as("tbl"), lit("orphan_media").as("chk"),
-        col("violations"), col("checked"))
-      .withColumn("pass", col("violations") === 0L)
-    reshapeAudit(fAgg, "fact", Seq("percent_range")).unionByName(orphan)
+      rowChecks.map(c => coalesce(sum(when(c.pred, 1L).otherwise(0L)),
+        lit(0L)).as(c.name)): _*)
+    val rowAudit = reshapeAudit(fAgg, "fact", rowChecks.map(_.name))
+    frameChecks.map { c =>
+      c.capture(dimMedia, fact)
+        .agg(count(lit(1)).cast("long").as("violations"))
+        .crossJoin(fAgg.select(col("n").cast("long").as("checked")))
+        .select(lit("fact").as("tbl"), lit(c.name).as("chk"),
+          col("violations"), col("checked"))
+        .withColumn("pass", col("violations") === 0L)
+    }.foldLeft(rowAudit)(_ unionByName _)
   }
 
   /** The gate DECISION shared by every gated lifecycle: evaluate a
@@ -631,13 +672,16 @@ object Pipeline {
             try {
               val failing = audit.filter(_.getAs[Long]("violations") > 0L)
                 .map(_.getAs[String]("chk")).toSeq
+              // capture looked up in the SAME definition the audit was
+              // derived from — total over every audited fact
+              // expectation by construction (the getOrElse is an
+              // unreachable invariant guard, not a drift arm)
               val qRows = failing.map { chk =>
-                (chk match {
-                  case "percent_range" => batch.filter(percentRangeViolation)
-                  case "orphan_media" => orphanRows(dimMedia, batch)
-                  case other => throw new IllegalStateException(
-                    s"no quarantine capture for expectation $other")
-                }).withColumn("failed_check", lit(chk))
+                factChecks.find(_.name == chk).getOrElse(
+                  throw new IllegalStateException(
+                    s"no quarantine capture for expectation $chk"))
+                  .capture(dimMedia, batch)
+                  .withColumn("failed_check", lit(chk))
               }.reduce(_ unionByName _)
                 .withColumn("batch_id", lit(batchId))
                 .withColumn("quarantined_run_ts", lit(ingestionTs))

@@ -99,6 +99,45 @@ class CommitLockSpec extends graft.SparkSpec {
     assert(!new java.io.File(dir, "_commit.lock").exists())
   }
 
+  test("the stale break CLAIMS, not deletes: a young lock survives a breaker with outdated staleness info") {
+    // the delete-based TOCTOU: breaker B measures the lock stale, holder
+    // A (who broke the same stale lease first) re-claims, then B's
+    // delete destroys A's LIVE lock. The rename-to-tombstone break
+    // renders the verdict on the exact file object it removed, so B
+    // discovers the re-claim post-rename and restores A's lock.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cl_toctou").toString
+    plantLock(dir, "stale-ghost@gone", ageMs = 2L * 3600L * 1000L)
+    CommitLock.withLock(spark, dir) { // breaks the stale ghost, claims
+      val mine = java.nio.file.Files.readString(lockFile(dir).toPath)
+      // the racing breaker fires with its (now outdated) stale verdict
+      CommitLock.breakIfStale(spark, dir, staleGraceMs = 3600000L)
+      assert(lockFile(dir).exists(),
+        "a young lock must be restored, not deleted, by a raced breaker")
+      assert(java.nio.file.Files.readString(lockFile(dir).toPath) === mine,
+        "the restored lock must carry the live holder's token")
+    }
+    assert(!lockFile(dir).exists())
+    // no tombstone residue from the restore path
+    assert(new java.io.File(dir).listFiles.forall(
+      !_.getName.contains(".broken.")))
+  }
+
+  test("N concurrent breakers on one stale lock: exactly one wins, no residue, path claimable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
+    plantLock(dir, "crashed@gone", ageMs = 2L * 3600L * 1000L)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => { gate.await();
+        CommitLock.breakIfStale(spark, dir, staleGraceMs = 3600000L) })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(!lockFile(dir).exists(), "the stale lock must be gone")
+    assert(new java.io.File(dir).listFiles.forall(
+      !_.getName.contains(".broken.")), "no tombstone residue")
+    // the freed path claims normally
+    assert(CommitLock.withLock(spark, dir)(11) === 11)
+  }
+
   test("re-entrant on one thread; released by the outermost scope") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cl_re").toString
     val got = CommitLock.withLock(spark, dir) {

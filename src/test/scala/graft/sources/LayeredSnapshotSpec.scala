@@ -93,6 +93,50 @@ class LayeredSnapshotSpec extends SparkSpec {
     assert(rows(root, "t").size === 60)
   }
 
+  test("maintain: the policy loop keeps chains bounded and history reclaimed across an advance loop, losing no advance") {
+    val root = java.nio.file.Files.createTempDirectory("layered").toString + "/s"
+    // no-op before the first commit — and it must not materialize the root
+    assert(Snapshots.maintain(spark, root, maxLayers = 3, keep = 2) ===
+      Snapshots.Maintenance(None, Nil, 0, 0))
+    assert(!new java.io.File(root).exists())
+    var v = Snapshots.writeTables(Seq("t" -> frame("n0", 1 to 20)), root)
+    var hi = 20
+    for (night <- 1 to 7) {
+      v = Snapshots.writeTablesSpec(spark, Seq(
+        "t" -> (Append(v, frame(s"n$night", hi + 1 to hi + 5)): TableSpec)), root)
+      hi += 5
+      val m = Snapshots.maintain(spark, root, maxLayers = 3, keep = 2)
+      // the policy invariants, every night: bounded chains, no advance
+      // lost to the racing compaction, disk bounded
+      assert(m.layersAfter <= 3)
+      assert(rows(root, "t") ===
+        (1 to hi).map(i => (i.toLong,
+          if (i <= 20) "n0" else s"n${(i - 21) / 5 + 1}")).toSet)
+      assert(Snapshots.versions(spark, root).size <= 4,
+        s"night $night: ${Snapshots.versions(spark, root)}")
+      if (m.compactedTo.isDefined) {
+        v = m.compactedTo.get
+        assert(m.layersAfter === 1)
+      }
+    }
+    // the DEPTH rule alone (keep wide enough that nothing pins): chains
+    // compact when they exceed maxLayers even with all refs retained
+    val root2 = java.nio.file.Files.createTempDirectory("layered").toString + "/d"
+    var w = Snapshots.writeTables(Seq("t" -> frame("a", 1 to 10)), root2)
+    w = Snapshots.writeTablesSpec(spark,
+      Seq("t" -> (Append(w, frame("b", 11 to 12)): TableSpec)), root2)
+    // depth 2 ≤ 2, refs inside keep=10 ⇒ healthy root: a no-op pass
+    val m0 = Snapshots.maintain(spark, root2, maxLayers = 2, keep = 10)
+    assert(m0.compactedTo.isEmpty && m0.vacuumed.isEmpty &&
+      m0.layersBefore === 2 && m0.layersAfter === 2)
+    w = Snapshots.writeTablesSpec(spark,
+      Seq("t" -> (Append(w, frame("c", 13 to 14)): TableSpec)), root2)
+    val m1 = Snapshots.maintain(spark, root2, maxLayers = 2, keep = 10)
+    assert(m1.compactedTo.isDefined && m1.layersBefore === 3 &&
+      m1.layersAfter === 1, m1.toString)
+    assert(rows(root2, "t").size === 14)
+  }
+
   test("a reader pinned to a vacuumed chain member fails loudly; a carry of a missing base fails at write") {
     val root = java.nio.file.Files.createTempDirectory("layered").toString + "/s"
     val v1 = Snapshots.writeTables(Seq("t" -> frame("a", 1 to 5)), root)

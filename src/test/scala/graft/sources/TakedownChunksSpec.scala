@@ -416,6 +416,110 @@ class TakedownChunksSpec extends graft.SparkSpec {
     assert(r10 === Takedown.ChunksResult(0L, 0L, 0L, 0L, r9.storeVersion))
   }
 
+  test("completeErasure: retained pre-takedown versions are a QUERY RESULT, then compact+vacuum physically erases them and the re-audit is clean") {
+    import spark.implicits._
+    def words(prefix: String) =
+      (1 to 12).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (10L, words("alpha")), (20L, words("beta")), // held-out
+      (1L, words("gamma")), (2L, words("delta")), (11L, words("epsil")),
+      (3L, words("zeta")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("synth"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ce").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val db = "complete_erasure_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_ce_db").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val docsT = s"$db.documents"
+    val chunksT = s"$db.chunks"
+    Catalog.append(docs.withColumn("pt", pmod(col("doc_id"), lit(2L)))
+      .repartition(col("pt")), docsT, Seq("pt"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ce_store").toString
+    val v1 = graft.operators.TrainPrep.materializeStore(spark, dir, storeDir)
+    val v2 = graft.operators.TrainPrep.advanceStore(spark, dir, storeDir)
+    Catalog.append(fullPack(storeDir, docs).repartition(col("shard")),
+      chunksT, Seq("shard"))
+    val runLog = java.nio.file.Files
+      .createTempDirectory("graft_ce_log").toString + "/runlog.parquet"
+    val ts = java.sql.Timestamp.valueOf("2026-08-16 09:00:00")
+    // the takedown (chain-cut commit v3), then a post-takedown advance
+    // (v4 layers over v3) — the realistic shape where completion runs
+    // while nightly ingestion has already moved on
+    Catalog.purgeKeys(spark, docsT, Seq(1L).toDF("doc_id"), Seq("pt"))
+    val v3 = Takedown.executeChunks(spark, Seq(1L), docsT, storeDir,
+      chunksT, runLog, ts).storeVersion
+    val v4 = graft.operators.TrainPrep.advanceStoreOver(spark,
+      Seq((17L, words("fresh"))).toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("source", lit("synth")), storeDir)
+    assert(v4 > v3)
+
+    // BEFORE completion the evidence table must SAY the pre-takedown
+    // versions still hold the erased id — a query result, not a
+    // retention-policy doc comment. Serving latest is clean; the
+    // retained v1/v2 layers are not.
+    val pre = Takedown.verifyErasure(spark, Seq(1L),
+      docsTable = Some(docsT), storeDir = Some(storeDir),
+      auditRetainedVersions = true).collect()
+      .map(r => r.getAs[String]("layer") ->
+        (r.getAs[Long]("rows_remaining"), r.getAs[Boolean]("clean"))).toMap
+    assert(pre("store_manifest") === ((0L, true))) // serving clean
+    assert(pre(s"store_v${v1}_residue")._1 > 0L &&
+      !pre(s"store_v${v1}_residue")._2,
+      "the pre-takedown version must report its residue")
+    assert(pre(s"store_v${v2}_residue")._1 > 0L)
+    assert(pre(s"store_v${v3}_residue") === ((0L, true)))
+    assert(pre(s"store_v${v4}_residue") === ((0L, true)))
+
+    // completion with an immediate SLA (keep = 1): v4's chain refs v3
+    // (outside the window) ⇒ compact to a self-contained v5, then
+    // vacuum reclaims EVERY earlier version — physically
+    val c = Takedown.completeErasure(spark, Seq(1L),
+      docsTable = Some(docsT), storeDir = Some(storeDir), keep = 1,
+      runLogPath = runLog, runTs = ts)
+    val v5 = c.store.get.compactedTo.getOrElse(fail("compaction expected"))
+    assert(c.store.get.vacuumed.toSet === Set(v1, v2, v3, v4))
+    assert(Snapshots.versions(spark, storeDir) === Seq(v5))
+    for (v <- Seq(v1, v2, v3, v4))
+      assert(!new java.io.File(s"$storeDir/_v=$v").exists(),
+        s"pre-completion _v=$v must be physically gone")
+    // the re-audit: every layer — serving AND every retained version —
+    // clean, from the returned evidence itself
+    assert(c.complete, c.evidence.filter(!col("clean")).collect().mkString(","))
+    val layers = c.evidence.collect().map(_.getAs[String]("layer")).toSet
+    assert(layers.contains(s"store_v${v5}_residue"))
+    assert(layers.contains("tombstone_coverage"))
+    // the store still SERVES the advanced, purged state after completion
+    val man = store(storeDir, "store_manifest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!man.contains(1L) && man.contains(3L) && man.contains(17L))
+    // one run-log row per completion step
+    val log = RunLog.read(spark, runLog)
+      .filter(col("pipeline") === "takedown_retention").collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
+    assert(log("compact_store") === v5)
+    assert(log("vacuum_store") === 4L)
+    assert(log("erasure_audit") === 0L)
+
+    // a LOOSE SLA is honest, not silent: after another takedown with a
+    // wide keep window, the retained pre-takedown version's layer
+    // reports residue and `complete` is false
+    Catalog.purgeKeys(spark, docsT, Seq(2L).toDF("doc_id"), Seq("pt"))
+    val v6 = Takedown.executeChunks(spark, Seq(2L), docsT, storeDir,
+      chunksT, runLog, ts).storeVersion
+    val c2 = Takedown.completeErasure(spark, Seq(2L),
+      docsTable = Some(docsT), storeDir = Some(storeDir), keep = 5,
+      runLogPath = runLog, runTs = ts)
+    assert(!c2.complete, "a retained unclean version must fail `complete`")
+    val ev2 = c2.evidence.collect()
+      .map(r => r.getAs[String]("layer") ->
+        r.getAs[Boolean]("clean")).toMap
+    assert(!ev2(s"store_v${v5}_residue"), "v5 still holds doc 2")
+    assert(ev2(s"store_v${v6}_residue"))
+  }
+
   test("a PRE-registry store upgrades in place: advance and takedown introduce the tombstone table, never demand a re-materialization") {
     import spark.implicits._
     def words(prefix: String) =

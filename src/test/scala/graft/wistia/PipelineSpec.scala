@@ -657,6 +657,29 @@ class PipelineSpec extends SparkSpec {
     assert(log("dq_gate_trigger_1")._1 === "failed")
   }
 
+  test("every audited fact expectation has a quarantine capture — total by construction") {
+    import spark.implicits._
+    // the audit's names derive FROM factChecks and the quarantine looks
+    // its capture up IN factChecks; this pins the subset relation so a
+    // future expectation added to the audit cannot ship without a
+    // capture (the r15 drift mode: quarantine silently degrading to a
+    // logged best-effort failure)
+    val dim = Seq(("abc", 10.0)).toDF("media_id", "duration")
+    val fact = Seq(("abc", "v1", 0.5)).toDF("media_id", "visitor_id",
+      "percent_viewed")
+    val audited = Pipeline.factExpectations(dim, fact)
+      .select("chk").collect().map(_.getString(0)).toSet
+    val captured = Pipeline.factChecks.map(_.name).toSet
+    assert(audited === captured,
+      s"audited=$audited captured=$captured — factExpectations and the " +
+        "quarantine capture must share the factChecks definition")
+    // and each capture evaluates against representative frames (a
+    // capture that only type-checks is not a capture)
+    Pipeline.factChecks.foreach { c =>
+      assert(c.capture(dim, fact).columns.nonEmpty, c.name)
+    }
+  }
+
   test("runStreamingGated: a poisoned DIM rejects at startup, before any trigger") {
     import graft.sources.RunLog
     import spark.implicits._
