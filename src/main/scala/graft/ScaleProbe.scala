@@ -882,6 +882,117 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // STREAMING advancer probe (`prod:stream-advance`) — the per-TRIGGER
+    // figures the batch advance arms cannot give: streamingStoreAdvance /
+    // streamingRagAdvance have correctness specs but no published
+    // latency numbers, and a streaming deployment plans its trigger
+    // cadence around exactly this. Each arm splits the fixed batch into
+    // 4 per-file triggers (maxFilesPerTrigger=1, AvailableNow) against a
+    // THROWAWAY copy of the cached 1× and 10× stores and reports total +
+    // per-trigger wall-clock. Expect flat in store size (a trigger costs
+    // the batch advance's gates + O(trigger) layered commit, plus
+    // foreachBatch/checkpoint bookkeeping); chain depth grows one layer
+    // per non-empty trigger — the reason the streaming posture pairs
+    // with Snapshots.maintain on a real cadence where a nightly batch
+    // might not bother. MEASURED (sf0.1 base, warm): see the figures in
+    // Streams.scala's streamingStoreAdvance/streamingRagAdvance
+    // scaladoc, updated from this arm's captures.
+    if (args.contains("prod:stream-advance")) {
+      import graft.operators.TrainPrep
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      // ensure the pipe5-advance caches (same ensure as prod:pipe5)
+      val p5 = skewCache("prodpipe5")
+      if (!new java.io.File(s"$p5/10x/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, src)
+        val copies = docs
+          .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 10 =!= 0)
+          .withColumn("_c", explode(sequence(lit(1L), lit(9L))))
+          .withColumn("doc_id", (col("doc_id") * 16L + col("_c")) * 70L + 1L)
+          .drop("_c")
+        docs.unionByName(copies).write.mode("overwrite")
+          .parquet(s"$p5/10x/documents.parquet")
+      }
+      def packReady(root: String): Boolean =
+        graft.sources.Snapshots.latestVersion(spark, root).exists { v =>
+          new java.io.File(s"$root/_v=$v/store_capped").exists() &&
+            new java.io.File(s"$root/_v=$v/store_tombstones").exists()
+        }
+      if (!packReady(s"$p5/1x_store"))
+        TrainPrep.materializeStore(spark, src, s"$p5/1x_store")
+      if (!packReady(s"$p5/10x_store"))
+        TrainPrep.materializeStore(spark, s"$p5/10x", s"$p5/10x_store")
+      // ensure the RAG caches (same ensure as prod:search6)
+      val s6 = skewCache("prodsearch6")
+      if (!new java.io.File(s"$s6/10x/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, src)
+        docs.unionByName(docs
+            .withColumn("_c", explode(sequence(lit(1L), lit(9L))))
+            .withColumn("doc_id", col("doc_id") + col("_c") * 10000L + 5000L)
+            .drop("_c"))
+          .write.mode("overwrite").parquet(s"$s6/10x/documents.parquet")
+      }
+      def ragReady(root: String): Boolean =
+        graft.sources.Snapshots.latestVersion(spark, root)
+          .exists(v => new java.io.File(s"$root/_v=$v/tombstones").exists())
+      if (!ragReady(s"$s6/1x_store"))
+        TrainPrep.publishRagStore(spark, src, s"$s6/1x_store")
+      if (!ragReady(s"$s6/10x_store"))
+        TrainPrep.publishRagStore(spark, s"$s6/10x", s"$s6/10x_store")
+      dropPersisted()
+      val docSchema = new StructType()
+        .add("doc_id", LongType).add("text", StringType)
+        .add("lang", StringType).add("source", StringType)
+        .add("n_chars", LongType)
+      def streamRun(label: String, batchDf: DataFrame, store: String)(
+          mk: (DataFrame, String, String) =>
+            org.apache.spark.sql.streaming.DataStreamWriter[
+              org.apache.spark.sql.Row]): Unit = {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("probe_sadv").toString
+        deleteDir(scratch); copyDir(store, scratch)
+        val inDir = java.nio.file.Files
+          .createTempDirectory("probe_sadv_in").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("probe_sadv_ck").toString + "/ck"
+        batchDf.select(col("doc_id"), col("text"),
+            coalesce(col("lang"), lit("en")).as("lang"),
+            col("source"), col("n_chars"))
+          .repartition(4).write.mode("overwrite").parquet(inDir)
+        val v0 = graft.sources.Snapshots.latestVersion(spark, scratch).get
+        val stream = spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val t0 = System.nanoTime()
+        val q = mk(stream, scratch, ckpt).start()
+        q.awaitTermination(600000)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val v1 = graft.sources.Snapshots.latestVersion(spark, scratch).get
+        println(f"[probe] stream-advance $label%-18s total $secs%6.2f s" +
+          f"  (${secs / 4}%5.2f s/trigger, v$v0 -> v$v1)")
+        deleteDir(scratch); deleteDir(inDir)
+        dropPersisted()
+      }
+      for ((label, d, st) <- Seq(
+          ("store-1x", src, s"$p5/1x_store"),
+          ("store-10x-store", s"$p5/10x", s"$p5/10x_store")))
+        streamRun(label,
+          Tables.documents(spark, d).filter(col("doc_id") % 7 === 3), st)(
+          (s, dir, ck) =>
+            graft.streaming.Streams.streamingStoreAdvance(s, dir, ck))
+      val ragBatch = { import spark.implicits._
+        (1 to 20).map(i => (1000000L + i,
+          (1 to 80).map(j => s"fresh${i}w$j").mkString(" ")))
+          .toDF("doc_id", "text") }
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("probe"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      for ((label, st) <- Seq(
+          ("rag-1x", s"$s6/1x_store"),
+          ("rag-10x", s"$s6/10x_store")))
+        streamRun(label, ragBatch, st)((s, dir, ck) =>
+          graft.streaming.Streams.streamingRagAdvance(s, dir, ck))
+      spark.stop()
+      return
+    }
     // PRODUCTION-SHAPED RAG serving (`runMain graft.ScaleProbe
     // prod:search6`), closing the r12 verdict's serving-side gap: the
     // registry search6/search7 REBUILD pipe6's index in-plan every run

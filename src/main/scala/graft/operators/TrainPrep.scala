@@ -1956,12 +1956,24 @@ object TrainPrep {
         val hkey = conv(substring(md5(
           concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
           .cast("long")
-        val manCols = stored("store_manifest").columns.toSeq
+        // the delta takes the STORED manifest's schema, not this
+        // engine's: a store migrated forward ([[graft.sources
+        // .Snapshots.migrate]] added a column this engine does not yet
+        // produce) still advances — the unknown column fills as a
+        // typed null for the new rows (the honest value an unaware
+        // engine can supply; the upgraded engine emits it for real),
+        // because an Append layer must match its base's schema exactly
+        // for the multi-directory scan to stay one relation
+        val withHkey = acc.withColumn("hkey", hkey)
+        val manDelta = withHkey.select(
+          stored("store_manifest").schema.fields.toSeq.map { f =>
+            if (withHkey.columns.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
         // the manifest delta still lands (shard, start_off)-sorted so
         // its FILES carry prunable row-group stats for the boundary
         // scan — sorting is batch-sized now
-        val manDelta = acc.withColumn("hkey", hkey)
-          .select(manCols.map(col): _*)
+        val manDeltaSorted = manDelta
           .repartitionByRange(col("shard"), col("start_off"))
           .sortWithinPartitions("shard", "start_off")
         val deltas = acc.groupBy("shard")
@@ -1986,7 +1998,7 @@ object TrainPrep {
             "store_shingles" -> (Append(v0, shinglesDelta): TableSpec),
             "test_shingles" -> Carry(v0),
             "store_totals" -> Full(totals),
-            "store_manifest" -> Append(v0, manDelta),
+            "store_manifest" -> Append(v0, manDeltaSorted),
             "store_opens" -> Full(totals.select(col("shard"),
               (expr(s"tot0 div ${packBudget}L") * packBudget).as("open_start")))),
             storeDir)

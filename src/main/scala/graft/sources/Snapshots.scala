@@ -234,6 +234,51 @@ object Snapshots {
         .map(t => t -> readTable(spark, root, t, Some(v))), root)
     }
 
+  /** SCHEMA MIGRATION for a multi-table snapshot root — the store-side
+    * twin of [[Catalog.appendEvolving]]'s add-only evolution, which the
+    * snapshot layer could not express before: an engine upgrade that
+    * adds a table column (a manifest `lang`, a per-chunk checksum) had
+    * no path onto an existing store short of a full re-materialization.
+    * Per named table, each `(column, default)` pair that the table does
+    * not already carry is added with the default evaluated for EVERY
+    * existing row, and the whole root re-commits as ONE all-Full
+    * version under the root's [[CommitLock]].
+    *
+    * All-Full is load-bearing, not conservatism: a layered chain must
+    * never span a schema boundary — [[readTable]] resolves a chain to
+    * one multi-directory parquet scan with ONE schema, so base files
+    * missing the new column would read corrupt or fail. The migration
+    * is therefore a chain cut (like compaction and takedown rewrites),
+    * and later Append deltas layer over it with the new schema.
+    * Add-only, like the catalog twin: dropping or retyping a column is
+    * a rebuild, not a migration. Idempotent: when every requested
+    * column already exists, no version commits and the committed
+    * latest returns unchanged. Unknown table names fail loudly.
+    * Scale: one full rewrite of the latest version — compaction cost,
+    * paid once per engine upgrade, never per night.
+    */
+  def migrate(spark: SparkSession, root: String,
+      addColumns: Map[String, Seq[(String, org.apache.spark.sql.Column)]]): Long =
+    CommitLock.withLock(spark, root) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val names = tableNames(spark, root, v)
+      val unknown = addColumns.keySet -- names.toSet
+      require(unknown.isEmpty,
+        s"migrate names table(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"that snapshot _v=$v under $root does not have")
+      var added = false
+      val tables = names.map { t =>
+        val df = readTable(spark, root, t, Some(v))
+        val adds = addColumns.getOrElse(t, Nil)
+          .filterNot { case (c, _) => df.columns.contains(c) }
+        if (adds.nonEmpty) added = true
+        t -> adds.foldLeft(df) { case (d, (c, default)) =>
+          d.withColumn(c, default) }
+      }
+      if (!added) v else writeTables(tables, root)
+    }
+
   /** The table names of a [[writeTables]]/[[writeTablesSpec]] version. */
   def tableNames(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val fs = fsOf(spark, root)
@@ -300,7 +345,10 @@ object Snapshots {
     * An already-healthy root (shallow chains, refs inside the window)
     * pays two metadata reads and writes nothing. `maxLayers >= 1`;
     * `keep >= 1` as in [[vacuum]]. No-op (all zeros) before the first
-    * commit. Scale: the compact is a full rewrite of the LATEST version
+    * commit. For MULTI-TABLE roots ([[writeTables]]/[[writeTablesSpec]]
+    * — the only roots that grow chains); a single-table [[write]] root
+    * has nothing to compact and plain [[vacuum]] is its whole policy.
+    * Scale: the compact is a full rewrite of the LATEST version
     * only (store-sized, the price of a chain cut — amortized to one per
     * `maxLayers` nights); the decision and the vacuum are metadata-only.
     */

@@ -981,10 +981,19 @@ object Streams {
     * economics) — and so is the per-trigger WRITE since the layered
     * snapshot commit (Append deltas + Carry refs; see
     * [[graft.operators.TrainPrep.advanceStoreOver]]): a trigger costs
-    * its own rows, never a store re-emit. The trade is chain depth —
-    * one layer per non-empty trigger — so a streaming deployment runs
-    * [[graft.sources.Snapshots.compactLatest]] + vacuum on a real
-    * cadence where a nightly batch might not bother.
+    * its own rows, never a store re-emit. MEASURED (ScaleProbe
+    * `prod:stream-advance`, sf0.1, the nightly batch split into 4
+    * per-file triggers, warm): 7.6 s/trigger against the 1× store vs
+    * 4.9 s/trigger against the 10× store — FLAT in store size (the
+    * 10× arm is faster on the warmer JVM; the gates dominate, exactly
+    * the batch advance's 6.5 s shape plus foreachBatch/checkpoint
+    * bookkeeping). Only non-empty triggers commit (the capture's 4
+    * triggers commit 2 versions: later triggers' near-dups fuzzy-gate
+    * against earlier triggers' commits — the cross-trigger gate
+    * working as specced). The trade is chain depth — one layer per
+    * non-empty trigger — so a streaming deployment runs
+    * [[graft.sources.Snapshots.maintain]] on a real cadence where a
+    * nightly batch might not bother.
     *
     * Lease contention: a takedown ([[graft.sources.Takedown
     * .executeChunks]]) briefly holds the same store-root lease. Killing
@@ -1016,7 +1025,13 @@ object Streams {
     * transiently-held root lease (the nightly rebuild, a takedown
     * republish) waited out with bounded retries. Same honest contract
     * as the batch advance: freshness between rebuilds, not retraining
-    * — the recall ceiling is the nightly rebuild's job.
+    * — the recall ceiling is the nightly rebuild's job. MEASURED
+    * (ScaleProbe `prod:stream-advance`, the fixed 20-doc batch split
+    * into 4 per-file triggers, warm): 2.2–2.4 s/trigger at the 1× and
+    * 10× published stores alike — flat in store size, the batch
+    * rag-advance's 2.2–2.6 s shape per trigger (compute is O(trigger
+    * chunks × k) against the broadcast centroids; the commit is
+    * O(trigger) Append deltas).
     */
   def streamingRagAdvance(docs: DataFrame, ragRoot: String,
       checkpoint: String, lockRetries: Int = 20,

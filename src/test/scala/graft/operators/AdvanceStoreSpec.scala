@@ -136,6 +136,49 @@ class AdvanceStoreSpec extends graft.SparkSpec {
     assert(graft.sources.Snapshots.latestVersion(spark, storeDir) === Some(v1))
   }
 
+  test("a forward-MIGRATED store still advances: the unknown manifest column fills as typed nulls for new rows") {
+    import spark.implicits._
+    // the engine-upgrade story: Snapshots.migrate adds a manifest
+    // column (default for every existing row, all-Full chain cut);
+    // an advance from an engine UNAWARE of the column must still
+    // commit — the Append delta takes the stored schema, filling the
+    // unknown column with typed nulls
+    def words(prefix: String) =
+      (1 to 12).map(i => s"$prefix$i").mkString(" ")
+    val storeDocs = Seq((1L, words("gamma")), (2L, words("delta")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("synth"))
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_adv_mig").toString
+    val v1 = TrainPrep.materializeStoreOver(spark, storeDocs, storeDocs,
+      storeDir)
+    val v2 = graft.sources.Snapshots.migrate(spark, storeDir,
+      Map("store_manifest" -> Seq("lang" -> lit("und"))))
+    assert(v2 > v1)
+    val batch = Seq((17L, words("fresh"))).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("synth"))
+    val v3 = TrainPrep.advanceStoreOver(spark, batch, storeDir)
+    assert(v3 > v2)
+    val man = store(storeDir, "store_manifest")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(man(1L) === Some("und") && man(2L) === Some("und"),
+      "migrated rows keep their default")
+    assert(man(17L) === None,
+      "an unaware engine's new rows carry the typed null")
+    // the advanced store still serves the from-store paths (the extra
+    // column rides along, untouched): totals cover exactly the
+    // manifest's shards
+    assert(store(storeDir, "store_totals").select("shard").collect()
+      .map(_.getLong(0)).toSet ===
+      store(storeDir, "store_manifest").select("shard").collect()
+        .map(_.getLong(0)).toSet)
+    assert(TrainPrep.pipe3ManifestFromStoreOver(spark, batch, storeDir)
+      .isEmpty, "replay after the advance must still gate out")
+  }
+
   test("advanceBands cap algebra: carry, at-cap transition, capped-bucket swallow, untouched pass-through") {
     val cap = TrainPrep.pipe3MaxStoreBucket
     // bucket (0,111): stored exactly AT the cap — one batch row tips it

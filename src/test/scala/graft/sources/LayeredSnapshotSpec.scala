@@ -137,6 +137,46 @@ class LayeredSnapshotSpec extends SparkSpec {
     assert(rows(root2, "t").size === 14)
   }
 
+  test("migrate: add-only schema evolution commits one all-Full chain cut; idempotent; unknown names fail loudly") {
+    val root = java.nio.file.Files.createTempDirectory("layered").toString + "/m"
+    val v1 = Snapshots.writeTables(Seq(
+      "man" -> frame("a", 1 to 10), "other" -> frame("o", 1 to 2)), root)
+    val v2 = Snapshots.writeTablesSpec(spark, Seq(
+      "man" -> (Append(v1, frame("b", 11 to 13)): TableSpec),
+      "other" -> Carry(v1)), root)
+    // the upgrade: `man` gains a lang column, default for EVERY
+    // existing row (both layers of the chain)
+    val v3 = Snapshots.migrate(spark, root,
+      Map("man" -> Seq("lang" -> lit("und"))))
+    assert(v3 === v2 + 1)
+    val man = Snapshots.readTable(spark, root, "man").collect()
+    assert(man.length === 13)
+    assert(man.forall(_.getAs[String]("lang") === "und"))
+    // untouched table carried VERBATIM (same rows, same schema)
+    assert(rows(root, "other") === (1 to 2).map(i => (i.toLong, "o")).toSet)
+    // the migration is a CHAIN CUT: no table of v3 references anything
+    // (a layered chain must never span a schema boundary)
+    assert(Snapshots.layerReport(spark, root).forall(_._3.isEmpty))
+    // idempotent: nothing to add ⇒ no version commits
+    assert(Snapshots.migrate(spark, root,
+      Map("man" -> Seq("lang" -> lit("xx")))) === v3)
+    assert(Snapshots.latestVersion(spark, root) === Some(v3))
+    // a later Append layers over the migrated schema and reads as one
+    // relation
+    val v4 = Snapshots.writeTablesSpec(spark, Seq(
+      "man" -> (Append(v3, frame("c", 14 to 15)
+        .withColumn("lang", lit("en"))): TableSpec),
+      "other" -> Carry(v3)), root)
+    val byLang = Snapshots.readTable(spark, root, "man", Some(v4))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("und" -> 13L, "en" -> 2L))
+    // unknown table name fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.migrate(spark, root, Map("nope" -> Seq("x" -> lit(1))))
+    }
+  }
+
   test("a reader pinned to a vacuumed chain member fails loudly; a carry of a missing base fails at write") {
     val root = java.nio.file.Files.createTempDirectory("layered").toString + "/s"
     val v1 = Snapshots.writeTables(Seq("t" -> frame("a", 1 to 5)), root)
