@@ -991,9 +991,11 @@ object Streams {
     * triggers commit 2 versions: later triggers' near-dups fuzzy-gate
     * against earlier triggers' commits — the cross-trigger gate
     * working as specced). The trade is chain depth — one layer per
-    * non-empty trigger — so a streaming deployment runs
-    * [[graft.sources.Snapshots.maintain]] on a real cadence where a
-    * nightly batch might not bother.
+    * non-empty trigger — so `maintain = Some((maxLayers, keep))` wires
+    * [[graft.sources.Snapshots.maintain]] in after every trigger (the
+    * self-deciding policy pass: metadata-only when healthy, chain cut
+    * + vacuum the trigger it isn't — see [[maintainAfterTrigger]] for
+    * why it is opt-in).
     *
     * Lease contention: a takedown ([[graft.sources.Takedown
     * .executeChunks]]) briefly holds the same store-root lease. Killing
@@ -1006,12 +1008,15 @@ object Streams {
     */
   def streamingStoreAdvance(docs: DataFrame, storeDir: String,
       checkpoint: String, lockRetries: Int = 20,
-      lockWaitMs: Long = 3000L): DataStreamWriter[Row] =
+      lockWaitMs: Long = 3000L,
+      maintain: Option[(Int, Int)] = None): DataStreamWriter[Row] =
     availableNowSink(docs, checkpoint) { (batch, _) =>
       waitingOutLease(lockRetries, lockWaitMs) {
         graft.operators.TrainPrep.advanceStoreOver(batch.sparkSession,
           batch, storeDir)
       }
+      maintainAfterTrigger(batch.sparkSession, storeDir, maintain,
+        lockRetries, lockWaitMs)
     }
 
   /** The SERVING-side twin of [[streamingStoreAdvance]]: each
@@ -1035,12 +1040,43 @@ object Streams {
     */
   def streamingRagAdvance(docs: DataFrame, ragRoot: String,
       checkpoint: String, lockRetries: Int = 20,
-      lockWaitMs: Long = 3000L): DataStreamWriter[Row] =
+      lockWaitMs: Long = 3000L,
+      maintain: Option[(Int, Int)] = None): DataStreamWriter[Row] =
     availableNowSink(docs, checkpoint) { (batch, _) =>
       waitingOutLease(lockRetries, lockWaitMs) {
         graft.operators.TrainPrep.advanceRagStore(batch.sparkSession,
           batch, ragRoot)
       }
+      maintainAfterTrigger(batch.sparkSession, ragRoot, maintain,
+        lockRetries, lockWaitMs)
+    }
+
+  /** The per-trigger MAINTENANCE hook both streaming advancers share:
+    * when `maintain = Some((maxLayers, keep))`, run
+    * [[graft.sources.Snapshots.maintain]] after the trigger's commit —
+    * the policy pass is self-deciding (an already-healthy root pays two
+    * metadata reads and writes nothing), so calling it every trigger IS
+    * the cadence: chains compact the trigger they exceed `maxLayers`
+    * and history vacuums to `keep` as it falls out of the window.
+    * This is the streaming posture's missing half — a per-trigger
+    * advance grows one chain layer per non-empty trigger, and a
+    * deployment that never compacts accrues a directory-hop per
+    * trigger in every store scan while pinning all history against
+    * vacuum. Same lease-wait discipline as the advance itself (a
+    * takedown transiently holding the root must not kill the stream).
+    * Off (None) by default: retention (`keep`) is an operator policy
+    * with compliance implications — [[graft.sources.Takedown]]'s SLA
+    * owns erasure-driven vacuums — so the stream only maintains when
+    * told the policy.
+    */
+  private def maintainAfterTrigger(s: org.apache.spark.sql.SparkSession,
+      root: String, maintain: Option[(Int, Int)],
+      lockRetries: Int, lockWaitMs: Long): Unit =
+    maintain.foreach { case (maxLayers, keep) =>
+      waitingOutLease(lockRetries, lockWaitMs) {
+        graft.sources.Snapshots.maintain(s, root, maxLayers, keep)
+      }
+      ()
     }
 
   /** Bounded lease-wait shared by the per-trigger store advancers: a

@@ -128,6 +128,35 @@ class StreamingStoreAdvanceSpec extends graft.SparkSpec {
     assert(graft.sources.Snapshots.latestVersion(spark, streamStore).get > vC)
   }
 
+  test("the in-stream maintenance hook keeps chains bounded and history reclaimed as triggers commit") {
+    import graft.operators.TrainPrep
+    val base = docsDf(Seq((1L, words("gamma")), (10L, words("alpha"))))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ssa_mt").toString
+    TrainPrep.materializeStoreFrom(spark, base, store)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ssa_mtin").toString
+    // three distinct-content files → three non-empty triggers, each
+    // normally one chain layer
+    for ((id, w) <- Seq((31L, "zeta"), (41L, "iota"), (51L, "kappa")))
+      docsDf(Seq((id, words(w)))).coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = Streams.streamingStoreAdvance(stream, store,
+      java.nio.file.Files.createTempDirectory("graft_ssa_mtck").toString,
+      maintain = Some((1, 1))).start()
+    q.awaitTermination(180000)
+    // every accepted doc is served...
+    val man = TrainPrep.storeTable(spark, store, "store_manifest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(31L, 41L, 51L).subsetOf(man), man.toString)
+    // ...while the aggressive (maxLayers=1, keep=1) policy kept every
+    // chain cut and every superseded version reclaimed as the stream ran
+    assert(graft.sources.Snapshots.layerReport(spark, store)
+      .forall(_._2 === 1))
+    assert(graft.sources.Snapshots.versions(spark, store).size === 1,
+      graft.sources.Snapshots.versions(spark, store).toString)
+  }
+
   test("a trigger WAITS out a transiently-held store lease instead of dying") {
     import graft.operators.TrainPrep
     val base = docsDf(Seq((1L, words("gamma")), (10L, words("alpha"))))
