@@ -1231,6 +1231,26 @@ object ScaleProbe {
           s"verifyErasure found residue: ${ver.mkString(",")}")
         println(f"[probe] prod chunks $label%-4s verifyErasure ${(System.nanoTime() - tv) / 1e9}%6.2f s (${ver.length} layers clean)")
         dropPersisted()
+        // RETENTION COMPLETION at scale (r16): a post-takedown nightly
+        // advance layers over the takedown's chain cut, then
+        // completeErasure(keep=1) compacts the pinning chain, vacuums
+        // every pre-takedown version, and re-audits with the
+        // per-retained-version evidence layers ON — the timed number
+        // is the whole compact+vacuum+audit loop, whose compact term
+        // is the one store-sized rewrite (the price of the chain cut)
+        TrainPrep.advanceStore(spark, d, store)
+        dropPersisted()
+        val tc = System.nanoTime()
+        val c = Takedown.completeErasure(spark, doomed,
+          docsTable = Some(docsT), storeDir = Some(store), keep = 1,
+          runLogPath = runLog, runTs = ts)
+        val evRows = c.evidence.collect()
+        require(c.complete,
+          s"completeErasure left residue: ${evRows.filterNot(_.getAs[Boolean]("clean")).mkString(",")}")
+        println(f"[probe] prod chunks $label%-4s completeErasure ${(System.nanoTime() - tc) / 1e9}%6.2f s  " +
+          s"(compacted=${c.store.get.compactedTo.nonEmpty} " +
+          s"vacuumed=${c.store.get.vacuumed.size} layers=${evRows.length} all clean)")
+        dropPersisted()
       }
       spark.stop()
       return
