@@ -197,10 +197,17 @@ object CommitLock {
       spark.sparkContext.hadoopConfiguration)
     try {
       fc.rename(lockPath, tomb) // no-overwrite: one breaker wins
+      // the tombstone cannot be missing (this breaker just renamed it
+      // to a name only it knows), so a status-read failure here is a
+      // transient store blip on a file that MIGHT be a live displaced
+      // lock — the fail-safe verdict is young (restore): a wrongly
+      // restored stale lock costs one more LockedException for the
+      // operator, a wrongly deleted live lock is the corruption this
+      // method exists to prevent
       val young =
         try fs.getFileStatus(tomb).getModificationTime >=
           System.currentTimeMillis() - staleGraceMs
-        catch { case _: java.io.IOException => false } // unreadable: treat as stale residue
+        catch { case _: java.io.IOException => true }
       if (!young) fs.delete(tomb, false)
       else
         try fc.rename(tomb, lockPath) // restore the live lock we displaced
