@@ -490,8 +490,11 @@ object Snapshots {
   /** The data directories of `table` at `version`, base-chain resolved
     * (oldest layer first — read order is irrelevant to row-set
     * semantics, but deterministic ordering keeps plans stable).
+    * Package-visible for per-directory consumers ([[Takedown]]'s
+    * retained-version audit memoizes counts per directory so a layered
+    * history's shared base is scanned once, not once per version).
     */
-  private def tablePaths(spark: SparkSession, root: String, table: String,
+  private[sources] def tablePaths(spark: SparkSession, root: String, table: String,
       version: Long): Seq[String] = {
     val fs = fsOf(spark, root)
     val dir = new Path(root, s"$VPrefix$version/$table")

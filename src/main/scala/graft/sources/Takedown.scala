@@ -555,6 +555,18 @@ object Takedown {
       // compact/vacuum loop and re-audits with this on). Cost: one
       // column-pruned semi-join count per (retained version,
       // id-bearing table) — bounded by the retention window.
+      // counts memoize per DATA DIRECTORY, not per version: retained
+      // versions of an advance-layered history share their chain's base
+      // directories (V nightly Appends over one base = V versions, but
+      // only V+1 distinct directories), and a per-version readTable
+      // would re-scan the common base V times — O(versions × chain
+      // depth) scans where O(distinct directories) is the true work.
+      // Row-set equivalence is exact: a layered version's rows ARE the
+      // union of its chain's directories, and the residue count is a
+      // sum over disjoint directory row sets.
+      val dirCount = scala.collection.mutable.Map[String, Long]()
+      def countDir(p: String): Long =
+        dirCount.getOrElseUpdate(p, remaining(spark.read.parquet(p)))
       def retainedLayers(root: String, prefix: String,
           idTables: Set[String]): Seq[(String, Long)] = {
         val latest = Snapshots.latestVersion(spark, root)
@@ -563,7 +575,7 @@ object Takedown {
           .map { v =>
             val n = Snapshots.tableNames(spark, root, v)
               .filter(idTables).map(t =>
-                remaining(Snapshots.readTable(spark, root, t, Some(v)))).sum
+                Snapshots.tablePaths(spark, root, t, v).map(countDir).sum).sum
             s"${prefix}_v${v}_residue" -> n
           }
       }
