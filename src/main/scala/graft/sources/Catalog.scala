@@ -407,6 +407,48 @@ object Catalog {
     doomed
   }
 
+  /** TIME-PARTITION RETENTION — drop every partition of a
+    * single-column partitioned table whose value sorts below `cutoff`:
+    * the warehouse-layer retention op a date-partitioned fact table
+    * needs (the raw layer has [[RawZone.pruneRuns]], the snapshot
+    * layer [[Snapshots.vacuum]] — the catalog layer had none, and a
+    * 100 TB fact table without partition retention only ever grows).
+    * The comparison is LEXICOGRAPHIC on the partition's string value —
+    * chronological for this layout's conventions (ISO `yyyy-MM-dd`
+    * dates, zero-padded run stamps), and the caller owes that property
+    * for anything else. The NULL (`__HIVE_DEFAULT_PARTITION__`)
+    * partition is never dropped — it is not "old", it is unattributed.
+    * Runs under the table's [[CommitLock]] (a retention sweep racing a
+    * takedown's touched-partition rewrite must serialize, same as
+    * every other rewriter). Managed tables reclaim the partition's
+    * data files with the metadata (this layout's tables are managed —
+    * [[ensureTable]] writes no LOCATION). Returns the dropped values.
+    * Scale: one SHOW PARTITIONS + one metadata DROP per dropped
+    * partition — never a table scan.
+    */
+  def dropPartitionsBelow(spark: SparkSession, table: String,
+      partitionCol: String, cutoff: String): Seq[String] =
+    CommitLock.withTableLock(spark, table) {
+      val parts = spark.sql(s"SHOW PARTITIONS $table")
+        .collect().map(_.getString(0)).toSeq
+      val prefix = s"$partitionCol="
+      require(parts.forall(p => p.startsWith(prefix) && !p.contains("/")),
+        s"dropPartitionsBelow needs $table partitioned by exactly ($partitionCol); " +
+          s"got spec(s) like ${parts.headOption.getOrElse("<none>")}")
+      // SHOW PARTITIONS URL-encodes special characters in values —
+      // decode before comparing and before re-quoting as a SQL literal
+      val doomed = parts.map(p =>
+          java.net.URLDecoder.decode(p.stripPrefix(prefix), "UTF-8"))
+        .filter(v => v != "__HIVE_DEFAULT_PARTITION__" && v < cutoff)
+        .sorted
+      doomed.foreach { v =>
+        val lit0 = s"'${v.replace("'", "''")}'"
+        spark.sql(
+          s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partitionCol = $lit0)")
+      }
+      doomed
+    }
+
   /** K5 against the catalog: TRUNCATE + reload (the prod variant's
     * dim_media refresh policy, process_wistia_data.py:197-234) — the
     * table object, its schema, and its grants survive, unlike a

@@ -90,6 +90,36 @@ object RawZone {
       readJson(spark, root, entity, schema).filter(col(RunColumn) === stamp)
     }
 
+  /** RAW-ZONE RUN RETENTION — delete every `run_ts=` directory of
+    * `entity` older than the newest `keep`. The raw zone is the engine's
+    * REPLAY source, so the contract is stated, not implied: prune only
+    * runs the downstream has durably LANDED (the HWM / streaming
+    * checkpoint has moved past them — exactly what [[latestRun]]'s
+    * lexicographic-max stamp ordering makes checkable). A streaming
+    * checkpoint that already recorded a pruned run's files replays it
+    * EMPTY with a WARN (Spark's file source skips missing files) — the
+    * same semantics the gated pipeline's poison-removal playbook
+    * documents; a checkpoint that has NOT yet read a pruned run loses
+    * its rows, which is why `keep` is a floor, not a schedule. Returns
+    * the pruned stamps. Scale: one directory listing + one recursive
+    * delete per pruned run — never a data read; the retention twin of
+    * [[Snapshots.vacuum]] at the raw layer.
+    */
+  def pruneRuns(spark: SparkSession, root: String, entity: String,
+      keep: Int): Seq[String] = {
+    require(keep >= 1, "pruneRuns must keep at least the latest run")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$entity")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    val runs = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$RunColumn="))
+      .map(_.getPath.getName.stripPrefix(s"$RunColumn=")).sorted
+    val doomed = runs.dropRight(keep)
+    doomed.foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"$RunColumn=$s"), true))
+    doomed
+  }
+
   // ------------------------------------------------------------- staging
 
   /** K2/K3 — stage a transformed frame as Parquet (columnar staging). */

@@ -165,4 +165,37 @@ class PurgeSpec extends graft.SparkSpec {
     assert(spark.table(t).filter(col("src") === "web" && col("r") === 1L)
       .count() === 0L)
   }
+
+  test("dropPartitionsBelow: date retention drops old partitions with their files, spares the floor and the NULL partition") {
+    val db = "retention_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.fact"
+    val rows = Seq(
+      ("2024-02-28", 1L), ("2024-02-29", 2L), ("2024-03-01", 3L),
+      ("2024-03-02", 4L), (null: String, 5L))
+    import spark.implicits._
+    Catalog.append(rows.toDF("date", "v").repartition(col("date")),
+      t, Seq("date"))
+    val dropped = Catalog.dropPartitionsBelow(spark, t, "date", "2024-03-01")
+    assert(dropped === Seq("2024-02-28", "2024-02-29"))
+    // metadata AND files gone (managed table); survivors + NULL intact
+    assert(spark.table(t).select("v").collect().map(_.getLong(0)).toSet ===
+      Set(3L, 4L, 5L))
+    assert(!new java.io.File(s"$loc/fact/date=2024-02-28").exists())
+    assert(new java.io.File(s"$loc/fact/date=2024-03-01").exists())
+    // idempotent; a later cutoff takes the next slice but never NULL
+    assert(Catalog.dropPartitionsBelow(spark, t, "date", "2024-03-01") === Nil)
+    assert(Catalog.dropPartitionsBelow(spark, t, "date", "9999-12-31") ===
+      Seq("2024-03-01", "2024-03-02"))
+    assert(spark.table(t).select("v").collect().map(_.getLong(0)).toSet ===
+      Set(5L))
+    // wrong partitioning fails loudly rather than guessing
+    val t2 = s"$db.composite"
+    Catalog.append(Seq(("a", 1L, 1L)).toDF("x", "y", "v")
+      .repartition(col("x")), t2, Seq("x", "y"))
+    intercept[IllegalArgumentException] {
+      Catalog.dropPartitionsBelow(spark, t2, "x", "zzz")
+    }
+  }
 }

@@ -33,6 +33,29 @@ class RawZoneSpec extends SparkSpec {
     assert(RawZone.latestRun(spark, root, "nothing").isEmpty)
   }
 
+  test("pruneRuns: run retention keeps the newest K, never the replay floor") {
+    val root = tmp()
+    for (s <- Seq("20240301_100000", "20240302_090000", "20240303_080000"))
+      RawZone.writeRun(parsed(eventJson), root, "events", s)
+    // nothing to prune when keep covers the history; absent entity no-ops
+    assert(RawZone.pruneRuns(spark, root, "events", keep = 3) === Nil)
+    assert(RawZone.pruneRuns(spark, root, "nothing", keep = 1) === Nil)
+    // prune to the newest one: the two oldest stamps are returned and
+    // physically gone, discovery and reads see only the survivor
+    assert(RawZone.pruneRuns(spark, root, "events", keep = 1) ===
+      Seq("20240301_100000", "20240302_090000"))
+    assert(!new java.io.File(s"$root/events/run_ts=20240301_100000").exists())
+    assert(RawZone.latestRun(spark, root, "events").contains("20240303_080000"))
+    assert(RawZone.readJson(spark, root, "events", Schemas.rawEvent)
+      .select("run_ts").distinct().collect().map(_.getString(0)).toSeq ===
+      Seq("20240303_080000"))
+    // idempotent at the floor
+    assert(RawZone.pruneRuns(spark, root, "events", keep = 1) === Nil)
+    intercept[IllegalArgumentException] {
+      RawZone.pruneRuns(spark, root, "events", keep = 0)
+    }
+  }
+
   test("S6: schema-enforced PERMISSIVE read tolerates corrupt records") {
     val root = tmp()
     import spark.implicits._
