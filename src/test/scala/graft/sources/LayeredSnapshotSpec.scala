@@ -177,6 +177,68 @@ class LayeredSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("randomized histories match the model: Full/Carry/Append commits with maintain interleaved never lose or resurrect a row") {
+    // seeded-random model check (the RawZoneSpec merge-model pattern):
+    // arbitrary interleavings of per-table Full / Carry / Append
+    // commits with maintenance passes must keep every table's resolved
+    // row set equal to a trivial in-memory model, keep chains within
+    // the policy bound after each maintain, and never let vacuum
+    // reclaim a version a surviving chain still needs (the read would
+    // fail loudly if it did). This probes the interplay the directed
+    // tests cannot enumerate: carry-collapse across maintenance,
+    // append-over-compacted bases, window arithmetic at random keeps.
+    val rnd = new scala.util.Random(20260816L)
+    val tables = Seq("alpha", "beta")
+    for (history <- 1 to 4) {
+      val root = java.nio.file.Files
+        .createTempDirectory("layered_rand").toString + "/s"
+      val model = scala.collection.mutable.Map[String, Set[(Long, String)]]()
+      var nextId = 0L
+      def freshRows(n: Int, tag: String): Seq[(Long, String)] = {
+        val out = (0 until n).map(i => (nextId + i, tag))
+        nextId += n
+        out
+      }
+      def df(rows: Seq[(Long, String)]) = {
+        import spark.implicits._
+        rows.toDF("id", "tag")
+      }
+      // bootstrap: full commit of both tables
+      tables.foreach(t => model(t) = freshRows(rnd.nextInt(6) + 1, "b").toSet)
+      Snapshots.writeTables(tables.map(t => t -> df(model(t).toSeq)), root)
+      for (step <- 1 to 10) {
+        if (rnd.nextInt(4) == 0) {
+          val (maxL, keep) = (rnd.nextInt(3) + 1, rnd.nextInt(3) + 1)
+          val m = Snapshots.maintain(spark, root, maxL, keep)
+          assert(m.layersAfter <= maxL,
+            s"history $history step $step: layers ${m.layersAfter} > $maxL")
+        } else {
+          val v0 = Snapshots.latestVersion(spark, root).get
+          val specs = tables.map { t =>
+            rnd.nextInt(3) match {
+              case 0 => // full rewrite with fresh content
+                val rows = freshRows(rnd.nextInt(5) + 1, s"f$step")
+                model(t) = rows.toSet
+                t -> (Full(df(rows)): TableSpec)
+              case 1 => t -> (Carry(v0): TableSpec)
+              case _ =>
+                val delta = freshRows(rnd.nextInt(4) + 1, s"a$step")
+                model(t) = model(t) ++ delta
+                t -> (Append(v0, df(delta)): TableSpec)
+            }
+          }
+          Snapshots.writeTablesSpec(spark, specs, root)
+        }
+        // the model equality IS the no-loss/no-resurrection oracle,
+        // and reading every table exercises every surviving chain
+        tables.foreach { t =>
+          assert(rows(root, t) === model(t),
+            s"history $history step $step table $t")
+        }
+      }
+    }
+  }
+
   test("a reader pinned to a vacuumed chain member fails loudly; a carry of a missing base fails at write") {
     val root = java.nio.file.Files.createTempDirectory("layered").toString + "/s"
     val v1 = Snapshots.writeTables(Seq("t" -> frame("a", 1 to 5)), root)
