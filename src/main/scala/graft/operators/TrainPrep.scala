@@ -1826,7 +1826,13 @@ object TrainPrep {
     * vs 5.63 s at 10× store history — flat, and ~1.3× under the
     * full-version commit it replaces (7.45/7.43 s on the same probe);
     * with the tombstone guard added the capture reads 6.54/6.19 s —
-    * still flat, the guard a fixed request-small anti-join. The modest
+    * still flat, the guard a fixed request-small anti-join; r16 folds
+    * the tombstone + membership guards into ONE anti-join against the
+    * unioned guard frame (one batch shuffle, not two — a same-session
+    * capture on a ~1.5×-drifted host reads 8.82/8.63 s against
+    * same-host baselines of rederive 7.86 / fromstore 5.10 s, the
+    * advance-to-fromstore ratio improving 1.82→1.73 and flatness in
+    * store size unchanged). The modest
     * wall-clock delta at this sf is honest: the batch GATES dominate
     * (the fromstore arm alone runs ~3.5–4.3 s), so the eliminated term
     * is small here — what matters at 100 TB is its SHAPE, O(batch)
