@@ -1550,6 +1550,25 @@ object TrainPrep {
       storeDir: String): Long =
     materializeStoreFrom(s, Tables.documents(s, d), storeDir)
 
+  /** Conform a delta frame to its base's STORED schema — the
+    * forward-compat half of [[graft.sources.Snapshots.migrate]]'s
+    * evolution story, shared by both incremental advancers: an Append
+    * layer must match its base's schema exactly (the multi-directory
+    * scan is one relation with one schema), so a store migrated
+    * forward by an upgraded engine still accepts an advance from an
+    * engine UNAWARE of the new column — it fills as a typed null for
+    * the delta's rows (the honest value an unaware writer can supply;
+    * the upgraded engine emits it for real). Columns the delta has
+    * beyond the stored schema are dropped the way the verbatim select
+    * always dropped them.
+    */
+  private def conformTo(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
   /** One row per doc_id, deterministic winner — the intra-batch guard
     * both store advancers apply before their membership/tombstone
     * anti-joins: an at-least-once source can deliver a new doc's row
@@ -1963,19 +1982,10 @@ object TrainPrep {
           concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
           .cast("long")
         // the delta takes the STORED manifest's schema, not this
-        // engine's: a store migrated forward ([[graft.sources
-        // .Snapshots.migrate]] added a column this engine does not yet
-        // produce) still advances — the unknown column fills as a
-        // typed null for the new rows (the honest value an unaware
-        // engine can supply; the upgraded engine emits it for real),
-        // because an Append layer must match its base's schema exactly
-        // for the multi-directory scan to stay one relation
-        val withHkey = acc.withColumn("hkey", hkey)
-        val manDelta = withHkey.select(
-          stored("store_manifest").schema.fields.toSeq.map { f =>
-            if (withHkey.columns.contains(f.name)) col(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }: _*)
+        // engine's ([[conformTo]]): a store migrated forward still
+        // advances, the unknown column null-filled for new rows
+        val manDelta = conformTo(acc.withColumn("hkey", hkey),
+          stored("store_manifest").schema)
         // the manifest delta still lands (shard, start_off)-sorted so
         // its FILES carry prunable row-group stats for the boundary
         // scan — sorting is batch-sized now
@@ -2776,15 +2786,25 @@ object TrainPrep {
         val stats = stored("stats").select(
           (col("tt") + lit(d.getAs[Long]("dtt"))).as("tt"),
           (col("n") + lit(d.getAs[Long]("dn"))).as("n"))
+        // every Append delta conforms to its base's STORED schema
+        // ([[conformTo]]) — a RAG store migrated forward by an
+        // upgraded engine still accepts this advance, symmetric with
+        // the pack-store manifest fill
         Snapshots.writeTablesSpec(s, Seq(
-          "vecs" -> (Append(v0, vecsDelta): TableSpec),
+          "vecs" -> (Append(v0,
+            conformTo(vecsDelta, stored("vecs").schema)): TableSpec),
           "cent" -> Carry(v0),
           "tombstones" -> (if (hasTomb) Carry(v0)
             else Full(storedTombstones()): TableSpec),
-          "index" -> Append(v0, assignToCells(vecsDelta, stored("cent"))),
-          "postings" -> Append(v0, postingsDelta),
-          "chunklens" -> Append(v0, dl.repartition(col("doc_id"))
-            .sortWithinPartitions("doc_id", "k")),
+          "index" -> Append(v0, conformTo(
+            assignToCells(vecsDelta, stored("cent")),
+            stored("index").schema)),
+          "postings" -> Append(v0,
+            conformTo(postingsDelta, stored("postings").schema)),
+          "chunklens" -> Append(v0, conformTo(
+            dl.repartition(col("doc_id"))
+              .sortWithinPartitions("doc_id", "k"),
+            stored("chunklens").schema)),
           "stats" -> Full(stats)), root)
       } finally {
         dl.unpersist(blocking = false)

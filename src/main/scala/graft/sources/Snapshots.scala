@@ -254,6 +254,15 @@ object Snapshots {
     * a rebuild, not a migration. Idempotent: when every requested
     * column already exists, no version commits and the committed
     * latest returns unchanged. Unknown table names fail loudly.
+    * Mixed-engine caveat, stated honestly: the advancers conform their
+    * APPEND deltas to the stored schema (an unaware engine null-fills
+    * the migrated column for its new rows), but a table an advance
+    * RECOMPUTES as Full each night (totals/opens/stats) takes the
+    * writing engine's schema for that version — an unaware engine's
+    * advance drops the migrated column from those tables until an
+    * aware engine writes again (each version stays self-consistent;
+    * chains never span the flip). Migrate recomputed-Full tables in
+    * lockstep with the engine upgrade, not ahead of it.
     * Scale: one full rewrite of the latest version — compaction cost,
     * paid once per engine upgrade, never per night.
     */

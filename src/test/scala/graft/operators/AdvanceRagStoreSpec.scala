@@ -131,6 +131,31 @@ class AdvanceRagStoreSpec extends graft.SparkSpec {
       ver.filterNot(_.getAs[Boolean]("clean")).mkString(","))
   }
 
+  test("a forward-MIGRATED RAG store still advances: Append deltas conform to the stored schema") {
+    val d = sf("sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_ragmig").toString
+    val v1 = TrainPrep.publishRagStoreFrom(spark,
+      graft.Tables.documents(spark, d), root)
+    // the upgrade adds a provenance column to chunklens and postings
+    val v2 = Snapshots.migrate(spark, root, Map(
+      "chunklens" -> Seq("lang" -> lit("und")),
+      "postings" -> Seq("lang" -> lit("und"))))
+    assert(v2 > v1)
+    // an engine UNAWARE of the column advances: typed nulls for its rows
+    val v3 = TrainPrep.advanceRagStore(spark, docsDf(Seq(mild)), root)
+    assert(v3 > v2)
+    val byDoc = Snapshots.readTable(spark, root, "chunklens")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byDoc(mild._1) === None, "unaware engine's rows carry typed null")
+    assert(byDoc.filter(_._1 != mild._1).values.toSet === Set(Some("und")),
+      "migrated rows keep their default")
+    assert(Snapshots.readTable(spark, root, "postings")
+      .columns.contains("lang"))
+    // replay still a no-op against the migrated+advanced store
+    assert(TrainPrep.advanceRagStore(spark, docsDf(Seq(mild)), root) === v3)
+  }
+
   test("streaming twin: one trigger advances the RAG store; a replayed trigger commits nothing") {
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
     val base = docsDf(Seq(
