@@ -744,13 +744,16 @@ object Relational {
   // q56_percentiles_sortpath — q29's EXACT answer via the spill-safe
   // formulation: row_number over a per-group sort picks the two
   // bracketing order statistics for each target rank, and the standard
-  // (n−1)·p interpolation recombines them. Interpolation caveat: this
-  // computes the quantile_cont form lo + frac·(hi−lo), while Spark's
-  // `percentile` evaluates (1−frac)·lo + frac·hi — algebraically equal
-  // but up to 1 ulp apart on non-dyadic fractions. Agreement with q29
-  // is verified on the gate corpora (probe-checked; one oracle SQL
-  // serves both), not guaranteed structurally; here the inputs are
-  // exact integer cents with p ∈ {0.5, 0.9}, where both forms are exact.
+  // (n−1)·p interpolation recombines them. Interpolation form matters
+  // to the BIT: lo + frac·(hi−lo) and lo·(1−frac) + frac·hi are
+  // algebraically equal but up to 1 ulp apart on non-dyadic fractions,
+  // and the sf0.001 differential caught exactly that (p90 off in the
+  // last double bits vs the oracle). This therefore mirrors Spark's
+  // `percentile` evaluation — lower·(1−d) + higher·d, the same
+  // operand ORDER — so q56 agrees bitwise with q29 (and with DuckDB's
+  // quantile_cont, which the shared oracle pins at both gate corpora)
+  // given the same bracketing order statistics, structurally rather
+  // than by corpus luck.
   //
   // Why it exists (the skew:q55 probe's finding): Spark's `percentile`
   // is an imperative aggregate buffering a per-group value map — one
@@ -778,9 +781,9 @@ object Relational {
     def interp(tag: String, p: Double) = {
       val rr = (col("n") - 1L).cast("double") * p
       val frac = rr - floor(rr)
-      col(s"lo_$tag").cast("double") +
-        frac * (coalesce(col(s"hi_$tag"), col(s"lo_$tag")) - col(s"lo_$tag"))
-          .cast("double")
+      val lo = col(s"lo_$tag").cast("double")
+      val hi = coalesce(col(s"hi_$tag"), col(s"lo_$tag")).cast("double")
+      lo * (lit(1.0) - frac) + hi * frac
     }
     ranked.groupBy("o_orderstatus")
       .agg(max(col("n")).as("n"), sel(0.5, "50") ++ sel(0.9, "90"): _*)
