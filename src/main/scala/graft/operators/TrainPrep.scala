@@ -1550,6 +1550,31 @@ object TrainPrep {
       storeDir: String): Long =
     materializeStoreFrom(s, Tables.documents(s, d), storeDir)
 
+  /** A schema-drift observation from [[conformTo]] — the loud half of
+    * the mixed-engine evolution story. `dropped` = delta columns
+    * beyond the stored schema (an UPGRADED engine advancing a store
+    * nobody migrated yet: the advance still lands, but a migration is
+    * OWED — without this signal the new column's values silently
+    * vanish every night). `nullFilled` = stored columns a recomputed
+    * FULL table did not carry (an unaware engine rewriting a
+    * migrated table: the migrated column survives schema-stable but
+    * its values reset to null — data loss that deserves a signal, not
+    * just scaladoc). Null-fills on APPEND deltas are NOT drift — they
+    * are the designed forward-compat behavior (the honest value an
+    * unaware writer can supply for its new rows).
+    */
+  private[graft] case class SchemaDrift(table: String,
+      dropped: Seq[String], nullFilled: Seq[String]) {
+    def describe: String = (if (dropped.nonEmpty)
+        s"delta column(s) [${dropped.mkString(", ")}] beyond the stored " +
+          "schema DROPPED - a migration is owed (Snapshots.migrate)"
+      else "") + (if (nullFilled.nonEmpty)
+        s"${if (dropped.nonEmpty) "; " else ""}full rewrite null-fills " +
+          s"migrated column(s) [${nullFilled.mkString(", ")}] - migrate " +
+          "recomputed-Full tables in lockstep with the engine"
+      else "")
+  }
+
   /** Conform a delta frame to its base's STORED schema — the
     * forward-compat half of [[graft.sources.Snapshots.migrate]]'s
     * evolution story, shared by both incremental advancers: an Append
@@ -1559,15 +1584,51 @@ object TrainPrep {
     * engine UNAWARE of the new column — it fills as a typed null for
     * the delta's rows (the honest value an unaware writer can supply;
     * the upgraded engine emits it for real). Columns the delta has
-    * beyond the stored schema are dropped the way the verbatim select
-    * always dropped them.
+    * beyond the stored schema are dropped — and LOUDLY signalled via
+    * `onDrift` (an upgraded engine advancing an unmigrated store owes
+    * a migration; silence here is nightly data loss). A shared column
+    * whose type drifted from the stored field's is cast when the cast
+    * is provably lossless (`Cast.canUpCast` — e.g. int→long) and
+    * REJECTED otherwise: a delta layer with a mismatched parquet type
+    * would corrupt or fail the single-schema multi-directory chain
+    * scan, and a lossy silent cast is worse. Name resolution uses the
+    * session's resolver (case-insensitive under Spark's default), so
+    * a delta's `Lang` conforms to a stored `lang` instead of
+    * double-landing. With `fullRewrite=true` (recomputed-Full tables)
+    * a null-fill is ALSO signalled: there it resets a migrated
+    * column's existing values, not just this batch's rows.
     */
-  private def conformTo(df: DataFrame,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
+  private[graft] def conformTo(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      table: String = "",
+      onDrift: SchemaDrift => Unit = d =>
+        System.err.println(s"graft store advance [${d.table}]: ${d.describe}"),
+      fullRewrite: Boolean = false): DataFrame = {
+    val resolve: (String, String) => Boolean =
+      df.sparkSession.sessionState.analyzer.resolver
+    val dropped = df.columns.toSeq
+      .filterNot(c => schema.fields.exists(f => resolve(f.name, c)))
+    val nullFilled = schema.fields.toSeq.map(_.name)
+      .filterNot(n => df.columns.exists(resolve(_, n)))
+    if (dropped.nonEmpty || (fullRewrite && nullFilled.nonEmpty))
+      onDrift(SchemaDrift(table, dropped,
+        if (fullRewrite) nullFilled else Nil))
     df.select(schema.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      df.schema.fields.find(a => resolve(a.name, f.name)) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(a) if a.dataType == f.dataType => col(a.name).as(f.name)
+        case Some(a) if org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(a.dataType, f.dataType) =>
+          col(a.name).cast(f.dataType).as(f.name)
+        case Some(a) => throw new IllegalArgumentException(
+          s"store advance [$table]: delta column ${a.name} has type " +
+            s"${a.dataType.simpleString} but the stored schema holds " +
+            s"${f.dataType.simpleString}, and the cast is not provably " +
+            "lossless - rebuild or migrate the store rather than " +
+            "landing a mismatched Append layer")
+      }
     }: _*)
+  }
 
   /** One row per doc_id, deterministic winner — the intra-batch guard
     * both store advancers apply before their membership/tombstone
@@ -1863,10 +1924,28 @@ object TrainPrep {
     * (chain cut) is the bound. Returns the committed version (the prior
     * version when the delta is empty — no empty commits).
     */
+  /** One "warn" run-log row per drifted table of an advance — the
+    * observable form of [[SchemaDrift]] (stderr alone is not a
+    * queryable signal; the owed-migration condition must be visible
+    * next to the run history it taints). No-op without a run-log path
+    * or without drift.
+    */
+  private def logDrifts(s: SparkSession, runLogPath: Option[String],
+      pipeline: String, drifts: Seq[SchemaDrift]): Unit =
+    runLogPath.filter(_ => drifts.nonEmpty).foreach { p =>
+      val ts = new java.sql.Timestamp(System.currentTimeMillis())
+      graft.sources.RunLog.append(s, p, drifts.map(d =>
+        graft.sources.RunLog.Entry(ts, pipeline,
+          s"schema_drift:${d.table}",
+          (d.dropped.size + d.nullFilled.size).toLong, 0L, "warn",
+          d.describe.take(500))).toSeq)
+    }
+
   private[graft] def advanceStore(s: SparkSession, d: String,
-      storeDir: String): Long =
+      storeDir: String, runLogPath: Option[String] = None): Long =
     advanceStoreOver(s,
-      Tables.documents(s, d).filter(col("doc_id") % 7 === 3), storeDir)
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3), storeDir,
+      runLogPath)
 
   /** [[advanceStore]] over an EXPLICIT batch frame — what
     * [[graft.streaming.Streams.streamingStoreAdvance]] calls per
@@ -1880,17 +1959,22 @@ object TrainPrep {
     * AdvanceStoreSpec pin both grains).
     */
   private[graft] def advanceStoreOver(s: SparkSession, batchRaw: DataFrame,
-      storeDir: String): Long =
+      storeDir: String, runLogPath: Option[String] = None): Long =
     // the advance runs under the STORE ROOT's commit lease: a takedown
     // rewrite (executeChunks holds the same lease) landing between this
     // read of v0 and the commit of v0 ∪ batch would otherwise be
     // silently undone — the erased docs' rows resurrected at latest
     graft.sources.CommitLock.withLock(s, storeDir) {
-      advanceStoreLocked(s, batchRaw, storeDir)
+      advanceStoreLocked(s, batchRaw, storeDir, runLogPath)
     }
 
   private def advanceStoreLocked(s: SparkSession, batchRaw: DataFrame,
-      storeDir: String): Long = {
+      storeDir: String, runLogPath: Option[String]): Long = {
+    val drifts = scala.collection.mutable.Buffer[SchemaDrift]()
+    val onDrift: SchemaDrift => Unit = dr => {
+      drifts += dr
+      System.err.println(s"graft store advance [${dr.table}]: ${dr.describe}")
+    }
     val v0 = graft.sources.Snapshots.latestVersion(s, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed pack store under $storeDir"))
     def stored(t: String) = storeTable(s, storeDir, t, Some(v0))
@@ -1983,9 +2067,16 @@ object TrainPrep {
           .cast("long")
         // the delta takes the STORED manifest's schema, not this
         // engine's ([[conformTo]]): a store migrated forward still
-        // advances, the unknown column null-filled for new rows
-        val manDelta = conformTo(acc.withColumn("hkey", hkey),
-          stored("store_manifest").schema)
+        // advances, the unknown column null-filled for new rows.
+        // acc is pre-selected to the columns THIS ENGINE'S manifest
+        // writes ([[materializeStoreOver]]'s smang) so the derivation's
+        // intermediates (source, pos, ...) drop by design without
+        // reading as owed-migration drift — conformTo then signals
+        // only a genuine engine-vs-store schema gap
+        val manDelta = conformTo(
+          acc.withColumn("hkey", hkey)
+            .select("doc_id", "n_tokens", "hkey", "shard", "start_off"),
+          stored("store_manifest").schema, "store_manifest", onDrift)
         // the manifest delta still lands (shard, start_off)-sorted so
         // its FILES carry prunable row-group stats for the boundary
         // scan — sorting is batch-sized now
@@ -2005,20 +2096,31 @@ object TrainPrep {
             greatest(coalesce(col("max_tok"), lit(0L)),
               coalesce(col("dm"), lit(0L))).as("max_tok"))
           .localCheckpoint() // 2 consumers: totals table + opens
-        try
-          graft.sources.Snapshots.writeTablesSpec(s, Seq(
+        try {
+          // recomputed-Full tables conform to the STORED schema too —
+          // a migrated column survives the nightly rewrite
+          // (schema-stable, null-filled) instead of silently
+          // vanishing, and the null-fill itself is signalled as drift
+          val v = graft.sources.Snapshots.writeTablesSpec(s, Seq(
             "store_bands" -> bandsSpec,
             "store_capped" -> cappedSpec,
             "store_tombstones" -> (if (hasTomb) Carry(v0)
               else Full(storedTombstones()): TableSpec),
             "store_shingles" -> (Append(v0, shinglesDelta): TableSpec),
             "test_shingles" -> Carry(v0),
-            "store_totals" -> Full(totals),
+            "store_totals" -> Full(conformTo(totals,
+              stored("store_totals").schema, "store_totals", onDrift,
+              fullRewrite = true)),
             "store_manifest" -> Append(v0, manDeltaSorted),
-            "store_opens" -> Full(totals.select(col("shard"),
-              (expr(s"tot0 div ${packBudget}L") * packBudget).as("open_start")))),
+            "store_opens" -> Full(conformTo(
+              totals.select(col("shard"),
+                (expr(s"tot0 div ${packBudget}L") * packBudget).as("open_start")),
+              stored("store_opens").schema, "store_opens", onDrift,
+              fullRewrite = true))),
             storeDir)
-        finally totals.unpersist(blocking = false)
+          logDrifts(s, runLogPath, "pack_store_advance", drifts.toSeq)
+          v
+        } finally totals.unpersist(blocking = false)
       } finally overNew.unpersist(blocking = false)
     } finally acc.unpersist(blocking = false)
   }
@@ -2728,13 +2830,18 @@ object TrainPrep {
     * new).
     */
   private[graft] def advanceRagStore(s: SparkSession, batchDocs: DataFrame,
-      root: String): Long =
+      root: String, runLogPath: Option[String] = None): Long =
     graft.sources.CommitLock.withLock(s, root) {
-      advanceRagStoreLocked(s, batchDocs, root)
+      advanceRagStoreLocked(s, batchDocs, root, runLogPath)
     }
 
   private def advanceRagStoreLocked(s: SparkSession, batchDocs: DataFrame,
-      root: String): Long = {
+      root: String, runLogPath: Option[String]): Long = {
+    val drifts = scala.collection.mutable.Buffer[SchemaDrift]()
+    val onDrift: SchemaDrift => Unit = dr => {
+      drifts += dr
+      System.err.println(s"graft rag advance [${dr.table}]: ${dr.describe}")
+    }
     import graft.sources.Snapshots
     import Snapshots.{Append, Carry, Full, TableSpec}
     val v0 = Snapshots.latestVersion(s, root).getOrElse(
@@ -2790,22 +2897,29 @@ object TrainPrep {
         // ([[conformTo]]) — a RAG store migrated forward by an
         // upgraded engine still accepts this advance, symmetric with
         // the pack-store manifest fill
-        Snapshots.writeTablesSpec(s, Seq(
+        val v = Snapshots.writeTablesSpec(s, Seq(
           "vecs" -> (Append(v0,
-            conformTo(vecsDelta, stored("vecs").schema)): TableSpec),
+            conformTo(vecsDelta, stored("vecs").schema, "vecs",
+              onDrift)): TableSpec),
           "cent" -> Carry(v0),
           "tombstones" -> (if (hasTomb) Carry(v0)
             else Full(storedTombstones()): TableSpec),
           "index" -> Append(v0, conformTo(
             assignToCells(vecsDelta, stored("cent")),
-            stored("index").schema)),
+            stored("index").schema, "index", onDrift)),
           "postings" -> Append(v0,
-            conformTo(postingsDelta, stored("postings").schema)),
+            conformTo(postingsDelta, stored("postings").schema,
+              "postings", onDrift)),
           "chunklens" -> Append(v0, conformTo(
             dl.repartition(col("doc_id"))
               .sortWithinPartitions("doc_id", "k"),
-            stored("chunklens").schema)),
-          "stats" -> Full(stats)), root)
+            stored("chunklens").schema, "chunklens", onDrift)),
+          // the recomputed-Full stats table conforms too: a migrated
+          // stats column survives the advance schema-stable
+          "stats" -> Full(conformTo(stats, stored("stats").schema,
+            "stats", onDrift, fullRewrite = true))), root)
+        logDrifts(s, runLogPath, "rag_store_advance", drifts.toSeq)
+        v
       } finally {
         dl.unpersist(blocking = false)
         vecsDelta.unpersist(blocking = false)

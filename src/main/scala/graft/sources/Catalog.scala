@@ -435,10 +435,17 @@ object Catalog {
       require(parts.forall(p => p.startsWith(prefix) && !p.contains("/")),
         s"dropPartitionsBelow needs $table partitioned by exactly ($partitionCol); " +
           s"got spec(s) like ${parts.headOption.getOrElse("<none>")}")
-      // SHOW PARTITIONS URL-encodes special characters in values —
-      // decode before comparing and before re-quoting as a SQL literal
+      // SHOW PARTITIONS escapes special characters in values with
+      // Hive's path escaping (%XX sequences ONLY — a literal '+' is
+      // never escaped and must survive). java.net.URLDecoder is NOT
+      // the inverse: it also maps '+' to ' ', so a value containing
+      // '+' would compare against the wrong string and the DROP
+      // literal would name a nonexistent partition (DROP IF EXISTS
+      // silently no-ops while the value is reported dropped). Expand
+      // only well-formed %XX here, Hive FileUtils.unescapePathName
+      // semantics.
       val doomed = parts.map(p =>
-          java.net.URLDecoder.decode(p.stripPrefix(prefix), "UTF-8"))
+          unescapePathName(p.stripPrefix(prefix)))
         .filter(v => v != "__HIVE_DEFAULT_PARTITION__" && v < cutoff)
         .sorted
       doomed.foreach { v =>
@@ -448,6 +455,32 @@ object Catalog {
       }
       doomed
     }
+
+  /** Inverse of Hive's partition-path escaping: expand well-formed
+    * `%XX` hex sequences to their character, leave EVERYTHING else —
+    * including `+`, which Hive never escapes — intact (the semantics
+    * of Hive `FileUtils.unescapePathName`, which URLDecoder does not
+    * share). Malformed `%` runs (no two hex digits) pass through
+    * verbatim, as Hive's does.
+    */
+  private[sources] def unescapePathName(s: String): String = {
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        sb.append(((hex(s.charAt(i + 1)) << 4) + hex(s.charAt(i + 2))).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** K5 against the catalog: TRUNCATE + reload (the prod variant's
     * dim_media refresh policy, process_wistia_data.py:197-234) — the

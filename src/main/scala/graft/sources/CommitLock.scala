@@ -178,12 +178,17 @@ object CommitLock {
     * tombstone is deleted and the path is free. Young ⇒ this breaker
     * raced a break-and-reclaim (its mtime probe saw the PREVIOUS,
     * stale incarnation) and the live lock is restored by a second
-    * no-overwrite rename; if even the restore loses (a third writer
-    * claimed the momentarily-vacant path — a double race, its window
-    * one rename wide), the displaced young lock is dropped and its
+    * no-overwrite rename; if even the restore loses to a CONFIRMED
+    * third claimant (the no-overwrite rename's
+    * FileAlreadyExistsException — a double race, its window one
+    * rename wide), the displaced young lock is dropped and its
     * holder's heartbeat stands down on the re-ownership it observes —
     * the advisory-lock failure mode shrunk from "any freshly-broken
-    * lease" to two back-to-back races inside one rename.
+    * lease" to two back-to-back races inside one rename. Any OTHER
+    * IOException on the restore is a transient store blip, NOT a
+    * claim: the restore is retried and, failing that, the tombstone
+    * is left in place (fail-safe toward the live holder, never a
+    * silent unprotect).
     *
     * Package-visible for CommitLockSpec, which drives both verdicts
     * and the concurrent-breakers race directly.
@@ -209,9 +214,38 @@ object CommitLock {
           System.currentTimeMillis() - staleGraceMs
         catch { case _: java.io.IOException => true }
       if (!young) fs.delete(tomb, false)
-      else
-        try fc.rename(tomb, lockPath) // restore the live lock we displaced
-        catch { case _: java.io.IOException => fs.delete(tomb, false) }
+      else {
+        // Restore the live lock we displaced. Only a CONFIRMED
+        // third-party claim of the lock path (the no-overwrite
+        // rename's FileAlreadyExistsException) justifies dropping the
+        // displaced holder — that holder's heartbeat observes the
+        // re-ownership and stands down. Any OTHER IOException is a
+        // transient store blip, and deleting the tombstone on it
+        // would silently unprotect a live holder (the corruption this
+        // method exists to prevent): retry the restore, and if it
+        // still fails LEAVE the tombstone — an orphan tombstone file
+        // costs a later manual sweep; a deleted live lock costs a
+        // concurrent-writer corruption. Same fail-safe-toward-restore
+        // posture as the status read above.
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          try { fc.rename(tomb, lockPath); done = true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              fs.delete(tomb, false); done = true
+            case e: java.io.IOException =>
+              if (attempts >= 3) {
+                System.err.println(s"commit-lock: could not restore " +
+                  s"displaced live lock $tomb -> $lockPath after " +
+                  s"$attempts attempts (${e.getMessage}); leaving the " +
+                  "tombstone in place rather than unprotecting a live holder")
+                done = true
+              } else Thread.sleep(25L * attempts)
+          }
+        }
+      }
     } catch {
       // lost the break race (source vanished under us) — the winner
       // owns the verdict; this breaker just retries the claim

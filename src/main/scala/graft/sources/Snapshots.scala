@@ -276,11 +276,20 @@ object Snapshots {
       require(unknown.isEmpty,
         s"migrate names table(s) ${unknown.toSeq.sorted.mkString(", ")} " +
           s"that snapshot _v=$v under $root does not have")
+      // Column existence must be decided with the SESSION'S resolver,
+      // not String equality: under Spark's default (caseSensitive=
+      // false) withColumn resolves case-insensitively, so a requested
+      // "Lang" against an existing "lang" that passed a case-SENSITIVE
+      // filter would REPLACE every existing row's value with the
+      // default — a destructive overwrite from an "add-only" migration
+      // (and the idempotency check would fail the same way on re-run).
+      val resolve: (String, String) => Boolean =
+        spark.sessionState.analyzer.resolver
       var added = false
       val tables = names.map { t =>
         val df = readTable(spark, root, t, Some(v))
         val adds = addColumns.getOrElse(t, Nil)
-          .filterNot { case (c, _) => df.columns.contains(c) }
+          .filterNot { case (c, _) => df.columns.exists(resolve(_, c)) }
         if (adds.nonEmpty) added = true
         t -> adds.foldLeft(df) { case (d, (c, default)) =>
           d.withColumn(c, default) }

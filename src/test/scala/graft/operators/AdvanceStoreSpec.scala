@@ -226,4 +226,69 @@ class AdvanceStoreSpec extends graft.SparkSpec {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
           r.getAs[Long]("key"))).toSet ++ accKeptRows)
   }
+
+  test("conformTo: owed-migration drop is signalled, shared-column casts are lossless-or-loud, names resolve case-insensitively") {
+    import spark.implicits._
+    val stored = Seq((1L, "x", 0.5)).toDF("a", "b", "c").schema
+    var drifts = Seq.empty[TrainPrep.SchemaDrift]
+    // direction A (upgraded engine, unmigrated store): the delta's
+    // extra column is dropped AND the owed migration is signalled
+    val delta = Seq((1L, "y", 0.1, 7)).toDF("a", "b", "c", "extra")
+    val out = TrainPrep.conformTo(delta, stored, "man", drifts :+= _)
+    assert(out.columns.toSeq === Seq("a", "b", "c"))
+    assert(drifts.map(d => (d.table, d.dropped, d.nullFilled)) ===
+      Seq(("man", Seq("extra"), Nil)))
+    // null-fill on an APPEND delta is designed behavior, NOT drift
+    drifts = Nil
+    val thin = Seq((2L, "z")).toDF("a", "b")
+    val filled = TrainPrep.conformTo(thin, stored, "man", drifts :+= _)
+    assert(filled.columns.toSeq === Seq("a", "b", "c") && drifts.isEmpty)
+    assert(filled.collect().head.isNullAt(2))
+    // ...but on a recomputed FULL it resets a migrated column: signalled
+    TrainPrep.conformTo(thin, stored, "totals", drifts :+= _,
+      fullRewrite = true)
+    assert(drifts.map(d => (d.table, d.dropped, d.nullFilled)) ===
+      Seq(("totals", Nil, Seq("c"))))
+    // a case-variant shared column conforms instead of double-landing
+    drifts = Nil
+    val cased = TrainPrep.conformTo(
+      Seq((3L, "w", 0.2)).toDF("A", "b", "c"), stored, "man", drifts :+= _)
+    assert(cased.columns.toSeq === Seq("a", "b", "c") && drifts.isEmpty)
+    // lossless type drift casts (int → long)...
+    val up = TrainPrep.conformTo(
+      Seq((4, "v", 0.3)).toDF("a", "b", "c"), stored, "man", drifts :+= _)
+    assert(up.schema("a").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(up.collect().head.getLong(0) === 4L)
+    // ...a lossy one is rejected, never silently truncated
+    val narrow = Seq(("s", "u", 0.4)).toDF("a", "b", "c")
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.conformTo(narrow, stored, "man", drifts :+= _)
+    }
+    assert(e.getMessage.contains("not provably lossless"))
+  }
+
+  test("advanceStore on a migrated store: recomputed-Full tables keep the migrated column schema-stable and the drift is run-logged") {
+    val d = sf("sf0.001")
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_advm").toString
+    val logDir = java.nio.file.Files.createTempDirectory("graft_advm_log")
+      .toString + "/run_log"
+    TrainPrep.materializeStore(spark, d, storeDir)
+    // an AWARE engine migrated store_totals forward; THIS engine's
+    // advance recomputes totals without the column — pre-fix the
+    // column silently vanished from the new version
+    graft.sources.Snapshots.migrate(spark, storeDir,
+      Map("store_totals" -> Seq("note" -> lit("migrated"))))
+    val v = TrainPrep.advanceStore(spark, d, storeDir, Some(logDir))
+    val totals = store(storeDir, "store_totals")
+    assert(totals.columns.contains("note"),
+      "the migrated column must survive the recomputed-Full rewrite")
+    assert(totals.collect().forall(_.getAs[String]("note") == null),
+      "an unaware engine can only null-fill it")
+    val log = graft.sources.RunLog.read(spark, logDir)
+      .filter(col("stage") === "schema_drift:store_totals").collect()
+    assert(log.length === 1 && log.head.getAs[String]("status") === "warn")
+    assert(log.head.getAs[String]("error").contains("note"))
+    assert(graft.sources.Snapshots.latestVersion(spark, storeDir) === Some(v))
+  }
 }

@@ -177,6 +177,30 @@ class LayeredSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("migrate: column existence is decided with the session resolver — a case-variant add never overwrites existing values") {
+    // under Spark's default (caseSensitive=false) withColumn resolves
+    // case-insensitively: a requested "Lang" against an existing
+    // "lang" that slipped past a case-SENSITIVE existence filter would
+    // REPLACE every row's value with the default — a destructive
+    // overwrite from an "add-only" migration
+    val root = java.nio.file.Files.createTempDirectory("layered").toString + "/mc"
+    Snapshots.writeTables(Seq("man" -> frame("a", 1 to 3)
+      .withColumn("lang", lit("en"))), root)
+    val v0 = Snapshots.latestVersion(spark, root).get
+    // same column in different case: already exists ⇒ idempotent no-op
+    assert(Snapshots.migrate(spark, root,
+      Map("man" -> Seq("Lang" -> lit("OVERWRITTEN")))) === v0)
+    val man = Snapshots.readTable(spark, root, "man").collect()
+    assert(man.forall(_.getAs[String]("lang") === "en"))
+    // a genuinely-new column still lands alongside
+    val v1 = Snapshots.migrate(spark, root,
+      Map("man" -> Seq("Lang" -> lit("x"), "score" -> lit(0L))))
+    assert(v1 > v0)
+    val man1 = Snapshots.readTable(spark, root, "man").collect()
+    assert(man1.forall(r => r.getAs[String]("lang") === "en" &&
+      r.getAs[Long]("score") === 0L))
+  }
+
   test("randomized histories match the model: Full/Carry/Append commits with maintain interleaved never lose or resurrect a row") {
     // seeded-random model check (the RawZoneSpec merge-model pattern):
     // arbitrary interleavings of per-table Full / Carry / Append

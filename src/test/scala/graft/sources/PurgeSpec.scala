@@ -198,4 +198,29 @@ class PurgeSpec extends graft.SparkSpec {
       Catalog.dropPartitionsBelow(spark, t2, "x", "zzz")
     }
   }
+
+  test("dropPartitionsBelow: a literal '+' in a partition value survives decoding — the partition actually drops") {
+    // Hive's path escaping never encodes '+', so the decoder must NOT
+    // be URLDecoder (which maps '+' to ' ': the cutoff comparison then
+    // uses the wrong string and the DROP literal names a nonexistent
+    // value — DROP IF EXISTS silently no-ops while the value is
+    // reported dropped)
+    val db = "retention_plus_test"
+    val loc = java.nio.file.Files.createTempDirectory("graft_retp").toString
+    Catalog.ensureDatabase(spark, db, Some(loc))
+    val t = s"$db.fact"
+    import spark.implicits._
+    Catalog.append(Seq(("a+b", 1L), ("c+d", 2L)).toDF("x", "v")
+      .repartition(col("x")), t, Seq("x"))
+    assert(Catalog.dropPartitionsBelow(spark, t, "x", "b") === Seq("a+b"))
+    // the row is REALLY gone, not just reported dropped
+    assert(spark.table(t).select("v").collect().map(_.getLong(0)).toSeq ===
+      Seq(2L))
+    // the Hive-unescape helper: %XX expands, '+' and malformed runs pass
+    assert(Catalog.unescapePathName("2024-03-01 10%3A00") === "2024-03-01 10:00")
+    assert(Catalog.unescapePathName("a+b") === "a+b")
+    assert(Catalog.unescapePathName("%41%2Fb") === "A/b")
+    assert(Catalog.unescapePathName("bad%4") === "bad%4")
+    assert(Catalog.unescapePathName("bad%zz") === "bad%zz")
+  }
 }
