@@ -233,7 +233,13 @@ object CommitLock {
           attempts += 1
           try { fc.rename(tomb, lockPath); done = true }
           catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            // FileContext's no-overwrite rename surfaces a lost race as
+            // a generic IOException on local FS and several stores (the
+            // claimAndCommit idiom) — confirm the claim by the lock
+            // path EXISTING before treating the exception as one
+            case e: java.io.IOException
+                if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                  (try fs.exists(lockPath) catch { case _: java.io.IOException => false }) =>
               fs.delete(tomb, false); done = true
             case e: java.io.IOException =>
               if (attempts >= 3) {

@@ -120,6 +120,91 @@ object RawZone {
     doomed
   }
 
+  /** [[pruneRuns]] WITH ITS SAFETY CONTRACT PLUGGED IN — the prunable
+    * set is DERIVED from the downstream streaming CHECKPOINT instead
+    * of trusted to the caller's `keep`: a run directory is pruned only
+    * when it is (a) older than the newest `keep` AND (b) LANDED — every
+    * data file currently under it appears in the checkpoint's
+    * COMMITTED file-source log (offsets written but not yet committed
+    * do not count; the sink hasn't durably processed them). A lagging
+    * consumer therefore BLOCKS the prune of the runs it has not read —
+    * the replay source stays intact exactly as long as someone still
+    * needs to replay it — while runs the checkpoint has durably moved
+    * past reclaim on schedule. `keep` remains a floor (the latest
+    * `keep` runs survive even when landed). Returns the pruned stamps.
+    * Scale: metadata-only — one listing per candidate run plus one
+    * sequential read of the checkpoint's request-small source log
+    * (Spark compacts it every 10 batches); never a data read.
+    */
+  def pruneRunsLanded(spark: SparkSession, root: String, entity: String,
+      keep: Int, checkpoint: String): Seq[String] = {
+    require(keep >= 1, "pruneRunsLanded must keep at least the latest run")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$entity")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    val landed = committedSourceFiles(spark, checkpoint)
+    val runs = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$RunColumn="))
+      .map(_.getPath.getName.stripPrefix(s"$RunColumn=")).sorted
+    val doomed = runs.dropRight(keep).filter { s =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, s"$RunColumn=$s"))
+        .toSeq.filter(_.isFile)
+        .map(_.getPath.toUri.getPath)
+        .filterNot(_.split('/').last.startsWith("_")) // markers, not data
+        .forall(landed.contains)
+    }
+    doomed.foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"$RunColumn=$s"), true))
+    doomed
+  }
+
+  /** Every data-file path the file-streaming source under `checkpoint`
+    * has DURABLY COMMITTED — the union of the source-log entries of
+    * batches at or below the highest id in `commits/` (an offset
+    * written ahead of its commit is in-flight, not landed). Paths are
+    * normalized to their URI path (scheme/authority stripped) so they
+    * compare with [[org.apache.hadoop.fs.FileStatus]] listings
+    * regardless of `file:`/`hdfs:` prefixes. Handles the source log's
+    * `.compact` rollups (each holds the full history to its id).
+    * Empty when the checkpoint has no committed batch yet — then
+    * NOTHING is landed and [[pruneRunsLanded]] prunes nothing.
+    */
+  private[sources] def committedSourceFiles(spark: SparkSession,
+      checkpoint: String): Set[String] = {
+    val cp = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(cp, "commits")
+    val sources = new org.apache.hadoop.fs.Path(cp, "sources")
+    if (!fs.exists(commits) || !fs.exists(sources)) return Set.empty
+    val committedMax = fs.listStatus(commits).toSeq
+      .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+      .foldLeft(-1L)(math.max)
+    if (committedMax < 0) return Set.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = scala.collection.mutable.Set[String]()
+    for {
+      src <- fs.listStatus(sources).toSeq if src.isDirectory
+      log <- fs.listStatus(src.getPath).toSeq if log.isFile
+      name = log.getPath.getName
+      id = name.stripSuffix(".compact")
+      if id.forall(_.isDigit) && id.toLong <= committedMax
+    } {
+      val in = fs.open(log.getPath)
+      try
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filterNot(l => l.isEmpty || l.startsWith("v")) // version header
+          .foreach { l =>
+            val node = mapper.readTree(l)
+            val p = node.get("path")
+            if (p != null)
+              out += new org.apache.hadoop.fs.Path(
+                java.net.URI.create(p.asText())).toUri.getPath
+          }
+      finally in.close()
+    }
+    out.toSet
+  }
+
   // ------------------------------------------------------------- staging
 
   /** K2/K3 — stage a transformed frame as Parquet (columnar staging). */

@@ -1009,14 +1009,15 @@ object Streams {
   def streamingStoreAdvance(docs: DataFrame, storeDir: String,
       checkpoint: String, lockRetries: Int = 20,
       lockWaitMs: Long = 3000L,
-      maintain: Option[(Int, Int)] = None): DataStreamWriter[Row] =
+      maintain: Option[(Int, Int)] = None,
+      runLogPath: Option[String] = None): DataStreamWriter[Row] =
     availableNowSink(docs, checkpoint) { (batch, _) =>
       waitingOutLease(lockRetries, lockWaitMs) {
         graft.operators.TrainPrep.advanceStoreOver(batch.sparkSession,
-          batch, storeDir)
+          batch, storeDir, runLogPath)
       }
       maintainAfterTrigger(batch.sparkSession, storeDir, maintain,
-        lockRetries, lockWaitMs)
+        lockRetries, lockWaitMs, runLogPath)
     }
 
   /** The SERVING-side twin of [[streamingStoreAdvance]]: each
@@ -1041,14 +1042,15 @@ object Streams {
   def streamingRagAdvance(docs: DataFrame, ragRoot: String,
       checkpoint: String, lockRetries: Int = 20,
       lockWaitMs: Long = 3000L,
-      maintain: Option[(Int, Int)] = None): DataStreamWriter[Row] =
+      maintain: Option[(Int, Int)] = None,
+      runLogPath: Option[String] = None): DataStreamWriter[Row] =
     availableNowSink(docs, checkpoint) { (batch, _) =>
       waitingOutLease(lockRetries, lockWaitMs) {
         graft.operators.TrainPrep.advanceRagStore(batch.sparkSession,
-          batch, ragRoot)
+          batch, ragRoot, runLogPath)
       }
       maintainAfterTrigger(batch.sparkSession, ragRoot, maintain,
-        lockRetries, lockWaitMs)
+        lockRetries, lockWaitMs, runLogPath)
     }
 
   /** The per-trigger MAINTENANCE hook both streaming advancers share:
@@ -1068,15 +1070,32 @@ object Streams {
     * with compliance implications — [[graft.sources.Takedown]]'s SLA
     * owns erasure-driven vacuums — so the stream only maintains when
     * told the policy.
+    *
+    * OBSERVABILITY: each pass that actually did something (a chain cut
+    * committed or history reclaimed) writes ONE run-log row — the same
+    * visibility the batch-side completion flow gives its compact/vacuum
+    * passes ([[graft.sources.Takedown.completeErasure]]); a no-op pass
+    * (the common healthy-trigger case) logs nothing, so the trail
+    * records the policy FIRING, not the cadence.
     */
   private def maintainAfterTrigger(s: org.apache.spark.sql.SparkSession,
       root: String, maintain: Option[(Int, Int)],
-      lockRetries: Int, lockWaitMs: Long): Unit =
+      lockRetries: Int, lockWaitMs: Long,
+      runLogPath: Option[String] = None): Unit =
     maintain.foreach { case (maxLayers, keep) =>
-      waitingOutLease(lockRetries, lockWaitMs) {
+      val t0 = System.nanoTime()
+      val m = waitingOutLease(lockRetries, lockWaitMs) {
         graft.sources.Snapshots.maintain(s, root, maxLayers, keep)
       }
-      ()
+      if (m.compactedTo.isDefined || m.vacuumed.nonEmpty)
+        runLogPath.foreach(p => graft.sources.RunLog.append(s, p, Seq(
+          graft.sources.RunLog.Entry(
+            new java.sql.Timestamp(System.currentTimeMillis()),
+            "stream_maintain", "maintain", m.vacuumed.size.toLong,
+            (System.nanoTime() - t0) / 1000000L, "ok",
+            (s"root=$root compacted_to=${m.compactedTo.getOrElse(-1L)} " +
+              s"layers=${m.layersBefore}->${m.layersAfter} " +
+              s"vacuumed=[${m.vacuumed.mkString(",")}]").take(500)))))
     }
 
   /** Bounded lease-wait shared by the per-trigger store advancers: a

@@ -754,4 +754,90 @@ object Pipeline {
     }
     query
   }
+
+  // ----------------------------------------------------------- retention
+
+  /** The retention SLA of the whole tri-layer lake as ONE declarative
+    * policy — which raw-zone runs, warehouse partitions, and snapshot
+    * versions a nightly sweep may reclaim. Each leg is optional (empty
+    * = that layer has no policy tonight):
+    *
+    *  - `rawRuns`: (root, entity, keepRuns) — unconditional
+    *    [[graft.sources.RawZone.pruneRuns]] (the caller owns the
+    *    landed-ness contract);
+    *  - `rawRunsLanded`: (root, entity, keepRuns, checkpoint) — the
+    *    HWM-safe variant ([[graft.sources.RawZone.pruneRunsLanded]]):
+    *    a lagging streaming checkpoint BLOCKS the prune of unread runs;
+    *  - `warehousePartitions`: (table, partitionCol, cutoff) —
+    *    [[graft.sources.Catalog.dropPartitionsBelow]];
+    *  - `stores`: (root, maxLayers, keepVersions) —
+    *    [[graft.sources.Snapshots.maintain]] (chain cut + vacuum).
+    */
+  final case class RetentionPolicy(
+      rawRuns: Seq[(String, String, Int)] = Nil,
+      rawRunsLanded: Seq[(String, String, Int, String)] = Nil,
+      warehousePartitions: Seq[(String, String, String)] = Nil,
+      stores: Seq[(String, Int, Int)] = Nil)
+
+  /** One nightly RETENTION pass over all three storage layers — the
+    * composed entry point the layer ops
+    * ([[graft.sources.RawZone.pruneRuns]]/[[graft.sources.RawZone.pruneRunsLanded]],
+    * [[graft.sources.Catalog.dropPartitionsBelow]],
+    * [[graft.sources.Snapshots.maintain]]) existed for but left to be
+    * assembled by hand: walk the policy, write ONE run-log row per
+    * action (`retention` pipeline; rows = units reclaimed; a failed
+    * leg logs `failed` with the error), and keep walking past a failed
+    * leg so one bad table never silently blocks the rest of the SLA —
+    * then fail loudly at the end naming every failed stage. Returns
+    * the log entries of the pass.
+    * Scale: every leg is metadata-bounded by construction (directory
+    * deletes, partition drops, snapshot-pointer maintenance — the one
+    * data-sized action, `maintain`'s chain cut, is amortized to one
+    * per `maxLayers` nights by its own policy test).
+    */
+  def runRetention(spark: SparkSession, policy: RetentionPolicy,
+      runLogPath: String,
+      runTs: java.sql.Timestamp = new java.sql.Timestamp(
+        System.currentTimeMillis())): Seq[graft.sources.RunLog.Entry] = {
+    import graft.sources.{Catalog, RawZone, RunLog, Snapshots}
+    val entries = scala.collection.mutable.Buffer[RunLog.Entry]()
+    def leg(stage: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val e = try RunLog.Entry(runTs, "retention", stage, body,
+          (System.nanoTime() - t0) / 1000000L, "ok", "")
+        catch {
+          case err: Throwable => RunLog.Entry(runTs, "retention", stage,
+            -1L, (System.nanoTime() - t0) / 1000000L, "failed",
+            Option(err.toString).getOrElse("").take(500))
+        }
+      entries += e
+    }
+    policy.rawRuns.foreach { case (root, entity, keep) =>
+      leg(s"prune_raw:$entity") {
+        RawZone.pruneRuns(spark, root, entity, keep).size.toLong }
+    }
+    policy.rawRunsLanded.foreach { case (root, entity, keep, checkpoint) =>
+      leg(s"prune_raw_landed:$entity") {
+        RawZone.pruneRunsLanded(spark, root, entity, keep, checkpoint)
+          .size.toLong }
+    }
+    policy.warehousePartitions.foreach { case (table, partCol, cutoff) =>
+      leg(s"drop_partitions:$table") {
+        Catalog.dropPartitionsBelow(spark, table, partCol, cutoff)
+          .size.toLong }
+    }
+    policy.stores.foreach { case (root, maxLayers, keep) =>
+      leg(s"maintain_store:${new org.apache.hadoop.fs.Path(root).getName}") {
+        val m = Snapshots.maintain(spark, root, maxLayers, keep)
+        m.vacuumed.size.toLong
+      }
+    }
+    RunLog.append(spark, runLogPath, entries.toSeq)
+    val failed = entries.filter(_.status == "failed")
+    if (failed.nonEmpty) throw new IllegalStateException(
+      s"retention pass had ${failed.size} failed leg(s): " +
+        failed.map(e => s"${e.stage} (${e.error.takeWhile(_ != '\n')})")
+          .mkString("; "))
+    entries.toSeq
+  }
 }

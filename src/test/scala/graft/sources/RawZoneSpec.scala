@@ -56,6 +56,44 @@ class RawZoneSpec extends SparkSpec {
     }
   }
 
+  test("pruneRunsLanded: a lagging checkpoint BLOCKS the prune of unread runs; landed runs reclaim on schedule") {
+    val root = tmp()
+    val checkpoint = tmp() + "/ck"
+    def drain(): Unit = {
+      // the downstream consumer: an AvailableNow pass over the raw
+      // entity dir, committing what exists right now into the checkpoint
+      val q = spark.readStream.schema(Schemas.rawEvent)
+        .json(s"$root/events")
+        .writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); ()
+    }
+    RawZone.writeRun(parsed(eventJson), root, "events", "20240301_100000")
+    // no committed batch yet: NOTHING is landed, nothing prunes — the
+    // caller-owned keep floor alone would have reclaimed stamps here
+    RawZone.writeRun(parsed(eventJson), root, "events", "20240302_090000")
+    assert(RawZone.pruneRunsLanded(spark, root, "events", 1, checkpoint)
+      === Nil)
+    drain() // consumer lands runs 1+2
+    RawZone.writeRun(parsed(eventJson), root, "events", "20240303_080000")
+    RawZone.writeRun(parsed(eventJson), root, "events", "20240304_070000")
+    // keep=1 nominates runs 1..3; the checkpoint has only read 1+2, so
+    // run 3 is BLOCKED (the lagging consumer still needs its replay)
+    assert(RawZone.pruneRunsLanded(spark, root, "events", 1, checkpoint)
+      === Seq("20240301_100000", "20240302_090000"))
+    assert(new java.io.File(s"$root/events/run_ts=20240303_080000").exists())
+    drain() // consumer catches up (runs 3+4)
+    assert(RawZone.pruneRunsLanded(spark, root, "events", 1, checkpoint)
+      === Seq("20240303_080000"))
+    assert(RawZone.latestRun(spark, root, "events")
+      .contains("20240304_070000"))
+    intercept[IllegalArgumentException] {
+      RawZone.pruneRunsLanded(spark, root, "events", 0, checkpoint)
+    }
+  }
+
   test("S6: schema-enforced PERMISSIVE read tolerates corrupt records") {
     val root = tmp()
     import spark.implicits._

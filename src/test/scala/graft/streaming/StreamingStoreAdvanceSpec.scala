@@ -141,9 +141,11 @@ class StreamingStoreAdvanceSpec extends graft.SparkSpec {
       docsDf(Seq((id, words(w)))).coalesce(1).write.mode("append").parquet(inDir)
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft_ssa_mtlog").toString + "/run_log"
     val q = Streams.streamingStoreAdvance(stream, store,
       java.nio.file.Files.createTempDirectory("graft_ssa_mtck").toString,
-      maintain = Some((1, 1))).start()
+      maintain = Some((1, 1)), runLogPath = Some(logDir)).start()
     q.awaitTermination(180000)
     // every accepted doc is served...
     val man = TrainPrep.storeTable(spark, store, "store_manifest")
@@ -155,6 +157,16 @@ class StreamingStoreAdvanceSpec extends graft.SparkSpec {
       .forall(_._2 === 1))
     assert(graft.sources.Snapshots.versions(spark, store).size === 1,
       graft.sources.Snapshots.versions(spark, store).toString)
+    // ...and each NON-no-op maintenance pass left a run-log row (the
+    // same observability the batch-side completion flow has) — with
+    // this aggressive policy every non-empty trigger compacts+vacuums
+    val mrows = graft.sources.RunLog.read(spark, logDir)
+      .filter(col("pipeline") === "stream_maintain" &&
+        col("stage") === "maintain").collect()
+    assert(mrows.nonEmpty, "the firing policy must leave a trail")
+    assert(mrows.forall(_.getAs[String]("status") == "ok"))
+    assert(mrows.forall(r => r.getAs[String]("error").contains(store) &&
+      r.getAs[String]("error").contains("compacted_to=")))
   }
 
   test("a trigger WAITS out a transiently-held store lease instead of dying") {

@@ -733,4 +733,80 @@ class PipelineSpec extends SparkSpec {
       && r.getAs[String]("status") == "ok") === 1)
     assert(log.forall(_.getAs[String]("status") == "ok"))
   }
+
+  test("runRetention: one policy-driven nightly pass bounds all three storage layers over a multi-night loop, with one run-log trail") {
+    import graft.sources.{Catalog, RunLog, Snapshots}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rawRoot = java.nio.file.Files.createTempDirectory("ret_raw").toString
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("ret_store").toString + "/s"
+    val logPath = java.nio.file.Files
+      .createTempDirectory("ret_log").toString + "/run_log"
+    val db = "ret_ladder"
+    Catalog.ensureDatabase(spark, db,
+      Some(java.nio.file.Files.createTempDirectory("ret_wh").toString))
+    val fact = s"$db.fact"
+    Snapshots.writeTables(
+      Seq("t" -> Seq((0L, "seed")).toDF("id", "v")), storeRoot)
+    val policy = Pipeline.RetentionPolicy(
+      rawRuns = Seq((rawRoot, "events", 2)),
+      warehousePartitions = Nil, // cutoff varies per night — set below
+      stores = Seq((storeRoot, 2, 1)))
+    for (night <- 1 to 5) {
+      val date = f"2024-03-$night%02d"
+      val stamp = f"2024030$night%d_000000"
+      RawZone.writeRun(parsedEvents(Seq(eventJson(s"e$night", "v1", "abc",
+        s"${date}T10:00:00Z", 0.5))), rawRoot, "events", stamp)
+      Catalog.append(Seq((date, night.toLong)).toDF("date", "v")
+        .repartition(col("date")), fact, Seq("date"))
+      val v0 = Snapshots.latestVersion(spark, storeRoot).get
+      Snapshots.writeTablesSpec(spark, Seq("t" ->
+        (Snapshots.Append(v0, Seq((night.toLong, s"n$night"))
+          .toDF("id", "v")): Snapshots.TableSpec)), storeRoot)
+      val cutoff = f"2024-03-${math.max(1, night - 1)}%02d"
+      Pipeline.runRetention(spark,
+        policy.copy(warehousePartitions = Seq((fact, "date", cutoff))),
+        logPath)
+      // every layer bounded EVERY night, not just at the end
+      assert(new java.io.File(s"$rawRoot/events").listFiles()
+        .count(_.getName.startsWith("run_ts=")) <= 2)
+      assert(spark.sql(s"SHOW PARTITIONS $fact").count() <= 2)
+      assert(Snapshots.versions(spark, storeRoot).size <= 2)
+      assert(Snapshots.layerReport(spark, storeRoot).forall(_._2 <= 2))
+    }
+    // no rows lost above the cutoffs: the store resolves every append
+    assert(Snapshots.readTable(spark, storeRoot, "t").count() === 6L)
+    assert(spark.table(fact).select("v").collect().map(_.getLong(0)).toSet
+      === Set(4L, 5L))
+    val trail = RunLog.read(spark, logPath)
+      .filter(col("pipeline") === "retention").collect()
+    assert(trail.length === 15, "3 legs x 5 nights")
+    assert(trail.forall(_.getAs[String]("status") == "ok"))
+    assert(Set("prune_raw:events", s"drop_partitions:$fact",
+      "maintain_store:s").subsetOf(
+        trail.map(_.getAs[String]("stage")).toSet))
+    // a failing leg is logged AND the pass keeps walking the ladder,
+    // then fails loudly naming the failed stage
+    RawZone.writeRun(parsedEvents(Seq(eventJson("ex", "v1", "abc",
+      "2024-03-09T10:00:00Z", 0.5))), rawRoot, "events", "20240309_000000")
+    val e = intercept[IllegalStateException] {
+      Pipeline.runRetention(spark, Pipeline.RetentionPolicy(
+        warehousePartitions = Seq((s"$db.nope", "date", "2024-03-01")),
+        rawRuns = Seq((rawRoot, "events", 1))), logPath)
+    }
+    assert(e.getMessage.contains(s"drop_partitions:$db.nope"))
+    val after = RunLog.read(spark, logPath)
+      .filter(col("pipeline") === "retention").collect()
+    assert(after.exists(r => r.getAs[String]("stage") == s"drop_partitions:$db.nope"
+      && r.getAs[String]("status") == "failed"))
+    // the raw leg still ran despite the warehouse leg failing
+    assert(new java.io.File(s"$rawRoot/events").listFiles()
+      .count(_.getName.startsWith("run_ts=")) === 1)
+  }
+
+  private def parsedEvents(lines: Seq[String]) = {
+    import spark.implicits._
+    spark.read.schema(Schemas.rawEvent).json(lines.toDS)
+  }
 }
