@@ -523,15 +523,29 @@ object Takedown {
     * registry check) — runs 1.2–1.7 s at 1× and 10× store history
     * alike, flat, scan-bound.
     */
-  /** The id-bearing store tables a retained-version residue audit
-    * scans (the tombstone registries are deliberately EXCLUDED — they
-    * hold the erased ids by design, that is the re-entry guard, not
-    * residue; `test_shingles` carries no doc attribution and is audited
-    * structurally against the current corpus instead).
+  /** The tombstone registries are deliberately EXCLUDED from residue
+    * audits — they hold the erased ids BY DESIGN (the re-entry guard
+    * the coverage layers check), not residue.
     */
-  private val storeIdTables = Set("store_manifest", "store_bands",
-    "store_shingles")
-  private val ragIdTables = Set("vecs", "index", "postings", "chunklens")
+  private val TombstoneRegistries = Set("store_tombstones", "tombstones")
+
+  /** The id-bearing tables of version `v` under `root` — DERIVED from
+    * the version's own surface (every table whose schema carries a
+    * `doc_id` column, minus the tombstone registries), never a
+    * hardcoded list: a FUTURE id-bearing store table would otherwise be
+    * rewritten correctly by the takedown (whose [[assertCoversStore]]
+    * asserts both directions) yet silently excluded from the residue
+    * EVIDENCE — the same drift hazard one step removed. Tables without
+    * doc attribution (`test_shingles`, centroids, stats, totals) are
+    * out by construction; `test_shingles` gets its structural audit
+    * against the current corpus instead. Metadata-only (schema reads).
+    */
+  private[sources] def idBearingTables(spark: SparkSession, root: String,
+      v: Long): Seq[String] =
+    Snapshots.tableNames(spark, root, v)
+      .filterNot(TombstoneRegistries)
+      .filter(t => Snapshots.readTable(spark, root, t, Some(v))
+        .schema.fieldNames.exists(_.equalsIgnoreCase("doc_id")))
 
   def verifyErasure(spark: SparkSession, docIds: Seq[Long],
       docsTable: Option[String] = None, storeDir: Option[String] = None,
@@ -567,28 +581,29 @@ object Takedown {
       val dirCount = scala.collection.mutable.Map[String, Long]()
       def countDir(p: String): Long =
         dirCount.getOrElseUpdate(p, remaining(spark.read.parquet(p)))
-      def retainedLayers(root: String, prefix: String,
-          idTables: Set[String]): Seq[(String, Long)] = {
+      // the audited table set is DERIVED per version ([[idBearingTables]])
+      // — a table that gains doc attribution later in history is audited
+      // from the version it appears in, and a future id-bearing table
+      // can never silently fall out of the evidence
+      def retainedLayers(root: String, prefix: String): Seq[(String, Long)] = {
         val latest = Snapshots.latestVersion(spark, root)
         Snapshots.versions(spark, root)
           .filter(v => latest.exists(v <= _))
           .map { v =>
-            val n = Snapshots.tableNames(spark, root, v)
-              .filter(idTables).map(t =>
-                Snapshots.tablePaths(spark, root, t, v).map(countDir).sum).sum
+            val n = idBearingTables(spark, root, v).map(t =>
+              Snapshots.tablePaths(spark, root, t, v).map(countDir).sum).sum
             s"${prefix}_v${v}_residue" -> n
           }
       }
       val rows =
         docsTable.toSeq.map(t =>
           "documents" -> remaining(spark.table(t))) ++
-        storeDir.toSeq.flatMap(d => Seq(
-          "store_manifest" -> remaining(
-            Snapshots.readTable(spark, d, "store_manifest")),
-          "store_bands" -> remaining(
-            Snapshots.readTable(spark, d, "store_bands")),
-          "store_shingles" -> remaining(
-            Snapshots.readTable(spark, d, "store_shingles")))) ++
+        storeDir.toSeq.flatMap { d =>
+          val v = Snapshots.latestVersion(spark, d).getOrElse(
+            throw new IllegalStateException(s"no committed snapshot under $d"))
+          idBearingTables(spark, d, v).map(t =>
+            t -> remaining(Snapshots.readTable(spark, d, t, Some(v))))
+        } ++
         (docsTable zip storeDir).toSeq.map { case (t, d) =>
           // ONE-directional: stored hashes absent from the current
           // derivation are erasure RESIDUE; derived-but-not-stored
@@ -608,18 +623,19 @@ object Takedown {
           "tombstone_coverage" -> ids.join(
             registryOrEmpty(spark, d, "store_tombstones"),
             Seq("doc_id"), "left_anti").count()) ++
-        ragRoot.toSeq.flatMap(r => Seq("vecs", "index", "postings",
-          "chunklens").map(t =>
-            s"rag_$t" -> remaining(Snapshots.readTable(spark, r, t)))) ++
+        ragRoot.toSeq.flatMap { r =>
+          val v = Snapshots.latestVersion(spark, r).getOrElse(
+            throw new IllegalStateException(s"no committed snapshot under $r"))
+          idBearingTables(spark, r, v).map(t =>
+            s"rag_$t" -> remaining(Snapshots.readTable(spark, r, t, Some(v))))
+        } ++
         ragRoot.toSeq.map(r =>
           "rag_tombstone_coverage" -> ids.join(
             registryOrEmpty(spark, r, "tombstones"),
             Seq("doc_id"), "left_anti").count()) ++
         (if (!auditRetainedVersions) Nil
-         else storeDir.toSeq.flatMap(d =>
-             retainedLayers(d, "store", storeIdTables)) ++
-           ragRoot.toSeq.flatMap(r =>
-             retainedLayers(r, "rag", ragIdTables)))
+         else storeDir.toSeq.flatMap(d => retainedLayers(d, "store")) ++
+           ragRoot.toSeq.flatMap(r => retainedLayers(r, "rag")))
       rows.map { case (layer, n) => (layer, n, n == 0L) }
         .toDF("layer", "rows_remaining", "clean")
     } finally ids.unpersist(blocking = false)

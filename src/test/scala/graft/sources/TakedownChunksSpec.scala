@@ -579,4 +579,47 @@ class TakedownChunksSpec extends graft.SparkSpec {
     assert(ver1.forall(_.getAs[Boolean]("clean")),
       ver1.filterNot(_.getAs[Boolean]("clean")).mkString(","))
   }
+
+  test("the audit set is DERIVED from the version's surface: a planted id-bearing table is audited, never silently excluded") {
+    import spark.implicits._
+    def words(prefix: String) = (1 to 12).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq((1L, words("alpha")), (2L, words("beta")),
+        (10L, words("gamma")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("synth"))
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_tdaudit").toString
+    graft.operators.TrainPrep.materializeStoreFrom(spark, docs, storeDir)
+    val v0 = Snapshots.latestVersion(spark, storeDir).get
+    // a future engine adds an id-bearing side table the audit code
+    // has never heard of — commit it alongside carries of everything
+    val carried = Snapshots.tableNames(spark, storeDir, v0).map(t =>
+      t -> (Snapshots.Carry(v0): Snapshots.TableSpec))
+    Snapshots.writeTablesSpec(spark, carried :+
+      ("planted_ids" -> (Snapshots.Full(Seq((1L, "residue"))
+        .toDF("doc_id", "note")): Snapshots.TableSpec)), storeDir)
+    // the derived audit set picks it up at the serving latest...
+    val ver = Takedown.verifyErasure(spark, Seq(1L),
+      storeDir = Some(storeDir), auditRetainedVersions = true).collect()
+      .map(r => r.getAs[String]("layer") ->
+        (r.getAs[Long]("rows_remaining"), r.getAs[Boolean]("clean"))).toMap
+    assert(ver.contains("planted_ids"),
+      s"planted table missing from the evidence: ${ver.keySet}")
+    assert(ver("planted_ids") === ((1L, false)),
+      "the planted residue must be reported, not silently excluded")
+    // ...and per retained version: the planted version's layer carries
+    // the residue, the pre-plant version audits only its own tables
+    // (doc 1 was never erased here — this pins AUDIT COVERAGE, not an
+    // erasure: every id-bearing layer must count it, planted included)
+    val v1 = Snapshots.latestVersion(spark, storeDir).get
+    assert(!ver(s"store_v${v1}_residue")._2)
+    assert(ver(s"store_v${v1}_residue")._1 ===
+      ver(s"store_v${v0}_residue")._1 + 1L,
+      "the planted version's layer must count exactly the planted row on top")
+    // the derivation itself: id-bearing ⇔ carries a doc_id column,
+    // tombstone registries excluded by design
+    assert(Takedown.idBearingTables(spark, storeDir, v1).toSet ===
+      Set("store_manifest", "store_bands", "store_shingles", "planted_ids"))
+  }
 }
