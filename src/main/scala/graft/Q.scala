@@ -53,6 +53,7 @@ object Registry {
       operators.TrainPrep.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.VecStore.queries ++
       operators.Multimodal.queries ++
       operators.EventOps.queries ++
       operators.AsOf.queries ++

@@ -1116,6 +1116,121 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // PUBLISHED VECTOR INDEX probe (`runMain graft.ScaleProbe
+    // prod:vecstore`): the registry sim16/sim17 RETRAIN the coarse
+    // quantizer and PQ codebooks inside every invocation (the oracle
+    // must replay training from raw tables), so their bench numbers
+    // charge each query a train+encode production pays once per
+    // rebuild. Here the store publishes first (untimed — that is the
+    // nightly rebuild's job), then serving is timed per query against
+    // the pinned artifacts with a FIXED batch: the 10× arm serves the
+    // same sf0.1 batch against a store built on the 10×-replicated
+    // corpus (k and the cell count √C grow — a real index-growth
+    // shape), so any store-size term in the serve shows directly.
+    // Expected near-flat: probe is O(batch·k) (k grows √10×), the ADC
+    // scan is per-probed-cell row-group-pruned in the (cell, lbl)-
+    // sorted code table, rerank is O(batch·pool). The advance arm is
+    // the freshness path (fixed 20-vector batch, throwaway store
+    // copies — expect flat); the takedown arm is the erasure path
+    // (all-Full rewrite — expect O(store), stated honestly).
+    if (args.contains("prod:vecstore")) {
+      import graft.operators.{Similarity, VecStore}
+      val dirBase = skewCache("prodvecstore")
+      def ensureStore(d: String, root: String): Unit = {
+        if (graft.sources.Snapshots.latestVersion(spark, root).isEmpty) {
+          VecStore.publish(spark, d, root)
+          dropPersisted()
+        }
+      }
+      ensureStore(src, s"$dirBase/1x_store")
+      ensureStore(out, s"$dirBase/10x_store") // 10× corpus (remapped ids)
+      // correctness: from-store serving == the registry twins, bit-for-bit
+      for ((name, from) <- Seq(
+          "sim16_residual_pq" ->
+            (() => VecStore.sim16FromStore(spark, src, s"$dirBase/1x_store")),
+          "sim17_filtered_residual" ->
+            (() => VecStore.sim17FromStore(spark, src, s"$dirBase/1x_store")))) {
+        val want = SparkEntry.queries(name)(spark, src)
+          .collect().map(_.toSeq).toSeq
+        dropPersisted()
+        val got = from().collect().map(_.toSeq).toSeq
+        require(got == want, s"$name FromStore diverged: $got vs $want")
+        println(s"[probe] prod vecstore $name parity OK (${want.size} rows)")
+        dropPersisted()
+      }
+      // the FIXED batch the 10× serve arm probes with (the sf0.1 batch)
+      val isNew = col("vec_id") % 5 === 0
+      def batch16() =
+        Similarity.scaledVectors(spark, src).filter(isNew).localCheckpoint()
+      def batch17() =
+        Similarity.labeledVectors(spark, src).filter(isNew).localCheckpoint()
+      def serve(root: String, filtered: Boolean): DataFrame =
+        Similarity.serveIvfpq(if (filtered) batch17() else batch16(),
+          VecStore.loadIndex(spark, root), Similarity.pq16Pool,
+          residual = true, coarseTrained = true,
+          filteredByLabel = filtered, filterWiden = true)
+      val runners: Seq[(String, () => DataFrame)] = Seq(
+        "s16-rederive-1x" ->
+          (() => SparkEntry.queries("sim16_residual_pq")(spark, src)),
+        "s16-fromstore-1x" -> (() => serve(s"$dirBase/1x_store", false)),
+        "s16-fromstore-10x" -> (() => serve(s"$dirBase/10x_store", false)),
+        "s17-rederive-1x" ->
+          (() => SparkEntry.queries("sim17_filtered_residual")(spark, src)),
+        "s17-fromstore-1x" -> (() => serve(s"$dirBase/1x_store", true)),
+        "s17-fromstore-10x" -> (() => serve(s"$dirBase/10x_store", true)))
+      for ((label, run) <- runners) {
+        run().write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        println(f"[probe] prod vecstore $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
+      }
+      // incremental advance: a fixed 20-vector batch against throwaway
+      // copies of the 1× and 10× stores — expect FLAT (O(batch·k) dots
+      // vs broadcast centroids + O(batch) Append deltas)
+      val advBatch = { import spark.implicits._
+        val srcRows = Similarity.labeledVectors(spark, src)
+          .filter(!isNew).limit(20).collect()
+        srcRows.zipWithIndex.map { case (r, i) =>
+          (900000001L + i, r.getAs[Seq[Long]]("v").toArray,
+            r.getAs[Long]("nrm"), r.getAs[Long]("lbl"))
+        }.toSeq.toDF("vec_id", "v", "nrm", "lbl") }
+      for ((label, st) <- Seq(
+          ("vec-advance-1x", s"$dirBase/1x_store"),
+          ("vec-advance-10x", s"$dirBase/10x_store"))) {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("probe_vecadv").toString
+        deleteDir(scratch); copyDir(st, scratch)
+        val t0 = System.nanoTime()
+        VecStore.advance(spark, advBatch, scratch)
+        println(f"[probe] prod vecstore $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        deleteDir(scratch)
+        dropPersisted()
+      }
+      // takedown + evidence: erase 20 stored ids, vacuum, verify — the
+      // all-Full rewrite is O(store) by design (the erasure price), the
+      // evidence is column-pruned id scans
+      for ((label, st) <- Seq(
+          ("vec-takedown-1x", s"$dirBase/1x_store"),
+          ("vec-takedown-10x", s"$dirBase/10x_store"))) {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("probe_vectd").toString
+        deleteDir(scratch); copyDir(st, scratch)
+        val doomed = VecStore.loadIndex(spark, scratch).vecs
+          .orderBy("vec_id").limit(20).collect().map(_.getLong(0)).toSeq
+        val t0 = System.nanoTime()
+        VecStore.takedown(spark, doomed, scratch)
+        graft.sources.Snapshots.vacuum(spark, scratch, keep = 1)
+        val ev = VecStore.verifyErasure(spark, doomed, scratch)
+        require(ev.filter(!col("clean")).isEmpty, "vec erasure must audit clean")
+        println(f"[probe] prod vecstore $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s (evidence clean)")
+        deleteDir(scratch)
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // Catalog.upsert scale probe (`runMain graft.ScaleProbe prod:upsert`):
     // the nightly chunk-table merge must be O(touched partitions), not
     // O(table) — the survivor scan is partition-pruned to the batch's

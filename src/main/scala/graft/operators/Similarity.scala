@@ -39,7 +39,7 @@ object Similarity {
     * lookup). One loader shared by every filtered-search operator
     * (sim15, sim17) so the micro-scaling formula has exactly one copy.
     */
-  private def labeledVectors(s: SparkSession, d: String): DataFrame =
+  private[graft] def labeledVectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(
         col("vec_id"),
@@ -1111,7 +1111,7 @@ object Similarity {
   // Lloyd rounds buy nothing once the pool absorbs ADC ranking noise.
   // Shipped point: (iters=2, pool=100) — the knee. (Round-10 untrained
   // stand-in measured 0.630 at pool=50.)
-  private val pqIters = 2
+  private[operators] val pqIters = 2
   private val pqRerankPool = 100
   private val pqTrainBudget = 16384L
   private def sim14AnnIvfpq(s: SparkSession, d: String): DataFrame =
@@ -1167,12 +1167,53 @@ object Similarity {
       iters: Int, rerankPool: Int, residual: Boolean,
       coarseIters: Int = 0, filteredByLabel: Boolean = false,
       filterWiden: Boolean = true): DataFrame = {
-    val dot = graft.functions.VectorFunctions.dotLong _
-    val m = 8; val sub = 8
     val isNew = col("vec_id") % 5 === 0
     val e = (if (filteredByLabel) labeledVectors(s, d)
       else scaledVectors(s, d)).localCheckpoint()
-    val corpus = e.filter(!isNew)
+    val idx = trainIvfpq(e.filter(!isNew), iters, residual, coarseIters,
+      withLabel = filteredByLabel)
+    serveIvfpq(e.filter(isNew), idx, rerankPool, residual,
+      coarseTrained = coarseIters > 0, filteredByLabel, filterWiden)
+  }
+
+  /** The TRAINED-AND-ENCODED artifacts of the IVFPQ/IVFADC stack — what
+    * [[trainIvfpq]] derives in-plan for the registry twins and
+    * [[VecStore.publish]] persists as a versioned snapshot store:
+    * coarse centroids `(cid, vc, nc)`, per-subspace PQ codebooks
+    * `(j, code, cv, cn, cidx)`, the vector-grain code table
+    * `(vec_id, cd[8], cell[, lbl])`, the full-vector rerank side
+    * `(vec_id, v, nrm, cell[, lbl])`, the label histogram (when
+    * labeled), and the three corpus-derived scalars the probe formulas
+    * need. [[serveIvfpq]] reads ONLY these — whether they came from the
+    * in-plan trainer or from parquet — which is what makes the
+    * published store's serving plan train-free by construction.
+    */
+  private[graft] final case class IvfpqIndex(
+      cent: DataFrame, pqcent: DataFrame, codes: DataFrame,
+      vecs: DataFrame, hist: Option[DataFrame],
+      nCorpus: Long, kIvf: Int, nprobe: Int)
+
+  /** The 8×8 subvector geometry, shared by the trainer (corpus encode)
+    * and the server (query-side LUT) — one slice definition so the two
+    * sides can never drift.
+    */
+  private[operators] def subCols(vcol: Column): Column =
+    array((0 until 8).map(j =>
+      struct(lit(j).as("j"), slice(vcol, j * 8 + 1, 8).as("sv"))): _*)
+
+  /** TRAIN + ENCODE — the stored half of the IVFPQ/IVFADC stack (see
+    * the architecture scaladoc on [[ivfpqVariant]]'s doc block above
+    * and the measured recall tables at sim14/sim16): coarse quantizer
+    * (untrained lowest-ids convention at coarseIters=0, Lloyd-trained
+    * L2 k-means otherwise), per-subspace PQ codebook training in
+    * sim10's exact-integer discipline over the md5-thinned sample,
+    * residual or raw encode of the FULL corpus, and the vector-grain
+    * code table. Runs once per index build — never per query batch.
+    */
+  private[graft] def trainIvfpq(corpus: DataFrame, iters: Int,
+      residual: Boolean, coarseIters: Int,
+      withLabel: Boolean): IvfpqIndex = {
+    val dot = graft.functions.VectorFunctions.dotLong _
     val nCorpus = corpus.count()
     val kIvf = math.ceil(math.sqrt(nCorpus.toDouble)).toInt
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(kIvf.toDouble)).toInt)
@@ -1220,12 +1261,13 @@ object Similarity {
         cc.withColumn("nc",
           graft.functions.VectorFunctions.normSqLong(col("vc")))
       }
-    // coarse ranking metric: the quantizer's own — cosine for the
-    // untrained convention (sim9/sim14), reduced L2² for the trained one
-    def coarseOrd = if (coarseIters > 0) Seq(col("cdist").asc, col("cid").asc)
+    // assignment metric: the quantizer's own — cosine for the untrained
+    // convention (sim9/sim14), reduced L2² for the trained one
+    val assignOrd =
+      if (coarseIters > 0) Seq(col("cdist").asc, col("cid").asc)
       else Seq(col("ccos").desc, col("cid").asc)
     val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(coarseOrd: _*)
+      .partitionBy("vec_id").orderBy(assignOrd: _*)
     val assigned = corpus.crossJoin(broadcast(cent))
       .withColumn("cdot", dot(col("v"), col("vc")))
       .withColumn("ccos", col("cdot").cast("double") /
@@ -1237,10 +1279,8 @@ object Similarity {
       // for sim14 it would double the stored full-vector side for nothing
       .select(Seq(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell")) ++
         (if (residual) Seq(col("vc")) else Nil) ++
-        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
+        (if (withLabel) Seq(col("lbl")) else Nil): _*)
       .localCheckpoint() // the stored full-vector side (rerank fetches)
-    def subCols(vcol: Column) = array((0 until m).map(j =>
-      struct(lit(j).as("j"), slice(vcol, j * sub + 1, sub).as("sv"))): _*)
     // what the PQ sees: the raw vector (sim14) or its residual vs the
     // assigned coarse centroid (sim16 — exact int64 subtraction)
     val encVec =
@@ -1344,14 +1384,37 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("z"), p => p.getField("ci")).as("cd"))
       .join(assigned.select(Seq(col("vec_id"), col("cell")) ++
-        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*), "vec_id")
+        (if (withLabel) Seq(col("lbl")) else Nil): _*), "vec_id")
       .localCheckpoint()
-    // per-batch work starts here
-    val batch = e.filter(isNew)
+    val vecs = assigned.select(Seq(col("vec_id"), col("v"), col("nrm"),
+      col("cell")) ++ (if (withLabel) Seq(col("lbl")) else Nil): _*)
+    val hist = if (withLabel)
+      Some(corpus.groupBy("lbl").agg(count(lit(1)).as("cnt"))) else None
+    IvfpqIndex(cent, pqcent, codes, vecs, hist, nCorpus, kIvf, nprobe)
+  }
+
+  /** SERVE — the per-batch half of the IVFPQ/IVFADC stack: probe the
+    * coarse centroids, build the per-query LUT, ADC-scan the probed
+    * cells' code rows, exact-rerank the top pool. Reads NOTHING but the
+    * batch and [[IvfpqIndex]]'s frames, so a plan built over a
+    * parquet-loaded index contains zero Lloyd rounds — the
+    * train-once/serve-forever boundary of a production vector DB.
+    * Work per batch: O(batch·k) probing, O(Σ_q |probed cells|·m)
+    * LUT-joined code rows, O(batch·pool) full-vector rerank fetches —
+    * the corpus is never rescanned or re-encoded.
+    */
+  private[graft] def serveIvfpq(batch: DataFrame, idx: IvfpqIndex,
+      rerankPool: Int, residual: Boolean, coarseTrained: Boolean,
+      filteredByLabel: Boolean, filterWiden: Boolean): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val m = 8
+    // probe ranking metric mirrors the assignment metric
+    def coarseOrd = if (coarseTrained) Seq(col("cdist").asc, col("cid").asc)
+      else Seq(col("ccos").desc, col("cid").asc)
     val npeExpr =
-      if (!filteredByLabel || !filterWiden) lit(nprobe.toLong)
-      else least(lit(kIvf.toLong),
-        lit(nprobe.toLong) * expr(s"(${nCorpus}L + cnt - 1L) div cnt"))
+      if (!filteredByLabel || !filterWiden) lit(idx.nprobe.toLong)
+      else least(lit(idx.kIvf.toLong),
+        lit(idx.nprobe.toLong) * expr(s"(${idx.nCorpus}L + cnt - 1L) div cnt"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(coarseOrd: _*)
     val probed0 = batch
@@ -1362,10 +1425,9 @@ object Similarity {
         // per-query probe budget from the corpus-side label histogram (a
         // ≤|labels|-row broadcast) — sim15's widening rule over THIS
         // index's cell count
-        val hist = corpus.groupBy("lbl").agg(count(lit(1)).as("cnt"))
-        probed0.join(broadcast(hist), "lbl").withColumn("npe", npeExpr)
+        probed0.join(broadcast(idx.hist.get), "lbl").withColumn("npe", npeExpr)
       } else probed0.withColumn("npe", npeExpr))
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(idx.cent))
       .withColumn("cdot", dot(col("va"), col("vc")))
       .withColumn("ccos", col("cdot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
@@ -1379,7 +1441,7 @@ object Similarity {
     val lutJ = batch
       .select(col("vec_id").as("qid"), explode(subCols(col("v"))).as("x"))
       .select(col("qid"), col("x.j").as("j"), col("x.sv").as("sv"))
-      .join(broadcast(pqcent), Seq("j"))
+      .join(broadcast(idx.pqcent), Seq("j"))
       .select(col("qid"), col("j"), col("cidx"),
         dot(col("sv"), col("cv")).as("pdot"))
       .groupBy("qid", "j")
@@ -1398,7 +1460,7 @@ object Similarity {
       .reduce(_ + _)
     // filtered: the (cell, lbl) equi-join IS the predicate — a
     // non-matching code never reaches the ADC arithmetic
-    val adc = codes.join(probed,
+    val adc = idx.codes.join(probed,
         if (filteredByLabel) Seq("cell", "lbl") else Seq("cell"))
       .join(lutQ, "qid")
       .select(Seq(col("qid"), col("vec_id").as("nbr"),
@@ -1415,7 +1477,7 @@ object Similarity {
     coarse
       .join(batch.select(col("vec_id").as("qid"), col("v").as("va"),
         col("nrm").as("na")), "qid")
-      .join(assigned.select(col("vec_id").as("nbr"), col("v").as("vb"),
+      .join(idx.vecs.select(col("vec_id").as("nbr"), col("v").as("vb"),
         col("nrm").as("nb")), "nbr")
       .withColumn("dot", dot(col("va"), col("vb")))
       .withColumn("cos", col("dot").cast("double") /
@@ -1567,8 +1629,8 @@ object Similarity {
   // IVF prune on real corpora. Remedies if a production corpus
   // degenerates: nprobe-aware cell re-splitting or a per-cell scan cap
   // (recall-lossy — not wired unless needed; skew:sim14's note).
-  private val pq16CoarseIters = 2
-  private val pq16Pool = 100
+  private[operators] val pq16CoarseIters = 2
+  private[graft] val pq16Pool = 100
   private def sim16ResidualPq(s: SparkSession, d: String): DataFrame =
     ivfpqVariant(s, d, pqIters, pq16Pool, residual = true,
       coarseIters = pq16CoarseIters)
@@ -1591,7 +1653,7 @@ object Similarity {
        |cent$r AS (SELECT cid, list(cv ORDER BY d) AS vc
        |  FROM kp$r GROUP BY cid),""".stripMargin
 
-  private val sim16Sql: String = graft.OracleHints.materializeCtes(
+  private[operators] val sim16Sql: String = graft.OracleHints.materializeCtes(
     s"""WITH $scaledVectorsSqlCte,
        |corp AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 5 <> 0),
        |corpt AS (SELECT c.vec_id, c.v FROM corp c WHERE
@@ -1830,7 +1892,7 @@ object Similarity {
     ivfpqVariant(s, d, pqIters, pq16Pool, residual = true,
       coarseIters = pq16CoarseIters, filteredByLabel = true)
 
-  private val sim17Sql: String = graft.OracleHints.materializeCtes(
+  private[operators] val sim17Sql: String = graft.OracleHints.materializeCtes(
     s"""WITH $scaledVectorsSqlCte,
        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
        |corp AS (SELECT e.vec_id, e.v, e.nrm, lab.lbl FROM e

@@ -1,0 +1,391 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.{CommitLock, Snapshots}
+
+/** The PUBLISHED trained vector index — the production vector-DB
+  * posture the in-plan IVFPQ/IVFADC twins (sim14/sim16/sim17,
+  * [[Similarity.ivfpqVariant]]) demonstrate per query but deliberately
+  * re-train inside every invocation: at 100 TB a vector index is
+  * trained ONCE, committed as a versioned artifact, served with a plan
+  * that contains zero Lloyd rounds, advanced incrementally against the
+  * PINNED quantizers, and erased at takedown. This object closes that
+  * loop with the same machinery the BM25+IVF RAG store already uses
+  * ([[graft.sources.Snapshots]] versioning, [[CommitLock]] leases,
+  * tombstone re-entry guards, all-Full chain-cut erasures):
+  *
+  *  - [[publish]]: train sim16/sim17's full stack (trained coarse
+  *    quantizer, residual PQ codebooks, label co-keyed codes) via
+  *    [[Similarity.trainIvfpq]] and commit the seven-table store;
+  *  - [[sim16FromStore]]/[[sim17FromStore]]: the serving twins — probe
+  *    + LUT + ADC + rerank ([[Similarity.serveIvfpq]]) over the
+  *    parquet-loaded artifacts, bit-equal to the in-plan queries (both
+  *    are oracle-gated with the SAME DuckDB SQL as their twins);
+  *  - [[advance]]: fold new vectors in — assigned to the STORED
+  *    centroids, encoded against the STORED codebooks, committed as
+  *    Append deltas (freshness between retrains, the IVF
+  *    grow-until-retrain contract; [[publish]] is the retrain);
+  *  - [[takedown]]: all-Full chain-cut rewrite without the doomed
+  *    vec_ids + tombstone registration, so vacuum can physically
+  *    reclaim and a replayed advance cannot resurrect them;
+  *  - [[verifyErasure]]: the evidence table — per-table residue at
+  *    serving latest AND per retained version (audit set DERIVED from
+  *    each version's own surface: every table carrying a vec_id
+  *    column), plus tombstone coverage.
+  *
+  * Store layout (one [[Snapshots]] root):
+  *   vec_cent       (cid, vc, nc)                 trained coarse centroids
+  *   vec_pq         (j, code, cv, cn, cidx)       per-subspace PQ codebooks
+  *   vec_codes      (vec_id, cd[8], cell, lbl)    8-byte codes, (cell,lbl) co-keyed
+  *   vec_vecs       (vec_id, v, nrm, cell, lbl)   full-vector rerank side
+  *   vec_hist       (lbl, cnt)                    label histogram (probe widening)
+  *   vec_params     (n_corpus, k_ivf, nprobe)     probe formulas, pinned at train
+  *   vec_tombstones (vec_id)                      erased-id re-entry guard
+  *
+  * 100 TB layout: vec_codes lands range-partitioned and sorted by
+  * (cell, lbl, vec_id) so the probe's (cell[, lbl]) candidate join is
+  * row-group pruning in the scan, not a post-scan filter; vec_vecs by
+  * vec_id so the ≤pool-per-query rerank fetch prunes to O(pool) row
+  * groups. The quantizer tables are request-small and broadcast. One
+  * store serves BOTH the unfiltered (sim16) and label-filtered (sim17)
+  * configurations — the label is a co-key the unfiltered probe simply
+  * does not join on.
+  *
+  * MEASURED (ScaleProbe prod:vecstore, sf0.1 base, warm, r17; 10× =
+  * store built on the 10×-replicated corpus, SAME fixed sf0.1 batch):
+  * sim16 rederive 7.79 s vs from-store 1.95 s at 1×, 2.79 s at 10×
+  * store; sim17 rederive 6.02 s vs 1.77 s / 3.17 s — the per-query
+  * train+encode is gone and the serve is near-flat in store size (the
+  * residual growth is the √10× larger probe set, not a corpus term).
+  * Advance (fixed 20-vector batch): 3.30 s at 1×, 2.42 s at 10× —
+  * FLAT. Takedown+vacuum+evidence: 4.88 s / 4.11 s, evidence clean at
+  * both scales (the all-Full rewrite is O(store) by design; at these
+  * scales fixed costs dominate).
+  */
+object VecStore {
+
+  /** The batch/corpus split convention the sim queries share. */
+  private val isNew = col("vec_id") % 5 === 0
+
+  /** Train sim16/17's full stack once and commit it as the versioned
+    * seven-table store. Deliberately ALL-FULL ([[Snapshots.writeTables]]):
+    * the publish IS the retrain/chain-cut — after it, vacuum can
+    * reclaim every pre-publish version (the RAG store's rebuild rule).
+    * Returns the committed version.
+    */
+  def publish(s: SparkSession, d: String, root: String): Long = {
+    val e = Similarity.labeledVectors(s, d).localCheckpoint()
+    try publishFrom(s, e.filter(!isNew), root)
+    finally e.unpersist(blocking = false)
+  }
+
+  /** [[publish]] over an explicit labeled corpus frame
+    * (vec_id, v, nrm, lbl) — the form probes and re-publishes use.
+    */
+  private[graft] def publishFrom(s: SparkSession, corpus: DataFrame,
+      root: String): Long = {
+    val idx = Similarity.trainIvfpq(corpus, Similarity.pqIters,
+      residual = true, coarseIters = Similarity.pq16CoarseIters,
+      withLabel = true)
+    CommitLock.withLock(s, root) {
+      Snapshots.writeTables(Seq(
+        "vec_cent" -> idx.cent,
+        "vec_pq" -> idx.pqcent,
+        "vec_codes" -> idx.codes
+          .repartitionByRange(col("cell"), col("lbl"))
+          .sortWithinPartitions("cell", "lbl", "vec_id"),
+        "vec_vecs" -> idx.vecs
+          .repartitionByRange(col("vec_id"))
+          .sortWithinPartitions("vec_id"),
+        "vec_hist" -> idx.hist.get,
+        "vec_params" -> s.range(1).select(
+          lit(idx.nCorpus).as("n_corpus"),
+          lit(idx.kIvf).as("k_ivf"),
+          lit(idx.nprobe).as("nprobe")),
+        "vec_tombstones" -> s.range(0).select(col("id").as("vec_id"))),
+        root)
+    }
+  }
+
+  /** The pinned index of `root` at `version` (default committed
+    * latest), as the serving-side artifact bundle. Three request-small
+    * quantizer/param reads + lazy parquet relations for the two
+    * corpus-sized tables — no training anywhere downstream.
+    */
+  private[graft] def loadIndex(s: SparkSession, root: String,
+      version: Option[Long] = None): Similarity.IvfpqIndex = {
+    val pin = version.orElse(Snapshots.latestVersion(s, root)).getOrElse(
+      throw new IllegalStateException(s"no committed vector store under $root"))
+    def t(n: String) = Snapshots.readTable(s, root, n, Some(pin))
+    val p = t("vec_params").collect().head
+    Similarity.IvfpqIndex(
+      cent = t("vec_cent"), pqcent = t("vec_pq"),
+      codes = t("vec_codes"), vecs = t("vec_vecs"),
+      hist = Some(t("vec_hist")),
+      nCorpus = p.getAs[Long]("n_corpus"),
+      kIvf = p.getAs[Int]("k_ivf"),
+      nprobe = p.getAs[Int]("nprobe"))
+  }
+
+  // ------------------------------------------------------- serving twins
+
+  /** sim16 SERVED FROM THE PUBLISHED STORE: identical output to the
+    * in-plan sim16_residual_pq (same oracle SQL gates both), but the
+    * plan reads the trained artifacts from parquet — zero Lloyd rounds,
+    * zero corpus encodes. The label co-key is simply not joined on.
+    */
+  private[graft] def sim16FromStore(s: SparkSession, d: String,
+      root: String): DataFrame =
+    Similarity.serveIvfpq(
+      Similarity.scaledVectors(s, d).filter(isNew).localCheckpoint(),
+      loadIndex(s, root), Similarity.pq16Pool, residual = true,
+      coarseTrained = true, filteredByLabel = false, filterWiden = true)
+
+  /** sim17 (filtered residual — the production vector-DB configuration)
+    * served from the SAME published store: the (cell, lbl) candidate
+    * join prunes in the stored code table's sort order.
+    */
+  private[graft] def sim17FromStore(s: SparkSession, d: String,
+      root: String): DataFrame =
+    Similarity.serveIvfpq(
+      Similarity.labeledVectors(s, d).filter(isNew).localCheckpoint(),
+      loadIndex(s, root), Similarity.pq16Pool, residual = true,
+      coarseTrained = true, filteredByLabel = true, filterWiden = true)
+
+  /** One published store per (process, sf dir) for the registry's
+    * FromStore queries — built on first use, reused by both serving
+    * twins and every later pass (which is exactly the point: the bench
+    * measures SERVING a committed index, the way a production store is
+    * actually hit; the one-time build is [[publish]]'s own job).
+    */
+  private val builtFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def storeFor(s: SparkSession, d: String): String =
+    builtFor.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vecstore").toString + "/v"
+      publish(s, d, root)
+      root
+    })
+
+  // --------------------------------------------------------- advance
+
+  /** INCREMENTAL ADVANCE — fold a batch of NEW vectors
+    * (vec_id, v, nrm, lbl) into the published store: assigned to the
+    * PINNED stored centroids and encoded against the PINNED codebooks
+    * (exactly the build's argmins — [[Similarity.trainIvfpq]]'s
+    * assignment and code stages re-run over the batch alone), then
+    * committed as Append deltas keeping the store's sort conventions;
+    * centroids/codebooks Carry, the 1-row params and the label
+    * histogram write Full. Honest contract, the RAG store's twin:
+    * FRESHNESS, not retraining — cells and codebooks stay the last
+    * [[publish]]'s, so recall drifts as the corpus grows and the
+    * nightly re-publish remains the quality-maintenance path. Guards:
+    * intra-batch id dedup (deterministic winner), then ONE anti-join
+    * against the unioned guard frame (tombstone registry ∪ indexed
+    * ids) — an erased id cannot re-enter via an at-least-once replay,
+    * and a replayed batch commits nothing. Scale: O(batch·k) codegen'd
+    * dots against broadcast centroids + O(batch·m·64) code argmins;
+    * O(batch) committed bytes. Returns the committed version (the
+    * prior version when nothing is new).
+    */
+  def advance(s: SparkSession, batch: DataFrame, root: String): Long =
+    CommitLock.withLock(s, root) {
+      import Snapshots.{Append, Carry, Full, TableSpec}
+      val dot = graft.functions.VectorFunctions.dotLong _
+      val v0 = Snapshots.latestVersion(s, root).getOrElse(
+        throw new IllegalStateException(s"no committed vector store under $root"))
+      def stored(t: String) = Snapshots.readTable(s, root, t, Some(v0))
+      // intra-batch dedup: one deterministic winner per vec_id (arrays
+      // are orderable — the lowest (lbl, v) row wins on every replay)
+      val wId = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("lbl"), col("v"))
+      val guardIds = stored("vec_tombstones").select("vec_id")
+        .unionByName(stored("vec_vecs").select("vec_id"))
+      val fresh = batch
+        .withColumn("_rk", row_number().over(wId))
+        .filter(col("_rk") === 1).drop("_rk")
+        .join(guardIds, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      try {
+        if (fresh.isEmpty) return v0
+        val cent = stored("vec_cent")
+        val pqcent = stored("vec_pq")
+        // assignment to the PINNED centroids — the build's trained-L2
+        // argmin ([[Similarity.trainIvfpq]]'s wAssign at coarseIters>0)
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("cdist").asc, col("cid").asc)
+        val assigned = fresh.crossJoin(broadcast(cent))
+          .withColumn("cdist",
+            col("nc") - lit(2L) * dot(col("v"), col("vc")))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("cid").as("cell"), col("vc"), col("lbl"))
+          .localCheckpoint()
+        try {
+          // residual encode against the PINNED codebooks — the build's
+          // (d2, cidx) argmin over the batch's subvectors alone
+          val subv = assigned
+            .select(col("vec_id"),
+              zip_with(col("v"), col("vc"), (a, b) => a - b).as("r"))
+            .select(col("vec_id"),
+              explode(Similarity.subCols(col("r"))).as("x"))
+            .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
+          val codesDelta = subv.join(broadcast(pqcent), Seq("j"))
+            .withColumn("d2",
+              col("cn") - lit(2L) * dot(col("sv"), col("cv")))
+            .groupBy("vec_id", "j")
+            .agg(min(struct(col("d2"), col("cidx"))).as("b"))
+            .groupBy("vec_id")
+            .agg(array_sort(collect_list(
+              struct(col("j"), col("b.cidx").as("ci")))).as("z"))
+            .select(col("vec_id"),
+              transform(col("z"), p => p.getField("ci")).as("cd"))
+            .join(assigned.select("vec_id", "cell", "lbl"), "vec_id")
+          val vecsDelta = assigned
+            .select("vec_id", "v", "nrm", "cell", "lbl")
+          val dHist = fresh.groupBy("lbl").agg(count(lit(1)).as("dc"))
+          val hist = stored("vec_hist")
+            .join(dHist, Seq("lbl"), "full_outer")
+            .select(col("lbl"),
+              (coalesce(col("cnt"), lit(0L)) +
+                coalesce(col("dc"), lit(0L))).as("cnt"))
+          val dN = fresh.count()
+          // n_corpus advances (the widening formula tracks the live
+          // corpus); k_ivf/nprobe stay PINNED at the last publish —
+          // freshness, not retraining
+          val params = stored("vec_params").select(
+            (col("n_corpus") + lit(dN)).as("n_corpus"),
+            col("k_ivf"), col("nprobe"))
+          Snapshots.writeTablesSpec(s, Seq(
+            "vec_cent" -> (Carry(v0): TableSpec),
+            "vec_pq" -> Carry(v0),
+            "vec_codes" -> Append(v0, codesDelta
+              .repartitionByRange(col("cell"), col("lbl"))
+              .sortWithinPartitions("cell", "lbl", "vec_id")),
+            "vec_vecs" -> Append(v0, vecsDelta
+              .repartitionByRange(col("vec_id"))
+              .sortWithinPartitions("vec_id")),
+            "vec_hist" -> Full(hist),
+            "vec_params" -> Full(params),
+            "vec_tombstones" -> Carry(v0)), root)
+        } finally assigned.unpersist(blocking = false)
+      } finally fresh.unpersist(blocking = false)
+    }
+
+  // --------------------------------------------------------- takedown
+
+  /** All the store's table names — the coverage contract a takedown
+    * rewrite asserts against the pinned version (the
+    * `assertCoversStore` rule: silently dropping a table out of latest
+    * is the failure mode, a loud error the fix).
+    */
+  private val AllTables = Seq("vec_cent", "vec_pq", "vec_codes",
+    "vec_vecs", "vec_hist", "vec_params", "vec_tombstones")
+
+  /** ERASE `vecIds` from the published store: one all-Full chain-cut
+    * commit (never Carry/Append — after a takedown no new version may
+    * reference a pre-purge version, so [[Snapshots.vacuum]] can
+    * physically reclaim the erased bytes), with the doomed ids
+    * anti-joined out of the code and vector tables, the histogram and
+    * corpus count recomputed from the survivors (k_ivf/nprobe stay
+    * pinned — an erasure is not a retrain), and the ids registered in
+    * the tombstone table so a replayed [[advance]] of pre-takedown
+    * inputs cannot resurrect them. Covers every table of the pinned
+    * version by construction (asserted). Returns the committed version.
+    */
+  def takedown(s: SparkSession, vecIds: Seq[Long], root: String): Long = {
+    require(vecIds.nonEmpty, "a takedown needs at least one vec id")
+    import s.implicits._
+    CommitLock.withLock(s, root) {
+      val v0 = Snapshots.latestVersion(s, root).getOrElse(
+        throw new IllegalStateException(s"no committed vector store under $root"))
+      def stored(t: String) = Snapshots.readTable(s, root, t, Some(v0))
+      val atV0 = Snapshots.tableNames(s, root, v0).toSet
+      require(atV0 == AllTables.toSet,
+        s"vec takedown covers ${AllTables.sorted.mkString(",")} but _v=$v0 " +
+          s"holds ${atV0.toSeq.sorted.mkString(",")} — teach the rewrite " +
+          "the new table before erasing")
+      val ids = vecIds.toDF("vec_id")
+      val vecs1 = stored("vec_vecs")
+        .join(ids, Seq("vec_id"), "left_anti").localCheckpoint()
+      try {
+        val codes1 = stored("vec_codes").join(ids, Seq("vec_id"), "left_anti")
+        val hist1 = vecs1.groupBy("lbl").agg(count(lit(1)).as("cnt"))
+        val params1 = stored("vec_params").select(
+          lit(vecs1.count()).as("n_corpus"), col("k_ivf"), col("nprobe"))
+        val tomb1 = stored("vec_tombstones")
+          .unionByName(ids).distinct()
+        Snapshots.writeTables(Seq(
+          "vec_cent" -> stored("vec_cent"),
+          "vec_pq" -> stored("vec_pq"),
+          "vec_codes" -> codes1
+            .repartitionByRange(col("cell"), col("lbl"))
+            .sortWithinPartitions("cell", "lbl", "vec_id"),
+          "vec_vecs" -> vecs1
+            .repartitionByRange(col("vec_id"))
+            .sortWithinPartitions("vec_id"),
+          "vec_hist" -> hist1,
+          "vec_params" -> params1,
+          "vec_tombstones" -> tomb1), root)
+      } finally vecs1.unpersist(blocking = false)
+    }
+  }
+
+  /** The erasure EVIDENCE table, `(layer, rows_remaining, clean)` —
+    * the vec-grain twin of [[graft.sources.Takedown.verifyErasure]]:
+    * per-table residue at the serving latest, tombstone coverage (ids
+    * MISSING from the registry — clean ⇔ the re-entry guard holds),
+    * and one layer per retained version. The audited table set is
+    * DERIVED from each version's own surface (every table whose schema
+    * carries a vec_id column, registry excluded) — never a hardcoded
+    * list — and the per-version counts memoize per data directory
+    * (retained layered versions share chain directories).
+    */
+  def verifyErasure(s: SparkSession, vecIds: Seq[Long],
+      root: String): DataFrame = {
+    require(vecIds.nonEmpty, "verifyErasure needs at least one vec id")
+    import s.implicits._
+    val ids = vecIds.toDF("vec_id").distinct().localCheckpoint()
+    try {
+      def remaining(df: DataFrame): Long =
+        df.select("vec_id").join(ids, Seq("vec_id"), "left_semi").count()
+      def idTables(v: Long): Seq[String] =
+        Snapshots.tableNames(s, root, v)
+          .filterNot(_ == "vec_tombstones")
+          .filter(t => Snapshots.readTable(s, root, t, Some(v))
+            .schema.fieldNames.exists(_.equalsIgnoreCase("vec_id")))
+      val latest = Snapshots.latestVersion(s, root).getOrElse(
+        throw new IllegalStateException(s"no committed vector store under $root"))
+      val dirCount = scala.collection.mutable.Map[String, Long]()
+      def countDir(p: String): Long =
+        dirCount.getOrElseUpdate(p, remaining(s.read.parquet(p)))
+      val rows =
+        idTables(latest).map(t =>
+          t -> remaining(Snapshots.readTable(s, root, t, Some(latest)))) ++
+        Seq("tombstone_coverage" -> ids.join(
+          Snapshots.readTable(s, root, "vec_tombstones", Some(latest)),
+          Seq("vec_id"), "left_anti").count()) ++
+        Snapshots.versions(s, root).filter(_ <= latest).map { v =>
+          val n = idTables(v).map(t =>
+            Snapshots.tablePaths(s, root, t, v).map(countDir).sum).sum
+          s"vec_v${v}_residue" -> n
+        }
+      rows.map { case (layer, n) => (layer, n, n == 0L) }
+        .toDF("layer", "rows_remaining", "clean")
+    } finally ids.unpersist(blocking = false)
+  }
+
+  // --------------------------------------------------------- registry
+
+  val queries: Seq[Q] = Seq(
+    Q("sim16_from_store",
+      (s, d) => sim16FromStore(s, d, storeFor(s, d)),
+      Some(Similarity.sim16Sql)),
+    Q("sim17_from_store",
+      (s, d) => sim17FromStore(s, d, storeFor(s, d)),
+      Some(Similarity.sim17Sql)))
+}

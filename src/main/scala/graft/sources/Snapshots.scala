@@ -512,7 +512,7 @@ object Snapshots {
     * retained-version audit memoizes counts per directory so a layered
     * history's shared base is scanned once, not once per version).
     */
-  private[sources] def tablePaths(spark: SparkSession, root: String, table: String,
+  private[graft] def tablePaths(spark: SparkSession, root: String, table: String,
       version: Long): Seq[String] = {
     val fs = fsOf(spark, root)
     val dir = new Path(root, s"$VPrefix$version/$table")

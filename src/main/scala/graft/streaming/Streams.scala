@@ -1020,6 +1020,34 @@ object Streams {
         lockRetries, lockWaitMs, runLogPath)
     }
 
+  /** The VECTOR-INDEX twin of [[streamingStoreAdvance]]: each
+    * micro-batch of new embeddings (vec_id, v, nrm, lbl) folds into the
+    * published trained vector store via
+    * [[graft.operators.VecStore.advance]] — assigned to the PINNED
+    * stored centroids, encoded against the PINNED PQ codebooks, and
+    * Append-committed, so the FromStore serving twins pick them up at
+    * the next latest read. Same delivery posture as the other two
+    * advancers: idempotent under trigger replay (tombstone ∪ membership
+    * guard — a replayed batch commits nothing), one advance at a time
+    * by foreachBatch serialization, a transiently-held root lease
+    * waited out, the per-trigger maintenance hook bounding chain depth,
+    * and one run-log row per non-no-op maintain. Freshness, not
+    * retraining: [[graft.operators.VecStore.publish]] is the retrain.
+    */
+  def streamingVecAdvance(vecs: DataFrame, vecRoot: String,
+      checkpoint: String, lockRetries: Int = 20,
+      lockWaitMs: Long = 3000L,
+      maintain: Option[(Int, Int)] = None,
+      runLogPath: Option[String] = None): DataStreamWriter[Row] =
+    availableNowSink(vecs, checkpoint) { (batch, _) =>
+      waitingOutLease(lockRetries, lockWaitMs) {
+        graft.operators.VecStore.advance(batch.sparkSession,
+          batch, vecRoot)
+      }
+      maintainAfterTrigger(batch.sparkSession, vecRoot, maintain,
+        lockRetries, lockWaitMs, runLogPath)
+    }
+
   /** The SERVING-side twin of [[streamingStoreAdvance]]: each
     * micro-batch folds its documents into the published RAG index via
     * [[graft.operators.TrainPrep.advanceRagStore]] — new chunks

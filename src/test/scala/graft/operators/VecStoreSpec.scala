@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** VecStore — the published trained vector index. Pins the four
+  * contracts that make it a production store rather than a cached
+  * query: (1) the FromStore serving twins are BIT-EQUAL to the in-plan
+  * sim16/sim17 (train-once/serve-forever loses nothing), and the
+  * serving plan reads the store's parquet rather than re-training;
+  * (2) advance folds new vectors in against the PINNED quantizers —
+  * served at the next read, replay a no-op, the pre-advance version
+  * still serving bit-identically; (3) takedown erases at the vec grain
+  * with an all-Full chain cut, vacuum physically reclaims, and the
+  * tombstone guard blocks an at-least-once resurrection; (4) the
+  * erasure evidence derives its audit set from each version's own
+  * surface.
+  */
+class VecStoreSpec extends graft.SparkSpec {
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def freshStore(d: String): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vecstore_spec").toString + "/v"
+    VecStore.publish(spark, d, root)
+    root
+  }
+
+  test("FromStore twins serve bit-equal to the in-plan queries, from a plan that reads the published parquet") {
+    val d = sf("sf0.001")
+    val root = freshStore(d)
+    val from16 = VecStore.sim16FromStore(spark, d, root)
+    val from17 = VecStore.sim17FromStore(spark, d, root)
+    assert(rows(from16) ===
+      rows(Similarity.ivfpqVariant(spark, d, Similarity.pqIters,
+        Similarity.pq16Pool, residual = true,
+        coarseIters = Similarity.pq16CoarseIters)))
+    assert(rows(from17) ===
+      rows(Similarity.ivfpqVariant(spark, d, Similarity.pqIters,
+        Similarity.pq16Pool, residual = true,
+        coarseIters = Similarity.pq16CoarseIters, filteredByLabel = true)))
+    // the serving plan's scan set includes the STORE's artifacts — the
+    // trained quantizers come from parquet, not from an in-plan trainer
+    val plan = from17.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_codes") && plan.contains("vec_vecs"),
+      "the serve must scan the published code/vector tables")
+  }
+
+  test("advance: new vectors served at latest against PINNED quantizers; replay no-op; pre-advance version pinned; params/hist advance") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val root = freshStore(d)
+    val v0 = graft.sources.Snapshots.latestVersion(spark, root).get
+    val before16 = rows(VecStore.sim16FromStore(spark, d, root))
+    val idx0 = VecStore.loadIndex(spark, root)
+    // a batch of genuinely new ids, vectors copied from existing corpus
+    // rows so they land in real cells
+    val src = Similarity.labeledVectors(spark, d)
+      .filter(col("vec_id") % 5 =!= 0).limit(3).collect()
+    val batch = src.zipWithIndex.map { case (r, i) =>
+      (900001L + i, r.getAs[Seq[Long]]("v").toArray, r.getAs[Long]("nrm"),
+        r.getAs[Long]("lbl"))
+    }.toSeq.toDF("vec_id", "v", "nrm", "lbl")
+    val v1 = VecStore.advance(spark, batch, root)
+    assert(v1 > v0)
+    // the new ids are indexed: codes + vecs carry them, quantizers carried
+    val idx1 = VecStore.loadIndex(spark, root)
+    val newIds = Set(900001L, 900002L, 900003L)
+    assert(newIds.subsetOf(idx1.codes.select("vec_id").collect()
+      .map(_.getLong(0)).toSet))
+    assert(rows(idx1.cent) === rows(idx0.cent), "centroids stay PINNED")
+    assert(rows(idx1.pqcent) === rows(idx0.pqcent), "codebooks stay PINNED")
+    assert(idx1.nCorpus === idx0.nCorpus + 3)
+    assert(idx1.kIvf === idx0.kIvf && idx1.nprobe === idx0.nprobe,
+      "probe formulas pinned at the last publish - freshness, not retrain")
+    // an advanced-store serve still matches the in-plan twin whose
+    // corpus gained the same vectors? No - the quantizers differ (they
+    // are pinned). What IS pinned: the pre-advance version serves
+    // bit-identically, and the advance composes idempotently.
+    assert(rows(Similarity.serveIvfpq(
+      Similarity.scaledVectors(spark, d).filter(col("vec_id") % 5 === 0)
+        .localCheckpoint(),
+      VecStore.loadIndex(spark, root, Some(v0)), Similarity.pq16Pool,
+      residual = true, coarseTrained = true, filteredByLabel = false,
+      filterWiden = true)) === before16)
+    // replay: the same batch commits nothing
+    assert(VecStore.advance(spark, batch, root) === v1)
+    // a query whose nearest corpus vector IS a new vector finds it: use
+    // the copied vector itself as the probe side via sim16FromStore on
+    // the advanced store - the copied rows tie with their sources, so
+    // assert the new ids are REACHABLE in the ADC scan (codes joined)
+    val hist1 = idx1.hist.get.agg(sum("cnt")).collect().head.getLong(0)
+    assert(hist1 === idx1.nCorpus, "histogram advances with the corpus")
+  }
+
+  test("takedown: all-Full chain cut erases the vec grain, vacuum reclaims physically, tombstones block re-entry, evidence derives its audit set") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val root = freshStore(d)
+    val doomed = VecStore.loadIndex(spark, root).vecs
+      .orderBy("vec_id").limit(2).collect().map(_.getLong(0)).toSeq
+    // pre-takedown: the evidence SAYS the ids are present
+    val pre = VecStore.verifyErasure(spark, doomed, root).collect()
+      .map(r => r.getAs[String]("layer") -> r.getAs[Boolean]("clean")).toMap
+    assert(!pre("vec_codes") && !pre("vec_vecs") &&
+      !pre("tombstone_coverage"))
+    val vT = VecStore.takedown(spark, doomed, root)
+    // chain cut: the takedown version references nothing
+    assert(graft.sources.Snapshots.layerReport(spark, root)
+      .forall(_._3.isEmpty))
+    graft.sources.Snapshots.vacuum(spark, root, keep = 1)
+    // physical reclaim + a clean audit across every retained version
+    val post = VecStore.verifyErasure(spark, doomed, root)
+    assert(post.filter(!col("clean")).isEmpty,
+      post.collect().mkString(","))
+    assert(post.collect().exists(_.getAs[String]("layer") ==
+      s"vec_v${vT}_residue"))
+    // the audit set is derived: plant an id-bearing side table and see
+    // it audited without any registration
+    import graft.sources.Snapshots
+    import Snapshots.{Carry, Full, TableSpec}
+    val carried = Snapshots.tableNames(spark, root, vT).map(t =>
+      t -> (Carry(vT): TableSpec))
+    Snapshots.writeTablesSpec(spark, carried :+
+      ("planted" -> (Full(Seq((doomed.head, 1L)).toDF("vec_id", "x"))
+        : TableSpec)), root)
+    val planted = VecStore.verifyErasure(spark, doomed, root).collect()
+      .map(r => r.getAs[String]("layer") ->
+        (r.getAs[Long]("rows_remaining"), r.getAs[Boolean]("clean"))).toMap
+    assert(planted("planted") === ((1L, false)),
+      "a future id-bearing table must be audited, never silently excluded")
+    // tombstone guard: an advance replaying the erased ids commits nothing
+    val ghost = VecStore.loadIndex(spark, root).vecs.limit(1).collect().head
+    val replay = Seq((doomed.head, ghost.getAs[Seq[Long]]("v").toArray,
+      ghost.getAs[Long]("nrm"), ghost.getAs[Long]("lbl")))
+      .toDF("vec_id", "v", "nrm", "lbl")
+    val vNow = Snapshots.latestVersion(spark, root).get
+    assert(VecStore.advance(spark, replay, root) === vNow,
+      "an erased id must never re-enter via an at-least-once replay")
+  }
+
+  test("streaming twin: per-trigger vec advances land, a replayed stream commits nothing, the maintenance hook bounds chains") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val d = sf("sf0.001")
+    val root = freshStore(d)
+    val src = Similarity.labeledVectors(spark, d)
+      .filter(col("vec_id") % 5 =!= 0).limit(4).collect()
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft_vecstream").toString
+    for ((r, i) <- src.zipWithIndex)
+      Seq((910001L + i, r.getAs[Seq[Long]]("v").toArray,
+        r.getAs[Long]("nrm"), r.getAs[Long]("lbl")))
+        .toDF("vec_id", "v", "nrm", "lbl")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val vecSchema = new StructType()
+      .add("vec_id", LongType).add("v", ArrayType(LongType))
+      .add("nrm", LongType).add("lbl", LongType)
+    def stream() = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = graft.streaming.Streams.streamingVecAdvance(stream(), root,
+      java.nio.file.Files.createTempDirectory("graft_vecck").toString,
+      maintain = Some((2, 1))).start()
+    q.awaitTermination(180000)
+    val idx = VecStore.loadIndex(spark, root)
+    val newIds = (0 until 4).map(910001L + _).toSet
+    assert(newIds.subsetOf(idx.codes.select("vec_id").collect()
+      .map(_.getLong(0)).toSet))
+    // the aggressive maintenance policy kept chains bounded as it ran
+    assert(graft.sources.Snapshots.layerReport(spark, root)
+      .forall(_._2 <= 2))
+    // a fresh checkpoint over the SAME files replays every trigger —
+    // and the membership guard makes each one a no-op
+    val v1 = graft.sources.Snapshots.latestVersion(spark, root).get
+    val q2 = graft.streaming.Streams.streamingVecAdvance(stream(), root,
+      java.nio.file.Files.createTempDirectory("graft_vecck2").toString)
+      .start()
+    q2.awaitTermination(180000)
+    assert(graft.sources.Snapshots.latestVersion(spark, root)
+      === Some(v1), "a replayed stream must commit nothing")
+  }
+}
