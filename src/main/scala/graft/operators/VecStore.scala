@@ -335,6 +335,43 @@ object VecStore {
     }
   }
 
+  /** RETENTION-COMPLETE vec-grain erasure — the one-call loop the
+    * doc-side [[graft.sources.Takedown.completeErasure]] runs, for the
+    * vector store: [[takedown]] (all-Full chain-cut rewrite + tombstone
+    * registration), then [[graft.sources.Snapshots.maintain]] with the
+    * SLA's `keep` (the takedown commit is itself the chain cut, so the
+    * maintain pass is normally just the vacuum; a post-takedown
+    * [[advance]] layering over it is what would make the compact term
+    * fire), then a re-audit with [[verifyErasure]]'s per-retained-
+    * version layers. One [[graft.sources.RunLog]] row per step
+    * (`vec_takedown` / `compact_vec` / `vacuum_vec` / `erasure_audit`,
+    * the audit row's `rows` = total residue across all layers — 0 on a
+    * compliant completion). `keep = 1` erases history down to the
+    * serving version NOW; a larger window may honestly retain a
+    * pre-takedown version and the evidence will SAY so rather than
+    * bury it. Returns the evidence frame.
+    */
+  def completeErasure(s: SparkSession, vecIds: Seq[Long], root: String,
+      keep: Int = 1, runLogPath: String,
+      runTs: java.sql.Timestamp = new java.sql.Timestamp(
+        System.currentTimeMillis())): DataFrame = {
+    val t0 = System.nanoTime()
+    def step[T](stage: String)(rows: T => Long)(body: => T): T =
+      graft.sources.RunLog.step[T](s, runLogPath, runTs,
+        "vec_takedown_retention", stage, t0)(rows)(body)
+    step[Long]("vec_takedown")(identity)(takedown(s, vecIds, root))
+    val m = step[Snapshots.Maintenance]("compact_vec")(
+        _.compactedTo.getOrElse(0L))(
+      Snapshots.maintain(s, root, Int.MaxValue, keep))
+    graft.sources.RunLog.append(s, runLogPath, Seq(
+      graft.sources.RunLog.Entry(runTs, "vec_takedown_retention",
+        "vacuum_vec", m.vacuumed.size.toLong,
+        (System.nanoTime() - t0) / 1000000L, "ok", "")))
+    step[DataFrame]("erasure_audit")(
+        _.agg(sum("rows_remaining")).collect().head.getLong(0))(
+      verifyErasure(s, vecIds, root).localCheckpoint())
+  }
+
   /** The erasure EVIDENCE table, `(layer, rows_remaining, clean)` —
     * the vec-grain twin of [[graft.sources.Takedown.verifyErasure]]:
     * per-table residue at the serving latest, tombstone coverage (ids
@@ -360,20 +397,16 @@ object VecStore {
             .schema.fieldNames.exists(_.equalsIgnoreCase("vec_id")))
       val latest = Snapshots.latestVersion(s, root).getOrElse(
         throw new IllegalStateException(s"no committed vector store under $root"))
-      val dirCount = scala.collection.mutable.Map[String, Long]()
-      def countDir(p: String): Long =
-        dirCount.getOrElseUpdate(p, remaining(s.read.parquet(p)))
       val rows =
         idTables(latest).map(t =>
           t -> remaining(Snapshots.readTable(s, root, t, Some(latest)))) ++
         Seq("tombstone_coverage" -> ids.join(
           Snapshots.readTable(s, root, "vec_tombstones", Some(latest)),
           Seq("vec_id"), "left_anti").count()) ++
-        Snapshots.versions(s, root).filter(_ <= latest).map { v =>
-          val n = idTables(v).map(t =>
-            Snapshots.tablePaths(s, root, t, v).map(countDir).sum).sum
-          s"vec_v${v}_residue" -> n
-        }
+        // the per-retained-version layers ride the SHARED audit core
+        // (one derivation for both grains, probes memoized per dir)
+        graft.sources.Takedown.retainedResidueLayers(s, root, ids,
+          "vec_id", Set("vec_tombstones"), "vec")
       rows.map { case (layer, n) => (layer, n, n == 0L) }
         .toDF("layer", "rows_remaining", "clean")
     } finally ids.unpersist(blocking = false)

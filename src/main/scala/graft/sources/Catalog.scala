@@ -458,29 +458,17 @@ object Catalog {
 
   /** Inverse of Hive's partition-path escaping: expand well-formed
     * `%XX` hex sequences to their character, leave EVERYTHING else —
-    * including `+`, which Hive never escapes — intact (the semantics
-    * of Hive `FileUtils.unescapePathName`, which URLDecoder does not
-    * share). Malformed `%` runs (no two hex digits) pass through
-    * verbatim, as Hive's does.
+    * including `+`, which Hive never escapes — intact (semantics
+    * `java.net.URLDecoder` does NOT share). Delegates to the exact
+    * decoder Spark's own catalog uses to build those paths
+    * (`ExternalCatalogUtils.unescapePathName`, Hive
+    * `FileUtils.unescapePathName` semantics), so the round trip can
+    * never drift from what SHOW PARTITIONS actually emits; the '+' and
+    * malformed-%-run cases stay pinned in PurgeSpec.
     */
-  private[sources] def unescapePathName(s: String): String = {
-    def hex(c: Char): Int =
-      if (c >= '0' && c <= '9') c - '0'
-      else if (c >= 'a' && c <= 'f') c - 'a' + 10
-      else if (c >= 'A' && c <= 'F') c - 'A' + 10
-      else -1
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
-        sb.append(((hex(s.charAt(i + 1)) << 4) + hex(s.charAt(i + 2))).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private[sources] def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
 
   /** K5 against the catalog: TRUNCATE + reload (the prod variant's
     * dim_media refresh policy, process_wistia_data.py:197-234) — the

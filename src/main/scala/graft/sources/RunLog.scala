@@ -56,6 +56,30 @@ object RunLog {
   case class LoggedFailure(entry: Entry, cause: Throwable)
     extends RuntimeException(cause)
 
+  /** Run `body`, append ONE ok/failed row for it, rethrow on failure —
+    * the step wrapper the run-logged flows share (one place for the
+    * trail's row shape, the 500-char error truncation, and the
+    * cumulative-from-`t0Nanos` duration convention). `rows` extracts
+    * the logged count from the step's result.
+    */
+  def step[T](spark: SparkSession, path: String,
+      runTs: java.sql.Timestamp, pipeline: String, stage: String,
+      t0Nanos: Long)(rows: T => Long)(body: => T): T = {
+    def entry(n: Long, status: String, err: String) =
+      Entry(runTs, pipeline, stage, n,
+        (System.nanoTime() - t0Nanos) / 1000000L, status,
+        Option(err).getOrElse("").take(500))
+    try {
+      val r = body
+      append(spark, path, Seq(entry(rows(r), "ok", "")))
+      r
+    } catch {
+      case e: Throwable =>
+        append(spark, path, Seq(entry(-1L, "failed", e.toString)))
+        throw e
+    }
+  }
+
   /** Append entries to the path-based run-log table (tiny: one row per
     * stage per run — coalesced to a single file per append).
     */

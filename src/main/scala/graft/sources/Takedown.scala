@@ -547,6 +547,47 @@ object Takedown {
       .filter(t => Snapshots.readTable(spark, root, t, Some(v))
         .schema.fieldNames.exists(_.equalsIgnoreCase("doc_id")))
 
+  /** The SHARED residue-audit core for any id-keyed snapshot store —
+    * one layer per retained version of `root`, counting `ids` (a
+    * 1-column frame named `idCol`) across the version's id-bearing
+    * tables. Used by both audit grains ([[verifyErasure]] at doc_id,
+    * `VecStore.verifyErasure` at vec_id) so the derivation can never
+    * drift between them. A table is id-bearing iff its schema carries
+    * `idCol` (registries excluded — they hold erased ids by design).
+    * BOTH expensive probes memoize per DATA DIRECTORY, not per
+    * version: retained layered versions share their chains' base
+    * directories, and every directory of one table's chain shares one
+    * schema (the advancers' conform contract), so the schema sniffs
+    * AND the residue counts are O(distinct directories), never
+    * O(versions × chain depth).
+    */
+  private[graft] def retainedResidueLayers(spark: SparkSession,
+      root: String, ids: org.apache.spark.sql.DataFrame, idCol: String,
+      registries: Set[String], prefix: String): Seq[(String, Long)] = {
+    val latest = Snapshots.latestVersion(spark, root)
+    val dirCount = scala.collection.mutable.Map[String, Long]()
+    val dirIdBearing = scala.collection.mutable.Map[String, Boolean]()
+    def countDir(p: String): Long =
+      dirCount.getOrElseUpdate(p, spark.read.parquet(p)
+        .select(idCol).join(ids, Seq(idCol), "left_semi").count())
+    def idBearing(paths: Seq[String]): Boolean =
+      dirIdBearing.getOrElseUpdate(paths.head, spark.read
+        .parquet(paths.head).schema.fieldNames
+        .exists(_.equalsIgnoreCase(idCol)))
+    Snapshots.versions(spark, root)
+      .filter(v => latest.exists(v <= _))
+      .map { v =>
+        val n = Snapshots.tableNames(spark, root, v)
+          .filterNot(registries)
+          .map { t =>
+            val paths = Snapshots.tablePaths(spark, root, t, v)
+            if (paths.nonEmpty && idBearing(paths)) paths.map(countDir).sum
+            else 0L
+          }.sum
+        s"${prefix}_v${v}_residue" -> n
+      }
+  }
+
   def verifyErasure(spark: SparkSession, docIds: Seq[Long],
       docsTable: Option[String] = None, storeDir: Option[String] = None,
       ragRoot: Option[String] = None,
@@ -569,32 +610,23 @@ object Takedown {
       // compact/vacuum loop and re-audits with this on). Cost: one
       // column-pruned semi-join count per (retained version,
       // id-bearing table) — bounded by the retention window.
-      // counts memoize per DATA DIRECTORY, not per version: retained
-      // versions of an advance-layered history share their chain's base
-      // directories (V nightly Appends over one base = V versions, but
-      // only V+1 distinct directories), and a per-version readTable
-      // would re-scan the common base V times — O(versions × chain
-      // depth) scans where O(distinct directories) is the true work.
-      // Row-set equivalence is exact: a layered version's rows ARE the
-      // union of its chain's directories, and the residue count is a
-      // sum over disjoint directory row sets.
-      val dirCount = scala.collection.mutable.Map[String, Long]()
-      def countDir(p: String): Long =
-        dirCount.getOrElseUpdate(p, remaining(spark.read.parquet(p)))
-      // the audited table set is DERIVED per version ([[idBearingTables]])
-      // — a table that gains doc attribution later in history is audited
-      // from the version it appears in, and a future id-bearing table
-      // can never silently fall out of the evidence
-      def retainedLayers(root: String, prefix: String): Seq[(String, Long)] = {
-        val latest = Snapshots.latestVersion(spark, root)
-        Snapshots.versions(spark, root)
-          .filter(v => latest.exists(v <= _))
-          .map { v =>
-            val n = idBearingTables(spark, root, v).map(t =>
-              Snapshots.tablePaths(spark, root, t, v).map(countDir).sum).sum
-            s"${prefix}_v${v}_residue" -> n
-          }
-      }
+      // counts AND schema sniffs memoize per DATA DIRECTORY, not per
+      // version: retained versions of an advance-layered history share
+      // their chain's base directories (V nightly Appends over one
+      // base = V versions, but only V+1 distinct directories), and a
+      // per-version readTable would re-scan the common base V times —
+      // O(versions × chain depth) scans where O(distinct directories)
+      // is the true work. Row-set equivalence is exact: a layered
+      // version's rows ARE the union of its chain's directories, and
+      // the residue count is a sum over disjoint directory row sets.
+      // the audited table set is DERIVED per version (the shared
+      // [[retainedResidueLayers]] core) — a table that gains doc
+      // attribution later in history is audited from the version it
+      // appears in, and a future id-bearing table can never silently
+      // fall out of the evidence
+      def retainedLayers(root: String, prefix: String): Seq[(String, Long)] =
+        retainedResidueLayers(spark, root, ids, "doc_id",
+          TombstoneRegistries, prefix)
       val rows =
         docsTable.toSeq.map(t =>
           "documents" -> remaining(spark.table(t))) ++

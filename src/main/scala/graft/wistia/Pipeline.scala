@@ -803,12 +803,17 @@ object Pipeline {
     val entries = scala.collection.mutable.Buffer[RunLog.Entry]()
     def leg(stage: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
+      // NonFatal only: an ordinary failed leg is logged and the walk
+      // continues, but VM death (OOM) or a job cancellation must
+      // propagate — demoting those to a routine "failed" row and then
+      // submitting three more Spark legs in a broken JVM masks them
       val e = try RunLog.Entry(runTs, "retention", stage, body,
           (System.nanoTime() - t0) / 1000000L, "ok", "")
         catch {
-          case err: Throwable => RunLog.Entry(runTs, "retention", stage,
-            -1L, (System.nanoTime() - t0) / 1000000L, "failed",
-            Option(err.toString).getOrElse("").take(500))
+          case scala.util.control.NonFatal(err) =>
+            RunLog.Entry(runTs, "retention", stage,
+              -1L, (System.nanoTime() - t0) / 1000000L, "failed",
+              Option(err.toString).getOrElse("").take(500))
         }
       entries += e
     }

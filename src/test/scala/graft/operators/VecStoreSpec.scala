@@ -141,6 +141,50 @@ class VecStoreSpec extends graft.SparkSpec {
       "an erased id must never re-enter via an at-least-once replay")
   }
 
+  test("completeErasure: one call takes down, vacuums to the SLA, re-audits clean, and leaves a run-log trail; a loose SLA says so honestly") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val root = freshStore(d)
+    val logPath = java.nio.file.Files
+      .createTempDirectory("graft_vec_cer").toString + "/run_log"
+    // a post-publish advance layers over the store so the completion's
+    // maintain pass has a chain to account for
+    val src = Similarity.labeledVectors(spark, d)
+      .filter(col("vec_id") % 5 =!= 0).limit(1).collect().head
+    VecStore.advance(spark, Seq((920001L, src.getAs[Seq[Long]]("v").toArray,
+      src.getAs[Long]("nrm"), src.getAs[Long]("lbl")))
+      .toDF("vec_id", "v", "nrm", "lbl"), root)
+    val doomed = Seq(VecStore.loadIndex(spark, root).vecs
+      .orderBy("vec_id").limit(1).collect().head.getLong(0))
+    val preVersions = graft.sources.Snapshots.versions(spark, root)
+    val ev = VecStore.completeErasure(spark, doomed, root, keep = 1,
+      runLogPath = logPath)
+    assert(ev.filter(!col("clean")).isEmpty, ev.collect().mkString(","))
+    // keep=1: every pre-takedown version physically gone
+    assert(graft.sources.Snapshots.versions(spark, root).size === 1)
+    assert(graft.sources.Snapshots.versions(spark, root).head >
+      preVersions.max)
+    val trail = graft.sources.RunLog.read(spark, logPath)
+      .filter(col("pipeline") === "vec_takedown_retention").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("rows"), r.getAs[String]("status"))).toMap
+    assert(trail.keySet === Set("vec_takedown", "compact_vec",
+      "vacuum_vec", "erasure_audit"))
+    assert(trail.forall(_._2._2 == "ok"))
+    assert(trail("erasure_audit")._1 === 0L, "compliant completion = 0 residue")
+    assert(trail("vacuum_vec")._1 >= 2L, "the pre-takedown versions reclaimed")
+    // loose SLA honesty: takedown another id but keep the whole history —
+    // the retained pre-takedown versions' layers SAY they hold it
+    val doomed2 = Seq(VecStore.loadIndex(spark, root).vecs
+      .orderBy("vec_id").limit(1).collect().head.getLong(0))
+    val ev2 = VecStore.completeErasure(spark, doomed2, root, keep = 10,
+      runLogPath = logPath)
+    val dirty = ev2.filter(!col("clean"))
+      .collect().map(_.getAs[String]("layer"))
+    assert(dirty.nonEmpty && dirty.forall(_.matches("vec_v\\d+_residue")),
+      s"a wide keep must retain the pre-takedown residue AND report it: ${dirty.toSeq}")
+  }
+
   test("streaming twin: per-trigger vec advances land, a replayed stream commits nothing, the maintenance hook bounds chains") {
     import spark.implicits._
     import org.apache.spark.sql.types._
