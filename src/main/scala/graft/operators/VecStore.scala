@@ -260,17 +260,32 @@ object VecStore {
           val params = stored("vec_params").select(
             (col("n_corpus") + lit(dN)).as("n_corpus"),
             col("k_ivf"), col("nprobe"))
+          // every Append delta CONFORMS to its base's stored schema
+          // and the recomputed-Full tables conform too (the pack/RAG
+          // advancers' evolution contract, same machinery): a vec
+          // store migrated forward by an upgraded engine still accepts
+          // this advance — the migrated column null-fills for the
+          // delta's rows, drift is signalled, a lossy type mismatch
+          // fails loudly instead of landing a corrupt layer
+          val drifts = scala.collection.mutable.Buffer[TrainPrep.SchemaDrift]()
+          val onDrift: TrainPrep.SchemaDrift => Unit = dr => {
+            drifts += dr
+            System.err.println(s"graft vec advance [${dr.table}]: ${dr.describe}")
+          }
+          def conform(df: DataFrame, t: String, full: Boolean = false) =
+            TrainPrep.conformTo(df, stored(t).schema, t, onDrift,
+              fullRewrite = full)
           Snapshots.writeTablesSpec(s, Seq(
             "vec_cent" -> (Carry(v0): TableSpec),
             "vec_pq" -> Carry(v0),
-            "vec_codes" -> Append(v0, codesDelta
+            "vec_codes" -> Append(v0, conform(codesDelta, "vec_codes")
               .repartitionByRange(col("cell"), col("lbl"))
               .sortWithinPartitions("cell", "lbl", "vec_id")),
-            "vec_vecs" -> Append(v0, vecsDelta
+            "vec_vecs" -> Append(v0, conform(vecsDelta, "vec_vecs")
               .repartitionByRange(col("vec_id"))
               .sortWithinPartitions("vec_id")),
-            "vec_hist" -> Full(hist),
-            "vec_params" -> Full(params),
+            "vec_hist" -> Full(conform(hist, "vec_hist", full = true)),
+            "vec_params" -> Full(conform(params, "vec_params", full = true)),
             "vec_tombstones" -> Carry(v0)), root)
         } finally assigned.unpersist(blocking = false)
       } finally fresh.unpersist(blocking = false)

@@ -141,6 +141,31 @@ class VecStoreSpec extends graft.SparkSpec {
       "an erased id must never re-enter via an at-least-once replay")
   }
 
+  test("a forward-MIGRATED vec store still advances: Append deltas conform to the stored schema, the drift is the designed null-fill") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val root = freshStore(d)
+    // an AWARE engine migrated vec_codes forward; THIS engine's advance
+    // doesn't compute the new column — without conformTo the Append
+    // layer would mismatch the base schema and break the chain scan
+    graft.sources.Snapshots.migrate(spark, root,
+      Map("vec_codes" -> Seq("enc_ver" -> lit(2L))))
+    val src = Similarity.labeledVectors(spark, d)
+      .filter(col("vec_id") % 5 =!= 0).limit(1).collect().head
+    val v1 = VecStore.advance(spark, Seq((930001L,
+      src.getAs[Seq[Long]]("v").toArray, src.getAs[Long]("nrm"),
+      src.getAs[Long]("lbl"))).toDF("vec_id", "v", "nrm", "lbl"), root)
+    // the layered read resolves as ONE relation: migrated rows carry
+    // the default, the unaware delta's row a typed null
+    val codes = VecStore.loadIndex(spark, root, Some(v1)).codes
+    assert(codes.columns.contains("enc_ver"))
+    val byVer = codes.groupBy("enc_ver").count().collect()
+      .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(byVer(Some(2L)) > 0 && byVer(None) === 1L)
+    // and the migrated store still SERVES (the extra column rides along)
+    assert(VecStore.sim16FromStore(spark, d, root).count() > 0)
+  }
+
   test("completeErasure: one call takes down, vacuums to the SLA, re-audits clean, and leaves a run-log trail; a loose SLA says so honestly") {
     import spark.implicits._
     val d = sf("sf0.001")
