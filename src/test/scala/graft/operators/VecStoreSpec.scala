@@ -210,6 +210,66 @@ class VecStoreSpec extends graft.SparkSpec {
       s"a wide keep must retain the pre-takedown residue AND report it: ${dirty.toSeq}")
   }
 
+  test("randomized lifecycle matches the model: advance/takedown/maintain interleavings never lose, duplicate, or resurrect a vector") {
+    // seeded-random model check (the LayeredSnapshotSpec pattern):
+    // arbitrary interleavings of advance (with replays and tombstoned
+    // ids deliberately mixed into batches), takedown (including ids
+    // never indexed — a deletion request binds future ingestion), and
+    // maintain must keep every store observable equal to a trivial
+    // in-memory model: indexed = (published ∪ advanced) − taken down,
+    // tombstones = every id ever taken down, histogram/params = the
+    // survivors' counts.
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val d = sf("sf0.001")
+    val root = freshStore(d)
+    def ids(): Set[Long] = VecStore.loadIndex(spark, root).vecs
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    var indexed = ids()
+    var tombs = Set.empty[Long]
+    val rnd = new scala.util.Random(1742)
+    val pool = (0 until 24).map(940001L + _)
+    def mkBatch(bids: Seq[Long]) = bids.map { id =>
+      val v = Array.tabulate(64)(j => ((id + j) % 7L) - 3L)
+      (id, v, v.map(x => x * x).sum, id % 10L)
+    }.toDF("vec_id", "v", "nrm", "lbl")
+    for (step <- 1 to 10) {
+      rnd.nextInt(3) match {
+        case 0 => // advance: fresh ids + a replayed id + a tombstoned id
+          val picks = Seq.fill(1 + rnd.nextInt(3))(pool(rnd.nextInt(pool.size))) ++
+            (if (indexed.nonEmpty && rnd.nextBoolean())
+              Seq(indexed.head) else Nil) ++
+            (if (tombs.nonEmpty) Seq(tombs.head) else Nil)
+          VecStore.advance(spark, mkBatch(picks.distinct), root)
+          indexed = indexed ++ (picks.toSet -- tombs)
+        case 1 => // takedown: a mix of indexed and never-indexed ids
+          val doomed = (if (indexed.nonEmpty)
+              Seq(indexed.toSeq(rnd.nextInt(indexed.size))) else Nil) ++
+            Seq(pool(rnd.nextInt(pool.size)))
+          VecStore.takedown(spark, doomed.distinct, root)
+          indexed --= doomed.toSet
+          tombs ++= doomed.toSet
+        case 2 =>
+          graft.sources.Snapshots.maintain(spark, root,
+            maxLayers = 2, keep = 1)
+      }
+      val idx = VecStore.loadIndex(spark, root)
+      assert(ids() === indexed, s"step $step: vecs diverged from the model")
+      assert(idx.codes.select("vec_id").collect().map(_.getLong(0)).toSet
+        === indexed, s"step $step: codes diverged")
+      assert(Snapshots.readTable(spark, root, "vec_tombstones")
+        .collect().map(_.getLong(0)).toSet === tombs,
+        s"step $step: tombstones diverged")
+      assert(idx.nCorpus === indexed.size.toLong,
+        s"step $step: params.n_corpus diverged")
+      assert(idx.hist.get.agg(sum("cnt")).collect().head.getLong(0)
+        === indexed.size.toLong, s"step $step: histogram diverged")
+    }
+    // after the walk the store still serves and the chains stay sane
+    assert(VecStore.sim16FromStore(spark, d, root).count() >= 0)
+    assert(Snapshots.layerReport(spark, root).forall(_._2 <= 12))
+  }
+
   test("streaming twin: per-trigger vec advances land, a replayed stream commits nothing, the maintenance hook bounds chains") {
     import spark.implicits._
     import org.apache.spark.sql.types._
