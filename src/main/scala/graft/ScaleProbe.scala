@@ -1168,7 +1168,8 @@ object ScaleProbe {
         Similarity.serveIvfpq(if (filtered) batch17() else batch16(),
           VecStore.loadIndex(spark, root), Similarity.pq16Pool,
           residual = true, coarseTrained = true,
-          filteredByLabel = filtered, filterWiden = true)
+          filteredByLabel = filtered, filterWiden = true,
+          pushProbedCells = true)
       val runners: Seq[(String, () => DataFrame)] = Seq(
         "s16-rederive-1x" ->
           (() => SparkEntry.queries("sim16_residual_pq")(spark, src)),

@@ -1405,7 +1405,8 @@ object Similarity {
     */
   private[graft] def serveIvfpq(batch: DataFrame, idx: IvfpqIndex,
       rerankPool: Int, residual: Boolean, coarseTrained: Boolean,
-      filteredByLabel: Boolean, filterWiden: Boolean): DataFrame = {
+      filteredByLabel: Boolean, filterWiden: Boolean,
+      pushProbedCells: Boolean = false): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     val m = 8
     // probe ranking metric mirrors the assignment metric
@@ -1459,8 +1460,29 @@ object Similarity {
           element_at(col("cd"), j + 1).cast("int") + 1))
       .reduce(_ + _)
     // filtered: the (cell, lbl) equi-join IS the predicate — a
-    // non-matching code never reaches the ADC arithmetic
-    val adc = idx.codes.join(probed,
+    // non-matching code never reaches the ADC arithmetic.
+    // pushProbedCells (the parquet-store serving path): the join alone
+    // cannot prune the code table's row groups — a shuffle join scans
+    // every file regardless of sort order — so the batch's DISTINCT
+    // probed-cell set (bounded by k = ⌈√N⌉, typically ≪ k for a real
+    // query batch: |batch|·nprobe cells) is collected and pushed into
+    // the scan as a literal IN predicate, which parquet min/max stats
+    // on the (cell,…)-sorted files CAN prune — search7FromStore's
+    // literal-candidate-lookup pattern at the cell grain. Capped at
+    // 4096 literals (past that the predicate costs more than it
+    // prunes and the plain join is the right plan). Pure pushdown:
+    // the filter is exactly the join's key set, results unchanged.
+    val (probedSrc, codesSrc) =
+      if (!pushProbedCells) (probed, idx.codes)
+      else {
+        val p = probed.localCheckpoint()
+        val cells = p.select("cell").distinct().collect()
+          .map(_.getLong(0))
+        (p, if (cells.length <= 4096)
+          idx.codes.filter(col("cell").isin(cells.toSeq: _*))
+        else idx.codes)
+      }
+    val adc = codesSrc.join(probedSrc,
         if (filteredByLabel) Seq("cell", "lbl") else Seq("cell"))
       .join(lutQ, "qid")
       .select(Seq(col("qid"), col("vec_id").as("nbr"),

@@ -54,15 +54,19 @@ import graft.sources.{CommitLock, Snapshots}
   * does not join on.
   *
   * MEASURED (ScaleProbe prod:vecstore, sf0.1 base, warm, r17; 10× =
-  * store built on the 10×-replicated corpus, SAME fixed sf0.1 batch):
-  * sim16 rederive 7.79 s vs from-store 1.95 s at 1×, 2.79 s at 10×
-  * store; sim17 rederive 6.02 s vs 1.77 s / 3.17 s — the per-query
-  * train+encode is gone and the serve is near-flat in store size (the
-  * residual growth is the √10× larger probe set, not a corpus term).
-  * Advance (fixed 20-vector batch): 3.30 s at 1×, 2.42 s at 10× —
-  * FLAT. Takedown+vacuum+evidence: 4.88 s / 4.11 s, evidence clean at
-  * both scales (the all-Full rewrite is O(store) by design; at these
-  * scales fixed costs dominate).
+  * store built on the 10×-replicated corpus, SAME fixed sf0.1 batch;
+  * figures from the final capture WITH the probed-cell literal
+  * pushdown in the serving scan): sim16 rederive 6.80 s vs from-store
+  * 1.55 s at 1×, 2.06 s at 10× store; sim17 rederive 6.04 s vs
+  * 1.55 s / 1.77 s — the per-query train+encode is gone and the serve
+  * is near-FLAT in store size (the pre-pushdown capture read 2.79 /
+  * 3.17 s at 10×: collecting the batch's ≤k distinct probed cells and
+  * pushing them as an IN literal lets the (cell,…)-sorted code files'
+  * row-group stats prune the scan — search7FromStore's pattern at the
+  * cell grain). Advance (fixed 20-vector batch): 2.91 s at 1×,
+  * 1.89 s at 10× — FLAT. Takedown+vacuum+evidence: 3.41 / 3.47 s,
+  * evidence clean at both scales (the all-Full rewrite is O(store) by
+  * design; at these scales fixed costs dominate).
   */
 object VecStore {
 
@@ -141,7 +145,8 @@ object VecStore {
     Similarity.serveIvfpq(
       Similarity.scaledVectors(s, d).filter(isNew).localCheckpoint(),
       loadIndex(s, root), Similarity.pq16Pool, residual = true,
-      coarseTrained = true, filteredByLabel = false, filterWiden = true)
+      coarseTrained = true, filteredByLabel = false, filterWiden = true,
+      pushProbedCells = true)
 
   /** sim17 (filtered residual — the production vector-DB configuration)
     * served from the SAME published store: the (cell, lbl) candidate
@@ -152,7 +157,8 @@ object VecStore {
     Similarity.serveIvfpq(
       Similarity.labeledVectors(s, d).filter(isNew).localCheckpoint(),
       loadIndex(s, root), Similarity.pq16Pool, residual = true,
-      coarseTrained = true, filteredByLabel = true, filterWiden = true)
+      coarseTrained = true, filteredByLabel = true, filterWiden = true,
+      pushProbedCells = true)
 
   /** One published store per (process, sf dir) for the registry's
     * FromStore queries — built on first use, reused by both serving
