@@ -1809,6 +1809,63 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // adversarial PUBLISHED-vector-store probe (`runMain graft.ScaleProbe
+    // skew:vecstore`): skew:sim17's one-blob + starved-label corpus
+    // served FROM the committed store. The degenerate Lloyd collapse now
+    // happens ONCE at publish (the build pays it, honestly timed) while
+    // every query serves from the pinned artifacts; the probed-cell
+    // literal pushdown is exercised at its WORST (the widened starved
+    // probe saturates to all surviving cells, so the IN list covers
+    // ~the whole blob's cells — pruning buys nothing and must cost
+    // nothing). Pins: store-served output bit-equal to the in-plan
+    // sim17 on the same corpus at both scales. MEASURED (warm, r17):
+    // publish 19.5/15.7 s at 1×/10× (the collapsed-blob Lloyd paid
+    // once), serve 4.15 s at 1× and 6.19 s at 10× — vs the in-plan
+    // skew:sim17's 9.0/37.6 s: the retrain term is gone and the
+    // residual growth is the known label-bounded one-cell ADC scan,
+    // with the saturated-probe pushdown costing nothing.
+    if (args.contains("skew:vecstore")) {
+      import graft.operators.VecStore
+      val skewDir = skewCache("skewsim17") // same corpora as skew:sim17
+      def corpus(path: String, n: Long): Unit =
+        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
+          val vec = "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
+          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding",
+            "CAST(CASE WHEN id % 600 = 7 OR id % 600 = 10 THEN 1 ELSE 0 END AS INT) AS label")
+            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+        }
+      for ((label, n) <- Seq("1x" -> 3000L, "10x" -> 30000L)) {
+        val dir = s"$skewDir/$label"
+        corpus(dir, n)
+        val root = s"$skewDir/${label}_store"
+        if (graft.sources.Snapshots.latestVersion(spark, root).isEmpty) {
+          val t0 = System.nanoTime()
+          VecStore.publish(spark, dir, root)
+          println(f"[probe] skew vecstore $label%-4s publish (degenerate train, once) ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          dropPersisted()
+        }
+        // parity: the store serve reproduces the in-plan twin on the
+        // degenerate corpus, bit-for-bit
+        val want = SparkEntry.queries("sim17_filtered_residual")(spark, dir)
+          .collect().map(_.toSeq).toSeq
+        dropPersisted()
+        val got = VecStore.sim17FromStore(spark, dir, root)
+          .collect().map(_.toSeq).toSeq
+        require(got == want,
+          s"vecstore serve diverged from in-plan sim17 on the skew corpus at $label")
+        println(s"[probe] skew vecstore $label parity OK (${want.size} rows)")
+        dropPersisted()
+        def run(): DataFrame = VecStore.sim17FromStore(spark, dir, root)
+        run().write.format("noop").mode("overwrite").save() // warm
+        dropPersisted()
+        val t0 = System.nanoTime()
+        val rows = run().count()
+        println(f"[probe] skew vecstore $label%-4s n=$n rows=$rows%5d fromstore ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dropPersisted()
+      }
+      spark.stop()
+      return
+    }
     // adversarial incremental-prep probe (`runMain graft.ScaleProbe
     // skew:pipe3`): pipe3's fuzzy gate joins batch×store band rows.
     // Round 11 wired dd9's bucket cap in front (store-side buckets

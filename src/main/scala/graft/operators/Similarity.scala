@@ -1406,7 +1406,8 @@ object Similarity {
   private[graft] def serveIvfpq(batch: DataFrame, idx: IvfpqIndex,
       rerankPool: Int, residual: Boolean, coarseTrained: Boolean,
       filteredByLabel: Boolean, filterWiden: Boolean,
-      pushProbedCells: Boolean = false): DataFrame = {
+      pushProbedCells: Boolean = false,
+      pushCellCap: Int = 4096): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     val m = 8
     // probe ranking metric mirrors the assignment metric
@@ -1478,7 +1479,7 @@ object Similarity {
         val p = probed.localCheckpoint()
         val cells = p.select("cell").distinct().collect()
           .map(_.getLong(0))
-        (p, if (cells.length <= 4096)
+        (p, if (cells.length <= pushCellCap)
           idx.codes.filter(col("cell").isin(cells.toSeq: _*))
         else idx.codes)
       }

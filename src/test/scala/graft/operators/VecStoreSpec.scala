@@ -46,6 +46,16 @@ class VecStoreSpec extends graft.SparkSpec {
     val plan = from17.queryExecution.executedPlan.toString
     assert(plan.contains("vec_codes") && plan.contains("vec_vecs"),
       "the serve must scan the published code/vector tables")
+    // the probed-cell literal pushdown is pure pruning, and its
+    // over-cap FALLBACK (plain join, no literals) serves identically —
+    // forced here with a cap of 0
+    assert(rows(Similarity.serveIvfpq(
+      Similarity.labeledVectors(spark, d)
+        .filter(col("vec_id") % 5 === 0).localCheckpoint(),
+      VecStore.loadIndex(spark, root), Similarity.pq16Pool,
+      residual = true, coarseTrained = true, filteredByLabel = true,
+      filterWiden = true, pushProbedCells = true, pushCellCap = 0))
+      === rows(from17))
   }
 
   test("advance: new vectors served at latest against PINNED quantizers; replay no-op; pre-advance version pinned; params/hist advance") {
