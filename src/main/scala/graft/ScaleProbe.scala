@@ -414,6 +414,24 @@ object ScaleProbe {
     }
   }
 
+  /** skew:sim17 / skew:vecstore shared blob+starved-label corpus — ONE
+    * builder (they share the skewCache("skewsim17") directory;
+    * whichever probe runs first materializes for both, so the two
+    * generators can never drift while claiming "same corpora"). One
+    * tight cosine blob; label 1 ≈ 1-in-300, split so it exists on BOTH
+    * sides of sim17's query/corpus partition (vec_id % 5): id ≡ 10
+    * (mod 600) rows are label-1 QUERIES, id ≡ 7 (mod 600) label-1
+    * CORPUS.
+    */
+  private def skewSim17Corpus(spark: SparkSession, path: String,
+      n: Long): Unit =
+    if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
+      val vec = "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
+      spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding",
+        "CAST(CASE WHEN id % 600 = 7 OR id % 600 = 10 THEN 1 ELSE 0 END AS INT) AS label")
+        .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+    }
+
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = "/tmp/sfprobe"
@@ -1754,21 +1772,11 @@ object ScaleProbe {
     // measured at 1× and 10×.
     if (args.contains("skew:sim17")) {
       val skewDir = skewCache("skewsim17")
-      def corpus(path: String, n: Long): Unit =
-        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
-          val vec = "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
-          // label 1 ≈ 1-in-300, split so it exists on BOTH sides of
-          // sim17's query/corpus partition (vec_id % 5): id ≡ 10 (mod
-          // 600) rows are label-1 QUERIES, id ≡ 7 (mod 600) rows are
-          // label-1 CORPUS (50 each at 10× — under the rerank pool, so
-          // the widened path must reproduce exact filtered brute force)
-          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding",
-            "CAST(CASE WHEN id % 600 = 7 OR id % 600 = 10 THEN 1 ELSE 0 END AS INT) AS label")
-            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
-        }
+      // 50 label-1 rows per side at 10× — under the rerank pool, so
+      // the widened path must reproduce exact filtered brute force
       for ((label, n) <- Seq("1x" -> 3000L, "10x" -> 30000L)) {
         val dir = s"$skewDir/$label"
-        corpus(dir, n)
+        skewSim17Corpus(spark, dir, n)
         def run(): DataFrame =
           SparkEntry.queries("sim17_filtered_residual")(spark, dir)
         run().write.format("noop").mode("overwrite").save() // warm
@@ -1827,16 +1835,9 @@ object ScaleProbe {
     if (args.contains("skew:vecstore")) {
       import graft.operators.VecStore
       val skewDir = skewCache("skewsim17") // same corpora as skew:sim17
-      def corpus(path: String, n: Long): Unit =
-        if (!new java.io.File(s"$path/embeddings.parquet").exists()) {
-          val vec = "transform(sequence(0, 63), j -> CAST(1.0 + CASE WHEN j = CAST(id % 64 AS INT) THEN CAST(id AS DOUBLE) * 1e-7 ELSE 0.0 END AS FLOAT))"
-          spark.range(n).selectExpr("id AS vec_id", s"$vec AS embedding",
-            "CAST(CASE WHEN id % 600 = 7 OR id % 600 = 10 THEN 1 ELSE 0 END AS INT) AS label")
-            .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
-        }
       for ((label, n) <- Seq("1x" -> 3000L, "10x" -> 30000L)) {
         val dir = s"$skewDir/$label"
-        corpus(dir, n)
+        skewSim17Corpus(spark, dir, n)
         val root = s"$skewDir/${label}_store"
         if (graft.sources.Snapshots.latestVersion(spark, root).isEmpty) {
           val t0 = System.nanoTime()

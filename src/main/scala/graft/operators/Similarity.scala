@@ -1477,11 +1477,19 @@ object Similarity {
       if (!pushProbedCells) (probed, idx.codes)
       else {
         val p = probed.localCheckpoint()
-        val cells = p.select("cell").distinct().collect()
-          .map(_.getLong(0))
-        (p, if (cells.length <= pushCellCap)
-          idx.codes.filter(col("cell").isin(cells.toSeq: _*))
-        else idx.codes)
+        // bounded transfer: the cap question needs at most cap+1
+        // cells, never the full distinct set
+        val cells = p.select("cell").distinct().limit(pushCellCap + 1)
+          .collect().map(_.getLong(0))
+        if (cells.length <= pushCellCap)
+          (p, idx.codes.filter(col("cell").isin(cells.toSeq: _*)))
+        else {
+          // over cap: pruning buys nothing — release the checkpoint
+          // (the plain join re-derives the cheap probe; its blocks
+          // would otherwise idle until GC) and fall back
+          p.unpersist(blocking = false)
+          (probed, idx.codes)
+        }
       }
     val adc = codesSrc.join(probedSrc,
         if (filteredByLabel) Seq("cell", "lbl") else Seq("cell"))

@@ -1930,7 +1930,7 @@ object TrainPrep {
     * next to the run history it taints). No-op without a run-log path
     * or without drift.
     */
-  private def logDrifts(s: SparkSession, runLogPath: Option[String],
+  private[graft] def logDrifts(s: SparkSession, runLogPath: Option[String],
       pipeline: String, drifts: Seq[SchemaDrift]): Unit =
     runLogPath.filter(_ => drifts.nonEmpty).foreach { p =>
       val ts = new java.sql.Timestamp(System.currentTimeMillis())

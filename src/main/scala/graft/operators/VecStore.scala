@@ -197,7 +197,8 @@ object VecStore {
     * O(batch) committed bytes. Returns the committed version (the
     * prior version when nothing is new).
     */
-  def advance(s: SparkSession, batch: DataFrame, root: String): Long =
+  def advance(s: SparkSession, batch: DataFrame, root: String,
+      runLogPath: Option[String] = None): Long =
     CommitLock.withLock(s, root) {
       import Snapshots.{Append, Carry, Full, TableSpec}
       val dot = graft.functions.VectorFunctions.dotLong _
@@ -281,7 +282,7 @@ object VecStore {
           def conform(df: DataFrame, t: String, full: Boolean = false) =
             TrainPrep.conformTo(df, stored(t).schema, t, onDrift,
               fullRewrite = full)
-          Snapshots.writeTablesSpec(s, Seq(
+          val v = Snapshots.writeTablesSpec(s, Seq(
             "vec_cent" -> (Carry(v0): TableSpec),
             "vec_pq" -> Carry(v0),
             "vec_codes" -> Append(v0, conform(codesDelta, "vec_codes")
@@ -293,6 +294,11 @@ object VecStore {
             "vec_hist" -> Full(conform(hist, "vec_hist", full = true)),
             "vec_params" -> Full(conform(params, "vec_params", full = true)),
             "vec_tombstones" -> Carry(v0)), root)
+          // the owed-migration signal persists next to the run history,
+          // exactly like the pack/RAG advancers' trail
+          TrainPrep.logDrifts(s, runLogPath, "vec_store_advance",
+            drifts.toSeq)
+          v
         } finally assigned.unpersist(blocking = false)
       } finally fresh.unpersist(blocking = false)
     }

@@ -1042,7 +1042,7 @@ object Streams {
     availableNowSink(vecs, checkpoint) { (batch, _) =>
       waitingOutLease(lockRetries, lockWaitMs) {
         graft.operators.VecStore.advance(batch.sparkSession,
-          batch, vecRoot)
+          batch, vecRoot, runLogPath)
       }
       maintainAfterTrigger(batch.sparkSession, vecRoot, maintain,
         lockRetries, lockWaitMs, runLogPath)

@@ -157,14 +157,21 @@ class VecStoreSpec extends graft.SparkSpec {
     val root = freshStore(d)
     // an AWARE engine migrated vec_codes forward; THIS engine's advance
     // doesn't compute the new column — without conformTo the Append
-    // layer would mismatch the base schema and break the chain scan
+    // layer would mismatch the base schema and break the chain scan.
+    // vec_hist (a recomputed FULL) is migrated too: there the advance's
+    // null-fill RESETS the migrated column, which IS drift and must
+    // leave a run-log trail
     graft.sources.Snapshots.migrate(spark, root,
-      Map("vec_codes" -> Seq("enc_ver" -> lit(2L))))
+      Map("vec_codes" -> Seq("enc_ver" -> lit(2L)),
+        "vec_hist" -> Seq("note" -> lit("migrated"))))
     val src = Similarity.labeledVectors(spark, d)
       .filter(col("vec_id") % 5 =!= 0).limit(1).collect().head
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft_vecm_log").toString + "/run_log"
     val v1 = VecStore.advance(spark, Seq((930001L,
       src.getAs[Seq[Long]]("v").toArray, src.getAs[Long]("nrm"),
-      src.getAs[Long]("lbl"))).toDF("vec_id", "v", "nrm", "lbl"), root)
+      src.getAs[Long]("lbl"))).toDF("vec_id", "v", "nrm", "lbl"), root,
+      Some(logDir))
     // the layered read resolves as ONE relation: migrated rows carry
     // the default, the unaware delta's row a typed null
     val codes = VecStore.loadIndex(spark, root, Some(v1)).codes
@@ -174,6 +181,15 @@ class VecStoreSpec extends graft.SparkSpec {
     assert(byVer(Some(2L)) > 0 && byVer(None) === 1L)
     // and the migrated store still SERVES (the extra column rides along)
     assert(VecStore.sim16FromStore(spark, d, root).count() > 0)
+    // the Append null-fill on vec_codes is the DESIGNED behavior (no
+    // drift row); the Full-rewrite null-fill on vec_hist is a data
+    // reset and leaves exactly one warn row in the advance's trail
+    val trail = graft.sources.RunLog.read(spark, logDir)
+      .filter(col("pipeline") === "vec_store_advance").collect()
+    assert(trail.map(_.getAs[String]("stage")).toSeq ===
+      Seq("schema_drift:vec_hist"), trail.mkString(","))
+    assert(trail.head.getAs[String]("status") === "warn" &&
+      trail.head.getAs[String]("error").contains("note"))
   }
 
   test("completeErasure: one call takes down, vacuums to the SLA, re-audits clean, and leaves a run-log trail; a loose SLA says so honestly") {
