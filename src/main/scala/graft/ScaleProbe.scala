@@ -1209,8 +1209,11 @@ object ScaleProbe {
       // copies of the 1× and 10× stores — expect FLAT (O(batch·k) dots
       // vs broadcast centroids + O(batch) Append deltas)
       val advBatch = { import spark.implicits._
+        // orderBy before limit: a bare limit is plan-dependent, and the
+        // measured scaladoc's "SAME fixed batch" claim needs the probe
+        // input deterministic across JVMs/partitionings
         val srcRows = Similarity.labeledVectors(spark, src)
-          .filter(!isNew).limit(20).collect()
+          .filter(!isNew).orderBy("vec_id").limit(20).collect()
         srcRows.zipWithIndex.map { case (r, i) =>
           (900000001L + i, r.getAs[Seq[Long]]("v").toArray,
             r.getAs[Long]("nrm"), r.getAs[Long]("lbl"))
@@ -1223,6 +1226,32 @@ object ScaleProbe {
         deleteDir(scratch); copyDir(st, scratch)
         val t0 = System.nanoTime()
         VecStore.advance(spark, advBatch, scratch)
+        println(f"[probe] prod vecstore $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        deleteDir(scratch)
+        dropPersisted()
+      }
+      // recall probe: the run-logged nightly observable that makes the
+      // republish decision measurable — expect near-flat (O(sample·k)
+      // probing + ONE corpus pass against the broadcast sample)
+      for ((label, st) <- Seq(
+          ("vec-recall-1x", s"$dirBase/1x_store"),
+          ("vec-recall-10x", s"$dirBase/10x_store"))) {
+        val t0 = System.nanoTime()
+        val r = VecStore.recallProbe(spark, st, sampleN = 64)
+        println(f"[probe] prod vecstore $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s (recall@3 = $r%.3f)")
+        dropPersisted()
+      }
+      // republish: the retrain path, against throwaway store copies —
+      // expect O(store) HONESTLY (a republish IS a full train + rewrite;
+      // the probe above is what keeps it nightly-rare)
+      for ((label, st) <- Seq(
+          ("vec-republish-1x", s"$dirBase/1x_store"),
+          ("vec-republish-10x", s"$dirBase/10x_store"))) {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("probe_vecrepub").toString
+        deleteDir(scratch); copyDir(st, scratch)
+        val t0 = System.nanoTime()
+        VecStore.republish(spark, scratch)
         println(f"[probe] prod vecstore $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         deleteDir(scratch)
         dropPersisted()

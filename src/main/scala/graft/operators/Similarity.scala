@@ -1463,35 +1463,36 @@ object Similarity {
     // filtered: the (cell, lbl) equi-join IS the predicate — a
     // non-matching code never reaches the ADC arithmetic.
     // pushProbedCells (the parquet-store serving path): the join alone
-    // cannot prune the code table's row groups — a shuffle join scans
-    // every file regardless of sort order — so the batch's DISTINCT
-    // probed-cell set (bounded by k = ⌈√N⌉, typically ≪ k for a real
-    // query batch: |batch|·nprobe cells) is collected and pushed into
-    // the scan as a literal IN predicate, which parquet min/max stats
-    // on the (cell,…)-sorted files CAN prune — search7FromStore's
-    // literal-candidate-lookup pattern at the cell grain. Capped at
-    // 4096 literals (past that the predicate costs more than it
-    // prunes and the plain join is the right plan). Pure pushdown:
-    // the filter is exactly the join's key set, results unchanged.
-    val (probedSrc, codesSrc) =
-      if (!pushProbedCells) (probed, idx.codes)
+    // cannot prune the corpus-sized tables' row groups — a shuffle
+    // join scans every file regardless of sort order — so the batch's
+    // DISTINCT probed-cell set (bounded by k = ⌈√N⌉, typically ≪ k
+    // for a real query batch: |batch|·nprobe cells) is collected and
+    // pushed into BOTH scans as a literal IN predicate, which parquet
+    // min/max stats on the (cell,…)-sorted files CAN prune —
+    // search7FromStore's literal-candidate-lookup pattern at the cell
+    // grain. The SAME literal set prunes the rerank fetch: every
+    // rerank candidate is a top-pool ADC survivor, hence a member of
+    // a probed cell, and vec_vecs carries the cell co-key — the
+    // filter is exactly the join's key set at both scans, pure
+    // pruning, results unchanged. Capped at 4096 literals (past that
+    // the predicate costs more than it prunes and the plain join is
+    // the right plan). The probe is collected from the LAZY plan — no
+    // checkpoint: re-deriving the O(batch·k) broadcast probe once in
+    // the final plan is cheaper than stranding a storage block per
+    // call in a long-lived serving process.
+    val (codesSrc, vecsSrc) =
+      if (!pushProbedCells) (idx.codes, idx.vecs)
       else {
-        val p = probed.localCheckpoint()
         // bounded transfer: the cap question needs at most cap+1
         // cells, never the full distinct set
-        val cells = p.select("cell").distinct().limit(pushCellCap + 1)
+        val cells = probed.select("cell").distinct().limit(pushCellCap + 1)
           .collect().map(_.getLong(0))
         if (cells.length <= pushCellCap)
-          (p, idx.codes.filter(col("cell").isin(cells.toSeq: _*)))
-        else {
-          // over cap: pruning buys nothing — release the checkpoint
-          // (the plain join re-derives the cheap probe; its blocks
-          // would otherwise idle until GC) and fall back
-          p.unpersist(blocking = false)
-          (probed, idx.codes)
-        }
+          (idx.codes.filter(col("cell").isin(cells.toSeq: _*)),
+            idx.vecs.filter(col("cell").isin(cells.toSeq: _*)))
+        else (idx.codes, idx.vecs)
       }
-    val adc = codesSrc.join(probedSrc,
+    val adc = codesSrc.join(probed,
         if (filteredByLabel) Seq("cell", "lbl") else Seq("cell"))
       .join(lutQ, "qid")
       .select(Seq(col("qid"), col("vec_id").as("nbr"),
@@ -1508,7 +1509,7 @@ object Similarity {
     coarse
       .join(batch.select(col("vec_id").as("qid"), col("v").as("va"),
         col("nrm").as("na")), "qid")
-      .join(idx.vecs.select(col("vec_id").as("nbr"), col("v").as("vb"),
+      .join(vecsSrc.select(col("vec_id").as("nbr"), col("v").as("vb"),
         col("nrm").as("nb")), "nbr")
       .withColumn("dot", dot(col("va"), col("vb")))
       .withColumn("cos", col("dot").cast("double") /

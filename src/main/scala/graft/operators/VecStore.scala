@@ -44,11 +44,18 @@ import graft.sources.{CommitLock, Snapshots}
   *   vec_params     (n_corpus, k_ivf, nprobe)     probe formulas, pinned at train
   *   vec_tombstones (vec_id)                      erased-id re-entry guard
   *
-  * 100 TB layout: vec_codes lands range-partitioned and sorted by
-  * (cell, lbl, vec_id) so the probe's (cell[, lbl]) candidate join is
-  * row-group pruning in the scan, not a post-scan filter; vec_vecs by
-  * vec_id so the ≤pool-per-query rerank fetch prunes to O(pool) row
-  * groups. The quantizer tables are request-small and broadcast. One
+  * 100 TB layout: BOTH corpus-sized tables land range-partitioned and
+  * sorted cell-first — vec_codes by (cell, lbl, vec_id), vec_vecs by
+  * (cell, vec_id) — and the serve collects the batch's ≤k distinct
+  * probed cells ONCE and pushes them as a literal IN predicate into
+  * BOTH scans ([[Similarity.serveIvfpq]]'s pushProbedCells): every
+  * rerank candidate is by construction a member of a probed cell, so
+  * the rerank fetch of the full-vector table (the store's DOMINANT
+  * table — ~64× the code bytes) prunes to the probed cells' row
+  * groups exactly like the code scan, instead of reading every row
+  * group through a shuffle join. A plain join alone cannot prune row
+  * groups; the literal set is the join's own key set, so the filter
+  * is pure pruning. The quantizer tables are request-small and broadcast. One
   * store serves BOTH the unfiltered (sim16) and label-filtered (sim17)
   * configurations — the label is a co-key the unfiltered probe simply
   * does not join on.
@@ -87,9 +94,13 @@ object VecStore {
 
   /** [[publish]] over an explicit labeled corpus frame
     * (vec_id, v, nrm, lbl) — the form probes and re-publishes use.
+    * `tombstones` carries an EXISTING registry forward (a
+    * [[republish]]): a first publish starts empty, but a rebuild of a
+    * live store must never reset the re-entry guard — the day it does,
+    * a replayed pre-takedown [[advance]] resurrects erased vectors.
     */
   private[graft] def publishFrom(s: SparkSession, corpus: DataFrame,
-      root: String): Long = {
+      root: String, tombstones: Option[DataFrame] = None): Long = {
     val idx = Similarity.trainIvfpq(corpus, Similarity.pqIters,
       residual = true, coarseIters = Similarity.pq16CoarseIters,
       withLabel = true)
@@ -101,17 +112,45 @@ object VecStore {
           .repartitionByRange(col("cell"), col("lbl"))
           .sortWithinPartitions("cell", "lbl", "vec_id"),
         "vec_vecs" -> idx.vecs
-          .repartitionByRange(col("vec_id"))
-          .sortWithinPartitions("vec_id"),
+          .repartitionByRange(col("cell"), col("vec_id"))
+          .sortWithinPartitions("cell", "vec_id"),
         "vec_hist" -> idx.hist.get,
         "vec_params" -> s.range(1).select(
           lit(idx.nCorpus).as("n_corpus"),
           lit(idx.kIvf).as("k_ivf"),
           lit(idx.nprobe).as("nprobe")),
-        "vec_tombstones" -> s.range(0).select(col("id").as("vec_id"))),
+        "vec_tombstones" -> tombstones.getOrElse(
+          s.range(0).select(col("id").as("vec_id")))),
         root)
     }
   }
+
+  /** RETRAIN the published store FROM ITS OWN LATEST SURFACE — the
+    * quality-maintenance path the [[advance]] contract defers to
+    * ("freshness, not retraining; the nightly re-publish is the
+    * retrain"): re-run the full trainer over the live corpus (latest
+    * vec_vecs — advances already folded in, erased ids already
+    * anti-joined out) so the coarse cells and PQ codebooks finally SEE
+    * the vectors that until now were force-fitted to stale quantizers,
+    * restoring recall to the trained floor. All-Full chain-cut like
+    * [[publish]], so vacuum reclaims the pre-retrain history — but the
+    * tombstone registry is carried FORWARD, never reset: a replayed
+    * pre-takedown advance still commits nothing after any number of
+    * republishes. The whole read-train-commit runs under the store's
+    * commit lease (re-entrant), so a concurrent advance cannot land
+    * between the surface read and the rewrite and be silently dropped.
+    * Returns the committed version. Scale: the trainer's own posture —
+    * bounded-sample Lloyd (md5-ordered sample, budget-capped),
+    * broadcast centroids, codegen'd assignment over ONE corpus pass.
+    */
+  def republish(s: SparkSession, root: String): Long =
+    CommitLock.withLock(s, root) {
+      val v0 = Snapshots.latestVersion(s, root).getOrElse(
+        throw new IllegalStateException(s"no committed vector store under $root"))
+      def stored(t: String) = Snapshots.readTable(s, root, t, Some(v0))
+      publishFrom(s, stored("vec_vecs").select("vec_id", "v", "nrm", "lbl"),
+        root, tombstones = Some(stored("vec_tombstones")))
+    }
 
   /** The pinned index of `root` at `version` (default committed
     * latest), as the serving-side artifact bundle. Three request-small
@@ -139,23 +178,27 @@ object VecStore {
     * in-plan sim16_residual_pq (same oracle SQL gates both), but the
     * plan reads the trained artifacts from parquet — zero Lloyd rounds,
     * zero corpus encodes. The label co-key is simply not joined on.
+    * The batch frame is deliberately NOT checkpointed: it is a small
+    * pushed-down parquet read, and a long-lived serving process calling
+    * this per request must not strand a storage block per call.
     */
   private[graft] def sim16FromStore(s: SparkSession, d: String,
       root: String): DataFrame =
     Similarity.serveIvfpq(
-      Similarity.scaledVectors(s, d).filter(isNew).localCheckpoint(),
+      Similarity.scaledVectors(s, d).filter(isNew),
       loadIndex(s, root), Similarity.pq16Pool, residual = true,
       coarseTrained = true, filteredByLabel = false, filterWiden = true,
       pushProbedCells = true)
 
   /** sim17 (filtered residual — the production vector-DB configuration)
     * served from the SAME published store: the (cell, lbl) candidate
-    * join prunes in the stored code table's sort order.
+    * join prunes in the stored code table's sort order. Un-checkpointed
+    * batch, like [[sim16FromStore]].
     */
   private[graft] def sim17FromStore(s: SparkSession, d: String,
       root: String): DataFrame =
     Similarity.serveIvfpq(
-      Similarity.labeledVectors(s, d).filter(isNew).localCheckpoint(),
+      Similarity.labeledVectors(s, d).filter(isNew),
       loadIndex(s, root), Similarity.pq16Pool, residual = true,
       coarseTrained = true, filteredByLabel = true, filterWiden = true,
       pushProbedCells = true)
@@ -205,10 +248,13 @@ object VecStore {
       val v0 = Snapshots.latestVersion(s, root).getOrElse(
         throw new IllegalStateException(s"no committed vector store under $root"))
       def stored(t: String) = Snapshots.readTable(s, root, t, Some(v0))
-      // intra-batch dedup: one deterministic winner per vec_id (arrays
-      // are orderable — the lowest (lbl, v) row wins on every replay)
+      // intra-batch dedup: one deterministic winner per vec_id — a
+      // TOTAL row ordering over every non-key column (the
+      // TrainPrep.dedupBatchIds rule; arrays are orderable), so even a
+      // contract-violating producer shipping equal (lbl, v) with
+      // inconsistent nrm converges on the same winner every replay
       val wId = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("lbl"), col("v"))
+        .partitionBy("vec_id").orderBy(col("lbl"), col("v"), col("nrm"))
       val guardIds = stored("vec_tombstones").select("vec_id")
         .unionByName(stored("vec_vecs").select("vec_id"))
       val fresh = batch
@@ -289,8 +335,8 @@ object VecStore {
               .repartitionByRange(col("cell"), col("lbl"))
               .sortWithinPartitions("cell", "lbl", "vec_id")),
             "vec_vecs" -> Append(v0, conform(vecsDelta, "vec_vecs")
-              .repartitionByRange(col("vec_id"))
-              .sortWithinPartitions("vec_id")),
+              .repartitionByRange(col("cell"), col("vec_id"))
+              .sortWithinPartitions("cell", "vec_id")),
             "vec_hist" -> Full(conform(hist, "vec_hist", full = true)),
             "vec_params" -> Full(conform(params, "vec_params", full = true)),
             "vec_tombstones" -> Carry(v0)), root)
@@ -302,6 +348,77 @@ object VecStore {
         } finally assigned.unpersist(blocking = false)
       } finally fresh.unpersist(blocking = false)
     }
+
+  // ----------------------------------------------------- recall probe
+
+  /** RECALL-DRIFT MONITOR on the published store — the observable the
+    * [[advance]] contract owes: cells and codebooks stay pinned between
+    * retrains, so recall DRIFTS as advances accumulate, and the nightly
+    * [[republish]] decision needs a measured number, not a guess
+    * (sim6_mp_recall's oracle-gated pattern, run against the LIVE
+    * artifact). A deterministic bounded sample of STORED vectors
+    * (md5-ordered — the trainer's own sampling rule) self-queries the
+    * store through the REAL serving path ([[Similarity.serveIvfpq]],
+    * probed-cell pushdown included) and is compared against the exact
+    * brute-force top-3 over the full vector table. Returns
+    * recall@3 ∈ [0,1] (self-hits included on both sides — a stored
+    * query always finds itself, so 1/3 is the structural floor) and,
+    * when `runLogPath` is given, appends ONE `vec_store_recall` row
+    * with the measured value in e6 fixed-point — the run-history trail
+    * a retrain trigger (recall < SLA) reads. `rerankPool` defaults to
+    * the serving pool; a smaller pool sharpens the probe's sensitivity
+    * to code-book staleness (the exact rerank otherwise masks ADC
+    * misranking until the pool overflows).
+    * Scale: O(sampleN·k) probing + the probed cells' codes for the
+    * approximate side; ONE full-vector corpus pass against the
+    * broadcast ≤sampleN-row sample for the exact side — the probe is
+    * corpus-linear with a tiny constant, run nightly, never per query.
+    */
+  def recallProbe(s: SparkSession, root: String, sampleN: Int = 64,
+      rerankPool: Int = Similarity.pq16Pool,
+      runLogPath: Option[String] = None,
+      runTs: java.sql.Timestamp = new java.sql.Timestamp(
+        System.currentTimeMillis())): Double = {
+    require(sampleN >= 1, "recallProbe needs a non-empty sample")
+    val t0 = System.nanoTime()
+    val dot = graft.functions.VectorFunctions.dotLong _
+    val idx = loadIndex(s, root)
+    val sample = idx.vecs
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleN).localCheckpoint()
+    try {
+      val approx = Similarity.serveIvfpq(sample, idx, rerankPool,
+        residual = true, coarseTrained = true, filteredByLabel = false,
+        filterWiden = true, pushProbedCells = true)
+        .select(col("qid"), col("nbr"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+      val exact = idx.vecs
+        .select(col("vec_id").as("nbr"), col("v").as("vb"),
+          col("nrm").as("nb"))
+        .crossJoin(broadcast(sample.select(col("vec_id").as("qid"),
+          col("v").as("va"), col("nrm").as("na"))))
+        .withColumn("cos",
+          dot(col("va"), col("vb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("nbr"))
+        .localCheckpoint()
+      try {
+        val total = exact.count()
+        val hits = approx.join(exact, Seq("qid", "nbr"), "left_semi").count()
+        val recall = if (total == 0L) 1.0 else hits.toDouble / total
+        runLogPath.foreach(p => graft.sources.RunLog.append(s, p, Seq(
+          graft.sources.RunLog.Entry(runTs, "vec_store_recall",
+            "recall_probe", math.round(recall * 1e6),
+            (System.nanoTime() - t0) / 1000000L, "ok",
+            s"recall_e6 over sample=$sampleN pool=$rerankPool root=$root"))))
+        recall
+      } finally exact.unpersist(blocking = false)
+    } finally sample.unpersist(blocking = false)
+  }
 
   // --------------------------------------------------------- takedown
 
@@ -353,8 +470,8 @@ object VecStore {
             .repartitionByRange(col("cell"), col("lbl"))
             .sortWithinPartitions("cell", "lbl", "vec_id"),
           "vec_vecs" -> vecs1
-            .repartitionByRange(col("vec_id"))
-            .sortWithinPartitions("vec_id"),
+            .repartitionByRange(col("cell"), col("vec_id"))
+            .sortWithinPartitions("cell", "vec_id"),
           "vec_hist" -> hist1,
           "vec_params" -> params1,
           "vec_tombstones" -> tomb1), root)

@@ -205,6 +205,55 @@ object RawZone {
     out.toSet
   }
 
+  /** [[pruneRunsLanded]]'S TWIN FOR THE BATCH/INCREMENTAL LIFECYCLE —
+    * the safe cutoff is DERIVED from the fact table's HIGH-WATER MARK
+    * instead of a streaming checkpoint: a run directory is pruned only
+    * when it is (a) older than the newest `keep` AND (b) every one of
+    * its rows sits at-or-below `hwm` on `tsCol`. Under the
+    * HWM-advancing lifecycle (`runIncremental`: `since = hwm + 1s`, so
+    * everything ≤ hwm was either processed by the activation that
+    * advanced the mark past it, or arrived late and is permanently
+    * invisible to every future activation) such a run can never be
+    * read again — pruning it loses nothing replayable. The guard is
+    * conservative in both directions: `hwm = None` (no fact rows yet)
+    * prunes NOTHING — a fact table lagging its raw zone blocks the
+    * prune exactly like a lagging checkpoint does — and a run whose
+    * max `tsCol` is NULL (no parseable timestamp at all) is retained
+    * for a human, not silently reclaimed. `keep` remains a floor.
+    * Returns the pruned stamps.
+    * Scale: one partition-pruned columnar pass over the CANDIDATE runs
+    * only (older-than-keep), reading the single timestamp column, then
+    * one directory delete per pruned run — the data read is bounded by
+    * the runs already slated for deletion, never the retained history.
+    */
+  def pruneRunsHwm(spark: SparkSession, root: String, entity: String,
+      keep: Int, hwm: Option[java.sql.Timestamp], schema: StructType,
+      tsCol: String = "received_at"): Seq[String] = {
+    require(keep >= 1, "pruneRunsHwm must keep at least the latest run")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$entity")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    val runs = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$RunColumn="))
+      .map(_.getPath.getName.stripPrefix(s"$RunColumn=")).sorted
+    val cands = runs.dropRight(keep)
+    val mark = hwm.getOrElse(return Nil)
+    if (cands.isEmpty) return Nil
+    val maxes = readJson(spark, root, entity, schema)
+      .filter(col(RunColumn).isin(cands: _*))
+      .groupBy(col(RunColumn))
+      .agg(max(col(tsCol)).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
+    val doomed = cands.filter(s =>
+      // a candidate missing from `maxes` holds zero rows — landed by
+      // vacuous truth (nothing to lose)
+      maxes.get(s).forall(_.exists(!_.after(mark))))
+    doomed.foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"$RunColumn=$s"), true))
+    doomed
+  }
+
   // ------------------------------------------------------------- staging
 
   /** K2/K3 — stage a transformed frame as Parquet (columnar staging). */

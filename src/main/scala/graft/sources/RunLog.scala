@@ -74,7 +74,11 @@ object RunLog {
       append(spark, path, Seq(entry(rows(r), "ok", "")))
       r
     } catch {
-      case e: Throwable =>
+      // NonFatal only: logging the failure row is itself a Spark append
+      // — on VM death (OOM) or a job cancellation, submitting more
+      // cluster work in a broken JVM masks the real failure; fatal
+      // throwables propagate unlogged (runRetention's leg rule)
+      case scala.util.control.NonFatal(e) =>
         append(spark, path, Seq(entry(-1L, "failed", e.toString)))
         throw e
     }

@@ -766,16 +766,26 @@ object Pipeline {
     *    [[graft.sources.RawZone.pruneRuns]] (the caller owns the
     *    landed-ness contract);
     *  - `rawRunsLanded`: (root, entity, keepRuns, checkpoint) — the
-    *    HWM-safe variant ([[graft.sources.RawZone.pruneRunsLanded]]):
+    *    checkpoint-safe variant ([[graft.sources.RawZone.pruneRunsLanded]]):
     *    a lagging streaming checkpoint BLOCKS the prune of unread runs;
+    *  - `rawRunsHwm`: (root, entity, keepRuns, factTablePath, schema) —
+    *    the BATCH/INCREMENTAL lifecycle's safety twin
+    *    ([[graft.sources.RawZone.pruneRunsHwm]]): the cutoff derives
+    *    from the fact table's high-water mark at leg time, so a fact
+    *    table lagging its raw zone blocks the prune the same way a
+    *    lagging checkpoint does;
     *  - `warehousePartitions`: (table, partitionCol, cutoff) —
     *    [[graft.sources.Catalog.dropPartitionsBelow]];
     *  - `stores`: (root, maxLayers, keepVersions) —
-    *    [[graft.sources.Snapshots.maintain]] (chain cut + vacuum).
+    *    [[graft.sources.Snapshots.maintain]] (chain cut + vacuum) —
+    *    ANY snapshot store: doc/RAG/pack stores and the published
+    *    vector store ([[graft.operators.VecStore]]) ride the same leg.
     */
   final case class RetentionPolicy(
       rawRuns: Seq[(String, String, Int)] = Nil,
       rawRunsLanded: Seq[(String, String, Int, String)] = Nil,
+      rawRunsHwm: Seq[(String, String, Int, String,
+        org.apache.spark.sql.types.StructType)] = Nil,
       warehousePartitions: Seq[(String, String, String)] = Nil,
       stores: Seq[(String, Int, Int)] = Nil)
 
@@ -824,6 +834,18 @@ object Pipeline {
     policy.rawRunsLanded.foreach { case (root, entity, keep, checkpoint) =>
       leg(s"prune_raw_landed:$entity") {
         RawZone.pruneRunsLanded(spark, root, entity, keep, checkpoint)
+          .size.toLong }
+    }
+    policy.rawRunsHwm.foreach { case (root, entity, keep, factPath, schema) =>
+      leg(s"prune_raw_hwm:$entity") {
+        // a fact table not yet created is the extreme lagging consumer:
+        // hwm = None and the prune is blocked, not failed
+        val fp = new org.apache.hadoop.fs.Path(factPath)
+        val hwm =
+          if (!fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(fp)) None
+          else Transforms.highWaterMark(RawZone.warehouse(spark, factPath))
+        RawZone.pruneRunsHwm(spark, root, entity, keep, hwm, schema)
           .size.toLong }
     }
     policy.warehousePartitions.foreach { case (table, partCol, cutoff) =>

@@ -68,7 +68,7 @@ class VecStoreSpec extends graft.SparkSpec {
     // a batch of genuinely new ids, vectors copied from existing corpus
     // rows so they land in real cells
     val src = Similarity.labeledVectors(spark, d)
-      .filter(col("vec_id") % 5 =!= 0).limit(3).collect()
+      .filter(col("vec_id") % 5 =!= 0).orderBy("vec_id").limit(3).collect()
     val batch = src.zipWithIndex.map { case (r, i) =>
       (900001L + i, r.getAs[Seq[Long]]("v").toArray, r.getAs[Long]("nrm"),
         r.getAs[Long]("lbl"))
@@ -142,7 +142,7 @@ class VecStoreSpec extends graft.SparkSpec {
     assert(planted("planted") === ((1L, false)),
       "a future id-bearing table must be audited, never silently excluded")
     // tombstone guard: an advance replaying the erased ids commits nothing
-    val ghost = VecStore.loadIndex(spark, root).vecs.limit(1).collect().head
+    val ghost = VecStore.loadIndex(spark, root).vecs.orderBy("vec_id").limit(1).collect().head
     val replay = Seq((doomed.head, ghost.getAs[Seq[Long]]("v").toArray,
       ghost.getAs[Long]("nrm"), ghost.getAs[Long]("lbl")))
       .toDF("vec_id", "v", "nrm", "lbl")
@@ -165,7 +165,7 @@ class VecStoreSpec extends graft.SparkSpec {
       Map("vec_codes" -> Seq("enc_ver" -> lit(2L)),
         "vec_hist" -> Seq("note" -> lit("migrated"))))
     val src = Similarity.labeledVectors(spark, d)
-      .filter(col("vec_id") % 5 =!= 0).limit(1).collect().head
+      .filter(col("vec_id") % 5 =!= 0).orderBy("vec_id").limit(1).collect().head
     val logDir = java.nio.file.Files
       .createTempDirectory("graft_vecm_log").toString + "/run_log"
     val v1 = VecStore.advance(spark, Seq((930001L,
@@ -201,7 +201,7 @@ class VecStoreSpec extends graft.SparkSpec {
     // a post-publish advance layers over the store so the completion's
     // maintain pass has a chain to account for
     val src = Similarity.labeledVectors(spark, d)
-      .filter(col("vec_id") % 5 =!= 0).limit(1).collect().head
+      .filter(col("vec_id") % 5 =!= 0).orderBy("vec_id").limit(1).collect().head
     VecStore.advance(spark, Seq((920001L, src.getAs[Seq[Long]]("v").toArray,
       src.getAs[Long]("nrm"), src.getAs[Long]("lbl")))
       .toDF("vec_id", "v", "nrm", "lbl"), root)
@@ -296,13 +296,159 @@ class VecStoreSpec extends graft.SparkSpec {
     assert(Snapshots.layerReport(spark, root).forall(_._2 <= 12))
   }
 
+  // a crafted store whose drift is PROVABLE: 10 tight clusters whose
+  // residuals the trained PQ represents exactly (recall at the trained
+  // floor), then an advance of a FAR cluster whose residuals sit far
+  // outside the pinned codebooks — every far vector snaps to the same
+  // extreme codewords, ADC cannot rank within the cluster, and recall
+  // visibly drops until a republish retrains cells/codebooks over it
+  private def clusterRow(id: Long): (Long, Array[Long], Long, Long) = {
+    val c = (id % 10).toInt
+    val v = Array.tabulate(64)(j => 40L * ((c * 7 + j) % 5) + ((id + j) % 3))
+    (id, v, v.map(x => x * x).sum, id % 4)
+  }
+  // two jitter families inside the far cluster: ids 1001-1010 (family
+  // A, jitter {0,1,2}) and 1011-1040 (family B, jitter {3,4,5}, three
+  // identical-vector groups of 10 whose LOWEST members all sit above
+  // 1010). Under the pinned quantizers every far vector snaps to the
+  // same degenerate codes, so the ADC pool is the 10 lowest far ids —
+  // all family A — and family B's true neighbors are provably
+  // unreachable; after a republish both families' residuals are tiny
+  // {−1..5} patterns the retrained codebooks represent exactly
+  private def farRow(id: Long): (Long, Array[Long], Long, Long) = {
+    val v = Array.tabulate(64)(j =>
+      if (id <= 1010L) 1000L + ((id + j) % 3)
+      else 1003L + ((id * 11 + 2L * j) % 3))
+    (id, v, v.map(x => x * x).sum, id % 4)
+  }
+
+  test("recallProbe + republish: advance-drift is MEASURED, republish retrains from the store's own surface and restores recall, the tombstone registry survives the rebuild") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vec_repub").toString + "/v"
+    val logPath = java.nio.file.Files
+      .createTempDirectory("graft_vec_repub_log").toString + "/run_log"
+    VecStore.publishFrom(spark,
+      (1L to 100L).map(clusterRow).toDF("vec_id", "v", "nrm", "lbl"), root)
+    // pool=10 covers a whole crafted cluster (the exact rerank then
+    // repairs near-tie ordering INSIDE a cluster) while staying small
+    // enough that coarse-coded drift floods it (prod uses the serving
+    // pool; the knob is the spec's)
+    def probe() = VecStore.recallProbe(spark, root, sampleN = 200,
+      rerankPool = 10, runLogPath = Some(logPath))
+    val r0 = probe()
+    val v1 = VecStore.advance(spark,
+      (1001L to 1040L).map(farRow).toDF("vec_id", "v", "nrm", "lbl"), root)
+    val rDrift = probe()
+    assert(rDrift < r0 - 0.05,
+      s"recall must measurably drift after a far-cluster advance: $r0 -> $rDrift")
+    // erase two advanced ids, then RETRAIN from the store's own surface
+    VecStore.takedown(spark, Seq(1001L, 1002L), root)
+    val vR = VecStore.republish(spark, root)
+    // the registry is carried FORWARD through the rebuild — never reset
+    assert(Snapshots.readTable(spark, root, "vec_tombstones")
+      .collect().map(_.getLong(0)).toSet === Set(1001L, 1002L))
+    // republish is an all-Full chain cut: nothing references a prior
+    // version, so the SLA's vacuum physically reclaims the drift history
+    assert(Snapshots.layerReport(spark, root).forall(_._3.isEmpty))
+    Snapshots.vacuum(spark, root, keep = 1)
+    assert(Snapshots.versions(spark, root).size === 1)
+    // a replayed pre-takedown advance still commits nothing for the
+    // erased id, while a genuinely new id in the same batch lands
+    val replay = Seq(farRow(1001L), farRow(2001L))
+      .toDF("vec_id", "v", "nrm", "lbl")
+    VecStore.advance(spark, replay, root)
+    val served = VecStore.loadIndex(spark, root).vecs
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!served.contains(1001L) && !served.contains(1002L),
+      "an erased id must never resurrect through a post-republish replay")
+    assert(served.contains(2001L) && served.contains(1003L) &&
+      (1L to 100L).forall(served.contains))
+    // recall restored: the retrained cells/codebooks SEE the far cluster
+    val rRepub = probe()
+    info(f"recall@3: publish=$r0%.3f drift=$rDrift%.3f republish=$rRepub%.3f")
+    assert(rRepub > rDrift + 0.05,
+      s"republish must restore recall toward the trained floor: $rDrift -> $rRepub")
+    // the probe leaves the run-logged trail the retrain trigger reads
+    val trail = graft.sources.RunLog.read(spark, logPath)
+      .filter(col("pipeline") === "vec_store_recall").collect()
+    assert(trail.length === 3 && trail.forall(_.getAs[String]("status") == "ok"))
+    assert(trail.map(_.getAs[Long]("rows")).toSet ===
+      Set(r0, rDrift, rRepub).map(r => math.round(r * 1e6)))
+    assert(v1 > 0 && vR > v1)
+  }
+
+  test("advance dedup: conflicting-nrm duplicates converge on one deterministic winner regardless of batch row order") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vec_dedup").toString + "/v"
+    VecStore.publishFrom(spark,
+      (1L to 50L).map(clusterRow).toDF("vec_id", "v", "nrm", "lbl"), root)
+    // a contract-violating producer: same id, equal (lbl, v), two nrm
+    // values — the total-row ordering must pick min(nrm) whichever row
+    // comes first in the batch
+    val (_, v, nrm, lbl) = clusterRow(7L)
+    val rows = Seq((6001L, v, nrm, lbl), (6001L, v, nrm + 7L, lbl),
+      (6002L, v, nrm + 7L, lbl), (6002L, v, nrm, lbl))
+    VecStore.advance(spark, rows.toDF("vec_id", "v", "nrm", "lbl"), root)
+    val got = VecStore.loadIndex(spark, root).vecs
+      .filter(col("vec_id").isin(6001L, 6002L))
+      .select("vec_id", "nrm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(6001L -> nrm, 6002L -> nrm),
+      "both input orders must converge on the lowest total-ordered row")
+  }
+
+  test("the nightly retention policy composes over a LIVE vector store: advances interleave, chains stay bounded, serving stays green, erased ids stay erased") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val d = sf("sf0.001")
+    val root = freshStore(d)
+    val logPath = java.nio.file.Files
+      .createTempDirectory("graft_vec_ret").toString + "/run_log"
+    val policy = graft.wistia.Pipeline.RetentionPolicy(
+      stores = Seq((root, 2, 1)))
+    val src = Similarity.labeledVectors(spark, d)
+      .filter(col("vec_id") % 5 =!= 0).orderBy("vec_id").limit(1)
+      .collect().head
+    for (night <- 1 to 7) {
+      VecStore.advance(spark, Seq((960000L + night,
+        src.getAs[Seq[Long]]("v").toArray, src.getAs[Long]("nrm"),
+        src.getAs[Long]("lbl"))).toDF("vec_id", "v", "nrm", "lbl"), root)
+      if (night == 4) VecStore.takedown(spark, Seq(960001L), root)
+      graft.wistia.Pipeline.runRetention(spark, policy, logPath)
+      // bounded EVERY night, not just at the end
+      assert(Snapshots.layerReport(spark, root).forall(_._2 <= 2),
+        s"night $night: chain depth")
+      assert(Snapshots.versions(spark, root).size <= 2,
+        s"night $night: retained versions")
+      if (night >= 4) {
+        val ids = VecStore.loadIndex(spark, root).vecs
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(!ids.contains(960001L), s"night $night: erased id resurfaced")
+        assert(Snapshots.readTable(spark, root, "vec_tombstones")
+          .collect().map(_.getLong(0)).toSet === Set(960001L))
+      }
+    }
+    // the composed SLA never broke serving: the store answers at the end
+    assert(VecStore.sim16FromStore(spark, d, root).count() > 0)
+    val served = VecStore.loadIndex(spark, root).vecs
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((2 to 7).forall(n => served.contains(960000L + n)))
+    val trail = graft.sources.RunLog.read(spark, logPath)
+      .filter(col("pipeline") === "retention").collect()
+    assert(trail.length === 7 && trail.forall(_.getAs[String]("status") == "ok"))
+    assert(trail.forall(_.getAs[String]("stage") == "maintain_store:v"))
+  }
+
   test("streaming twin: per-trigger vec advances land, a replayed stream commits nothing, the maintenance hook bounds chains") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val d = sf("sf0.001")
     val root = freshStore(d)
     val src = Similarity.labeledVectors(spark, d)
-      .filter(col("vec_id") % 5 =!= 0).limit(4).collect()
+      .filter(col("vec_id") % 5 =!= 0).orderBy("vec_id").limit(4).collect()
     val inDir = java.nio.file.Files
       .createTempDirectory("graft_vecstream").toString
     for ((r, i) <- src.zipWithIndex)

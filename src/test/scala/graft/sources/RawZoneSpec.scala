@@ -94,6 +94,48 @@ class RawZoneSpec extends SparkSpec {
     }
   }
 
+  test("pruneRunsHwm: the fact HWM gates the batch lifecycle's prune — lagging fact blocks, landed runs reclaim, a null-ts run is kept for a human") {
+    def at(ts: String) = eventJson.replace("2024-03-01T10:00:00Z", ts)
+    def hwm(ts: String) = Some(java.sql.Timestamp.from(
+      java.time.Instant.parse(ts)))
+    val root = tmp()
+    RawZone.writeRun(parsed(at("2024-03-01T10:00:00Z")), root, "events",
+      "20240301_100000")
+    RawZone.writeRun(parsed(at("2024-03-02T09:00:00Z"),
+      at("2024-03-02T09:30:00Z")), root, "events", "20240302_090000")
+    RawZone.writeRun(parsed(at("2024-03-03T08:00:00Z")), root, "events",
+      "20240303_080000")
+    // no fact rows yet (hwm None): the extreme lagging consumer — the
+    // keep floor alone would have reclaimed two stamps here
+    assert(RawZone.pruneRunsHwm(spark, root, "events", 1, None,
+      Schemas.rawEvent) === Nil)
+    // the fact has landed run 1 but not run 2's 09:30 row: run 2 BLOCKED
+    assert(RawZone.pruneRunsHwm(spark, root, "events", 1,
+      hwm("2024-03-02T09:00:00Z"), Schemas.rawEvent)
+      === Seq("20240301_100000"))
+    assert(new java.io.File(s"$root/events/run_ts=20240302_090000").exists())
+    // the HWM moves past run 2; keep=1 still floors run 3 even though
+    // it too is below the mark
+    assert(RawZone.pruneRunsHwm(spark, root, "events", 1,
+      hwm("2024-03-04T00:00:00Z"), Schemas.rawEvent)
+      === Seq("20240302_090000"))
+    assert(RawZone.latestRun(spark, root, "events")
+      .contains("20240303_080000"))
+    // a run with no parseable timestamp can never be proven landed —
+    // retained, while a later empty-of-rows candidate would be vacuous
+    RawZone.writeRun(parsed("""{"event_key":"no_ts"}"""), root, "events",
+      "20240304_070000")
+    RawZone.writeRun(parsed(at("2024-03-05T06:00:00Z")), root, "events",
+      "20240305_060000")
+    assert(RawZone.pruneRunsHwm(spark, root, "events", 1,
+      hwm("2024-03-09T00:00:00Z"), Schemas.rawEvent)
+      === Seq("20240303_080000"))
+    assert(new java.io.File(s"$root/events/run_ts=20240304_070000").exists())
+    intercept[IllegalArgumentException] {
+      RawZone.pruneRunsHwm(spark, root, "events", 0, None, Schemas.rawEvent)
+    }
+  }
+
   test("S6: schema-enforced PERMISSIVE read tolerates corrupt records") {
     val root = tmp()
     import spark.implicits._

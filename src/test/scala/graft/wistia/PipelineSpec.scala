@@ -805,6 +805,50 @@ class PipelineSpec extends SparkSpec {
       .count(_.getName.startsWith("run_ts=")) === 1)
   }
 
+  test("runRetention: the rawRunsHwm leg derives its cutoff from the fact HWM — a missing or lagging fact table blocks the batch lifecycle's prune") {
+    import graft.sources.RunLog
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def utc(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val rawRoot = java.nio.file.Files.createTempDirectory("rethwm_raw").toString
+    val factPath = java.nio.file.Files
+      .createTempDirectory("rethwm_wh").toString + "/fact"
+    val logPath = java.nio.file.Files
+      .createTempDirectory("rethwm_log").toString + "/run_log"
+    for ((ts, stamp) <- Seq(
+        "2024-03-01T10:00:00Z" -> "20240301_100000",
+        "2024-03-02T11:00:00Z" -> "20240302_110000",
+        "2024-03-03T12:00:00Z" -> "20240303_120000"))
+      RawZone.writeRun(parsedEvents(Seq(eventJson("e", "v1", "abc", ts, 0.5))),
+        rawRoot, "events", stamp)
+    val policy = Pipeline.RetentionPolicy(
+      rawRunsHwm = Seq((rawRoot, "events", 1, factPath, Schemas.rawEvent)))
+    def liveRuns() = new java.io.File(s"$rawRoot/events").listFiles()
+      .count(_.getName.startsWith("run_ts="))
+    // the fact table does not exist yet — the extreme lagging consumer:
+    // the leg succeeds (logged ok) but reclaims nothing
+    Pipeline.runRetention(spark, policy, logPath)
+    assert(liveRuns() === 3)
+    // the fact has landed run 1 only: run 2 stays blocked, keep floors run 3
+    Seq(utc("2024-03-01T10:00:00Z")).toDF("event_timestamp")
+      .write.mode("append").parquet(factPath)
+    Pipeline.runRetention(spark, policy, logPath)
+    assert(liveRuns() === 2)
+    assert(new java.io.File(
+      s"$rawRoot/events/run_ts=20240302_110000").exists())
+    // the fact catches up past run 2: it reclaims; run 3 is the floor
+    Seq(utc("2024-03-02T11:30:00Z")).toDF("event_timestamp")
+      .write.mode("append").parquet(factPath)
+    Pipeline.runRetention(spark, policy, logPath)
+    assert(liveRuns() === 1)
+    assert(RawZone.latestRun(spark, rawRoot, "events")
+      .contains("20240303_120000"))
+    val trail = RunLog.read(spark, logPath)
+      .filter(col("stage") === "prune_raw_hwm:events").collect()
+    assert(trail.length === 3 && trail.forall(_.getAs[String]("status") == "ok"))
+    assert(trail.map(_.getAs[Long]("rows")).sorted.toSeq === Seq(0L, 1L, 1L))
+  }
+
   private def parsedEvents(lines: Seq[String]) = {
     import spark.implicits._
     spark.read.schema(Schemas.rawEvent).json(lines.toDS)
