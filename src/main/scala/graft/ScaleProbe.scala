@@ -1145,12 +1145,18 @@ object ScaleProbe {
     // same sf0.1 batch against a store built on the 10×-replicated
     // corpus (k and the cell count √C grow — a real index-growth
     // shape), so any store-size term in the serve shows directly.
-    // Expected near-flat: probe is O(batch·k) (k grows √10×), the ADC
-    // scan is per-probed-cell row-group-pruned in the (cell, lbl)-
-    // sorted code table, rerank is O(batch·pool). The advance arm is
+    // What scales how (r18, measured): the REQUEST-SHAPED serve (64
+    // fixed queries) is FLAT — its probed-cell set is a bounded
+    // fraction of k, and the shared literal pushdown prunes BOTH the
+    // (cell,lbl,vec_id)-sorted code scan and the (cell,vec_id)-sorted
+    // rerank scan to the probed row groups. The full-sf batch (20% of
+    // the corpus) probes EVERY cell, so its serve is honestly
+    // corpus-shaped — still ~3× under the rederive. The advance arm is
     // the freshness path (fixed 20-vector batch, throwaway store
-    // copies — expect flat); the takedown arm is the erasure path
-    // (all-Full rewrite — expect O(store), stated honestly).
+    // copies — expect flat); the recall arm is the nightly drift
+    // observable (near-flat); the republish arm is the retrain
+    // (expect O(store), stated honestly); the takedown arm is the
+    // erasure path (all-Full rewrite — expect O(store)).
     if (args.contains("prod:vecstore")) {
       import graft.operators.{Similarity, VecStore}
       val dirBase = skewCache("prodvecstore")
@@ -1202,6 +1208,33 @@ object ScaleProbe {
         dropPersisted()
         val t0 = System.nanoTime()
         run().write.format("noop").mode("overwrite").save()
+        println(f"[probe] prod vecstore $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        dropPersisted()
+      }
+      // small-batch serving arm: a production request batch is tiny vs
+      // the corpus — the full-sf batch above probes EVERY cell (12k
+      // queries × nprobe ≥ k distinct cells, so the literal pushdown
+      // covers the whole table and the serve is honestly corpus-shaped)
+      // while 64 fixed queries probe a bounded cell set, so the
+      // (cell,…)-sorted layout + probed-cell literals prune BOTH
+      // corpus-table scans and the serve should grow far slower than
+      // the store
+      def smallServe(root: String, filtered: Boolean): DataFrame = {
+        val b = (if (filtered) Similarity.labeledVectors(spark, src)
+          else Similarity.scaledVectors(spark, src))
+          .filter(isNew).orderBy("vec_id").limit(64)
+        Similarity.serveIvfpq(b, VecStore.loadIndex(spark, root),
+          Similarity.pq16Pool, residual = true, coarseTrained = true,
+          filteredByLabel = filtered, filterWiden = true,
+          pushProbedCells = true)
+      }
+      for ((label, st, f) <- Seq(
+          ("s17-64q-1x", s"$dirBase/1x_store", true),
+          ("s17-64q-10x", s"$dirBase/10x_store", true))) {
+        smallServe(st, f).write.format("noop").mode("overwrite").save()
+        dropPersisted()
+        val t0 = System.nanoTime()
+        smallServe(st, f).write.format("noop").mode("overwrite").save()
         println(f"[probe] prod vecstore $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         dropPersisted()
       }

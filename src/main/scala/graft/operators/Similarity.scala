@@ -1476,50 +1476,61 @@ object Similarity {
     // filter is exactly the join's key set at both scans, pure
     // pruning, results unchanged. Capped at 4096 literals (past that
     // the predicate costs more than it prunes and the plain join is
-    // the right plan). The probe is collected from the LAZY plan — no
-    // checkpoint: re-deriving the O(batch·k) broadcast probe once in
-    // the final plan is cheaper than stranding a storage block per
-    // call in a long-lived serving process.
-    val (codesSrc, vecsSrc) =
-      if (!pushProbedCells) (idx.codes, idx.vecs)
-      else {
+    // the right plan).
+    def plan(probedSrc: DataFrame, codesSrc: DataFrame,
+        vecsSrc: DataFrame): DataFrame = {
+      val adc = codesSrc.join(probedSrc,
+          if (filteredByLabel) Seq("cell", "lbl") else Seq("cell"))
+        .join(lutQ, "qid")
+        .select(Seq(col("qid"), col("vec_id").as("nbr"),
+          (if (residual) adcSum + col("cdot") else adcSum).as("approx_dot")) ++
+          (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("approx_dot").desc, col("nbr"))
+      val coarse = adc.withColumn("crnk", row_number().over(wc))
+        .filter(col("crnk") <= rerankPool)
+        .select(Seq(col("qid"), col("nbr")) ++
+          (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+      coarse
+        .join(batch.select(col("vec_id").as("qid"), col("v").as("va"),
+          col("nrm").as("na")), "qid")
+        .join(vecsSrc.select(col("vec_id").as("nbr"), col("v").as("vb"),
+          col("nrm").as("nb")), "nbr")
+        .withColumn("dot", dot(col("va"), col("vb")))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 3)
+        .select(Seq(col("qid"), col("rnk"),
+          col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6")) ++
+          (if (filteredByLabel) Seq(col("lbl").as("label")) else Nil): _*)
+        .orderBy("qid", "rnk")
+    }
+    if (!pushProbedCells) plan(probed, idx.codes, idx.vecs)
+    else {
+      // the probe is checkpointed so the literal-collect and the final
+      // plan share ONE O(batch·k) probe pass — and the checkpoint is
+      // RELEASED deterministically: the ≤|batch|·3-row result is
+      // materialized here (the serving path is eager by nature — the
+      // cell literals are already collected at build time) and the
+      // corpus-shaped probe blocks are unpersisted before returning,
+      // so a long-lived serving process strands nothing per call
+      val p = probed.localCheckpoint()
+      try {
         // bounded transfer: the cap question needs at most cap+1
         // cells, never the full distinct set
-        val cells = probed.select("cell").distinct().limit(pushCellCap + 1)
+        val cells = p.select("cell").distinct().limit(pushCellCap + 1)
           .collect().map(_.getLong(0))
-        if (cells.length <= pushCellCap)
-          (idx.codes.filter(col("cell").isin(cells.toSeq: _*)),
-            idx.vecs.filter(col("cell").isin(cells.toSeq: _*)))
-        else (idx.codes, idx.vecs)
-      }
-    val adc = codesSrc.join(probed,
-        if (filteredByLabel) Seq("cell", "lbl") else Seq("cell"))
-      .join(lutQ, "qid")
-      .select(Seq(col("qid"), col("vec_id").as("nbr"),
-        (if (residual) adcSum + col("cdot") else adcSum).as("approx_dot")) ++
-        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("approx_dot").desc, col("nbr"))
-    val coarse = adc.withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= rerankPool)
-      .select(Seq(col("qid"), col("nbr")) ++
-        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
-    coarse
-      .join(batch.select(col("vec_id").as("qid"), col("v").as("va"),
-        col("nrm").as("na")), "qid")
-      .join(vecsSrc.select(col("vec_id").as("nbr"), col("v").as("vb"),
-        col("nrm").as("nb")), "nbr")
-      .withColumn("dot", dot(col("va"), col("vb")))
-      .withColumn("cos", col("dot").cast("double") /
-        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= 3)
-      .select(Seq(col("qid"), col("rnk"),
-        col("nbr"), floor(col("cos") * 1000000).cast("long").as("cos_e6")) ++
-        (if (filteredByLabel) Seq(col("lbl").as("label")) else Nil): _*)
-      .orderBy("qid", "rnk")
+        val out =
+          if (cells.length <= pushCellCap)
+            plan(p, idx.codes.filter(col("cell").isin(cells.toSeq: _*)),
+              idx.vecs.filter(col("cell").isin(cells.toSeq: _*)))
+          else plan(p, idx.codes, idx.vecs)
+        out.localCheckpoint()
+      } finally p.unpersist(blocking = false)
+    }
   }
 
   /** One round of the oracle's per-subspace Lloyd replay: assignment by

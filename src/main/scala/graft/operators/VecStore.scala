@@ -60,20 +60,25 @@ import graft.sources.{CommitLock, Snapshots}
   * configurations — the label is a co-key the unfiltered probe simply
   * does not join on.
   *
-  * MEASURED (ScaleProbe prod:vecstore, sf0.1 base, warm, r17; 10× =
+  * MEASURED (ScaleProbe prod:vecstore, sf0.1 base, warm, r18; 10× =
   * store built on the 10×-replicated corpus, SAME fixed sf0.1 batch;
-  * figures from the final capture WITH the probed-cell literal
-  * pushdown in the serving scan): sim16 rederive 6.80 s vs from-store
-  * 1.55 s at 1×, 2.06 s at 10× store; sim17 rederive 6.04 s vs
-  * 1.55 s / 1.77 s — the per-query train+encode is gone and the serve
-  * is near-FLAT in store size (the pre-pushdown capture read 2.79 /
-  * 3.17 s at 10×: collecting the batch's ≤k distinct probed cells and
-  * pushing them as an IN literal lets the (cell,…)-sorted code files'
-  * row-group stats prune the scan — search7FromStore's pattern at the
-  * cell grain). Advance (fixed 20-vector batch): 2.91 s at 1×,
-  * 1.89 s at 10× — FLAT. Takedown+vacuum+evidence: 3.41 / 3.47 s,
-  * evidence clean at both scales (the all-Full rewrite is O(store) by
-  * design; at these scales fixed costs dominate).
+  * final capture with the probed-cell literals pushed into BOTH
+  * corpus-table scans): the request-shaped serve is FLAT in store
+  * size — 64 fixed queries: 1.58 s at 1× vs 1.56 s at 10× (their
+  * probed-cell set is a bounded fraction of k, so both sorted tables
+  * prune to the probed row groups). The full-sf batch (12k queries —
+  * 20% of the corpus, probing EVERY cell, so the literal set covers
+  * the whole table and the serve is honestly corpus-shaped) still
+  * beats the rederive ~3×: sim16 rederive 6.05 s vs from-store
+  * 2.49 s at 1×, 3.04 s at 10× store; sim17 5.62 s vs 1.96 / 2.17 s.
+  * Advance (fixed 20-vector batch): 3.11 s at 1×, 2.31 s at 10× —
+  * FLAT. Recall probe (64-query sample vs exact truth): 2.49 /
+  * 3.33 s — near-flat, the corpus-linear exact side visible but tiny.
+  * Republish: 6.47 / 11.34 s — O(store) HONESTLY (a republish IS a
+  * full retrain + rewrite; the probe is what keeps it nightly-rare).
+  * Takedown+vacuum+evidence: 3.53 / 3.53 s, evidence clean at both
+  * scales (the all-Full rewrite is O(store) by design; at these
+  * scales fixed costs dominate).
   */
 object VecStore {
 

@@ -779,7 +779,17 @@ object Pipeline {
     *  - `stores`: (root, maxLayers, keepVersions) —
     *    [[graft.sources.Snapshots.maintain]] (chain cut + vacuum) —
     *    ANY snapshot store: doc/RAG/pack stores and the published
-    *    vector store ([[graft.operators.VecStore]]) ride the same leg.
+    *    vector store ([[graft.operators.VecStore]]) ride the same leg;
+    *  - `vecRecall`: (root, sampleN, recallFloor_e6) — the vector
+    *    store's QUALITY SLA: run [[graft.operators.VecStore.recallProbe]]
+    *    (one observation row in the run log, leg rows = recall in e6
+    *    fixed point) and, when the measured recall sinks below the
+    *    floor, RETRAIN via [[graft.operators.VecStore.republish]] as
+    *    its own logged leg — the advance contract's "nightly
+    *    re-publish is the retrain" closed into the same one-call pass
+    *    that already bounds storage; a healthy store's night is
+    *    probe-only (no rewrite), observation and action separated in
+    *    the trail.
     */
   final case class RetentionPolicy(
       rawRuns: Seq[(String, String, Int)] = Nil,
@@ -787,7 +797,8 @@ object Pipeline {
       rawRunsHwm: Seq[(String, String, Int, String,
         org.apache.spark.sql.types.StructType)] = Nil,
       warehousePartitions: Seq[(String, String, String)] = Nil,
-      stores: Seq[(String, Int, Int)] = Nil)
+      stores: Seq[(String, Int, Int)] = Nil,
+      vecRecall: Seq[(String, Int, Long)] = Nil)
 
   /** One nightly RETENTION pass over all three storage layers — the
     * composed entry point the layer ops
@@ -858,6 +869,22 @@ object Pipeline {
         val m = Snapshots.maintain(spark, root, maxLayers, keep)
         m.vacuumed.size.toLong
       }
+    }
+    policy.vecRecall.foreach { case (root, sampleN, floorE6) =>
+      val name = new org.apache.hadoop.fs.Path(root).getName
+      var measured = -1L
+      leg(s"vec_recall:$name") {
+        measured = math.round(graft.operators.VecStore.recallProbe(
+          spark, root, sampleN, runLogPath = Some(runLogPath),
+          runTs = runTs) * 1e6)
+        measured
+      }
+      // retrain only on a SUCCESSFUL observation below the floor — a
+      // failed probe logs its own failed leg and must not trigger a
+      // store rewrite on garbage evidence
+      if (measured >= 0L && measured < floorE6)
+        leg(s"vec_republish:$name") {
+          graft.operators.VecStore.republish(spark, root) }
     }
     RunLog.append(spark, runLogPath, entries.toSeq)
     val failed = entries.filter(_.status == "failed")

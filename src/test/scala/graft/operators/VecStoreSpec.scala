@@ -43,7 +43,15 @@ class VecStoreSpec extends graft.SparkSpec {
         coarseIters = Similarity.pq16CoarseIters, filteredByLabel = true)))
     // the serving plan's scan set includes the STORE's artifacts — the
     // trained quantizers come from parquet, not from an in-plan trainer
-    val plan = from17.queryExecution.executedPlan.toString
+    // (inspected via the lazy un-pushed form: the pushdown path
+    // materializes its small result eagerly to release the probe
+    // checkpoint, so its returned frame no longer carries the plan)
+    val lazyServe = Similarity.serveIvfpq(
+      Similarity.labeledVectors(spark, d).filter(col("vec_id") % 5 === 0),
+      VecStore.loadIndex(spark, root), Similarity.pq16Pool,
+      residual = true, coarseTrained = true, filteredByLabel = true,
+      filterWiden = true)
+    val plan = lazyServe.queryExecution.executedPlan.toString
     assert(plan.contains("vec_codes") && plan.contains("vec_vecs"),
       "the serve must scan the published code/vector tables")
     // the probed-cell literal pushdown is pure pruning, and its
@@ -440,6 +448,46 @@ class VecStoreSpec extends graft.SparkSpec {
       .filter(col("pipeline") === "retention").collect()
     assert(trail.length === 7 && trail.forall(_.getAs[String]("status") == "ok"))
     assert(trail.forall(_.getAs[String]("stage") == "maintain_store:v"))
+  }
+
+  test("vecRecall retention leg: a healthy night is probe-only; a floor breach retrains via republish inside the same one-call pass") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vec_sla").toString + "/v"
+    val logPath = java.nio.file.Files
+      .createTempDirectory("graft_vec_sla_log").toString + "/run_log"
+    VecStore.publishFrom(spark,
+      (1L to 100L).map(clusterRow).toDF("vec_id", "v", "nrm", "lbl"), root)
+    VecStore.advance(spark,
+      (1001L to 1040L).map(farRow).toDF("vec_id", "v", "nrm", "lbl"), root)
+    val v0 = Snapshots.latestVersion(spark, root).get
+    // floor 0: the observation leg runs, no rewrite — versions unchanged
+    val pass1 = graft.wistia.Pipeline.runRetention(spark,
+      graft.wistia.Pipeline.RetentionPolicy(
+        vecRecall = Seq((root, 200, 0L))), logPath)
+    assert(pass1.map(_.stage) === Seq("vec_recall:v"))
+    val measured = pass1.head.rows
+    assert(measured > 0L && measured <= 1000000L)
+    assert(Snapshots.latestVersion(spark, root) === Some(v0),
+      "a healthy night must not rewrite the store")
+    // floor just above the measured recall: the SAME pass now retrains
+    val pass2 = graft.wistia.Pipeline.runRetention(spark,
+      graft.wistia.Pipeline.RetentionPolicy(
+        vecRecall = Seq((root, 200, measured + 1L))), logPath)
+    assert(pass2.map(_.stage) === Seq("vec_recall:v", "vec_republish:v"))
+    assert(pass2.forall(_.status == "ok"))
+    val v1 = Snapshots.latestVersion(spark, root).get
+    assert(v1 > v0, "a floor breach must land the retrain")
+    // the retrained store serves, and the trail separates observation
+    // (vec_store_recall rows from the probe itself + retention legs)
+    // from action
+    assert(VecStore.loadIndex(spark, root).vecs.count() === 140L)
+    val trail = graft.sources.RunLog.read(spark, logPath).collect()
+    assert(trail.count(r => r.getAs[String]("pipeline") == "vec_store_recall"
+      && r.getAs[String]("stage") == "recall_probe") === 2)
+    assert(trail.exists(r => r.getAs[String]("pipeline") == "retention"
+      && r.getAs[String]("stage") == "vec_republish:v"))
   }
 
   test("streaming twin: per-trigger vec advances land, a replayed stream commits nothing, the maintenance hook bounds chains") {
