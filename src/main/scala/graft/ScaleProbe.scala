@@ -1888,12 +1888,16 @@ object ScaleProbe {
     // probe saturates to all surviving cells, so the IN list covers
     // ~the whole blob's cells — pruning buys nothing and must cost
     // nothing). Pins: store-served output bit-equal to the in-plan
-    // sim17 on the same corpus at both scales. MEASURED (warm, r17):
-    // publish 19.5/15.7 s at 1×/10× (the collapsed-blob Lloyd paid
-    // once), serve 4.15 s at 1× and 6.19 s at 10× — vs the in-plan
+    // sim17 on the same corpus at both scales. MEASURED (warm, r18,
+    // with the probed-cell literals pushed into BOTH corpus-table
+    // scans and the eager shared-probe serve): serve 4.65 s at 1× and
+    // 7.13 s at 10× (r17 read 4.15/6.19 in a session measuring ~0.9×
+    // of this one — same shape within host drift) — vs the in-plan
     // skew:sim17's 9.0/37.6 s: the retrain term is gone and the
     // residual growth is the known label-bounded one-cell ADC scan,
-    // with the saturated-probe pushdown costing nothing.
+    // with the saturated-probe pushdown costing nothing; publish
+    // 19.5/15.7 s at 1×/10× (r17 — the collapsed-blob Lloyd paid
+    // once, untouched this round).
     if (args.contains("skew:vecstore")) {
       import graft.operators.VecStore
       val skewDir = skewCache("skewsim17") // same corpora as skew:sim17

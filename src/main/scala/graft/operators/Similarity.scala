@@ -1402,6 +1402,12 @@ object Similarity {
     * Work per batch: O(batch·k) probing, O(Σ_q |probed cells|·m)
     * LUT-joined code rows, O(batch·pool) full-vector rerank fetches —
     * the corpus is never rescanned or re-encoded.
+    * With `pushProbedCells` the returned frame is an EAGER
+    * ≤|batch|·3-row localCheckpoint (the probed-cell literals are
+    * collected at build time and the probe checkpoint is released
+    * before returning); a long-lived serving process may unpersist the
+    * returned frame once consumed — its blocks are request-small, the
+    * corpus-shaped intermediates are already gone.
     */
   private[graft] def serveIvfpq(batch: DataFrame, idx: IvfpqIndex,
       rerankPool: Int, residual: Boolean, coarseTrained: Boolean,

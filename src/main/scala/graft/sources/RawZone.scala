@@ -239,9 +239,12 @@ object RawZone {
     val cands = runs.dropRight(keep)
     val mark = hwm.getOrElse(return Nil)
     if (cands.isEmpty) return Nil
+    // the run column is cast through string: partition-type inference
+    // would read an all-digit custom stamp as a number and the stamp
+    // comparison below must match the directory names either way
     val maxes = readJson(spark, root, entity, schema)
-      .filter(col(RunColumn).isin(cands: _*))
-      .groupBy(col(RunColumn))
+      .filter(col(RunColumn).cast("string").isin(cands: _*))
+      .groupBy(col(RunColumn).cast("string").as(RunColumn))
       .agg(max(col(tsCol)).as("mx"))
       .collect()
       .map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
