@@ -367,9 +367,13 @@ object ScaleProbe {
     * generator would silently measure the old corpus and the published
     * probe numbers would mislead. Bump [[SkewGenVersion]] whenever any
     * skew generator changes — the new path misses the cache and the
-    * corpus rebuilds from the current expression.
+    * corpus rebuilds from the current expression. The same rule covers
+    * cached PUBLISHED STORES (prod:vecstore / skew:vecstore roots):
+    * they memoize a store LAYOUT, not just a corpus — v3 forces the
+    * r18 (cell, vec_id)-sorted vec_vecs rebuild so serve measurements
+    * actually exercise the layout the round claims.
     */
-  private val SkewGenVersion = 2
+  private val SkewGenVersion = 3
   private def skewCache(name: String): String =
     s"/tmp/sfprobe_$name-v$SkewGenVersion"
 
@@ -1229,6 +1233,8 @@ object ScaleProbe {
           pushProbedCells = true)
       }
       for ((label, st, f) <- Seq(
+          ("s16-64q-1x", s"$dirBase/1x_store", false),
+          ("s16-64q-10x", s"$dirBase/10x_store", false),
           ("s17-64q-1x", s"$dirBase/1x_store", true),
           ("s17-64q-10x", s"$dirBase/10x_store", true))) {
         smallServe(st, f).write.format("noop").mode("overwrite").save()
@@ -1889,15 +1895,13 @@ object ScaleProbe {
     // ~the whole blob's cells — pruning buys nothing and must cost
     // nothing). Pins: store-served output bit-equal to the in-plan
     // sim17 on the same corpus at both scales. MEASURED (warm, r18,
-    // with the probed-cell literals pushed into BOTH corpus-table
-    // scans and the eager shared-probe serve): serve 4.65 s at 1× and
-    // 7.13 s at 10× (r17 read 4.15/6.19 in a session measuring ~0.9×
-    // of this one — same shape within host drift) — vs the in-plan
+    // on v3-rebuilt stores — (cell,vec_id)-sorted vec_vecs, probed-
+    // cell literals in BOTH scans, eager shared-probe serve): publish
+    // 13.3/20.7 s at 1×/10× (the collapsed-blob Lloyd paid once),
+    // serve 4.13 s at 1× and 7.32 s at 10× — vs the in-plan
     // skew:sim17's 9.0/37.6 s: the retrain term is gone and the
     // residual growth is the known label-bounded one-cell ADC scan,
-    // with the saturated-probe pushdown costing nothing; publish
-    // 19.5/15.7 s at 1×/10× (r17 — the collapsed-blob Lloyd paid
-    // once, untouched this round).
+    // with the saturated-probe pushdown costing nothing.
     if (args.contains("skew:vecstore")) {
       import graft.operators.VecStore
       val skewDir = skewCache("skewsim17") // same corpora as skew:sim17

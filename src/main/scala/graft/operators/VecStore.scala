@@ -60,23 +60,28 @@ import graft.sources.{CommitLock, Snapshots}
   * configurations — the label is a co-key the unfiltered probe simply
   * does not join on.
   *
-  * MEASURED (ScaleProbe prod:vecstore, sf0.1 base, warm, r18; 10× =
-  * store built on the 10×-replicated corpus, SAME fixed sf0.1 batch;
-  * final capture with the probed-cell literals pushed into BOTH
-  * corpus-table scans): the request-shaped serve is FLAT in store
-  * size — 64 fixed queries: 1.58 s at 1× vs 1.56 s at 10× (their
-  * probed-cell set is a bounded fraction of k, so both sorted tables
-  * prune to the probed row groups). The full-sf batch (12k queries —
-  * 20% of the corpus, probing EVERY cell, so the literal set covers
-  * the whole table and the serve is honestly corpus-shaped) still
-  * beats the rederive ~3×: sim16 rederive 6.05 s vs from-store
-  * 2.49 s at 1×, 3.04 s at 10× store; sim17 5.62 s vs 1.96 / 2.17 s.
-  * Advance (fixed 20-vector batch): 3.11 s at 1×, 2.31 s at 10× —
-  * FLAT. Recall probe (64-query sample vs exact truth): 2.49 /
-  * 3.33 s — near-flat, the corpus-linear exact side visible but tiny.
-  * Republish: 6.47 / 11.34 s — O(store) HONESTLY (a republish IS a
+  * MEASURED (ScaleProbe prod:vecstore, sf0.1 base, warm, r18 final
+  * capture on stores REBUILT with this layout — the probe cache is
+  * versioned precisely so serve numbers can never ride a stale
+  * pre-(cell,vec_id) store; 10× = store built on the 10×-replicated
+  * corpus, SAME fixed sf0.1 batch, probed-cell literals pushed into
+  * BOTH corpus-table scans): the request-shaped serve is FLAT in
+  * store size — 64 fixed queries: sim16 1.42 s at 1× vs 1.52 s at
+  * 10×, sim17 1.51 / 1.72 s (their probed-cell set is a bounded
+  * fraction of k, so both sorted tables prune to the probed row
+  * groups). The full-sf batch (12k queries — 20% of the corpus,
+  * probing EVERY cell, so the literal set covers the whole table and
+  * the scans are asymptotically corpus-sized) ALSO measures flat at
+  * these scales — sim16 rederive 6.95 s vs from-store 1.84 / 1.95 s,
+  * sim17 6.30 vs 2.50 / 2.03 s — the cell-clustered layout keeps the
+  * all-cells join cheap, though at a 1000× store the full-batch serve
+  * would honestly grow with the scanned cells where the 64-query
+  * shape would not. Advance (fixed 20-vector batch): 2.65 / 2.13 s —
+  * FLAT. Recall probe (64-query sample vs exact truth): 2.75 /
+  * 3.17 s — near-flat, the corpus-linear exact side visible but tiny.
+  * Republish: 6.86 / 12.55 s — O(store) HONESTLY (a republish IS a
   * full retrain + rewrite; the probe is what keeps it nightly-rare).
-  * Takedown+vacuum+evidence: 3.53 / 3.53 s, evidence clean at both
+  * Takedown+vacuum+evidence: 3.32 / 3.95 s, evidence clean at both
   * scales (the all-Full rewrite is O(store) by design; at these
   * scales fixed costs dominate).
   */
@@ -109,26 +114,49 @@ object VecStore {
     val idx = Similarity.trainIvfpq(corpus, Similarity.pqIters,
       residual = true, coarseIters = Similarity.pq16CoarseIters,
       withLabel = true)
+    // fail LOUDLY on an empty corpus instead of committing a store with
+    // zero trained centroids: such a store would silently DROP every
+    // later [[advance]] batch (the assignment cross-join against an
+    // empty centroid broadcast yields nothing) while still advancing
+    // n_corpus — a quiet data-loss seam, reachable via a republish
+    // after a takedown of every vector. The check is free: the trainer
+    // already counted the corpus.
+    require(idx.nCorpus > 0L,
+      s"refusing to publish an EMPTY vector store at $root — no corpus " +
+        "rows to train on (a store whose every vector was taken down " +
+        "cannot republish; re-publish from a non-empty corpus instead)")
     CommitLock.withLock(s, root) {
-      Snapshots.writeTables(Seq(
-        "vec_cent" -> idx.cent,
-        "vec_pq" -> idx.pqcent,
-        "vec_codes" -> idx.codes
-          .repartitionByRange(col("cell"), col("lbl"))
-          .sortWithinPartitions("cell", "lbl", "vec_id"),
-        "vec_vecs" -> idx.vecs
-          .repartitionByRange(col("cell"), col("vec_id"))
-          .sortWithinPartitions("cell", "vec_id"),
-        "vec_hist" -> idx.hist.get,
-        "vec_params" -> s.range(1).select(
-          lit(idx.nCorpus).as("n_corpus"),
-          lit(idx.kIvf).as("k_ivf"),
-          lit(idx.nprobe).as("nprobe")),
-        "vec_tombstones" -> tombstones.getOrElse(
-          s.range(0).select(col("id").as("vec_id")))),
-        root)
+      Snapshots.writeTables(storeTables(s, idx, tombstones), root)
     }
   }
+
+  /** The seven-table layout one trained index commits — ONE assembly
+    * shared by first publish and [[republish]] so the sort conventions
+    * (codes by (cell, lbl, vec_id), vectors by (cell, vec_id) — the
+    * probed-cell row-group pruning both serving scans rely on) can
+    * never diverge between the two writers. `conform` hooks each
+    * table's frame before layout (identity at first publish; the
+    * stored-schema conformance at republish).
+    */
+  private def storeTables(s: SparkSession, idx: Similarity.IvfpqIndex,
+      tombstones: Option[DataFrame],
+      conform: (DataFrame, String) => DataFrame = (df, _) => df)
+      : Seq[(String, DataFrame)] = Seq(
+    "vec_cent" -> conform(idx.cent, "vec_cent"),
+    "vec_pq" -> conform(idx.pqcent, "vec_pq"),
+    "vec_codes" -> conform(idx.codes, "vec_codes")
+      .repartitionByRange(col("cell"), col("lbl"))
+      .sortWithinPartitions("cell", "lbl", "vec_id"),
+    "vec_vecs" -> conform(idx.vecs, "vec_vecs")
+      .repartitionByRange(col("cell"), col("vec_id"))
+      .sortWithinPartitions("cell", "vec_id"),
+    "vec_hist" -> conform(idx.hist.get, "vec_hist"),
+    "vec_params" -> conform(s.range(1).select(
+      lit(idx.nCorpus).as("n_corpus"),
+      lit(idx.kIvf).as("k_ivf"),
+      lit(idx.nprobe).as("nprobe")), "vec_params"),
+    "vec_tombstones" -> conform(tombstones.getOrElse(
+      s.range(0).select(col("id").as("vec_id"))), "vec_tombstones"))
 
   /** RETRAIN the published store FROM ITS OWN LATEST SURFACE — the
     * quality-maintenance path the [[advance]] contract defers to
@@ -141,20 +169,48 @@ object VecStore {
     * [[publish]], so vacuum reclaims the pre-retrain history — but the
     * tombstone registry is carried FORWARD, never reset: a replayed
     * pre-takedown advance still commits nothing after any number of
-    * republishes. The whole read-train-commit runs under the store's
+    * republishes. Every rebuilt table CONFORMS to its stored schema
+    * (the [[advance]] conformTo contract at the rebuild grain): a
+    * forward-migrated column survives the retrain null-filled with a
+    * signalled `SchemaDrift` and a `vec_store_republish` run-log row —
+    * never silently vanishes — and this matters precisely because the
+    * nightly `vecRecall` retention leg can fire a republish
+    * unattended. The whole read-train-commit runs under the store's
     * commit lease (re-entrant), so a concurrent advance cannot land
     * between the surface read and the rewrite and be silently dropped.
     * Returns the committed version. Scale: the trainer's own posture —
     * bounded-sample Lloyd (md5-ordered sample, budget-capped),
     * broadcast centroids, codegen'd assignment over ONE corpus pass.
     */
-  def republish(s: SparkSession, root: String): Long =
+  def republish(s: SparkSession, root: String,
+      runLogPath: Option[String] = None): Long =
     CommitLock.withLock(s, root) {
       val v0 = Snapshots.latestVersion(s, root).getOrElse(
         throw new IllegalStateException(s"no committed vector store under $root"))
       def stored(t: String) = Snapshots.readTable(s, root, t, Some(v0))
-      publishFrom(s, stored("vec_vecs").select("vec_id", "v", "nrm", "lbl"),
-        root, tombstones = Some(stored("vec_tombstones")))
+      val idx = Similarity.trainIvfpq(
+        stored("vec_vecs").select("vec_id", "v", "nrm", "lbl"),
+        Similarity.pqIters, residual = true,
+        coarseIters = Similarity.pq16CoarseIters, withLabel = true)
+      require(idx.nCorpus > 0L,
+        s"refusing to publish an EMPTY vector store at $root — no corpus " +
+          "rows to train on (a store whose every vector was taken down " +
+          "cannot republish; re-publish from a non-empty corpus instead)")
+      val drifts = scala.collection.mutable.Buffer[TrainPrep.SchemaDrift]()
+      val onDrift: TrainPrep.SchemaDrift => Unit = dr => {
+        drifts += dr
+        System.err.println(s"graft vec republish [${dr.table}]: ${dr.describe}")
+      }
+      val storedNames = Snapshots.tableNames(s, root, v0).toSet
+      val v = Snapshots.writeTables(storeTables(s, idx,
+        Some(stored("vec_tombstones")),
+        conform = (df, t) =>
+          if (storedNames.contains(t))
+            TrainPrep.conformTo(df, stored(t).schema, t, onDrift,
+              fullRewrite = true)
+          else df), root)
+      TrainPrep.logDrifts(s, runLogPath, "vec_store_republish", drifts.toSeq)
+      v
     }
 
   /** The pinned index of `root` at `version` (default committed
@@ -393,35 +449,43 @@ object VecStore {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(sampleN).localCheckpoint()
     try {
-      val approx = Similarity.serveIvfpq(sample, idx, rerankPool,
+      // the pushdown serve returns an EAGER checkpoint — consumed here
+      // and released in finally (the probe is the serving path's own
+      // no-stranded-blocks contract applied to itself)
+      val served = Similarity.serveIvfpq(sample, idx, rerankPool,
         residual = true, coarseTrained = true, filteredByLabel = false,
         filterWiden = true, pushProbedCells = true)
-        .select(col("qid"), col("nbr"))
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
-      val exact = idx.vecs
-        .select(col("vec_id").as("nbr"), col("v").as("vb"),
-          col("nrm").as("nb"))
-        .crossJoin(broadcast(sample.select(col("vec_id").as("qid"),
-          col("v").as("va"), col("nrm").as("na"))))
-        .withColumn("cos",
-          dot(col("va"), col("vb")).cast("double") /
-            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-        .withColumn("rnk", row_number().over(wr))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("nbr"))
-        .localCheckpoint()
       try {
-        val total = exact.count()
-        val hits = approx.join(exact, Seq("qid", "nbr"), "left_semi").count()
-        val recall = if (total == 0L) 1.0 else hits.toDouble / total
-        runLogPath.foreach(p => graft.sources.RunLog.append(s, p, Seq(
-          graft.sources.RunLog.Entry(runTs, "vec_store_recall",
-            "recall_probe", math.round(recall * 1e6),
-            (System.nanoTime() - t0) / 1000000L, "ok",
-            s"recall_e6 over sample=$sampleN pool=$rerankPool root=$root"))))
-        recall
-      } finally exact.unpersist(blocking = false)
+        val approx = served.select(col("qid"), col("nbr"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+        val exact = idx.vecs
+          .select(col("vec_id").as("nbr"), col("v").as("vb"),
+            col("nrm").as("nb"))
+          .crossJoin(broadcast(sample.select(col("vec_id").as("qid"),
+            col("v").as("va"), col("nrm").as("na"))))
+          .withColumn("cos",
+            dot(col("va"), col("vb")).cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("nbr"))
+          .localCheckpoint()
+        try {
+          val total = exact.count()
+          val hits = approx.join(exact, Seq("qid", "nbr"), "left_semi").count()
+          val recall = if (total == 0L) 1.0 else hits.toDouble / total
+          // the trail row: rows = recall in e6 fixed point; `error`
+          // stays EMPTY on ok rows (the trail convention — a monitor
+          // filtering on non-empty error must never false-positive on
+          // a healthy observation)
+          runLogPath.foreach(p => graft.sources.RunLog.append(s, p, Seq(
+            graft.sources.RunLog.Entry(runTs, "vec_store_recall",
+              "recall_probe", math.round(recall * 1e6),
+              (System.nanoTime() - t0) / 1000000L, "ok", ""))))
+          recall
+        } finally exact.unpersist(blocking = false)
+      } finally served.unpersist(blocking = false)
     } finally sample.unpersist(blocking = false)
   }
 

@@ -239,19 +239,32 @@ object RawZone {
     val cands = runs.dropRight(keep)
     val mark = hwm.getOrElse(return Nil)
     if (cands.isEmpty) return Nil
-    // the run column is cast through string: partition-type inference
-    // would read an all-digit custom stamp as a number and the stamp
-    // comparison below must match the directory names either way
+    // the run column is cast through string (partition-type inference
+    // reads an all-digit custom stamp as a number; the engine's own
+    // yyyyMMdd_HHmmss stamps always stay strings). The rendered value
+    // can STILL differ from the directory name for exotic
+    // caller-chosen stamps (a timestamp-inferred stamp renders with a
+    // space, a zero-padded number drops its padding) — which is why a
+    // candidate missing from this map is NEVER trusted as empty below:
+    // mismatch degrades to retention, not deletion.
     val maxes = readJson(spark, root, entity, schema)
       .filter(col(RunColumn).cast("string").isin(cands: _*))
       .groupBy(col(RunColumn).cast("string").as(RunColumn))
       .agg(max(col(tsCol)).as("mx"))
       .collect()
       .map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
-    val doomed = cands.filter(s =>
-      // a candidate missing from `maxes` holds zero rows — landed by
-      // vacuous truth (nothing to lose)
-      maxes.get(s).forall(_.exists(!_.after(mark))))
+    // a candidate absent from `maxes` is prunable only when its
+    // directory VERIFIABLY holds no data files (a truly empty run —
+    // vacuous truth); a populated run that merely failed to round-trip
+    // through the partition column (type-inference rendering drift) is
+    // RETAINED — the replay source fails safe toward keeping data
+    def dataFree(s: String): Boolean =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, s"$RunColumn=$s"))
+        .forall(st => !st.isFile || st.getPath.getName.startsWith("_"))
+    val doomed = cands.filter(s => maxes.get(s) match {
+      case Some(mx) => mx.exists(!_.after(mark))
+      case None => dataFree(s)
+    })
     doomed.foreach(s =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"$RunColumn=$s"), true))
     doomed

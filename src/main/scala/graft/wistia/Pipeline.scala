@@ -884,7 +884,14 @@ object Pipeline {
       // store rewrite on garbage evidence
       if (measured >= 0L && measured < floorE6)
         leg(s"vec_republish:$name") {
-          graft.operators.VecStore.republish(spark, root) }
+          graft.operators.VecStore.republish(spark, root,
+            runLogPath = Some(runLogPath))
+          // rows = vectors retrained — the trail's units-of-work shape
+          // (every other leg reports work done, never an opaque
+          // version number)
+          graft.sources.Snapshots.readTable(spark, root, "vec_params")
+            .collect().head.getAs[Long]("n_corpus")
+        }
     }
     RunLog.append(spark, runLogPath, entries.toSeq)
     val failed = entries.filter(_.status == "failed")

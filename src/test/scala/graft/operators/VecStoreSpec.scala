@@ -198,6 +198,25 @@ class VecStoreSpec extends graft.SparkSpec {
       Seq("schema_drift:vec_hist"), trail.mkString(","))
     assert(trail.head.getAs[String]("status") === "warn" &&
       trail.head.getAs[String]("error").contains("note"))
+    // a REPUBLISH over the migrated store KEEPS the migrated columns —
+    // null-filled (the rebuild is a data reset for them) with one
+    // signalled drift row per table — instead of silently dropping
+    // them from the store; load-bearing because the nightly vecRecall
+    // retention leg can fire a republish unattended
+    VecStore.republish(spark, root, Some(logDir))
+    val codesR = VecStore.loadIndex(spark, root).codes
+    assert(codesR.columns.contains("enc_ver"),
+      "a forward-migrated column must survive the retrain rebuild")
+    assert(codesR.filter(col("enc_ver").isNotNull).isEmpty,
+      "the rebuild null-fills the migrated column (signalled data reset)")
+    val rTrail = graft.sources.RunLog.read(spark, logDir)
+      .filter(col("pipeline") === "vec_store_republish").collect()
+    assert(rTrail.map(_.getAs[String]("stage")).toSet ===
+      Set("schema_drift:vec_codes", "schema_drift:vec_hist"),
+      rTrail.mkString(","))
+    assert(rTrail.forall(_.getAs[String]("status") == "warn"))
+    // and the republished migrated store still SERVES
+    assert(VecStore.sim16FromStore(spark, d, root).count() > 0)
   }
 
   test("completeErasure: one call takes down, vacuums to the SLA, re-audits clean, and leaves a run-log trail; a loose SLA says so honestly") {
@@ -450,6 +469,33 @@ class VecStoreSpec extends graft.SparkSpec {
     assert(trail.forall(_.getAs[String]("stage") == "maintain_store:v"))
   }
 
+  test("a republish over an emptied store fails loudly instead of landing empty quantizers that would silently drop future advances") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vec_empty").toString + "/v"
+    VecStore.publishFrom(spark,
+      (1L to 20L).map(clusterRow).toDF("vec_id", "v", "nrm", "lbl"), root)
+    VecStore.takedown(spark, (1L to 20L), root)
+    assert(VecStore.loadIndex(spark, root).vecs.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      VecStore.republish(spark, root)
+    }
+    assert(e.getMessage.contains("EMPTY vector store"))
+    // the store's committed state is untouched by the refused rebuild:
+    // the tombstones still guard, and a fresh advance against the
+    // PINNED (takedown-carried) quantizers still lands
+    assert(graft.sources.Snapshots.readTable(spark, root, "vec_tombstones")
+      .count() === 20L)
+    val (_, v, nrm, lbl) = clusterRow(7L)
+    VecStore.advance(spark, Seq((7001L, v, nrm, lbl))
+      .toDF("vec_id", "v", "nrm", "lbl"), root)
+    val idx = VecStore.loadIndex(spark, root)
+    assert(idx.vecs.select("vec_id").collect().map(_.getLong(0)).toSeq
+      === Seq(7001L))
+    assert(idx.codes.count() === 1L, "the advance must INDEX the vector," +
+      " not just count it — takedown carries the trained quantizers")
+  }
+
   test("vecRecall retention leg: a healthy night is probe-only; a floor breach retrains via republish inside the same one-call pass") {
     import spark.implicits._
     import graft.sources.Snapshots
@@ -477,6 +523,10 @@ class VecStoreSpec extends graft.SparkSpec {
         vecRecall = Seq((root, 200, measured + 1L))), logPath)
     assert(pass2.map(_.stage) === Seq("vec_recall:v", "vec_republish:v"))
     assert(pass2.forall(_.status == "ok"))
+    assert(pass2.last.rows === 140L,
+      "the republish leg reports vectors retrained, not a version number")
+    assert(pass2.forall(_.error == ""),
+      "ok trail rows keep the error field empty")
     val v1 = Snapshots.latestVersion(spark, root).get
     assert(v1 > v0, "a floor breach must land the retrain")
     // the retrained store serves, and the trail separates observation
