@@ -136,6 +136,55 @@ class RawZoneSpec extends SparkSpec {
     }
   }
 
+  test("randomized pruneRunsHwm walks match the retention model: a run holding any row above the HWM is never pruned") {
+    // seeded random walk over ingest / HWM-advance / retention-pass
+    // interleavings against a trivial in-memory model — the same
+    // discipline the snapshot and vec-store lifecycles are pinned
+    // with. The invariant under test is the one that matters for a
+    // replay source: a run with ANY row above the fact HWM survives
+    // every pass, whatever keep floor the policy chose.
+    val rnd = new scala.util.Random(4117)
+    val root = tmp()
+    val base = 1709280000L // 2024-03-01T08:00:00Z
+    def iso(sec: Long) = java.time.Instant.ofEpochSecond(sec).toString
+    var live = Map[String, Seq[Long]]()
+    var hwmSec = base
+    var counter = 0
+    for (step <- 1 to 24) {
+      rnd.nextInt(3) match {
+        case 0 => // ingest: 1-3 rows scattered around the moving mark
+          counter += 1
+          val stamp = f"20240301_$counter%06d"
+          val times = Seq.fill(1 + rnd.nextInt(3))(
+            base + rnd.nextInt(200000).toLong)
+          RawZone.writeRun(parsed(times.map(t =>
+            eventJson.replace("2024-03-01T10:00:00Z", iso(t))): _*),
+            root, "events", stamp)
+          live += stamp -> times
+        case 1 => // the fact lands more history
+          hwmSec += rnd.nextInt(60000).toLong
+        case 2 => // nightly retention pass
+          val keep = 1 + rnd.nextInt(2)
+          val pruned = RawZone.pruneRunsHwm(spark, root, "events", keep,
+            Some(java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(hwmSec))), Schemas.rawEvent)
+          val expect = live.keys.toSeq.sorted.dropRight(keep)
+            .filter(s => live(s).max <= hwmSec)
+          assert(pruned === expect, s"step $step (hwm=$hwmSec, keep=$keep)")
+          live --= expect.toSet
+          // every survivor still on disk, every pruned stamp gone
+          val onDisk = new java.io.File(s"$root/events").listFiles()
+            .map(_.getName).filter(_.startsWith("run_ts="))
+            .map(_.stripPrefix("run_ts=")).toSet
+          assert(onDisk === live.keySet, s"step $step: disk diverged")
+      }
+    }
+    // end-state sanity: whatever survived still reads back whole
+    if (live.nonEmpty)
+      assert(RawZone.readJson(spark, root, "events", Schemas.rawEvent)
+        .count() === live.values.map(_.size).sum.toLong)
+  }
+
   test("S6: schema-enforced PERMISSIVE read tolerates corrupt records") {
     val root = tmp()
     import spark.implicits._
