@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{BpeEncode, DotLong, HyperplaneBands, IntersectCountAtLeastFrac, IntersectCountSortedLong, MisraGries, SparkShim, TopKPairs}
+import org.apache.spark.sql.graftshim.{BpeEncode, DotLong, HyperplaneBands, IntersectCountAtLeastFrac, IntersectCountSortedLong, MisraGries, NearestCentroidId, PqBestCodes, PqLutArr, SparkShim, TopCellsExpr, TopKPairs}
 
 /** Column-level entry points for the native vector/set expressions (see
   * [[org.apache.spark.sql.graftshim.DotLong]] and
@@ -64,4 +64,43 @@ object VectorFunctions {
     */
   def bpeEncode(toks: Column, merges: Seq[(String, String)]): Column =
     SparkShim.column(BpeEncode(SparkShim.expression(toks), merges))
+
+  /** Row-local argmin centroid id over a broadcast-attached
+    * `array<struct<cid, vc, nc>>` column — the zero-Exchange replacement
+    * for the crossJoin + window row_number()=1 assignment pattern.
+    * `useL2`: rank by (nc − 2·v·vc, cid); else by the exact cosine desc
+    * with cid-asc tie-break (same IEEE evaluation order as the composed
+    * plan it replaces).
+    */
+  def nearestCentroidId(v: Column, nrm: Column, cents: Column,
+      useL2: Boolean): Column =
+    SparkShim.column(NearestCentroidId(SparkShim.expression(v),
+      SparkShim.expression(nrm), SparkShim.expression(cents), useL2))
+
+  /** Per-subspace nearest-codeword emit over a broadcast-attached
+    * `array<struct<j, code, emit, cv, cn>>` codebook column: winner per j
+    * by (cn − 2·sv_j·cv, code), output the winners' `emit` fields as
+    * `array<long>(m)`.
+    */
+  def pqBestCodes(v: Column, books: Column, m: Int = 8, sub: Int = 8): Column =
+    SparkShim.column(PqBestCodes(SparkShim.expression(v),
+      SparkShim.expression(books), m, sub))
+
+  /** Per-query ADC lookup table (`array<array<long>>`, subspace-major,
+    * positioned by dense codeword index) over the same codebook layout as
+    * [[pqBestCodes]] with `emit` = the dense index.
+    */
+  def pqLutArr(v: Column, books: Column, m: Int = 8, sub: Int = 8): Column =
+    SparkShim.column(PqLutArr(SparkShim.expression(v),
+      SparkShim.expression(books), m, sub))
+
+  /** Top-`npe` probed cells (rank order, exact coarse dot riding along) as
+    * `array<struct<cell, cdot>>` — the zero-Exchange replacement for the
+    * query×centroid crossJoin + window probe.
+    */
+  def topCells(v: Column, nrm: Column, npe: Column, cents: Column,
+      useL2: Boolean): Column =
+    SparkShim.column(TopCellsExpr(SparkShim.expression(v),
+      SparkShim.expression(nrm), SparkShim.expression(npe),
+      SparkShim.expression(cents), useL2))
 }

@@ -1146,15 +1146,17 @@ object Dedup {
     val dot = graft.functions.VectorFunctions.dotLong _
     val e = Similarity.scaledVectors(s, d)
       .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
-    val cent = broadcast(Similarity.kmeansFit(s, d).select(col("cid"), col("vc")))
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(cent)
-      .withColumn("nc", graft.functions.VectorFunctions.normSqLong(col("vc")))
-      .withColumn("dist", col("nc") - lit(2L) * dot(col("v"), col("vc")))
-      .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+    // r19: row-local argmin over the broadcast-attached centroid array
+    // (same (dist, cid) tie-break as the old crossJoin + window plan —
+    // zero Exchange, guide §2.4)
+    val assigned = e.crossJoin(broadcast(Similarity.kmeansFit(s, d)
+        .select(col("cid"), col("vc"))
+        .withColumn("nc", graft.functions.VectorFunctions.normSqLong(col("vc")))
+        .agg(collect_list(struct(col("cid"), col("vc"), col("nc"))).as("cents"))))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.nearestCentroidId(
+          col("v"), lit(0L), col("cents"), useL2 = true).as("cid"),
+        col("v"), col("nrm"))
       .localCheckpoint() // reused by both pair sides + the final join
     // ANCHOR-FIRST verify (round 10, lossless — dd15's fingerprint-first
     // discipline applied to the SemDeDup keep rule): the keeper of v is

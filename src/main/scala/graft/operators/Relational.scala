@@ -704,7 +704,13 @@ object Relational {
   // percentile → approx_percentile exactly as q29 → q32.
   private def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     val v2 = (cents(col("l_extendedprice")) * 2L).as("v2")
+    // r19: the projected 2-column frame is read by all three passes (med,
+    // MAD, final count) — checkpoint it once so the parquet scan + cents
+    // conversion run once instead of three times (the multi-pass is
+    // inherent to exact MAD; the rescans were not). At 100 TB the sketch
+    // path (approx_percentile, q32's trade) replaces this whole query.
     val li = Tables.lineitem(s, d).select(col("l_returnflag"), v2)
+      .localCheckpoint()
     val med = li.groupBy("l_returnflag")
       .agg(percentile(col("v2"), lit(0.5)).cast("long").as("med2"))
     val dev = li.join(broadcast(med), "l_returnflag")
@@ -1736,10 +1742,14 @@ object Relational {
   // sums + the count-minus-count-distinct uniqueness form in a single
   // agg — Catalyst plans the distinct via expand, still one pass);
   // referential checks are anti-join counts (AQE broadcasts the key side
-  // when it fits); each 1-row agg localCheckpoints so reshaping it into
-  // expectation rows and reusing its denominator never rescans the
-  // table. The audit output is O(#expectations) rows regardless of
-  // corpus size.
+  // when it fits). r19: the per-table 1-row aggs are NOT checkpointed —
+  // the whole audit is ONE lazy plan whose independent table branches
+  // AQE schedules concurrently (the old per-table localCheckpoints
+  // serialized five full-scan jobs end to end; guide §2.6 "overlap
+  // independent jobs"). The denominator crossJoins re-reference each
+  // table's agg subtree, so the biggest table is scanned at most once
+  // more than before — concurrently, not in series. The audit output is
+  // O(#expectations) rows regardless of corpus size.
   private def q57DqAudit(s: SparkSession, d: String): DataFrame = {
     def zcount(c: Column) = sum(when(c, 1L).otherwise(0L))
     def reshape(agg1: DataFrame, tbl: String,
@@ -1756,29 +1766,24 @@ object Relational {
       zcount(col("l_discount") < 0.0 || col("l_discount") > 1.0).as("disc_range"),
       (count(lit(1)) - count_distinct(
         struct(col("l_orderkey"), col("l_linenumber")))).as("dup_line"))
-      .localCheckpoint() // 1 row; reused for the reshape + orphan denominators
     val ordAgg = Tables.orders(s, d).agg(
       count(lit(1)).as("n"),
       zcount(col("o_totalprice") <= 0.0).as("nonpos_total"),
       (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkey"))
-      .localCheckpoint()
     val custAgg = Tables.customer(s, d).agg(
       count(lit(1)).as("n"),
       (count(lit(1)) - count_distinct(col("c_custkey"))).as("dup_custkey"))
-      .localCheckpoint()
     val docAgg = Tables.documents(s, d).agg(
       count(lit(1)).as("n"),
       zcount(col("text").isNull || length(col("text")) === 0).as("empty_text"),
       zcount(coalesce(length(col("text")).cast("long"), lit(-1L)) =!=
         col("n_chars")).as("nchars_mismatch"))
-      .localCheckpoint()
     val embAgg = Tables.embeddings(s, d).agg(
       count(lit(1)).as("n"),
       // NULL embedding ⇒ violation: coalesce explicitly on BOTH engines
       // (Spark size(NULL) is -1-or-NULL depending on legacy conf; DuckDB
       // len(NULL) is NULL — unpinned, a null row would diverge)
       zcount(coalesce(size(col("embedding")), lit(-1)) =!= 64).as("bad_dim"))
-      .localCheckpoint()
     def orphan(child: DataFrame, childKey: String, parent: DataFrame,
         parentKey: String, denom: DataFrame, tbl: String, name: String) =
       child.join(parent, col(childKey) === col(parentKey), "left_anti")

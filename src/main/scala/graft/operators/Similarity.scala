@@ -589,30 +589,28 @@ object Similarity {
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(k.toDouble)).toInt)
     val cent = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // r19: both the index assignment (argmin) and the batch probe
+    // (top-nprobe) are row-local codegen'd selections over the
+    // broadcast-attached centroid array — same exact cosine, same
+    // (ccos desc, cid asc) tie-break as the old crossJoin + window
+    // plans, zero Exchange (guide §2.4)
+    val centsA = broadcast(cent
+      .agg(collect_list(struct(col("cid"), col("vc"), col("nc"))).as("cents")))
     // the stored index: built once per corpus (not per batch) — the
     // checkpoint stands for the stored frame
-    val index = corpus.crossJoin(broadcast(cent))
-      .withColumn("cdot", dot(col("v"), col("vc")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val index = corpus.crossJoin(centsA)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        graft.functions.VectorFunctions.nearestCentroidId(
+          col("v"), col("nrm"), col("cents"), useL2 = false).as("cell"))
       .localCheckpoint()
     // per-batch work starts here
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
     val probed = e.filter(isNew)
       .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
-      .crossJoin(broadcast(cent))
-      .withColumn("cdot", dot(col("va"), col("vc")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("va"), col("na"), col("cid").as("cell"))
+      .crossJoin(centsA)
+      .select(col("qid"), col("va"), col("na"),
+        explode(graft.functions.VectorFunctions.topCells(col("va"), col("na"),
+          lit(nprobe.toLong), col("cents"), useL2 = false)).as("pc"))
+      .select(col("qid"), col("va"), col("na"), col("pc.cell").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
     probed.join(index.select(col("vec_id").as("nbr"), col("v").as("vb"),
@@ -694,31 +692,31 @@ object Similarity {
     * sim10 below.
     */
   private[operators] def kmeansFit(s: SparkSession, d: String): DataFrame = {
-    val dot = graft.functions.VectorFunctions.dotLong _
     val e = scaledVectors(s, d).select(col("vec_id"), col("v")).localCheckpoint()
     var cent = e.filter(col("vec_id") < sim10K)
       .select(col("vec_id").cast("long").as("cid"), col("v").as("vc"),
         lit(1L).as("n"))
     for (_ <- 1 to sim10Iters) {
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val assigned = e.crossJoin(broadcast(cent.select("cid", "vc")))
-        .withColumn("nc", graft.functions.VectorFunctions.normSqLong(col("vc")))
-        .withColumn("dist", col("nc") - lit(2L) * dot(col("v"), col("vc")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
-      val perDim = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("d", "q")))
-        .groupBy("cid", "d")
-        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
-        .withColumn("cv",
-          floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
-      cent = perDim.groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("z"),
-          max(col("n")).as("n"))
-        .select(col("cid"), transform(col("z"), p => p.getField("cv")).as("vc"),
-          col("n"))
+      // r19: row-local argmin over the broadcast-attached centroid array
+      // (same (dist, cid) tie-break as the old crossJoin + window
+      // row_number()=1), and the recenter's posexplode + groupBy(cid,d)
+      // + groupBy(cid) pair fused into ONE groupBy(cid) with 64
+      // per-dimension sums — 3 Exchanges per Lloyd round → 1, identical
+      // floor(Σ/n) arithmetic (guide §2.4)
+      val assigned = e.crossJoin(broadcast(cent
+          .withColumn("nc",
+            graft.functions.VectorFunctions.normSqLong(col("vc")))
+          .agg(collect_list(struct(col("cid"), col("vc"), col("nc")))
+            .as("cents"))))
+        .select(graft.functions.VectorFunctions.nearestCentroidId(
+          col("v"), lit(0L), col("cents"), useL2 = true).as("cid"), col("v"))
+      val sums = (0 until 64).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      cent = assigned.groupBy("cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cid"), array((0 until 64).map(i =>
+          floor(col(s"s$i").cast("double") / col("n").cast("double"))
+            .cast("long")): _*).as("vc"), col("n"))
         .localCheckpoint()
     }
     cent
@@ -861,6 +859,49 @@ object Similarity {
   // all correctly-rounded IEEE doubles, identical in DuckDB (the sim1–
   // sim11 cos_e6 discipline); the oracle unrolls all k greedy rounds.
   private val mmrK = 10
+
+  /** The greedy MMR selection loop shared by sim12 (exhaustive
+    * candidates) and sim13 (ANN candidates). r19 shape: each round's
+    * max-similarity penalty is computed ROW-LOCALLY against the ≤k-row
+    * selected set carried as a LITERAL array (the winner's vector rides
+    * back on the same TakeOrdered(1) collect that picks it — k scalars
+    * plus k 64-long vectors on the driver, the same bounded class as
+    * before), so a round is ONE TakeOrdered job with zero Exchange —
+    * the old crossJoin + groupBy + limit ran three stages per round.
+    * Scoring arithmetic and (score DESC, vec_id) tie-break unchanged.
+    */
+  private def mmrGreedy(s: SparkSession, cand: DataFrame): DataFrame = {
+    def cosE6(dotC: Column, na: Column, nb: Column): Column =
+      floor(dotC.cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * 1000000)
+        .cast("long")
+    var picks = Vector.empty[(Long, Long, Long, Long)] // rank, id, rel, score
+    var selVecs = Vector.empty[(Seq[Long], Long)]      // (v, nrm) of picks
+    for (r <- 1 to mmrK) {
+      val selIds = picks.map(_._2)
+      val rem =
+        if (selIds.isEmpty) cand else cand.filter(!col("vec_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty) rem.withColumn("score", col("rel") * 2L)
+        else {
+          val selArr = typedlit(selVecs)
+          rem.withColumn("maxsim", array_max(transform(selArr, sEl =>
+              cosE6(graft.functions.VectorFunctions.dotLong(
+                col("v"), sEl.getField("_1")), col("nrm"), sEl.getField("_2")))))
+            .withColumn("score", col("rel") * 2L - col("maxsim"))
+        }
+      val top = scored.orderBy(col("score").desc, col("vec_id"))
+        .select(col("vec_id"), col("rel"), col("score"), col("v"), col("nrm"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        picks :+= ((r.toLong, top(0).getLong(0), top(0).getLong(1), top(0).getLong(2)))
+        selVecs :+= ((top(0).getSeq[Long](3), top(0).getLong(4)))
+      }
+    }
+    import s.implicits._
+    picks.toDF("rank", "vec_id", "rel_e6", "score").orderBy("rank")
+  }
+
   private def sim12MmrSelect(s: SparkSession, d: String): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotLong _
     def cosE6(dotC: Column, na: Column, nb: Column): Column =
@@ -875,28 +916,7 @@ object Similarity {
       .withColumn("rel", cosE6(dot(col("v"), col("vq")), col("nrm"), col("nq")))
       .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
       .localCheckpoint()
-    var picks = Vector.empty[(Long, Long, Long, Long)] // rank, id, rel, score
-    for (r <- 1 to mmrK) {
-      val selIds = picks.map(_._2)
-      val rem =
-        if (selIds.isEmpty) cand else cand.filter(!col("vec_id").isin(selIds: _*))
-      val scored =
-        if (selIds.isEmpty) rem.withColumn("score", col("rel") * 2L)
-        else {
-          val sel = e.filter(col("vec_id").isin(selIds: _*))
-            .select(col("v").as("vs"), col("nrm").as("ns"))
-          rem.crossJoin(broadcast(sel))
-            .withColumn("sim", cosE6(dot(col("v"), col("vs")), col("nrm"), col("ns")))
-            .groupBy("vec_id", "rel").agg(max("sim").as("maxsim"))
-            .withColumn("score", col("rel") * 2L - col("maxsim"))
-        }
-      val top = scored.orderBy(col("score").desc, col("vec_id"))
-        .select("vec_id", "rel", "score").limit(1).collect()
-      if (top.nonEmpty)
-        picks :+= ((r.toLong, top(0).getLong(0), top(0).getLong(1), top(0).getLong(2)))
-    }
-    import s.implicits._
-    picks.toDF("rank", "vec_id", "rel_e6", "score").orderBy("rank")
+    mmrGreedy(s, cand)
   }
 
   /** DuckDB oracle replaying the k greedy rounds unrolled: sel{r} grows
@@ -968,16 +988,14 @@ object Similarity {
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(k.toDouble)).toInt)
     val cent = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
-    // stored-index assignment (sim9's build, shared discipline)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val index = corpus.crossJoin(broadcast(cent))
-      .withColumn("cdot", dot(col("v"), col("vc")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    // stored-index assignment (sim9's build, shared discipline) — r19:
+    // row-local argmin over the broadcast-attached centroid array (same
+    // cosine, same tie-break as the old crossJoin + window plan)
+    val index = corpus.crossJoin(broadcast(cent
+        .agg(collect_list(struct(col("cid"), col("vc"), col("nc"))).as("cents"))))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        graft.functions.VectorFunctions.nearestCentroidId(
+          col("v"), col("nrm"), col("cents"), useL2 = false).as("cell"))
     // probe: the nprobe cells whose centroids are nearest the query
     val cells = cent.crossJoin(broadcast(q))
       .withColumn("cdot", dot(col("vc"), col("vq")))
@@ -995,28 +1013,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
       .localCheckpoint()
     // greedy MMR rounds — sim12's loop verbatim, over the M-row frame
-    var picks = Vector.empty[(Long, Long, Long, Long)]
-    for (r <- 1 to mmrK) {
-      val selIds = picks.map(_._2)
-      val rem =
-        if (selIds.isEmpty) cand else cand.filter(!col("vec_id").isin(selIds: _*))
-      val scored =
-        if (selIds.isEmpty) rem.withColumn("score", col("rel") * 2L)
-        else {
-          val sel = cand.filter(col("vec_id").isin(selIds: _*))
-            .select(col("v").as("vs"), col("nrm").as("ns"))
-          rem.crossJoin(broadcast(sel))
-            .withColumn("sim", cosE6(dot(col("v"), col("vs")), col("nrm"), col("ns")))
-            .groupBy("vec_id", "rel").agg(max("sim").as("maxsim"))
-            .withColumn("score", col("rel") * 2L - col("maxsim"))
-        }
-      val top = scored.orderBy(col("score").desc, col("vec_id"))
-        .select("vec_id", "rel", "score").limit(1).collect()
-      if (top.nonEmpty)
-        picks :+= ((r.toLong, top(0).getLong(0), top(0).getLong(1), top(0).getLong(2)))
-    }
-    import s.implicits._
-    picks.toDF("rank", "vec_id", "rel_e6", "score").orderBy("rank")
+    mmrGreedy(s, cand)
   }
 
   /** Oracle: sim9's IVF-probe CTE chain (corpus-sized k/nprobe via
@@ -1230,6 +1227,27 @@ object Similarity {
     val coarseTrain =
       if (trainRate == 1L) corpus
       else corpus.filter(pmod(coarseTrainH, lit(trainRate)) === 0L)
+    // broadcast-attach helper: the centroid table rides every corpus row
+    // as ONE array column (1-row broadcast), so the argmin is a row-local
+    // codegen'd loop — zero Exchange, zero row expansion (guide §2.4; the
+    // crossJoin+window formulation it replaces paid an exchange + sort
+    // per assignment, and the recenter two more — measured: sim16's plan
+    // ran 54 sequential single-task stages at sf0.1)
+    def centsArr(c: DataFrame): DataFrame =
+      c.agg(collect_list(struct(col("cid"), col("vc"), col("nc"))).as("cents"))
+    // fused Lloyd recenter: one groupBy per round with 64 per-dimension
+    // sums replaces posexplode + groupBy(cid,d) + groupBy(cid) (3→1
+    // Exchange); per-dimension arithmetic unchanged — sum of exact int64
+    // per (cid, d), then ONE IEEE double division + floor
+    def recenter64(asg: DataFrame): DataFrame = {
+      val sums = (0 until 64).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      asg.groupBy("cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cid"), array((0 until 64).map(i =>
+          floor(col(s"s$i").cast("double") / col("n").cast("double"))
+            .cast("long")): _*).as("vc"))
+    }
     val cent =
       if (coarseIters == 0)
         corpus.orderBy("vec_id").limit(kIvf)
@@ -1240,58 +1258,47 @@ object Similarity {
         var cc = coarseTrain.orderBy("vec_id").limit(kIvf)
           .select(col("vec_id").as("cid"), col("v").as("vc")).localCheckpoint()
         for (_ <- 1 to coarseIters) {
-          val wA = org.apache.spark.sql.expressions.Window
-            .partitionBy("vec_id").orderBy(col("cdist"), col("cid"))
           val asg = coarseTrain.select(col("vec_id"), col("v"))
-            .crossJoin(broadcast(cc.withColumn("nc",
-              graft.functions.VectorFunctions.normSqLong(col("vc")))))
-            .withColumn("cdist", col("nc") - lit(2L) * dot(col("v"), col("vc")))
-            .withColumn("rn", row_number().over(wA))
-            .filter(col("rn") === 1)
-            .select(col("cid"), col("v"))
-          cc = asg.select(col("cid"), posexplode(col("v")).as(Seq("d", "q")))
-            .groupBy("cid", "d").agg(sum("q").as("sq"), count(lit(1)).as("n"))
-            .withColumn("cv",
-              floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
-            .groupBy("cid")
-            .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("z"))
-            .select(col("cid"), transform(col("z"), p => p.getField("cv")).as("vc"))
-            .localCheckpoint()
+            .crossJoin(broadcast(centsArr(cc.withColumn("nc",
+              graft.functions.VectorFunctions.normSqLong(col("vc"))))))
+            .select(graft.functions.VectorFunctions.nearestCentroidId(
+              col("v"), lit(0L), col("cents"), useL2 = true).as("cid"), col("v"))
+          cc = recenter64(asg).localCheckpoint()
         }
         cc.withColumn("nc",
           graft.functions.VectorFunctions.normSqLong(col("vc")))
       }
     // assignment metric: the quantizer's own — cosine for the untrained
-    // convention (sim9/sim14), reduced L2² for the trained one
-    val assignOrd =
-      if (coarseIters > 0) Seq(col("cdist").asc, col("cid").asc)
-      else Seq(col("ccos").desc, col("cid").asc)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(assignOrd: _*)
-    val assigned = corpus.crossJoin(broadcast(cent))
-      .withColumn("cdot", dot(col("v"), col("vc")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
-      .withColumn("cdist", col("nc") - lit(2L) * col("cdot"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+    // convention (sim9/sim14), reduced L2² for the trained one. Row-local
+    // argmin (same scores, same (metric, cid) tie-break as the window
+    // formulation); the winner's centroid vector — needed only by the
+    // residual encode — re-attaches via a broadcast hash join on the
+    // ≤√N-row centroid table (map-side, no exchange)
+    val assignedBase = corpus.crossJoin(broadcast(centsArr(cent)))
+      .withColumn("cell", graft.functions.VectorFunctions.nearestCentroidId(
+        col("v"), col("nrm"), col("cents"), useL2 = coarseIters > 0))
       // vc rides the checkpoint only when the residual encode reads it —
       // for sim14 it would double the stored full-vector side for nothing
-      .select(Seq(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell")) ++
-        (if (residual) Seq(col("vc")) else Nil) ++
+      .select(Seq(col("vec_id"), col("v"), col("nrm"), col("cell")) ++
         (if (withLabel) Seq(col("lbl")) else Nil): _*)
+    val assigned = (if (residual)
+        assignedBase.join(
+          broadcast(cent.select(col("cid").as("cell"), col("vc"))), "cell")
+      else assignedBase)
       .localCheckpoint() // the stored full-vector side (rerank fetches)
     // what the PQ sees: the raw vector (sim14) or its residual vs the
-    // assigned coarse centroid (sim16 — exact int64 subtraction)
-    val encVec =
-      if (residual)
-        assigned.select(col("vec_id"),
-          zip_with(col("v"), col("vc"), (a, b) => a - b).as("v"))
-      else corpus.select(col("vec_id"), col("v"))
-    val subvCorpus = encVec
-      .select(col("vec_id"), explode(subCols(col("v"))).as("x"))
-      .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
-      .localCheckpoint() // referenced 2 + 2·pqIters times (codes + training rounds)
+    // assigned coarse centroid (sim16 — exact int64 subtraction). Narrow
+    // map over the checkpointed assignment, recomputed per consumer (two
+    // training rounds + the encode) — replaces the old corpus-sized
+    // exploded-subvector checkpoint (8 rows per vector) outright: the
+    // subspace slicing now happens inside the row-local codegen'd
+    // assignment expression, so no (vec_id, j, sv) frame ever exists.
+    val encVec = assigned.select(
+      Seq(col("vec_id"),
+        (if (residual) zip_with(col("v"), col("vc"), (a, b) => a - b)
+         else col("v")).as("v"),
+        col("cell")) ++
+      (if (withLabel) Seq(col("lbl")) else Nil): _*)
     // PQ codebook: TRAINED per-subspace Lloyd k-means (round 11 — sim10's
     // exact-integer discipline at k=64 over 8-dim subvectors, all 8
     // subspaces trained in one frame per round). Init = the subvectors of
@@ -1328,37 +1335,44 @@ object Similarity {
     val trainH = conv(substring(md5(
       concat(col("vec_id").cast("string"), lit(":pq"))), 1, 15), 16, 10)
       .cast("long")
-    val subvTrain =
-      if (trainRate == 1L) subvCorpus
-      else subvCorpus.filter(pmod(trainH, lit(trainRate)) === 0L)
+    val encTrain =
+      if (trainRate == 1L) encVec
+      else encVec.filter(pmod(trainH, lit(trainRate)) === 0L)
     val initIds = corpus.orderBy("vec_id").limit(64)
       .select(col("vec_id").as("code"))
-    var cb = subvCorpus
+    var cb = encVec
       .join(broadcast(initIds), col("vec_id") === col("code"))
-      .select(col("j"), col("code"), col("sv").as("cv"))
+      .select(col("code"), explode(subCols(col("v"))).as("x"))
+      .select(col("x.j").as("j"), col("code"), col("x.sv").as("cv"))
+    // one codebook-as-array column (1-row broadcast) per round; the
+    // per-(vec, j) argmin runs row-locally inside codegen with the SAME
+    // (d2, code) tie-break as the min(struct) formulation it replaces —
+    // the n·m·k row expansion and its exchange disappear (guide §2.3/2.4)
+    def pqBooks(c: DataFrame, emit: Column): DataFrame =
+      c.withColumn("cn",
+          graft.functions.VectorFunctions.normSqLong(col("cv")))
+        .agg(collect_list(struct(col("j").cast("long").as("j"), col("code"),
+          emit.as("emit"), col("cv"), col("cn"))).as("books"))
     for (_ <- 1 to iters) {
-      // argmin by (d2, code) as a map-side-combinable min(struct) — the
-      // (d2, code) pair is unique per (vec_id, j) group (codes are
-      // distinct), so this is exactly the window rn=1 semantics without
-      // the per-group sort (measured: the window formulation cost ~1 s
-      // per round at sf0.1)
-      val asg = subvTrain
-        .join(broadcast(cb.withColumn("cn",
-          graft.functions.VectorFunctions.normSqLong(col("cv")))), Seq("j"))
-        .withColumn("d2", col("cn") - lit(2L) * dot(col("sv"), col("cv")))
-        .groupBy("vec_id", "j")
-        .agg(min(struct(col("d2"), col("code"), col("sv"))).as("b"))
-        .select(col("j"), col("b.code").as("code"), col("b.sv").as("sv"))
-      cb = asg
-        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("d", "qv")))
-        .groupBy("j", "code", "d")
-        .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
-        .withColumn("cv1",
-          floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
-        .groupBy("j", "code")
-        .agg(array_sort(collect_list(struct(col("d"), col("cv1")))).as("z"))
-        .select(col("j"), col("code"),
-          transform(col("z"), p => p.getField("cv1")).as("cv"))
+      // row-local assignment emits the 8 winning code labels per vector;
+      // the recenter explodes them back to (j, code, sv) rows and fuses
+      // the old posexplode + groupBy(j,code,d) + groupBy(j,code) pair
+      // into ONE groupBy(j, code) with 8 per-dimension sums (3→1
+      // Exchange per Lloyd round; identical floor(Σ/n) arithmetic)
+      val asg = encTrain.crossJoin(broadcast(pqBooks(cb, col("code"))))
+        .select(col("v"), graft.functions.VectorFunctions
+          .pqBestCodes(col("v"), col("books")).as("cds"))
+        .select(explode(array((0 until 8).map(j =>
+          struct(lit(j).as("j"), element_at(col("cds"), j + 1).as("code"),
+            slice(col("v"), j * 8 + 1, 8).as("sv"))): _*)).as("x"))
+        .select(col("x.j").as("j"), col("x.code").as("code"), col("x.sv").as("sv"))
+      val sums = (0 until 8).map(d =>
+        sum(element_at(col("sv"), d + 1)).as(s"s$d"))
+      cb = asg.groupBy("j", "code")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("j"), col("code"), array((0 until 8).map(d =>
+          floor(col(s"s$d").cast("double") / col("n").cast("double"))
+            .cast("long")): _*).as("cv"))
         .localCheckpoint()
     }
     val wCode = org.apache.spark.sql.expressions.Window
@@ -1374,17 +1388,19 @@ object Similarity {
     // (qid, j, code): 8× the rows through the hot join made the 10×
     // probe 44.8 s; this layout + the element_at sum below brought it
     // to the sim9-shaped join size.)
-    val codes = subvCorpus.join(broadcast(pqcent), Seq("j"))
-      .withColumn("d2", col("cn") - lit(2L) * dot(col("sv"), col("cv")))
-      .groupBy("vec_id", "j")
-      .agg(min(struct(col("d2"), col("cidx"))).as("b"))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("j"), col("b.cidx").as("ci"))))
-        .as("z"))
-      .select(col("vec_id"),
-        transform(col("z"), p => p.getField("ci")).as("cd"))
-      .join(assigned.select(Seq(col("vec_id"), col("cell")) ++
-        (if (withLabel) Seq(col("lbl")) else Nil): _*), "vec_id")
+    // full-corpus encode is now a zero-Exchange map over the checkpointed
+    // assignment: the row-local expression picks each subspace's winner by
+    // (d2, code) and emits its DENSE index (cidx is monotone in code
+    // within a subspace, so the tie-break is the old (d2, cidx) exactly),
+    // and cell/lbl ride along from the assignment — the old two-stage
+    // re-aggregation and the join-back both disappear
+    val codes = encVec.crossJoin(broadcast(pqBooks(pqcent,
+        col("cidx").cast("long"))))
+      .select(Seq(col("vec_id"),
+        transform(graft.functions.VectorFunctions
+          .pqBestCodes(col("v"), col("books")), x => x.cast("int")).as("cd"),
+        col("cell")) ++
+        (if (withLabel) Seq(col("lbl")) else Nil): _*)
       .localCheckpoint()
     val vecs = assigned.select(Seq(col("vec_id"), col("v"), col("nrm"),
       col("cell")) ++ (if (withLabel) Seq(col("lbl")) else Nil): _*)
@@ -1414,56 +1430,52 @@ object Similarity {
       filteredByLabel: Boolean, filterWiden: Boolean,
       pushProbedCells: Boolean = false,
       pushCellCap: Int = 4096): DataFrame = {
-    val dot = graft.functions.VectorFunctions.dotLong _
     val m = 8
-    // probe ranking metric mirrors the assignment metric
-    def coarseOrd = if (coarseTrained) Seq(col("cdist").asc, col("cid").asc)
-      else Seq(col("ccos").desc, col("cid").asc)
     val npeExpr =
       if (!filteredByLabel || !filterWiden) lit(idx.nprobe.toLong)
       else least(lit(idx.kIvf.toLong),
         lit(idx.nprobe.toLong) * expr(s"(${idx.nCorpus}L + cnt - 1L) div cnt"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(coarseOrd: _*)
     val probed0 = batch
       .select(Seq(col("vec_id").as("qid"), col("v").as("va"),
         col("nrm").as("na")) ++
         (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
+    // probe: the centroid table rides each query row as one broadcast
+    // array column and the top-npe cells come out of a row-local
+    // codegen'd selection (same metric, same (score, cid) tie-break as
+    // the old query×centroid crossJoin + window — which paid a full
+    // exchange + sort of the expanded frame); explode is narrow
     val probed = (if (filteredByLabel) {
         // per-query probe budget from the corpus-side label histogram (a
         // ≤|labels|-row broadcast) — sim15's widening rule over THIS
         // index's cell count
         probed0.join(broadcast(idx.hist.get), "lbl").withColumn("npe", npeExpr)
       } else probed0.withColumn("npe", npeExpr))
-      .crossJoin(broadcast(idx.cent))
-      .withColumn("cdot", dot(col("va"), col("vc")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
-      .withColumn("cdist", col("nc") - lit(2L) * col("cdot"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= col("npe"))
-      .select(Seq(col("qid"), col("cid").as("cell"), col("cdot")) ++
+      .crossJoin(broadcast(idx.cent
+        .agg(collect_list(struct(col("cid"), col("vc"), col("nc"))).as("cents"))))
+      .select(Seq(col("qid"),
+        explode(graft.functions.VectorFunctions.topCells(col("va"), col("na"),
+          col("npe"), col("cents"), useL2 = coarseTrained)).as("pc")) ++
+        (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
+      .select(Seq(col("qid"), col("pc.cell").as("cell"),
+        col("pc.cdot").as("cdot")) ++
         (if (filteredByLabel) Seq(col("lbl")) else Nil): _*)
     // per-query LUT, one row per query: 8 arrays of 64 subspace dots,
-    // positioned by cidx so ADC is pure element_at arithmetic
-    val lutJ = batch
-      .select(col("vec_id").as("qid"), explode(subCols(col("v"))).as("x"))
-      .select(col("qid"), col("x.j").as("j"), col("x.sv").as("sv"))
-      .join(broadcast(idx.pqcent), Seq("j"))
-      .select(col("qid"), col("j"), col("cidx"),
-        dot(col("sv"), col("cv")).as("pdot"))
-      .groupBy("qid", "j")
-      .agg(array_sort(collect_list(struct(col("cidx"), col("pdot")))).as("z"))
-      .select(col("qid"), col("j"),
-        transform(col("z"), p => p.getField("pdot")).as("arr"))
-    val lutAggs = (0 until m).map(j =>
-      max(when(col("j") === j, col("arr"))).as(s"l$j"))
-    val lutQ = lutJ.groupBy("qid").agg(lutAggs.head, lutAggs.tail: _*)
+    // positioned by cidx so ADC is pure element_at arithmetic — computed
+    // row-locally from the broadcast codebook array (the old explode +
+    // broadcast join + two-stage aggregation paid two exchanges)
+    val lutQ = batch
+      .select(col("vec_id").as("qid"), col("v"))
+      .crossJoin(broadcast(idx.pqcent
+        .agg(collect_list(struct(col("j").cast("long").as("j"), col("code"),
+          col("cidx").cast("long").as("emit"), col("cv"), col("cn")))
+          .as("books"))))
+      .select(col("qid"), graft.functions.VectorFunctions
+        .pqLutArr(col("v"), col("books")).as("lut"))
     // ADC: one row per (probed-cell member × probing query), approx dot
-    // = Σ_j l_j[cd_j] — 8 codegen'd array lookups, no row explosion and
-    // no re-aggregation
+    // = Σ_j lut[j][cd_j] — 8 codegen'd array lookups, no row explosion
+    // and no re-aggregation
     val adcSum = (0 until m).map(j =>
-        element_at(col(s"l$j"),
+        element_at(element_at(col("lut"), j + 1),
           element_at(col("cd"), j + 1).cast("int") + 1))
       .reduce(_ + _)
     // filtered: the (cell, lbl) equi-join IS the predicate — a
@@ -1504,7 +1516,8 @@ object Similarity {
           col("nrm").as("na")), "qid")
         .join(vecsSrc.select(col("vec_id").as("nbr"), col("v").as("vb"),
           col("nrm").as("nb")), "nbr")
-        .withColumn("dot", dot(col("va"), col("vb")))
+        .withColumn("dot", graft.functions.VectorFunctions.dotLong(
+          col("va"), col("vb")))
         .withColumn("cos", col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .withColumn("rnk", row_number().over(wr))
@@ -1816,35 +1829,32 @@ object Similarity {
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(k.toDouble)).toInt)
     val cent = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // r19: assignment and probe are row-local codegen'd selections over
+    // the broadcast-attached centroid array — same cosine scoring, same
+    // (ccos desc, cid asc) tie-break, zero Exchange (guide §2.4)
+    val centsA = broadcast(cent
+      .agg(collect_list(struct(col("cid"), col("vc"), col("nc"))).as("cents")))
     // the stored index: (cell, label)-keyed — label is a first-class
     // index key, not a payload column
-    val index = e.crossJoin(broadcast(cent))
-      .withColumn("cdot", dot(col("v"), col("vc")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("lbl"), col("cid").as("cell"))
+    val index = e.crossJoin(centsA)
+      .select(col("vec_id"), col("v"), col("nrm"), col("lbl"),
+        graft.functions.VectorFunctions.nearestCentroidId(
+          col("v"), col("nrm"), col("cents"), useL2 = false).as("cell"))
       .localCheckpoint()
     val hist = e.groupBy("lbl").agg(count(lit(1)).as("cnt"))
     val npeExpr =
       if (widened) least(lit(k.toLong), lit(nprobe.toLong) * expr(s"(${n}L + cnt - 1L) div cnt"))
       else lit(nprobe.toLong)
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
     val probed = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"), col("lbl"))
       .join(broadcast(hist), "lbl")
       .withColumn("npe", npeExpr)
-      .crossJoin(broadcast(cent))
-      .withColumn("cdot", dot(col("va"), col("vc")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        (sqrt(col("na").cast("double")) * sqrt(col("nc").cast("double"))))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= col("npe"))
-      .select(col("qid"), col("va"), col("na"), col("lbl"), col("cid").as("cell"))
+      .crossJoin(centsA)
+      .select(col("qid"), col("va"), col("na"), col("lbl"),
+        explode(graft.functions.VectorFunctions.topCells(col("va"), col("na"),
+          col("npe"), col("cents"), useL2 = false)).as("pc"))
+      .select(col("qid"), col("va"), col("na"), col("lbl"),
+        col("pc.cell").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
     probed.join(index.select(col("vec_id").as("nbr"), col("v").as("vb"),

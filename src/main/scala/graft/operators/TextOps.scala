@@ -1682,32 +1682,39 @@ c$r AS (SELECT doc_id,
             (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
             * 1000000).cast("long")))
       .select("ad", "ak", "bd", "bk", "sim_e6")
-      .localCheckpoint()
+    // r19: the greedy MMR + packing tail runs ON THE DRIVER over the two
+    // BOUNDED collected frames (cands ≤ 15 rows by the fused limit, pw ≤
+    // 15·14 sims — the same bounded-scalar class as the HWM reads; the
+    // sim arithmetic itself still runs in Spark's codegen above, so the
+    // e6 cosines are bit-identical). The old loop paid 2–3 Spark jobs
+    // per round × K=8 rounds to rank ≤15 rows; all scoring below is
+    // exact int64, same (score DESC, doc_id, chunk_id) tie-break.
+    val candRows = cands
+      .select(col("doc_id"), col("chunk_id"), col("rrf_ppm"), col("rel_n"),
+        col("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val simOf = pw.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+        r.getLong(4))).toMap
     var picks = Vector.empty[(Long, Long, Long, Long, Long)]
-    val rounds = math.min(s7K.toLong, cands.count()).toInt
+    var picked = Set.empty[(Long, Long)]
+    val rounds = math.min(s7K.toLong, candRows.length.toLong).toInt
     for (_ <- 1 to rounds) {
-      val notPicked = picks.foldLeft(lit(true))((acc, p) =>
-        acc && !(col("doc_id") === p._1 && col("chunk_id") === p._2))
-      val base = cands.filter(notPicked)
-      val scored =
-        if (picks.isEmpty) base.withColumn("score", col("rel_n") * 2L)
-        else {
-          val selPred = picks
-            .map(p => col("bd") === lit(p._1) && col("bk") === lit(p._2))
-            .reduce(_ || _)
-          val ms = pw.filter(selPred)
-            .groupBy(col("ad").as("doc_id"), col("ak").as("chunk_id"))
-            .agg(max("sim_e6").as("maxsim"))
-          base.join(ms, Seq("doc_id", "chunk_id"), "left")
-            .withColumn("score",
-              col("rel_n") * 2L - coalesce(col("maxsim"), lit(0L)))
+      val top = candRows.iterator
+        .filter { case (d0, k0, _, _, _) => !picked((d0, k0)) }
+        .map { case (d0, k0, rrf, reln, nt) =>
+          val maxsim =
+            if (picked.isEmpty) 0L
+            else picked.iterator
+              .map(p => simOf.getOrElse((d0, k0, p._1, p._2), 0L)).max
+          val score = if (picked.isEmpty) reln * 2L else reln * 2L - maxsim
+          (d0, k0, rrf, score, nt)
         }
-      val top = scored
-        .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
-        .select("doc_id", "chunk_id", "rrf_ppm", "score", "n_tokens")
-        .limit(1).collect()(0)
-      picks :+= ((top.getLong(0), top.getLong(1), top.getLong(2),
-        top.getLong(3), top.getLong(4)))
+        .minBy { case (d0, k0, _, score, _) => (-score, d0, k0) }
+      picks :+= top
+      picked += ((top._1, top._2))
     }
     import s.implicits._
     var cum = 0L

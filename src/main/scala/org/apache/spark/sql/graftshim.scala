@@ -636,3 +636,294 @@ final class TopKBuffer(val k: Int) {
     payloads(pos) = pv
   }
 }
+
+// ---------------------------------------------------------------------------
+// Round-19 optimization expressions (guide §2.4 "remove shuffles outright" +
+// §4 "built-in/codegen over row-expansion"): the k-means / product-quantizer
+// family (Similarity.trainIvfpq / serveIvfpq / kmeansFit and their reusers)
+// previously computed every argmin by EXPANDING each row against a broadcast
+// candidate table (crossJoin / broadcast join) and then collapsing the
+// expansion back with a window row_number()=1 or a min(struct) aggregation —
+// one Exchange (plus often a sort) per assignment, times every Lloyd round.
+// The candidate sets are broadcast-small by construction (≤ √N coarse
+// centroids, ≤ 8×64 PQ codewords), so the argmin is really a ROW-LOCAL
+// computation against a small reference array. These expressions evaluate it
+// as exactly that: the candidate set rides the row as one array column
+// (attached via a 1-row broadcast), and the winner is computed in a tight
+// JVM loop inside whole-stage codegen — zero Exchange, zero row expansion,
+// bit-identical scoring and tie-breaks to the window/min(struct) plans they
+// replace (the DuckDB oracle pins this at three scale factors).
+//
+// All scoring arithmetic mirrors the composed-expression originals LITERALLY:
+// exact int64 dots/norms, and for the cosine metric the same IEEE evaluation
+// order `((double) dot) / (sqrt((double) nrm) * sqrt((double) nc))`, compared
+// with java.lang.Double.compare — the total order Spark sorts doubles with.
+
+/** Static helpers shared by the vector expressions below; standalone object
+  * so generated code can call them as plain static methods.
+  */
+object VecOps {
+  /** Exact int64 dot of `v[off .. off+len)` against the full `c`. */
+  @inline def dotSlice(v: ArrayData, off: Int, c: ArrayData, len: Int): Long = {
+    var s = 0L
+    var i = 0
+    val n = math.min(len, math.min(v.numElements() - off, c.numElements()))
+    while (i < n) { s += v.getLong(off + i) * c.getLong(i); i += 1 }
+    s
+  }
+
+  /** argmin/argmax centroid id. cents: array<struct<cid:long, vc:array<long>,
+    * nc:long>>. useL2: min (nc − 2·v·vc, cid); else max (cos, tie cid asc)
+    * with cos evaluated exactly as the composed plan did.
+    */
+  def nearestCentroid(v: ArrayData, nrm: Long, cents: ArrayData,
+      useL2: Boolean): Long = {
+    val k = cents.numElements()
+    val dims = v.numElements()
+    var bestId = Long.MaxValue
+    var bestL2 = Long.MaxValue
+    var bestCos = java.lang.Double.NEGATIVE_INFINITY
+    var first = true
+    var i = 0
+    while (i < k) {
+      val row = cents.getStruct(i, 3)
+      val cid = row.getLong(0)
+      val vc = row.getArray(1)
+      val nc = row.getLong(2)
+      val dot = dotSlice(v, 0, vc, dims)
+      if (useL2) {
+        val d2 = nc - 2L * dot
+        if (first || d2 < bestL2 || (d2 == bestL2 && cid < bestId)) {
+          bestL2 = d2; bestId = cid; first = false
+        }
+      } else {
+        val cos = dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(nc.toDouble))
+        val c = java.lang.Double.compare(cos, bestCos)
+        if (first || c > 0 || (c == 0 && cid < bestId)) {
+          bestCos = cos; bestId = cid; first = false
+        }
+      }
+      i += 1
+    }
+    bestId
+  }
+
+  /** Per-subspace nearest-codeword emit. books: array<struct<j:long,
+    * code:long, emit:long, cv:array<long>, cn:long>> (any order; winner per
+    * j by (cn − 2·sv·cv, code) exactly like the min(struct(d2, code))
+    * formulation). Returns array<long>(m) of the winners' `emit` fields.
+    */
+  def pqBest(v: ArrayData, books: ArrayData, m: Int, sub: Int): GenericArrayData = {
+    val out = new Array[Long](m)
+    val bestD2 = new Array[Long](m)
+    val bestCode = new Array[Long](m)
+    val seen = new Array[Boolean](m)
+    val n = books.numElements()
+    var i = 0
+    while (i < n) {
+      val row = books.getStruct(i, 5)
+      val j = row.getLong(0).toInt
+      if (j >= 0 && j < m) {
+        val code = row.getLong(1)
+        val emit = row.getLong(2)
+        val cv = row.getArray(3)
+        val cn = row.getLong(4)
+        val d2 = cn - 2L * dotSlice(v, j * sub, cv, sub)
+        if (!seen(j) || d2 < bestD2(j) || (d2 == bestD2(j) && code < bestCode(j))) {
+          seen(j) = true; bestD2(j) = d2; bestCode(j) = code; out(j) = emit
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: for each subspace j, an array positioned by
+    * the codeword's dense index (`emit` = cidx) holding the exact int64 dot
+    * of the query's j-th subvector against that codeword. Same `books`
+    * layout as [[pqBest]].
+    */
+  def pqLut(v: ArrayData, books: ArrayData, m: Int, sub: Int): GenericArrayData = {
+    val n = books.numElements()
+    val counts = new Array[Int](m)
+    var i = 0
+    while (i < n) {
+      val j = books.getStruct(i, 5).getLong(0).toInt
+      if (j >= 0 && j < m) counts(j) += 1
+      i += 1
+    }
+    val luts = Array.tabulate(m)(j => new Array[Long](counts(j)))
+    i = 0
+    while (i < n) {
+      val row = books.getStruct(i, 5)
+      val j = row.getLong(0).toInt
+      if (j >= 0 && j < m) {
+        val cidx = row.getLong(2).toInt
+        if (cidx >= 0 && cidx < luts(j).length)
+          luts(j)(cidx) = dotSlice(v, j * sub, row.getArray(3), sub)
+      }
+      i += 1
+    }
+    new GenericArrayData(luts.map(a => new GenericArrayData(a): AnyRef))
+  }
+
+  /** Top-`npe` cells for one query against the full centroid array,
+    * ranked by (cos desc | l2 asc, cid asc) — the probe stage's
+    * row_number() ≤ npe window, computed row-locally. Returns
+    * array<struct<cell:long, cdot:long>> in rank order.
+    */
+  def topCells(v: ArrayData, nrm: Long, npe: Long, cents: ArrayData,
+      useL2: Boolean): GenericArrayData = {
+    val k = cents.numElements()
+    val dims = v.numElements()
+    val cid = new Array[Long](k)
+    val cdot = new Array[Long](k)
+    val score = new Array[Double](k)
+    val sl2 = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val row = cents.getStruct(i, 3)
+      cid(i) = row.getLong(0)
+      val vc = row.getArray(1)
+      val nc = row.getLong(2)
+      val dot = dotSlice(v, 0, vc, dims)
+      cdot(i) = dot
+      if (useL2) sl2(i) = nc - 2L * dot
+      else score(i) = dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(nc.toDouble))
+      i += 1
+    }
+    val idx = Array.range(0, k).map(Integer.valueOf)
+    val cmp = new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c =
+          if (useL2) java.lang.Long.compare(sl2(a), sl2(b))
+          else java.lang.Double.compare(score(b), score(a))
+        if (c != 0) c else java.lang.Long.compare(cid(a), cid(b))
+      }
+    }
+    java.util.Arrays.sort(idx, cmp)
+    val take = math.min(k.toLong, math.max(npe, 0L)).toInt
+    val rows = new Array[Any](take)
+    i = 0
+    while (i < take) {
+      val o = idx(i).intValue()
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(cid(o), cdot(o))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** Row-local argmin over a broadcast-attached centroid array — replaces the
+  * crossJoin + window row_number()=1 (or min(struct)) assignment pattern
+  * with a zero-Exchange map (see the block comment above [[VecOps]]).
+  */
+case class NearestCentroidId(v: Expression, nrm: Expression, cents: Expression,
+    useL2: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = nrm
+  override def third: Expression = cents
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid_id"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    VecOps.nearestCentroid(a.asInstanceOf[ArrayData], b.asInstanceOf[Long],
+      c.asInstanceOf[ArrayData], useL2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, z) => s"""
+      |${ev.value} = org.apache.spark.sql.graftshim.VecOps.nearestCentroid(
+      |  $x, $y, $z, $useL2);
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(v = newFirst, nrm = newSecond, cents = newThird)
+}
+
+/** Row-local per-subspace nearest-codeword assignment (array<long>(m) of the
+  * winners' emit fields) — replaces the subvector explode + broadcast join +
+  * per-(vec,j) argmin aggregation with a zero-Exchange map.
+  */
+case class PqBestCodes(v: Expression, books: Expression, m: Int, sub: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = v
+  override def right: Expression = books
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_best_codes"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.pqBest(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      |${ev.value} = org.apache.spark.sql.graftshim.VecOps.pqBest($x, $y, $m, $sub);
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(v = newLeft, books = newRight)
+}
+
+/** Row-local per-query ADC LUT (array<array<long>>, subspace-major,
+  * positioned by dense codeword index) — replaces the query-side explode +
+  * broadcast join + two-stage LUT aggregation with a zero-Exchange map.
+  */
+case class PqLutArr(v: Expression, books: Expression, m: Int, sub: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = v
+  override def right: Expression = books
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_lut_arr"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.pqLut(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      |${ev.value} = org.apache.spark.sql.graftshim.VecOps.pqLut($x, $y, $m, $sub);
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(v = newLeft, books = newRight)
+}
+
+/** Row-local top-npe probed cells (rank order, with the exact coarse dot
+  * riding along) — replaces the query×centroid crossJoin + window
+  * row_number() ≤ npe probe with a zero-Exchange map + explode.
+  */
+case class TopCellsExpr(v: Expression, nrm: Expression, npe: Expression,
+    cents: Expression, useL2: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = nrm
+  override def third: Expression = npe
+  override def fourth: Expression = cents
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cdot", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "top_cells"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    VecOps.topCells(a.asInstanceOf[ArrayData], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[ArrayData], useL2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => s"""
+      |${ev.value} = org.apache.spark.sql.graftshim.VecOps.topCells(
+      |  $a, $b, $c, $d, $useL2);
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
+    copy(v = newFirst, nrm = newSecond, npe = newThird, cents = newFourth)
+}
