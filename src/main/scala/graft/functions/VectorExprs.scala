@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{BpeEncode, DotLong, HyperplaneBands, IntersectCountAtLeastFrac, IntersectCountSortedLong, MisraGries, NearestCentroidId, PqBestCodes, PqLutArr, SparkShim, TopCellsExpr, TopKPairs}
+import org.apache.spark.sql.graftshim.{BpeEncode, DotLong, HyperplaneBands, IntersectCountAtLeastFrac, IntersectCountSortedLong, Md5Prefix60, MisraGries, NearestCentroidId, PqBestCodes, PqLutArr, SparkShim, TopCellsExpr, TopKPairs}
 
 /** Column-level entry points for the native vector/set expressions (see
   * [[org.apache.spark.sql.graftshim.DotLong]] and
@@ -103,4 +103,12 @@ object VectorFunctions {
     SparkShim.column(TopCellsExpr(SparkShim.expression(v),
       SparkShim.expression(nrm), SparkShim.expression(npe),
       SparkShim.expression(cents), useL2))
+
+  /** First 60 bits of md5(s) as a long — bit-identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)::long` (the engine's
+    * oracle-replayable string hash) without the hex-encode / substring /
+    * base-16-parse detour.
+    */
+  def md5Prefix60(s: Column): Column =
+    SparkShim.column(Md5Prefix60(SparkShim.expression(s)))
 }

@@ -185,10 +185,18 @@ object Dedup {
     * index over a quality-GATED corpus, not the raw table.
     */
   private[operators] def bandFrameOf(docs: DataFrame): DataFrame = {
-    val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
+    val hm = graft.functions.VectorFunctions.md5Prefix60(col("s")) % P
     val sigCols = (0 until numHashes).map(i =>
       min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
     val sig = shingleRowsOf(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    bandRowsFromSig(sig)
+  }
+
+  /** Per-doc `(doc_id, band, key)` band rows from a signature frame
+    * carrying h0..h11 — the explode half of [[bandFrameOf]], shared with
+    * the one-shingle-pass consumers (TrainPrep.pipe3).
+    */
+  private[operators] def bandRowsFromSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until numBands).map { b =>
       val key = concat_ws(",",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
@@ -196,6 +204,32 @@ object Dedup {
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** ONE shingle scan for the LSH-then-verify family: per-doc
+    * `(doc_id, hs, n, h0..h11, sk)` where `hs` is the sorted distinct
+    * xxhash64 shingle-hash set (the exact-verify array), `n = |hs|`, and
+    * h0..h11/sk are the MinHash signature and its compressed key.
+    *
+    * The composed consumers previously paid the shingle explode + hash
+    * TWICE per corpus (once for the md5-MinHash signature pass, once for
+    * the xxhash verify-array pass) plus a distinct and a groupBy shuffle
+    * each; here collect_set and the 12 mins partial-aggregate map-side
+    * into a single per-doc shuffle of longs. Output columns are
+    * bit-identical to the separate passes: min over occurrences ≡ min
+    * over the distinct set, and collect_set ≡ distinct.
+    */
+  private[operators] def shingleProfileOf(docs: DataFrame): DataFrame = {
+    val hm = graft.functions.VectorFunctions.md5Prefix60(col("s")) % P
+    val sigCols = (0 until numHashes).map(i =>
+      min((col("hm") * permA(i) + permB(i)) % P).as(s"h$i"))
+    val aggs = sort_array(collect_set(col("h"))).as("hs") +: sigCols
+    shingleRowsOf(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"), hm.as("hm"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", size(col("hs")).cast("long"))
+      .withColumn("sk", sigKeyCol)
   }
 
   /** Distinct LSH candidate pairs (shared by dd3 and dd6's verify).
@@ -216,13 +250,27 @@ object Dedup {
     * (shared with TrainPrep.pipe2's fuzzy-dedup stage).
     */
   private[operators] def lshCandidatesOf(docs: DataFrame): DataFrame = {
-    val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
+    val hm = graft.functions.VectorFunctions.md5Prefix60(col("s")) % P
     val sigCols = (0 until numHashes).map(i =>
       min((hm * permA(i) + permB(i)) % P).as(s"h$i"))
-    val sigKey = xxhash64(concat_ws(",", (0 until numHashes).map(i => col(s"h$i")): _*))
     val sig = shingleRowsOf(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .withColumn("sk", sigKey)
+      .withColumn("sk", sigKeyCol)
       .localCheckpoint() // referenced 3× (distinct values + both expand sides)
+    lshCandidatesFromSig(sig)
+  }
+
+  /** xxhash64 key over the full 12-hash signature columns h0..h11. */
+  private def sigKeyCol =
+    xxhash64(concat_ws(",", (0 until numHashes).map(i => col(s"h$i")): _*))
+
+  /** Candidate pairs from an already-MATERIALIZED signature frame
+    * `(doc_id, h0..h11, sk, …)` — the caller owns the checkpoint (the
+    * frame is referenced three times below). Shared by
+    * [[lshCandidatesOf]] and the one-shingle-pass consumers
+    * ([[dd6LshJaccard]], TrainPrep.pipe2) that derive signatures and
+    * verify arrays from a single [[shingleProfileOf]] scan.
+    */
+  private[operators] def lshCandidatesFromSig(sig: DataFrame): DataFrame = {
     val vals = sig.dropDuplicates("sk")
     val bandStructs = (0 until numBands).map { b =>
       val key = concat_ws(",",
@@ -292,11 +340,12 @@ object Dedup {
   // array) and intersects per pair with array_intersect (primitive
   // fast path).
   private def dd6LshJaccard(s: SparkSession, d: String): DataFrame = {
-    val hs = shingleRows(s, d)
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-    val cand = lshCandidates(s, d)
+    // one shingle scan feeds BOTH the signature/candidate side and the
+    // exact-verify arrays (see shingleProfileOf) — previously two full
+    // explode+hash passes plus a distinct and a groupBy shuffle
+    val prof = shingleProfileOf(Tables.documents(s, d)).localCheckpoint()
+    val hs = prof.select(col("doc_id"), col("hs"), col("n"))
+    val cand = lshCandidatesFromSig(prof)
     cand
       .join(hs.select(col("doc_id").as("ida"), col("hs").as("ha"), col("n").as("na")), "ida")
       .join(hs.select(col("doc_id").as("idb"), col("hs").as("hb"), col("n").as("nb")), "idb")
@@ -328,7 +377,7 @@ object Dedup {
   private[graft] def simhashDf(s: SparkSession, d: String, bits: Int): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.VectorFunctions.md5Prefix60(col("w")))
     val bitVotes = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i")
     }
@@ -415,29 +464,38 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("ida").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
+    // one min-label + pointer-jump step over (doc_id, old, label): every
+    // node takes the min of its own and its neighbors' labels, then
+    // shortcuts to its label's label (labels are always doc_ids of
+    // member nodes, so the label's own label exists); `old` (the
+    // materialized round's entry label) rides through untouched for the
+    // convergence test. least() only ever decreases a label, so a
+    // composite round that changes nothing was a fixed point at entry.
+    def step(lab: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(lab.select(col("doc_id").as("idb"), col("label")), "idb")
+        .groupBy(col("ida").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val stepped = lab.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      stepped
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")), "label")
+        .select(col("doc_id"), col("old"), least(col("label"), col("ll")).as("label"))
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < 30) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "idb"), "idb")
-        .groupBy(col("ida").as("doc_id"))
-        .agg(min(col("label")).as("nbr_label"))
-      // the pre-step label rides along as `old` so the convergence test
-      // needs no extra join back to `labels`
-      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // pointer jump: labels are always doc_ids of member nodes, so the
-      // label's own label exists; following it halves chain lengths.
-      // Convergence rides the SAME job as the checkpoint materialization:
-      // an observe() metric on the label-update plan, collected by the
-      // eager localCheckpoint action — one job per round in the event
-      // log, no separate count() pass.
+      // ONE step per materialized round (an attempted two-steps-per-
+      // checkpoint variant DOUBLED the per-round plan — the nested step's
+      // three references to its input re-derived the inner step's joins,
+      // and the exchanges were not reused — measured dd7 2.2 → 4.2 s;
+      // the single-step round is the cheaper shape). Convergence rides
+      // the SAME job as the checkpoint materialization via observe() —
+      // no separate count() pass.
       val obs = new org.apache.spark.sql.Observation(s"dd7_conv_$iter")
-      val next = stepped
-        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")), "label")
-        .select(col("doc_id"), least(col("label"), col("ll")).as("label"),
-          (least(col("label"), col("ll")) =!= col("old")).as("changed"))
+      val next = step(labels.withColumn("old", col("label")))
+        .withColumn("changed", col("label") =!= col("old"))
         .observe(obs,
           coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L))
             .as("n_changed"))
@@ -446,7 +504,7 @@ object Dedup {
       labels = next.select("doc_id", "label")
       iter += 1
     }
-    // pointer jumping converges in O(log diameter); 30 rounds covers any
+    // pointer jumping converges in O(log diameter); 30 rounds cover any
     // graph up to diameter ~2^30. Surface the pathological case instead
     // of returning partially-propagated labels.
     if (!converged) throw new IllegalStateException(
@@ -725,11 +783,13 @@ object Dedup {
   // corpus doc — O(batch) rows regardless of corpus size.
   private def dd11IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val isNew = col("doc_id") % 5 === 0 // tonight's batch: every 5th doc
-    // one materialized signature pass serves both sides (checkpointing
-    // only the index side would recompute the full sig pipeline for the
-    // probe); in production the index side is a stored bucketed table
-    // and ONLY the new batch is signed per ingest
-    val bands = bandFrame(s, d).localCheckpoint()
+    // ONE materialized shingle pass (shingleProfileOf) serves both sides
+    // AND the verify arrays below — previously the corpus was exploded +
+    // hashed twice (band signature pass, verify-array pass); in
+    // production the index side is a stored bucketed table and ONLY the
+    // new batch is signed per ingest
+    val prof = shingleProfileOf(Tables.documents(s, d)).localCheckpoint()
+    val bands = bandRowsFromSig(prof)
     val index = bands.filter(!isNew) // stands for the stored index
     val probe = bands.filter(isNew)
     // candidate pairs are O(batch·bucketDegree) — small enough to pin,
@@ -741,21 +801,15 @@ object Dedup {
         Seq("band", "key"))
       .select("nid", "oid").distinct()
       .localCheckpoint()
-    // verify cost is O(batch + candidates), not O(corpus): only docs that
-    // appear in a candidate pair have their shingle sets aggregated (the
-    // semi-join prunes BEFORE the distinct+groupBy, so the exact-Jaccard
-    // gate never re-aggregates the uninvolved corpus per batch; broadcast
-    // — the candidate id set is bounded by the batch's bucket collisions).
-    // hs is itself checkpointed: O(candidate docs) rows, reused by both
-    // sides of the pair join below.
+    // verify arrays come straight off the pinned profile: a broadcast
+    // semi join per side of the pair join (the candidate id set is
+    // bounded by the batch's bucket collisions), map-only over the
+    // checkpointed frame — no second corpus shingle pass, no extra pin.
     val candIds = cand.select(col("nid").as("doc_id"))
       .union(cand.select(col("oid").as("doc_id"))).distinct()
-    val hs = shingleRows(s, d)
+    val hs = prof
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("hs"), col("n"))
     val verified = cand
       .join(hs.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
       .join(hs.select(col("doc_id").as("oid"), col("hs").as("hb"), col("n").as("nb")), "oid")
@@ -1003,10 +1057,13 @@ object Dedup {
         expr("bit_xor(xxhash64(h))").as("hxor2"))
       .withColumn("sig", xxhash64(col("hxor"), col("hxor2"), col("n")))
       .localCheckpoint() // reused: reps, verify prune, member expansion
-    val wSig = org.apache.spark.sql.expressions.Window
-      .partitionBy("sig").orderBy("doc_id")
-    val repIds = sigs.withColumn("rn", row_number().over(wSig))
-      .filter(col("rn") === 1).select(col("doc_id"), col("sig"), col("n"))
+    // representative = min doc_id per sig, as a map-side-combined
+    // min-of-struct aggregate (≤1 row per sig leaves each map task)
+    // instead of a window row_number (exchange + per-group sort over
+    // every row); the struct carries the rep's n along
+    val repIds = sigs.groupBy("sig")
+      .agg(min(struct(col("doc_id"), col("n"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("sig"), col("m.n").as("n"))
     // token index over REPRESENTATIVES only, in global canonical order
     // (n rides in from the fingerprint — no per-doc count window)
     val repSh = sh.join(repIds, "doc_id")

@@ -21,8 +21,9 @@ import graft.{Q, Tables}
   * supplier) grain before anything iterates — |edges| ≤ |distinct pairs|,
   * far below lineitem. Each PageRank round is ONE shuffle (groupBy dst)
   * plus broadcast-or-shuffle joins AQE sizes; the driver loop iterates
-  * over a FIXED round count (actions, never rows), with localCheckpoint
-  * lineage cuts per round (dd7's loop discipline).
+  * over a FIXED round count, so the rounds compose into a single plan
+  * run by one action (no per-round barrier — dd7 checkpoints per round
+  * only because its loop needs a convergence observation).
   */
 object GraphOps {
 
@@ -36,18 +37,22 @@ object GraphOps {
     * (collision-free namespacing), edges both directions so every node
     * has outdegree ≥ 1 (no dangling-mass correction needed).
     */
-  private def edgesAndDegrees(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def edgesWithDegrees(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("cust_node"),
         (col("l_suppkey") * 2 + 1).as("supp_node"))
       .distinct()
-    val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+    // outdeg attached per edge row with ONE count window (no separate
+    // degree table, no degree join inside the rank loop — the edge⋈deg
+    // join is loop-invariant, so it is paid exactly once, here); ONE
+    // checkpoint, scanned by every iteration
+    pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .unionByName(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
-      .localCheckpoint() // reused by every iteration — scan the join once
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    (edges, deg)
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint()
   }
 
   // ---------------------------------------------------------------------
@@ -60,17 +65,18 @@ object GraphOps {
   // the float-free twin of the classic formulation. One shuffle per
   // round; the rank frame is node-sized, never edge-sized.
   private def gr1PageRank(s: SparkSession, d: String): DataFrame = {
-    val (edges, deg) = edgesAndDegrees(s, d)
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_ppm"))
+    val cdeg = edgesWithDegrees(s, d)
+    var ranks = cdeg.select(col("src").as("id")).distinct()
+      .withColumn("rank_ppm", lit(1000000L))
+    // fixed round count ⇒ one composed plan, no per-round checkpoint
+    // barrier (gr3's rationale); cdeg is scanned once per round
     for (_ <- 1 to PrRounds) {
-      ranks = edges
-        .join(deg, "src")
+      ranks = cdeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank_ppm div outdeg").as("contrib"))
         .groupBy("id")
         .agg(sum(col("contrib")).as("s"))
         .select(col("id"), expr("150000L + (17L * s) div 20L").as("rank_ppm"))
-        .localCheckpoint()
     }
     ranks
       .select(
@@ -146,18 +152,34 @@ object GraphOps {
     */
   private val MaxBasket = 256L
 
-  /** Distinct (order, part) rows from baskets of sane size — the shared
-    * first stage of gr2/gr3's co-purchase projection. The basket-size
-    * filter is one map-side-combined count agg + a join back on the
-    * order key (AQE-sized; the oversize-order list is tiny or empty).
+  /** Significance-thresholded co-purchase edges (lo < hi, weight ≥ 2) —
+    * the shared first stage of gr2/gr3.
+    *
+    * Plan (r19): ONE shuffle of (order, part) pairs into per-order sorted
+    * distinct-part arrays (collect_set partial-aggregates map-side), the
+    * basket cap as a row-local size() filter, and the C(basket, 2) pair
+    * enumeration as a row-local posexplode × slice over the sorted array
+    * — then the (lo, hi) weight regroup. The previous plan spent four
+    * exchanges getting here (pair distinct, basket-size agg, the cap
+    * join-back, and a sort-merge self-join of the pair frame against
+    * itself); this one spends two, and the self-join's C(b,2)-inside-one-
+    * join-group blowup can no longer materialize on the shuffle side at
+    * all — pairs are born basket-local on the map side. Sorted arrays
+    * make `i < j` ⟺ `lo < hi`, so the emitted edge set is identical.
     */
-  private def saneBaskets(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-      .distinct()
-    val ok = li.groupBy("o").agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= MaxBasket).select("o")
-    li.join(ok, "o")
+      .groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .filter(size(col("pks")) <= MaxBasket)
+    baskets
+      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "lo")))
+      .select(col("lo"),
+        explode(slice(col("pks"), col("i") + lit(2), size(col("pks")))).as("hi"))
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("lo", "hi")
   }
 
   /** SQL twin of [[saneBaskets]]: `li` (distinct order/part, capped). */
@@ -167,12 +189,7 @@ object GraphOps {
        |li AS (SELECT li0.* FROM li0 JOIN ok USING (o))""".stripMargin
 
   private def gr2Triangles(s: SparkSession, d: String): DataFrame = {
-    val li = saneBaskets(s, d)
-    val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("lo"), col("y.pk").as("hi"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("lo", "hi")
+    val e = copurchaseEdges(s, d)
       .localCheckpoint()
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
@@ -225,23 +242,21 @@ object GraphOps {
   // aggregations — (v, label) neighbor-label counts, then a min-of-
   // struct((−c, label)) argmax per node — NO per-node window (a window
   // would re-shuffle the count frame it just built; min-of-struct
-  // partial-aggregates instead), with a localCheckpoint lineage cut.
-  // The label frame is node-sized throughout; edges scan from one
-  // checkpointed frame every round.
+  // partial-aggregates instead). The label frame is node-sized
+  // throughout; edges scan from one checkpointed frame every round.
   private val LpaRounds = 3
 
   private def gr3LpaCommunities(s: SparkSession, d: String): DataFrame = {
-    val li = saneBaskets(s, d)
-    val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("lo"), col("y.pk").as("hi"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("lo", "hi")
+    val e = copurchaseEdges(s, d)
     val edges = e.select(col("lo").as("src"), col("hi").as("dst"))
       .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
       .localCheckpoint() // scanned every round
     var lab = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
+    // the round count is FIXED (no convergence action), so the rounds
+    // compose into one Catalyst plan executed by the final action —
+    // the per-round localCheckpoint barriers (one eager job each) were
+    // pure serialization; the per-round shuffles remain, unchanged
     for (_ <- 1 to LpaRounds) {
       lab = edges
         .join(lab.withColumnRenamed("v", "dst"), "dst")
@@ -250,7 +265,6 @@ object GraphOps {
         .groupBy("v")
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("v"), col("m.l").as("label"))
-        .localCheckpoint()
     }
     lab.select(col("v").as("part_key"), col("label").as("community"))
       .orderBy("part_key")

@@ -1421,16 +1421,28 @@ object Relational {
   //    excluded suppliers as a broadcast left-anti, count-distinct at
   //    the (brand,type,size) grain.
   private def q47TpchQ2(s: SparkSession, d: String): DataFrame = {
+    // both ps references (outer row set AND the correlated min-cost
+    // subquery) are keyed on the partkeys of the size/type-filtered
+    // parts — the subquery correlates on p_partkey of an already-
+    // filtered outer part — so lineitem is pre-filtered to those
+    // partkeys before BOTH derived-partsupp aggregations (q50's
+    // rewrite; the filter is on the ps group key, so every surviving
+    // group's MIN/SUM is untouched). The oracle keeps the textbook
+    // shape.
     sqlOverViews(s, d)(
-      s"""WITH ${psCte("lineitem_v", "DIV")}
+      s"""WITH fpart AS (SELECT p_partkey, p_name FROM part_v
+         |  WHERE p_size BETWEEN 25 AND 35 AND p_type = 'SMALL'),
+         |rli AS (SELECT * FROM lineitem_v
+         |  WHERE l_partkey IN (SELECT p_partkey FROM fpart)),
+         |${psCte("rli", "DIV")}
          |SELECT ${centsSql("s_acctbal")} AS acctbal_c, s_name, n_name,
          |  p_partkey, p_name, ps.cost_c AS supplycost_c
          |FROM ps
-         |JOIN part_v ON p_partkey = ps.ps_partkey
+         |JOIN fpart ON p_partkey = ps.ps_partkey
          |JOIN supplier_v ON s_suppkey = ps.ps_suppkey
          |JOIN nation_v ON s_nationkey = n_nationkey
          |JOIN region_v ON n_regionkey = r_regionkey
-         |WHERE p_size BETWEEN 25 AND 35 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+         |WHERE r_name = 'EUROPE'
          |  AND ps.cost_c = (SELECT MIN(ps2.cost_c)
          |    FROM ps ps2
          |    JOIN supplier_v s2 ON s2.s_suppkey = ps2.ps_suppkey
@@ -1555,18 +1567,28 @@ object Relational {
        |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin
 
   private def q50TpchQ9(s: SparkSession, d: String): DataFrame = {
+    // the `%red%` part predicate is applied to lineitem BEFORE the ps
+    // (derived partsupp) aggregation and the 5-way fact join, not after:
+    // part is unique on p_partkey, so the inner part join was a pure
+    // semi filter, and ps keyed on a red l_partkey sees exactly the same
+    // lineitem rows either way (the filter is on the ps group key) —
+    // cost_c/qty and the join result are bit-identical while the
+    // aggregation and every downstream join now consume only the
+    // matching fraction of lineitem (guide §3.2: reduce the big side
+    // before deriving/joining). The oracle keeps the textbook shape.
     sqlOverViews(s, d)(
-      s"""WITH ${psCte("lineitem_v", "DIV")},
+      s"""WITH rli AS (SELECT * FROM lineitem_v
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part_v
+         |                      WHERE p_name LIKE '%red%')),
+         |${psCte("rli", "DIV")},
          |f AS (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |    ${centsSql("l_extendedprice")}*(100-${centsSql("l_discount")})
          |      - ps.cost_c * 100 * CAST(l_quantity AS BIGINT) AS amount
-         |  FROM lineitem_v
+         |  FROM rli
          |  JOIN ps ON ps.ps_partkey = l_partkey AND ps.ps_suppkey = l_suppkey
-         |  JOIN part_v ON p_partkey = l_partkey
          |  JOIN supplier_v ON s_suppkey = l_suppkey
          |  JOIN orders_v ON o_orderkey = l_orderkey
-         |  JOIN nation_v ON s_nationkey = n_nationkey
-         |  WHERE p_name LIKE '%red%')
+         |  JOIN nation_v ON s_nationkey = n_nationkey)
          |SELECT nation, o_year,
          |  CAST(SUM(amount) AS BIGINT) AS profit_c4,
          |  CAST(CAST(SUM(amount) AS BIGINT) AS DOUBLE) / 10000.0 AS profit
@@ -1593,13 +1615,21 @@ object Relational {
        |ORDER BY nation, o_year DESC""".stripMargin
 
   private def q51TpchQ11(s: SparkSession, d: String): DataFrame = {
+    // the nation scope is applied to lineitem BEFORE the ps derivation
+    // (q50's rewrite): the supplier⋈nation filter is keyed on ps's group
+    // key (ps_suppkey), so restricting lineitem to the scoped suppliers'
+    // rows leaves every surviving (partkey, suppkey) group's rows — and
+    // its MIN/SUM — untouched while the derived-partsupp aggregation
+    // consumes the scoped fraction of lineitem instead of all of it.
+    // The supplier join survives only as the IN-list semi filter.
     sqlOverViews(s, d)(
-      s"""WITH ${psCte("lineitem_v", "DIV")},
-         |scoped AS (SELECT ps_partkey, CAST(SUM(cost_c * qty) AS BIGINT) AS value_c
-         |  FROM ps JOIN supplier_v ON s_suppkey = ps_suppkey
+      s"""WITH rli AS (SELECT * FROM lineitem_v
+         |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier_v
          |    JOIN nation_v ON s_nationkey = n_nationkey
-         |  WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
-         |  GROUP BY ps_partkey),
+         |    WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4'))),
+         |${psCte("rli", "DIV")},
+         |scoped AS (SELECT ps_partkey, CAST(SUM(cost_c * qty) AS BIGINT) AS value_c
+         |  FROM ps GROUP BY ps_partkey),
          |tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS t FROM scoped)
          |SELECT ps_partkey AS p_partkey, value_c
          |FROM scoped CROSS JOIN tot
@@ -1660,8 +1690,15 @@ object Relational {
       .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "MEDIUM" &&
         col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
       .select("p_partkey", "p_brand", "p_type", "p_size")
-    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(pfil, col("l_partkey") === col("p_partkey"))
+    // the part predicate prunes lineitem BEFORE the pair distinct (the
+    // filter is on the distinct key, so the surviving pair set is
+    // identical) — the distinct shuffle then carries only the matching
+    // fraction of lineitem instead of all of it
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pfil.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
+      .join(broadcast(pfil), col("l_partkey") === col("p_partkey"))
       .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

@@ -1221,9 +1221,8 @@ object Similarity {
     // gate scale (rate 1); live in skew:sim16 (corpus 24k > budget).
     val trainRate =
       math.max(1L, math.ceil(nCorpus.toDouble / pqTrainBudget).toLong)
-    val coarseTrainH = conv(substring(md5(
-      concat(col("vec_id").cast("string"), lit(":ivf"))), 1, 15), 16, 10)
-      .cast("long")
+    val coarseTrainH = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("vec_id").cast("string"), lit(":ivf")))
     val coarseTrain =
       if (trainRate == 1L) corpus
       else corpus.filter(pmod(coarseTrainH, lit(trainRate)) === 0L)
@@ -1332,9 +1331,8 @@ object Similarity {
     // and runs live in the skew:sim14 probe at n=30k. At 100 TB the
     // trainer touches a fixed-size sample while encoding still covers
     // the full corpus.
-    val trainH = conv(substring(md5(
-      concat(col("vec_id").cast("string"), lit(":pq"))), 1, 15), 16, 10)
-      .cast("long")
+    val trainH = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("vec_id").cast("string"), lit(":pq")))
     val encTrain =
       if (trainRate == 1L) encVec
       else encVec.filter(pmod(trainH, lit(trainRate)) === 0L)

@@ -223,8 +223,7 @@ object TextOps {
   // source) stratum. The standard curation primitive for rebalancing a
   // training corpus; map-only except the final stratum rollup.
   private def t6StratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val keep = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100L) < 20L
+    val keep = (graft.functions.VectorFunctions.md5Prefix60(col("doc_id").cast("string")) % 100L) < 20L
     Tables.documents(s, d)
       .groupBy(col("lang"), col("source"))
       .agg(
@@ -337,7 +336,7 @@ object TextOps {
   // the single shuffle is the (doc, dim) partial-sum — map-side
   // combined, ≤16 rows per doc survive.
   private def t10FeatureHash(s: SparkSession, d: String): DataFrame = {
-    val hm = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+    val hm = graft.functions.VectorFunctions.md5Prefix60(col("term"))
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .select(col("doc_id"), pmod(hm, lit(16L)).as("dim"),
@@ -540,9 +539,8 @@ object TextOps {
   private[graft] def bpeTrainSampled(s: SparkSession, d: String,
       rate: Long): Seq[(Long, String, String, Long)] = {
     require(rate >= 1L, "sample rate must be >= 1")
-    val h = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":bpe"))), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":bpe")))
     val sampled = Tables.documents(s, d)
       .filter(if (rate == 1L) lit(true) else pmod(h, lit(rate)) === 0L)
     // a degenerate sample must be VISIBLE, not a silently weak tokenizer
@@ -744,7 +742,7 @@ c$r AS (SELECT doc_id,
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("term"))
     val withH = toks.select(col("term"),
-      conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("h"))
+      graft.functions.VectorFunctions.md5Prefix60(col("term")).as("h"))
     val cand = withH
       .agg(graft.functions.VectorFunctions.misraGries(col("h"), 64).as("cand"))
       .select(explode(col("cand")).as("h"))
@@ -1134,38 +1132,49 @@ c$r AS (SELECT doc_id,
   // (dd2's documented caveat class).
   private val trRounds = 3
   private def t17TextrankKeywords(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
-      .filter(length(col("w")) >= 4)
-      .select(col("doc_id"), col("i"), col("w"), xxhash64(col("w")).as("h"))
-      .localCheckpoint() // 3 uses: both pair sides + the word map
-    // window-2 co-occurrence as two EQUI joins on (doc_id, i+k) — never
-    // the doc-keyed self-join whose per-doc cross product a post-filter
-    // would have to undo
+    // window-2 co-occurrence is ROW-LOCAL: token (i, i+k) adjacency is a
+    // zip of the split array with its own k-shifted slice (arrays_zip —
+    // plain codegen, not the CodegenFallback zip_with), exploded and
+    // length-filtered in the same map stage — no (doc_id, i) exchange,
+    // no self-join, no token-frame checkpoint (the previous shape paid
+    // two equi joins over a 3×-referenced checkpointed token frame).
+    // Emitted pairs are identical: original positions at distance 1–2,
+    // both words ≥ 4 chars, hash-distinct.
+    val a = split(col("text"), " ")
     val pairs = Seq(1, 2).map { k =>
-      tok.select(col("doc_id"), (col("i") + k).as("i"), col("h").as("ha"))
-        .join(tok.select(col("doc_id"), col("i"), col("h").as("hb")),
-          Seq("doc_id", "i"))
+      Tables.documents(s, d)
+        .select(explode(arrays_zip(
+          slice(a, lit(1), greatest(size(a) - k, lit(0))).as("l"),
+          slice(a, lit(k + 1), greatest(size(a) - k, lit(0))).as("r"))).as("p"))
+        .filter(length(col("p.l")) >= 4 && length(col("p.r")) >= 4)
+        .select(xxhash64(col("p.l")).as("ha"), xxhash64(col("p.r")).as("hb"))
         .filter(col("ha") =!= col("hb"))
-        .select("ha", "hb")
     }.reduce(_ unionByName _).distinct()
-    val edges = pairs.select(col("ha").as("src"), col("hb").as("dst"))
+    // outdeg rides each edge row via ONE count window (the edge⋈deg
+    // join is loop-invariant — paid once, not per round), and the FIXED
+    // round count composes into a single plan run by the final action
+    // (GraphOps.gr1's shape): no per-round checkpoint barrier, one
+    // checkpoint scanned per round
+    val cdeg = pairs.select(col("ha").as("src"), col("hb").as("dst"))
       .unionByName(pairs.select(col("hb").as("src"), col("ha").as("dst")))
       .distinct()
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint() // scanned every round
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_ppm"))
+    var ranks = cdeg.select(col("src").as("id")).distinct()
+      .withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to trRounds) {
-      ranks = edges
-        .join(deg, "src")
+      ranks = cdeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank_ppm div outdeg").as("contrib"))
         .groupBy("id")
         .agg(sum(col("contrib")).as("sc"))
         .select(col("id"), expr("150000L + (17L * sc) div 20L").as("rank_ppm"))
-        .localCheckpoint()
     }
-    val words = tok.select(col("h").as("id"), col("w").as("word")).distinct()
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+      .select(xxhash64(col("w")).as("id"), col("w").as("word")).distinct()
     ranks.join(words, "id")
       .select(col("word"), col("rank_ppm"))
       .orderBy(col("rank_ppm").desc, col("word"))
@@ -1386,7 +1395,7 @@ c$r AS (SELECT doc_id,
       lexScores: DataFrame): DataFrame = {
     import s.implicits._
     val nprobe = math.max(6, math.ceil(1.5 * math.sqrt(parts.kCells.toDouble)).toInt)
-    val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val hm = graft.functions.VectorFunctions.md5Prefix60(col("tok"))
     // the query's dense hashed vector — one row, broadcast to both legs
     val qv = queryTerms.toDF("tok")
       .select(pmod(hm, lit(16L)).as("dim"),

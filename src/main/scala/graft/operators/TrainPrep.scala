@@ -41,16 +41,16 @@ object TrainPrep {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val test = sh.filter(col("doc_id") % 10 === 0).select("h").distinct()
     val train = sh.filter(col("doc_id") % 10 =!= 0).distinct()
-    val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val shared = train.join(test, Seq("h"))
-      .groupBy("doc_id").agg(count(lit(1)).as("shared0"))
-    tot.join(shared, Seq("doc_id"), "left")
+    // one pass (dc2's rationale): a LEFT join against the DISTINCT test
+    // set preserves train's row count, so the total and the shared count
+    // come out of one aggregate — no double derivation of the shingle
+    // chain, no recombining join
+    train.join(test.select(col("h"), lit(1L).as("t")), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("t")).as("n_shared"))
       .select(
-        col("doc_id"),
-        col("n_shingles"),
-        coalesce(col("shared0"), lit(0L)).as("n_shared"),
-        (coalesce(col("shared0"), lit(0L)) * 5L >= col("n_shingles"))
-          .as("contaminated"))
+        col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") * 5L >= col("n_shingles")).as("contaminated"))
       .orderBy("doc_id")
   }
 
@@ -123,16 +123,17 @@ object TrainPrep {
         element_at(col("a"), col("i") + 2),
         element_at(col("a"), col("i") + 3))).as("h"))
       .distinct()
-    val tot = trainSh.groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_shingles"))
-    val shared = trainSh.join(test, Seq("h"))
-      .groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("shared0"))
-    tot.join(shared, Seq("doc_id", "chunk_id"), "left")
+    // one pass: a LEFT join against the DISTINCT test-hash set preserves
+    // trainSh's row count, so total and shared counts fall out of a
+    // single per-chunk aggregate — the previous tot/shared split scanned
+    // and re-derived the whole chunk+shingle chain twice (Catalyst does
+    // not dedup common subplans) and paid a third join to recombine
+    trainSh.join(test.select(col("h"), lit(1L).as("t")), Seq("h"), "left")
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("t")).as("n_shared"))
       .select(
-        col("doc_id"), col("chunk_id"), col("n_shingles"),
-        coalesce(col("shared0"), lit(0L)).as("n_shared"),
-        (coalesce(col("shared0"), lit(0L)) * 5L >= col("n_shingles"))
-          .as("contaminated"))
+        col("doc_id"), col("chunk_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") * 5L >= col("n_shingles")).as("contaminated"))
       .orderBy("doc_id", "chunk_id")
   }
 
@@ -498,8 +499,7 @@ object TrainPrep {
       .select(col("source"), col("s_tokens"),
         expr("(total div 2) * w div sw").as("target_s"))
     t.withColumn("hh",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 1000000L)
+        graft.functions.VectorFunctions.md5Prefix60(col("doc_id").cast("string")) % 1000000L)
       .join(broadcast(tgt), "source")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("hh") * col("s_tokens") < col("target_s") * 1000000L).as("keep"))
@@ -557,8 +557,7 @@ object TrainPrep {
     val tgt = nd.crossJoin(tot)
       .select(col("source"), col("n_d"),
         least(col("n_d"), expr(s"$totalTarget * w_d div sw")).as("target_d"))
-    val hh = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val hh = graft.functions.VectorFunctions.md5Prefix60(col("doc_id").cast("string"))
     val w = Window.partitionBy("source").orderBy("hh", "doc_id")
     docs.select(col("doc_id"), col("source"), hh.as("hh"))
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -639,7 +638,7 @@ object TrainPrep {
     docs
       .select(col("doc_id"), col("source"), explode(concat(a, bigrams)).as("f"))
       .select(col("doc_id"), col("source"),
-        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
+        pmod(graft.functions.VectorFunctions.md5Prefix60(col("f")),
           lit(dsirB)).as("b"))
   }
 
@@ -649,11 +648,20 @@ object TrainPrep {
     * bit-parity against.
     */
   private[graft] def dsirScoreAll(docs: DataFrame, targetSource: String): DataFrame = {
+    // ONE feature pass (explode + md5 bucket) serves both the target
+    // bucket histogram and the per-doc corpus counts: the raw feature
+    // frame was previously scanned twice (Catalyst does not dedup common
+    // subplans), re-exploding and re-hashing the whole corpus once per
+    // side. The (doc_id, b) pre-aggregate is map-side combinable, carries
+    // only longs, and both sides derive from its checkpoint.
     val feats = dsirFeatures(docs)
     val isTarget = col("source") === targetSource
-    val tb = feats.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tc"))
-    val ds = feats.filter(!isTarget)
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val perDoc = feats
+      .groupBy(col("doc_id"), isTarget.as("is_t"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tb = perDoc.filter(col("is_t")).groupBy("b").agg(sum("n").as("tc"))
+    val ds = perDoc.filter(!col("is_t")).select("doc_id", "b", "n")
     val cb = ds.groupBy("b").agg(sum("n").as("cc"))
     // scalar totals fold the B-row bucket tables, NOT the corpus-sized
     // feature frame again (Catalyst does not dedup common subplans —
@@ -810,9 +818,8 @@ object TrainPrep {
   private def pk4Shuffle(s: SparkSession, d: String): DataFrame = {
     val seed = 42
     val shards = 8L
-    val hh = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":"), lit(seed))), 1, 15), 16, 10)
-      .cast("long")
+    val hh = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":"), lit(seed)))
     val w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     Tables.documents(s, d)
       .select(col("doc_id"), hh.as("hkey"))
@@ -858,9 +865,8 @@ object TrainPrep {
     val clean = train
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .join(test, Seq("th"), "left_anti")
-    val hh = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
-      .cast("long")
+    val hh = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":42")))
     val ws = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     clean.select(col("doc_id"), col("n_words"), hh.as("hkey"))
       .withColumn("shard", pmod(col("hkey"), lit(8L)))
@@ -951,14 +957,14 @@ object TrainPrep {
     val train = qual.filter(col("doc_id") % 10 =!= 0)
 
     // stage 2 — fuzzy dedup (LSH candidates, exact verify, cluster,
-    // keep-best). shTrain is referenced 3× (verify sets, decon totals,
-    // decon overlap) — checkpoint the narrow (doc_id, h) frame once.
-    val shTrain = Dedup.shingleRowsOf(train)
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
-      .localCheckpoint()
-    val hs = shTrain.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-    val pairs = Dedup.lshCandidatesOf(train)
+    // keep-best). ONE shingle scan (Dedup.shingleProfileOf) builds the
+    // MinHash signatures, the exact-verify hash arrays AND the decon
+    // fingerprint counts — the previous shape exploded + hashed the
+    // train corpus twice (signature pass, verify pass) with a distinct
+    // and a groupBy shuffle each.
+    val prof = Dedup.shingleProfileOf(train).localCheckpoint()
+    val hs = prof.select(col("doc_id"), col("hs"), col("n"))
+    val pairs = Dedup.lshCandidatesFromSig(prof)
       .join(hs.select(col("doc_id").as("ida"), col("hs").as("ha"), col("n").as("na")), "ida")
       .join(hs.select(col("doc_id").as("idb"), col("hs").as("hb"), col("n").as("nb")), "idb")
       .withColumn("common",
@@ -974,8 +980,10 @@ object TrainPrep {
     val testSh = Dedup.shingleRowsOf(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
       .select(xxhash64(col("s")).as("h")).distinct()
-    val dsh = shTrain.join(kept, "doc_id")
-    val ctot = dsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val dsh = prof.join(kept, "doc_id")
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val ctot = prof.join(kept, "doc_id")
+      .select(col("doc_id"), col("n").as("n_shingles"))
     val cshr = dsh.join(testSh, "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     val surv = train.select(col("doc_id"), col("source"), nWords.as("n_tokens"))
@@ -992,8 +1000,7 @@ object TrainPrep {
       .crossJoin(surv.agg(expr("count(1) div 2").as("tt")))
     val tgt = nd.crossJoin(tot)
       .select(col("source"), least(col("n_d"), expr("tt * w_d div sw")).as("target_d"))
-    val hh = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val hh = graft.functions.VectorFunctions.md5Prefix60(col("doc_id").cast("string"))
     val wSrc = Window.partitionBy("source").orderBy("hh", "doc_id")
     val mixed = surv.withColumn("hh", hh)
       .withColumn("rk", row_number().over(wSrc).cast("long"))
@@ -1006,9 +1013,8 @@ object TrainPrep {
     // partition + order); shard totals are 8 driver scalars prefix-summed
     // and broadcast back (pk1's two-phase distributed prefix sum with
     // shards as the partitions).
-    val hkey = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
-      .cast("long")
+    val hkey = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":42")))
     val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     val manifest = mixed.withColumn("hkey", hkey)
       .withColumn("shard", pmod(col("hkey"), lit(8L)))
@@ -1312,7 +1318,13 @@ object TrainPrep {
     // oracle applies the identical cap (`sbk` CTE) so outputs stay
     // hash-identical even on corpora where the cap is live.
     val uni = store.unionByName(bdd)
-    val bands = Dedup.bandFrameOf(uni).localCheckpoint()
+    // ONE shingle scan of store+batch (Dedup.shingleProfileOf) feeds the
+    // band index, the exact-verify arrays and the decon fingerprints —
+    // previously three separate explode+hash passes over overlapping
+    // doc sets (bands over uni, verify arrays over uni, decon over
+    // fresh), each with its own distinct/groupBy shuffle.
+    val prof = Dedup.shingleProfileOf(uni).localCheckpoint()
+    val bands = Dedup.bandRowsFromSig(prof)
     val wBucket = Window.partitionBy("band", "key")
     val sBand = bands.filter(!isBatch)
       .withColumn("sb", count(lit(1)).over(wBucket))
@@ -1325,12 +1337,9 @@ object TrainPrep {
       .localCheckpoint()
     val candIds = cand.select(col("nid").as("doc_id"))
       .union(cand.select(col("oid").as("doc_id"))).distinct()
-    val hs = Dedup.shingleRowsOf(uni)
+    val hs = prof
       .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("hs"), col("n"))
     val dupNids = cand
       .join(hs.select(col("doc_id").as("nid"), col("hs").as("ha"), col("n").as("na")), "nid")
       .join(hs.select(col("doc_id").as("oid"), col("hs").as("hb"), col("n").as("nb")), "oid")
@@ -1338,14 +1347,18 @@ object TrainPrep {
         graft.functions.VectorFunctions.intersectCountSorted(col("ha"), col("hb")))
       .filter(col("common") * 10L >= (col("na") + col("nb") - col("common")) * 8L)
       .select(col("nid").as("doc_id")).distinct()
-    val fresh = bdd.join(dupNids, Seq("doc_id"), "left_anti")
+    // batch-sized; referenced 3× (fsh / ctot fingerprint semis + acc) —
+    // without the pin each reference re-runs the verify-join subtree
+    val fresh = bdd.join(dupNids, Seq("doc_id"), "left_anti").localCheckpoint()
     // stage 4 — decontamination vs the held-out fingerprint universe
     val testSh = Dedup.shingleRowsOf(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
       .select(xxhash64(col("s")).as("h")).distinct()
-    val fsh = Dedup.shingleRowsOf(fresh)
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
-    val ctot = fsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val freshIds = fresh.select("doc_id")
+    val fsh = prof.join(freshIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val ctot = prof.join(freshIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n").as("n_shingles"))
     val cshr = fsh.join(testSh, "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     val acc = fresh.select(col("doc_id"), col("source"), nWords.as("n_tokens"))
@@ -1355,9 +1368,8 @@ object TrainPrep {
       .select("doc_id", "source", "n_tokens")
     // stage 5 — append: pos/start_off continue from the stored per-shard
     // totals (8 broadcast rows — the stored aggregate)
-    val hkey = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
-      .cast("long")
+    val hkey = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":42")))
     val stored = store.select(col("doc_id"), nWords.as("n_tokens"))
       .withColumn("shard", pmod(hkey, lit(8L)))
       .groupBy("shard")
@@ -1496,9 +1508,8 @@ object TrainPrep {
   private def pipe5IncrementalChunks(s: SparkSession, d: String): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
-    val hkey = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
-      .cast("long")
+    val hkey = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":42")))
     // stored manifest (stands for reading the manifest table, see above)
     val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     val smang = Tables.documents(s, d)
@@ -1725,9 +1736,8 @@ object TrainPrep {
   private[graft] def materializeStoreOver(s: SparkSession, store: DataFrame,
       docsAll: DataFrame, storeDir: String): Long = {
     val nWords = size(split(col("text"), " ")).cast("long")
-    val hkey = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
-      .cast("long")
+    val hkey = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":42")))
     // (a) band index, store-bucket cap applied AT WRITE (pipe3 stage 3's
     // guard — an over-full bucket never reaches any future nightly run),
     // plus (g) the CAPPED-BUCKET REGISTRY: the (band, key) pairs whose
@@ -2062,9 +2072,8 @@ object TrainPrep {
           .groupBy("doc_id")
           .agg(sort_array(collect_set(col("h"))).as("hs"),
             count(lit(1)).as("n"))
-        val hkey = conv(substring(md5(
-          concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
-          .cast("long")
+        val hkey = graft.functions.VectorFunctions.md5Prefix60(
+          concat(col("doc_id").cast("string"), lit(":42")))
         // the delta takes the STORED manifest's schema, not this
         // engine's ([[conformTo]]): a store migrated forward still
         // advances, the unknown column null-filled for new rows.
@@ -2203,9 +2212,8 @@ object TrainPrep {
       .filter(coalesce(col("n_shared"), lit(0L)) * 5L < col("n_shingles"))
       .select("doc_id", "source", "n_tokens")
     // stage 5 — append from the stored cursors
-    val hkey = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
-      .cast("long")
+    val hkey = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":42")))
     val stored = st("store_totals")
     val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     acc.withColumn("hkey", hkey)
@@ -2394,9 +2402,8 @@ object TrainPrep {
   // degrades to pk4's per-shard sort, not a global one.
   private def cur1Curriculum(s: SparkSession, d: String): DataFrame = {
     val seed = 7
-    val hh = conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":"), lit(seed))), 1, 15), 16, 10)
-      .cast("long")
+    val hh = graft.functions.VectorFunctions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":"), lit(seed)))
     val stage = when(col("n_chars") < 180, 0L)
       .when(col("n_chars") < 310, 1L)
       .when(col("n_chars") < 420, 2L)
@@ -2601,7 +2608,7 @@ object TrainPrep {
     * frame below).
     */
   private[operators] def pipe6ChunkVectors(s: SparkSession, d: String): DataFrame = {
-    val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val hm = graft.functions.VectorFunctions.md5Prefix60(col("tok"))
     pk6TokenChunks(s, d)
       .select(col("doc_id"), col("k"), pmod(hm, lit(16L)).as("dim"),
         when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))
@@ -2619,7 +2626,7 @@ object TrainPrep {
     pipe6DenseVectorsOf(pk6TokenChunks(s, d))
 
   private def pipe6DenseVectorsOf(toks: DataFrame): DataFrame = {
-    val hm = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val hm = graft.functions.VectorFunctions.md5Prefix60(col("tok"))
     toks
       .select(col("doc_id"), col("k"), pmod(hm, lit(16L)).as("dim"),
         when(shiftright(hm, 4) % 2L === 0L, 1L).otherwise(-1L).as("sgn"))

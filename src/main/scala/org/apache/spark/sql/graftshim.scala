@@ -927,3 +927,64 @@ case class TopCellsExpr(v: Expression, nrm: Expression, npe: Expression,
       newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
     copy(v = newFirst, nrm = newSecond, npe = newThird, cents = newFourth)
 }
+
+/** The first 60 bits of `md5(s)` as a non-negative long — bit-identical
+  * to `conv(substring(md5(s), 1, 15), 16, 10) :: long` (and to DuckDB's
+  * `('0x' || substring(md5(s), 1, 15))::BIGINT`), which is the engine's
+  * standard oracle-replayable string hash (MinHash shingles, SimHash
+  * token votes, DSIR feature buckets, shard keys).
+  *
+  * The composed form pays, per row, a 32-char hex encode of the digest,
+  * a substring copy, and conv's base-16 string parse — pure overhead
+  * around the 8 digest bytes the value actually needs. This expression
+  * feeds the digest bytes straight into one shift-or chain inside
+  * whole-stage codegen. The MessageDigest instance is per-operator
+  * mutable state (interpreted path: thread-local), so no per-row
+  * allocation beyond the digest itself.
+  */
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val dg = Md5Prefix60.local.get()
+    dg.reset()
+    Md5Prefix60.pack(dg.digest(a.asInstanceOf[UTF8String].getBytes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, x => {
+      val dg = ctx.freshName("dg")
+      s"""
+         |$md.reset();
+         |byte[] $dg = $md.digest($x.getBytes());
+         |${ev.value} = org.apache.spark.sql.graftshim.Md5Prefix60.pack($dg);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Prefix60 {
+  private[graftshim] val local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex nibbles of the digest as one long (bytes 0–6 whole,
+    * high nibble of byte 7) — exactly what base-16 parsing the 15-char
+    * hex prefix yields.
+    */
+  def pack(dg: Array[Byte]): Long =
+    ((dg(0) & 0xffL) << 52) | ((dg(1) & 0xffL) << 44) |
+    ((dg(2) & 0xffL) << 36) | ((dg(3) & 0xffL) << 28) |
+    ((dg(4) & 0xffL) << 20) | ((dg(5) & 0xffL) << 12) |
+    ((dg(6) & 0xffL) << 4) | ((dg(7) & 0xffL) >>> 4)
+}
