@@ -103,18 +103,24 @@ object Dedup {
   // the full string formulation) modulo 64-bit hash collisions;
   // Dd2PrefixFilterSpec re-derives the naive plan and diffs.
   private[operators] def dd2NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // referenced 3× (frequency ranking, prefix index, verify arrays)
-    val sh = shingleRows(s, d)
+    // ONE shingle scan collapsed straight to the per-doc sorted distinct
+    // hash set (collect_set partial-aggregates map-side); the per-shingle
+    // row frame `sh` is re-derived by a map-only explode, with n = |hs|
+    // riding along — which deletes the old plan's separate verify-array
+    // groupBy shuffle AND the per-doc count window (both consumed the
+    // same information this one aggregate already holds)
+    val hsDoc = shingleRows(s, d)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .distinct()
-      .localCheckpoint()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
+      .localCheckpoint() // referenced 3× (ranking explode, verify both sides)
+    val sh = hsDoc.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
     val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "h")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val ranked = sh.join(freq, "h")
       .withColumn("pos", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
     // prefix length n − ⌈0.8n⌉ + 1, with ⌈0.8n⌉ = (8n+9) div 10
     val prefix = ranked
       .filter(col("pos") <= col("n") - expr("(8*n+9) div 10") + 1)
@@ -125,8 +131,7 @@ object Dedup {
       .filter(col("ida") < col("idb") &&
         col("na") * 10L >= col("nb") * 8L && col("nb") * 10L >= col("na") * 8L)
       .select("ida", "idb").distinct()
-    val hs = sh.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
+    val hs = hsDoc
     cand
       .join(hs.select(col("doc_id").as("ida"), col("hs").as("ha"), col("n").as("na")), "ida")
       .join(hs.select(col("doc_id").as("idb"), col("hs").as("hb"), col("n").as("nb")), "idb")
@@ -1040,23 +1045,29 @@ object Dedup {
   // hatch at that extreme. `ScaleProbe skew:dd15` measures the
   // adversarial collapse case.
   private def dd15Containment(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
+    // ONE shingle scan collapsed straight to the per-doc sorted distinct
+    // hash set (dd2's r19 shape): per-shingle rows re-derive by map-only
+    // explode, and — since each signature's representative is a single
+    // doc — the candidate verify arrays are the rep's `hs` column READ
+    // OFF this frame, deleting the old plan's separate distinct shuffle,
+    // sig-grouped collect_set shuffle, and two of the four checkpoints.
+    val hsDoc = shingleRows(s, d)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
       .localCheckpoint()
-    // set fingerprint per doc WITHOUT materializing the set: an
-    // order-insensitive exact-int triple (count + two independent xors,
-    // the second over re-hashed tokens so the pair doesn't cancel
-    // together), map-side combinable, no overflow under ANSI — docs
-    // with equal sets collide on sig by construction; distinct sets
-    // collide only via 64-bit hash accident (dd2's documented caveat
-    // class). Full sorted arrays are built later, and only for
-    // candidate-involved representatives.
-    val sigs = sh.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("hxor"),
-        expr("bit_xor(xxhash64(h))").as("hxor2"))
+    // set fingerprint per doc: an order-insensitive exact-int triple
+    // (count + two independent xors, the second over re-hashed tokens so
+    // the pair doesn't cancel together) — docs with equal sets collide
+    // on sig by construction; distinct sets collide only via 64-bit hash
+    // accident (dd2's documented caveat class). Folded over the distinct
+    // set arrays (map-only over the checkpoint; the fold must run on the
+    // DISTINCT set — over occurrences duplicates would cancel pairwise).
+    val sigs = hsDoc.select(col("doc_id"), col("n"),
+        expr("aggregate(hs, 0L, (acc, x) -> acc ^ x)").as("hxor"),
+        expr("aggregate(hs, 0L, (acc, x) -> acc ^ xxhash64(x))").as("hxor2"))
       .withColumn("sig", xxhash64(col("hxor"), col("hxor2"), col("n")))
-      .localCheckpoint() // reused: reps, verify prune, member expansion
     // representative = min doc_id per sig, as a map-side-combined
     // min-of-struct aggregate (≤1 row per sig leaves each map task)
     // instead of a window row_number (exchange + per-group sort over
@@ -1066,7 +1077,8 @@ object Dedup {
       .select(col("m.doc_id").as("doc_id"), col("sig"), col("m.n").as("n"))
     // token index over REPRESENTATIVES only, in global canonical order
     // (n rides in from the fingerprint — no per-doc count window)
-    val repSh = sh.join(repIds, "doc_id")
+    val repSh = hsDoc.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(repIds, "doc_id")
     val freq = repSh.groupBy("h").agg(count(lit(1)).as("df"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "h")
@@ -1096,12 +1108,16 @@ object Dedup {
     // sig set is output-scale — AQE picks broadcast only when it fits.
     val candSigs = cand.select(col("siga").as("sig"))
       .union(cand.select(col("sigb").as("sig"))).distinct()
-    val hs = sh
+    // each candidate sig's verify array IS its single representative
+    // doc's sorted set — read off hsDoc, no re-aggregation shuffle;
+    // pinned because prefix meta + both verify sides consume it (the pin
+    // is candidate-sized and also stops the repIds groupBy re-running
+    // per reference)
+    val hs = hsDoc
       .join(repIds.join(candSigs, Seq("sig"), "left_semi")
         .select(col("doc_id"), col("sig")), "doc_id")
-      .groupBy("sig")
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("n"))
-      .localCheckpoint() // reused by both sides of the pair join
+      .select(col("sig"), col("hs"), col("n"))
+      .localCheckpoint()
     // FINGERPRINT-FIRST VERIFY (the r8 verdict's dd15 shuffle fix): the
     // old plan joined BOTH full sorted arrays (~400 longs each) into
     // every candidate pair — ~92% of which the verify then rejects — so
