@@ -467,8 +467,11 @@ object Dedup {
     val edges = pairs.select(col("ida"), col("idb"))
       .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .localCheckpoint()
+    // init is NOT pinned: it derives from the checkpointed edges by one
+    // distinct and is consumed exactly once (round 1), whose result is
+    // itself checkpointed — a pin here would only add an eager barrier
     var labels = edges.select(col("ida").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+      .withColumn("label", col("doc_id"))
     // one min-label + pointer-jump step over (doc_id, old, label): every
     // node takes the min of its own and its neighbors' labels, then
     // shortcuts to its label's label (labels are always doc_ids of

@@ -564,17 +564,20 @@ object Relational {
   // aggregates with the imperative HLL buffer forces an Expand ×3 +
   // object-hash plan that measured 13× slower (6.8 s vs 0.5 s at sf0.1).
   private def q25ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    // ONE scan: the two exact distinct counts ride the same aggregate as
+    // the sketches via Spark's Expand-based multi-distinct plan — the
+    // previous shape scanned lineitem three times (sketch pass + one
+    // distinct shuffle per exact count) and paid two joins to recombine.
+    // HLL sketches are merge-order-independent, so apx values are
+    // unchanged by the plan shape.
     val li = Tables.lineitem(s, d)
-    val apx = li.groupBy(col("l_returnflag"))
+    li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
         approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"))
-    val nParts = li.select("l_returnflag", "l_partkey").distinct()
-      .groupBy("l_returnflag").agg(count(lit(1)).as("n_parts"))
-    val nOrders = li.select("l_returnflag", "l_orderkey").distinct()
-      .groupBy("l_returnflag").agg(count(lit(1)).as("n_orders"))
-    apx.join(nParts, "l_returnflag").join(nOrders, "l_returnflag")
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
       .select(col("l_returnflag"), col("n"), col("n_parts"), col("n_orders"),
         (abs(col("apx_parts") - col("n_parts")) * 20L <= col("n_parts"))
           .as("apx_parts_ok"),

@@ -22,18 +22,27 @@ object ProfJobs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val perJob = sys.env.get("GRAFT_PROF_JOBS_DETAIL").contains("1")
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskMs = 0L
     @volatile var jobWallMs = 0L
-    val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs += 1; starts(j.jobId) = j.time
+        jobs += 1
+        val site = j.stageInfos.map(si => s"${si.stageId}:${si.name.takeWhile(_ != '\n').take(60)}")
+          .mkString(" | ")
+        starts(j.jobId) = (j.time, site)
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        starts.remove(j.jobId).foreach(t0 => jobWallMs += j.time - t0)
+        starts.remove(j.jobId).foreach { case (t0, site) =>
+          val dt = j.time - t0
+          jobWallMs += dt
+          if (perJob && dt >= 50)
+            println(f"[prof-job] #${j.jobId}%4d ${dt / 1e3}%6.2fs  $site")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages += 1
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
