@@ -558,26 +558,31 @@ object Relational {
   // comfortable bound), and the oracle recomputes the exact counts with
   // literal TRUE verdicts — a drifting sketch now fails the gate.
   // Q25ApproxSpec additionally pins the numeric relative error.
-  // The exact counts ride as pre-aggregated distinct frames (map-side
-  // deduped, one narrow shuffle each) joined back on the 3-row group
-  // frame — NOT as countDistinct alongside the sketches: mixing DISTINCT
-  // aggregates with the imperative HLL buffer forces an Expand ×3 +
-  // object-hash plan that measured 13× slower (6.8 s vs 0.5 s at sf0.1).
+  // The exact counts ride in their OWN multi-distinct aggregate joined
+  // back on the 3-row group frame — NOT as countDistinct alongside the
+  // sketches: mixing DISTINCT aggregates with the imperative HLL buffer
+  // forces an Expand ×3 + OBJECT-hash plan (measured 13× slower, 6.8 s
+  // vs 0.5 s at sf0.1, re-confirmed by the r19 driver bench at 6.0 s);
+  // distinct-only Expand stays in codegen hash aggregates.
   private def q25ApproxDistinct(s: SparkSession, d: String): DataFrame = {
-    // ONE scan: the two exact distinct counts ride the same aggregate as
-    // the sketches via Spark's Expand-based multi-distinct plan — the
-    // previous shape scanned lineitem three times (sketch pass + one
-    // distinct shuffle per exact count) and paid two joins to recombine.
-    // HLL sketches are merge-order-independent, so apx values are
-    // unchanged by the plan shape.
+    // TWO scans: the sketch pass (codegen HashAggregate, no Expand) and
+    // one exact multi-distinct pass (Expand ×2 over the two key columns —
+    // pure codegen hash aggregates once no imperative HLL buffer rides
+    // along), joined on the 3-row group frame. r19's single-aggregate
+    // fusion put countDistinct NEXT TO the HLL buffers and forced the
+    // Expand ×3 object-hash plan the header comment warns about
+    // (measured 1.7 s → 6.0 s at sf0.1/32c — reverted here).
     val li = Tables.lineitem(s, d)
-    li.groupBy(col("l_returnflag"))
+    val apx = li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
         approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_orderkey")).as("n_orders"))
+    apx.join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("n"), col("n_parts"), col("n_orders"),
         (abs(col("apx_parts") - col("n_parts")) * 20L <= col("n_parts"))
           .as("apx_parts_ok"),
@@ -674,12 +679,20 @@ object Relational {
   // At 100 TB exact percentiles sort per group; approx_percentile is the
   // sketch path (same shape as q19 vs q25).
   private def q29Percentiles(s: SparkSession, d: String): DataFrame =
+    // r20: ONE percentile buffer queried at both ranks (array form) —
+    // two scalar `percentile` calls each built their own per-group
+    // value-count map over the same input (2× buffer memory, 2×
+    // serialize/merge bytes per partial). getPercentiles evaluates each
+    // rank from the same counts array as the scalar form — values
+    // bit-identical (guide §5: smaller per-task state).
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        percentile(cents(col("o_totalprice")), lit(0.5)).as("p50_cents"),
-        percentile(cents(col("o_totalprice")), lit(0.9)).as("p90_cents"))
+        percentile(cents(col("o_totalprice")), array(lit(0.5), lit(0.9))).as("ps"))
+      .select(col("o_orderstatus"), col("n"),
+        element_at(col("ps"), 1).as("p50_cents"),
+        element_at(col("ps"), 2).as("p90_cents"))
       .orderBy("o_orderstatus")
 
   private val q29Sql =
@@ -811,15 +824,26 @@ object Relational {
   // the oracle recomputes the exact side with literal TRUE verdicts — a
   // drifting sketch fails the hash match.
   private def q32ApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    // r20: ONE exact buffer and ONE GK summary, each queried at both
+    // ranks (array form) — the four scalar aggregates built four
+    // independent per-group buffers over the same rows (the exact map
+    // twice, the GK summary twice: 2× insert/compress work, 2× partial
+    // serialize/merge). Both aggregates evaluate multiple ranks from
+    // the single structure, so every output value is bit-identical to
+    // the scalar form's (guide §5; this was the slowest query in the
+    // r19 suite at 32c — 6.7 s — and anti-scaled 0.22× vs 8c).
     val c = cents(col("o_totalprice"))
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        percentile(c, lit(0.5)).as("p50_cents"),
-        percentile(c, lit(0.9)).as("p90_cents"),
-        approx_percentile(c, lit(0.5), lit(1000)).as("apx50"),
-        approx_percentile(c, lit(0.9), lit(1000)).as("apx90"))
+        percentile(c, array(lit(0.5), lit(0.9))).as("ps"),
+        approx_percentile(c, array(lit(0.5), lit(0.9)), lit(1000)).as("apxs"))
+      .select(col("o_orderstatus"), col("n"),
+        element_at(col("ps"), 1).as("p50_cents"),
+        element_at(col("ps"), 2).as("p90_cents"),
+        element_at(col("apxs"), 1).as("apx50"),
+        element_at(col("apxs"), 2).as("apx90"))
       .select(col("o_orderstatus"), col("n"), col("p50_cents"), col("p90_cents"),
         (abs(col("apx50") - col("p50_cents")) * 20.0 <= col("p50_cents")).as("apx50_ok"),
         (abs(col("apx90") - col("p90_cents")) * 20.0 <= col("p90_cents")).as("apx90_ok"))

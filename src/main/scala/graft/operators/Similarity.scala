@@ -699,10 +699,17 @@ object Similarity {
     for (_ <- 1 to sim10Iters) {
       // r19: row-local argmin over the broadcast-attached centroid array
       // (same (dist, cid) tie-break as the old crossJoin + window
-      // row_number()=1), and the recenter's posexplode + groupBy(cid,d)
-      // + groupBy(cid) pair fused into ONE groupBy(cid) with 64
-      // per-dimension sums — 3 Exchanges per Lloyd round → 1, identical
-      // floor(Σ/n) arithmetic (guide §2.4)
+      // row_number()=1) — zero Exchange for the assignment.
+      // r20: the recenter is BACK to posexplode + groupBy(cid, d) +
+      // groupBy(cid) — r19 fused it into one groupBy(cid) carrying 65
+      // aggregate buffers (count + 64 element_at sums), which the r19
+      // driver bench measured as a 0.69× REGRESSION on sim10 (1.07 →
+      // 1.56 s; dd16, which shares this trainer, 0.81×): 65 update
+      // expressions per row generate a codegen span past JIT comfort
+      // while saving only two tiny exchanges (≤ 8·64 rows — the
+      // per-dim frame is k×64 regardless of corpus size, so the fused
+      // form saved nothing that grows with scale). Identical
+      // floor(Σ/n) arithmetic either way.
       val assigned = e.crossJoin(broadcast(cent
           .withColumn("nc",
             graft.functions.VectorFunctions.normSqLong(col("vc")))
@@ -710,13 +717,17 @@ object Similarity {
             .as("cents"))))
         .select(graft.functions.VectorFunctions.nearestCentroidId(
           col("v"), lit(0L), col("cents"), useL2 = true).as("cid"), col("v"))
-      val sums = (0 until 64).map(i =>
-        sum(element_at(col("v"), i + 1)).as(s"s$i"))
-      cent = assigned.groupBy("cid")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("cid"), array((0 until 64).map(i =>
-          floor(col(s"s$i").cast("double") / col("n").cast("double"))
-            .cast("long")): _*).as("vc"), col("n"))
+      val perDim = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "q")))
+        .groupBy("cid", "d")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
+      cent = perDim.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("z"),
+          max(col("n")).as("n"))
+        .select(col("cid"), transform(col("z"), p => p.getField("cv")).as("vc"),
+          col("n"))
         .localCheckpoint()
     }
     cent
