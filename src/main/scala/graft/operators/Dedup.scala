@@ -418,7 +418,9 @@ object Dedup {
   // exact across engines. Brute-force pair space here; the LSH-bucketed
   // path (sim2) is the 100 TB variant.
   private def dd5EmbedNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = Similarity.scaledVectors(s, d)
+    // spread variant (§2.5): the O(n²/2) dot sweep streams the probe
+    // side out of the scan stage — single-task without the spread
+    val e = Similarity.scaledVectorsSpread(s, d)
     val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("ida") < col("idb"))
@@ -651,7 +653,9 @@ object Dedup {
     * explode and both verify sides).
     */
   private[operators] def dd9Sketch(s: SparkSession, d: String): DataFrame =
-    Similarity.scaledVectors(s, d)
+    // spread variant (§2.5): the 128 constant-vector DotLongs per row are
+    // the whole sketch cost and ran inside the single-split scan task
+    Similarity.scaledVectorsSpread(s, d)
       .withColumn("codes",
         graft.functions.VectorFunctions.hyperplaneBands(col("v"), 128, 4))
       .localCheckpoint()
@@ -1075,6 +1079,11 @@ object Dedup {
     // min-of-struct aggregate (≤1 row per sig leaves each map task)
     // instead of a window row_number (exchange + per-group sort over
     // every row); the struct carries the rep's n along
+    // NOT pinned (r20 A/B): repIds re-derives per reference (repSh feeds
+    // freq AND the ranked index, plus the verify prune below), but its
+    // inputs read the hsDoc checkpoint and the duplicate subtrees run
+    // inside already-parallel jobs — an explicit localCheckpoint added a
+    // sequential barrier and measured at/above the unpinned shape.
     val repIds = sigs.groupBy("sig")
       .agg(min(struct(col("doc_id"), col("n"))).as("m"))
       .select(col("m.doc_id").as("doc_id"), col("sig"), col("m.n").as("n"))
@@ -1114,8 +1123,8 @@ object Dedup {
     // each candidate sig's verify array IS its single representative
     // doc's sorted set — read off hsDoc, no re-aggregation shuffle;
     // pinned because prefix meta + both verify sides consume it (the pin
-    // is candidate-sized and also stops the repIds groupBy re-running
-    // per reference)
+    // is candidate-sized — it does NOT stop the repIds groupBy above
+    // re-deriving per reference; that was A/B'd and left unpinned)
     val hs = hsDoc
       .join(repIds.join(candSigs, Seq("sig"), "left_semi")
         .select(col("doc_id"), col("sig")), "doc_id")

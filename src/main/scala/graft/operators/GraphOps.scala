@@ -168,7 +168,11 @@ object GraphOps {
     * make `i < j` ⟺ `lo < hi`, so the emitted edge set is identical.
     */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
+    // Par.spreadTable (guide §2.5): the single-split local lineitem scan
+    // made the per-order collect_set partial aggregation single-task;
+    // keyed on the group key so the regroup reuses the partitioning.
+    // No-op at production split counts.
+    val baskets = Par.spreadTable(s, d, "lineitem", col("l_orderkey"))
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
       .groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
       .filter(size(col("pks")) <= MaxBasket)
@@ -182,7 +186,11 @@ object GraphOps {
       .select("lo", "hi")
   }
 
-  /** SQL twin of [[saneBaskets]]: `li` (distinct order/part, capped). */
+  /** Oracle CTEs for [[copurchaseEdges]]'s input: `li` (distinct
+    * order/part, basket-capped). The oracle deliberately keeps the
+    * textbook distinct + cap + self-join shape; the DataFrame side
+    * enumerates pairs row-locally over sorted per-order arrays.
+    */
   private val saneBasketsSqlCte =
     s"""li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
        |ok AS (SELECT o FROM li0 GROUP BY o HAVING COUNT(*) <= $MaxBasket),

@@ -572,7 +572,10 @@ object Relational {
     // fusion put countDistinct NEXT TO the HLL buffers and forced the
     // Expand ×3 object-hash plan the header comment warns about
     // (measured 1.7 s → 6.0 s at sf0.1/32c — reverted here).
-    val li = Tables.lineitem(s, d)
+    // Par.spreadTable (guide §2.5): the single-split local scan made both
+    // partial aggregations (HLL inserts, Expand + distinct hash) run in
+    // ONE task; no-op at production split counts
+    val li = Par.spreadTable(s, d, "lineitem", col("l_orderkey"))
     val apx = li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
@@ -685,7 +688,7 @@ object Relational {
     // serialize/merge bytes per partial). getPercentiles evaluates each
     // rank from the same counts array as the scalar form — values
     // bit-identical (guide §5: smaller per-task state).
-    Tables.orders(s, d)
+    Par.spreadTable(s, d, "orders", col("o_orderkey")) // §2.5, single-split scan
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
@@ -725,7 +728,11 @@ object Relational {
     // conversion run once instead of three times (the multi-pass is
     // inherent to exact MAD; the rescans were not). At 100 TB the sketch
     // path (approx_percentile, q32's trade) replaces this whole query.
-    val li = Tables.lineitem(s, d).select(col("l_returnflag"), v2)
+    // Par.spreadTable (§2.5): the checkpoint build and the percentile
+    // partial buffers it feeds were single-task behind the one-split
+    // local scan; no-op at production split counts
+    val li = Par.spreadTable(s, d, "lineitem", col("l_orderkey"))
+      .select(col("l_returnflag"), v2)
       .localCheckpoint()
     val med = li.groupBy("l_returnflag")
       .agg(percentile(col("v2"), lit(0.5)).cast("long").as("med2"))
@@ -833,7 +840,11 @@ object Relational {
     // the scalar form's (guide §5; this was the slowest query in the
     // r19 suite at 32c — 6.7 s — and anti-scaled 0.22× vs 8c).
     val c = cents(col("o_totalprice"))
-    Tables.orders(s, d)
+    // Par.spreadTable (§2.5): the exact-percentile value maps and GK
+    // summaries were all BUILT inside the one-task local scan — the very
+    // shape that anti-scaled 0.22× at 32c in the r19 driver run; no-op
+    // at production split counts
+    Par.spreadTable(s, d, "orders", col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
@@ -1038,21 +1049,46 @@ object Relational {
       |              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // r20 (§2.4 remove shuffles outright): the EXISTS/NOT-EXISTS pair is
+  // evaluated as per-order supplier-count AGGREGATES instead of a
+  // left-semi + null-aware anti join — the textbook Q21 decorrelated
+  // plan shuffles lineitem three times (l1 by orderkey, l2 semi, l3
+  // anti); this form shuffles it ONCE (the orders join), and the two
+  // stacked aggregates reuse that orderkey partitioning (groupBy keys
+  // are supersets/subsets of the join key, EnsureRequirements adds no
+  // Exchange). Equivalence, row for row: an l1 row (late, order 'F')
+  // qualifies iff
+  //   EXISTS other-supplier row        ⟺ #distinct suppliers ≥ 2
+  //   NOT EXISTS other-supplier LATE   ⟺ the order's late-supplier set
+  //                                      is exactly {l1.l_suppkey}
+  // so per order: qualifying rows exist only when exactly ONE supplier
+  // has late rows AND the order has ≥2 suppliers, and then every late
+  // row of that supplier qualifies (numwait += its late-row count).
+  // max(CASE WHEN late…) picks that single supplier deterministically
+  // (the filter nlate = 1 guarantees uniqueness). The oracle keeps the
+  // textbook EXISTS/NOT-EXISTS shape and pins equality.
   private def q35TpchQ21(s: SparkSession, d: String): DataFrame = {
     sqlOverViews(s, d)(
-      """SELECT s_name, COUNT(*) AS numwait
-        |FROM supplier_v JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
-        |  JOIN orders_v ON o_orderkey = l1.l_orderkey
+      """WITH lw AS (
+        |  SELECT l1.l_orderkey, l1.l_suppkey,
+        |    CASE WHEN l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |         THEN 1L ELSE 0L END AS late
+        |  FROM lineitem_v l1 JOIN orders_v ON o_orderkey = l1.l_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |g AS (
+        |  SELECT l_orderkey, l_suppkey, SUM(late) AS n_late
+        |  FROM lw GROUP BY l_orderkey, l_suppkey),
+        |o AS (
+        |  SELECT l_orderkey,
+        |    COUNT(*) AS nsupp,
+        |    COUNT(CASE WHEN n_late > 0 THEN 1 END) AS nlate,
+        |    MAX(CASE WHEN n_late > 0 THEN l_suppkey END) AS late_sk,
+        |    MAX(CASE WHEN n_late > 0 THEN n_late END) AS late_cnt
+        |  FROM g GROUP BY l_orderkey)
+        |SELECT s_name, SUM(late_cnt) AS numwait
+        |FROM o JOIN supplier_v ON s_suppkey = late_sk
         |  JOIN nation_v ON s_nationkey = n_nationkey
-        |WHERE o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem_v l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
-        |              WHERE l3.l_orderkey = l1.l_orderkey
-        |                AND l3.l_suppkey <> l1.l_suppkey
-        |                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |WHERE nlate = 1 AND nsupp >= 2
         |  AND n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
   }

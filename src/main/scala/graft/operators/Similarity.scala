@@ -34,6 +34,21 @@ object Similarity {
           .as("v"))
       .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
 
+  /** [[scaledVectors]] over a Par.spreadTable'd embeddings scan — for
+    * the two consumers whose whole cost is a brute-force dot sweep in
+    * the scan stage (dd5's crossJoin, dd9's 128-plane sketch; the r20
+    * bench A/B: dd5/dd9 0.78–0.79× with the spread, while the
+    * multi-reference sim trainers REGRESSED with it — they keep the
+    * bare scan above).
+    */
+  private[operators] def scaledVectorsSpread(s: SparkSession, d: String): DataFrame =
+    Par.spreadTable(s, d, "embeddings", col("vec_id"))
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000000, 0).cast("long"))
+          .as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.normSqLong(col("v")))
+
   /** [[scaledVectors]] PLUS the label column in one scan (production
     * stores them together — the label is an index co-key, not a payload
     * lookup). One loader shared by every filtered-search operator

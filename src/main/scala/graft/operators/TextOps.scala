@@ -23,6 +23,17 @@ object TextOps {
     */
   private val queryTerms = Seq("hash", "join", "scan")
 
+  /** The documents scan spread to the session's parallelism
+    * (Par.spreadTable, guide §2.5). Used ONLY by t9, whose whole cost
+    * is the (term, doc) partial aggregation in the scan stage (it
+    * anti-scaled 0.56× at 32c in r19 and the r20 full-bench A/B
+    * measured 0.64× with the spread); for the other tokenizers the
+    * same A/B measured the extra exchange as a regression — they keep
+    * the bare scan. A no-op at production split counts.
+    */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    Par.spreadTable(s, d, "documents", col("doc_id"))
+
   /** Occurrences of `needle` in `hay` as an exact long:
     * (len(hay) - len(replace(hay, needle, ''))) / len(needle).
     * Literal-string StringReplace, not regexp_replace — no regex engine
@@ -300,7 +311,7 @@ object TextOps {
   // rows) — NOT a vocab-wide single-partition window; the rank column
   // is a window over the 100 surviving rows only.
   private def t9VocabStats(s: SparkSession, d: String): DataFrame = {
-    val td = Tables.documents(s, d)
+    val td = docsSpread(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("n"))
     val stats = td.groupBy("term")
@@ -823,16 +834,31 @@ c$r AS (SELECT doc_id,
     * fusion).
     */
   private[operators] def bm25DocScores(s: SparkSession, d: String): DataFrame = {
+    // r20 (§2.3/§2.4): dl and the query-term tfs ride ONE tokenize +
+    // groupBy(doc_id) — the old shape scanned + tokenized the corpus
+    // TWICE (dl leg, tf leg) and joined them back; the fixed 3-term
+    // query makes per-term conditional sums a constant-width aggregate,
+    // dl rides each row so the tf⋈dl join disappears. tf>0 rows after
+    // the explode are exactly the old (doc, term) groups; all BM25
+    // arithmetic is unchanged, so score_ppm/n_terms are bit-identical.
     val qTerms = queryTerms
-    val toks = Tables.documents(s, d)
+    val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val totals = dl.agg(sum("dl").as("tt"), count(lit(1)).as("n"))
-    val tf = toks.filter(col("term").isin(qTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        qTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i")
+        }: _*)
+      .localCheckpoint() // 2 consumers: totals + the per-term rows
+    val totals = perDoc.agg(sum("dl").as("tt"), count(lit(1)).as("n"))
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+        explode(array(qTerms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("term"), col(s"tf$i").as("tf"))
+        }: _*)).as("x"))
+      .select(col("doc_id"), col("dl"), col("x.term").as("term"), col("x.tf").as("tf"))
+      .filter(col("tf") > 0L)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dft), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("avg", expr("tt div n"))
       .withColumn("tfn_ppm",
@@ -1227,15 +1253,28 @@ c$r AS (SELECT doc_id,
     * chunk-grain hybrid fusion).
     */
   private[operators] def chunkBm25Scores(s: SparkSession, d: String): DataFrame = {
+    // r20 (§2.3/§2.4): same one-pass fusion as bm25DocScores — chunk dl
+    // and the query-term tfs from ONE chunk-tokenize + groupBy(doc, k)
+    // (was: two full pk6TokenChunks derivations joined back); tf>0 rows
+    // equal the old (doc, k, tok) groups, arithmetic unchanged.
     val qTerms = queryTerms
-    val toks = graft.operators.TrainPrep.pk6TokenChunks(s, d)
-    val dl = toks.groupBy("doc_id", "k").agg(count(lit(1)).as("dl"))
-    val totals = dl.agg(sum("dl").as("tt"), count(lit(1)).as("n"))
-    val tf = toks.filter(col("tok").isin(qTerms: _*))
-      .groupBy("doc_id", "k", "tok").agg(count(lit(1)).as("tf"))
+    val perChunk = graft.operators.TrainPrep.pk6TokenChunks(s, d)
+      .groupBy("doc_id", "k")
+      .agg(count(lit(1)).as("dl"),
+        qTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
+        }: _*)
+      .localCheckpoint() // 2 consumers: totals + the per-term rows
+    val totals = perChunk.agg(sum("dl").as("tt"), count(lit(1)).as("n"))
+    val tf = perChunk.select(col("doc_id"), col("k"), col("dl"),
+        explode(array(qTerms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("tok"), col(s"tf$i").as("tf"))
+        }: _*)).as("x"))
+      .select(col("doc_id"), col("k"), col("dl"),
+        col("x.tok").as("tok"), col("x.tf").as("tf"))
+      .filter(col("tf") > 0L)
     val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dft), "tok")
-      .join(dl, Seq("doc_id", "k"))
       .crossJoin(broadcast(totals))
       .withColumn("avg", expr("tt div n"))
       .withColumn("tfn_ppm",

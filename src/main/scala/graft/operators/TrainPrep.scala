@@ -1016,15 +1016,24 @@ object TrainPrep {
     val hkey = graft.functions.VectorFunctions.md5Prefix60(
       concat(col("doc_id").cast("string"), lit(":42")))
     val wSh = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    // r20: the 8 shard totals ride the SAME job as the checkpoint
+    // materialization via observe() (dd7's convergence pattern) — the
+    // old shape paid a separate groupBy+collect action over the
+    // checkpointed manifest for scalars the checkpoint pass already saw
+    val obs = new org.apache.spark.sql.Observation("pipe2_stots")
     val manifest = mixed.withColumn("hkey", hkey)
       .withColumn("shard", pmod(col("hkey"), lit(8L)))
       .withColumn("pos", row_number().over(wSh).cast("long") - 1L)
       .withColumn("local_off",
         coalesce(sum(col("n_tokens"))
           .over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .observe(obs, coalesce(sum(when(col("shard") === 0L, col("n_tokens"))
+          .otherwise(0L)), lit(0L)).as("t0"),
+        (1 until 8).map(i => coalesce(sum(when(col("shard") === i.toLong,
+          col("n_tokens")).otherwise(0L)), lit(0L)).as(s"t$i")): _*)
       .localCheckpoint()
-    val stots = manifest.groupBy("shard").agg(sum("n_tokens").as("stot"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stots = (0 until 8)
+      .map(i => i.toLong -> obs.get(s"t$i").asInstanceOf[Long]).toMap
     val cum = (0 until 8).scanLeft(0L)((acc, i) => acc + stots.getOrElse(i.toLong, 0L))
     val offs = s.createDataFrame((0 until 8).map(i => (i.toLong, cum(i))))
       .toDF("shard", "shard_off")

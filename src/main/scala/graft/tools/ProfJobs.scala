@@ -40,8 +40,12 @@ object ProfJobs {
         starts.remove(j.jobId).foreach { case (t0, site) =>
           val dt = j.time - t0
           jobWallMs += dt
-          if (perJob && dt >= 50)
-            println(f"[prof-job] #${j.jobId}%4d ${dt / 1e3}%6.2fs  $site")
+          // one preformatted println per line: concurrent job-end events
+          // would otherwise interleave partial lines on stdout
+          if (perJob && dt >= 50) {
+            val line = f"[prof-job] #${j.jobId}%4d ${dt / 1e3}%6.2fs  $site"
+            println(line)
+          }
         }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages += 1
