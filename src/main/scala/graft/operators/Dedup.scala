@@ -654,9 +654,15 @@ object Dedup {
     */
   private[operators] def dd9Sketch(s: SparkSession, d: String): DataFrame =
     // spread variant (§2.5): the 128 constant-vector DotLongs per row are
-    // the whole sketch cost and ran inside the single-split scan task
-    Similarity.scaledVectorsSpread(s, d)
-      .withColumn("codes",
+    // the whole sketch cost and ran inside the single-split scan task.
+    // dd9 keeps the spread input (two full-bench runs measured 0.63–0.68×);
+    // sim11 consumes the BARE variant below — the same two runs measured
+    // the spread one 1.17–1.21× THERE (its downstream band/verify joins
+    // dominate and the extra partitions only add per-stage task overhead).
+    dd9SketchOf(Similarity.scaledVectorsSpread(s, d))
+
+  private[operators] def dd9SketchOf(e: DataFrame): DataFrame =
+    e.withColumn("codes",
         graft.functions.VectorFunctions.hyperplaneBands(col("v"), 128, 4))
       .localCheckpoint()
 

@@ -811,7 +811,8 @@ object Similarity {
   // signal there), bounding candidates linearly in n; exact dot/norm
   // arithmetic runs only on surviving candidate pairs.
   private def sim11RangeJoin(s: SparkSession, d: String): DataFrame = {
-    val eb = Dedup.dd9Sketch(s, d)
+    // bare (unspread) sketch input — see the dd9Sketch comment in Dedup
+    val eb = Dedup.dd9SketchOf(scaledVectors(s, d))
     val bands = eb.select(col("vec_id"),
       posexplode(col("codes")).as(Seq("band", "code")))
       .localCheckpoint() // referenced 3×: size table + both join sides
