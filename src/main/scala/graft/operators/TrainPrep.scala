@@ -1019,8 +1019,12 @@ object TrainPrep {
     // r20: the 8 shard totals ride the SAME job as the checkpoint
     // materialization via observe() (dd7's convergence pattern) — the
     // old shape paid a separate groupBy+collect action over the
-    // checkpointed manifest for scalars the checkpoint pass already saw
-    val obs = new org.apache.spark.sql.Observation("pipe2_stots")
+    // checkpointed manifest for scalars the checkpoint pass already saw.
+    // Name made session-unique: pipe2 and pipe4 build this frame
+    // concurrently under Verify's thread pool, and Observation latches
+    // metrics BY NAME from any completing execution.
+    val obs = new org.apache.spark.sql.Observation(
+      s"pipe2_stots_${Dedup.obsSeq.incrementAndGet()}")
     val manifest = mixed.withColumn("hkey", hkey)
       .withColumn("shard", pmod(col("hkey"), lit(8L)))
       .withColumn("pos", row_number().over(wSh).cast("long") - 1L)
